@@ -1,0 +1,73 @@
+"""Count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005).
+
+depth x width counter matrix; row i uses an independent seeded hash. Point
+query = min over rows; merge = counter-wise add (exactly order-invariant).
+Published guarantee: overestimate ≤ εN with probability 1-δ for
+ε = e/width, δ = e^-depth.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .base import register
+from .hashing import hash_ints
+
+__all__ = ["CMSSketch"]
+
+
+@register("cms")
+class CMSSketch:
+    def __init__(self, width: int = 1 << 16, depth: int = 5, seed: int = 0):
+        self.width = int(width)
+        self.depth = int(depth)
+        self.seed = int(seed)
+        self.table = np.zeros((self.depth, self.width), dtype=np.int64)
+        self.total = 0
+
+    def update(self, values: np.ndarray, counts: np.ndarray | None = None) -> None:
+        if len(values) == 0:
+            return
+        values = np.asarray(values)
+        if counts is None:
+            # pre-aggregate duplicates within the batch: one scatter per distinct
+            values, counts = np.unique(values, return_counts=True)
+        self.total += int(counts.sum())
+        for d in range(self.depth):
+            idx = (hash_ints(values, self.seed * 1_000_003 + d) % np.uint64(self.width)).astype(np.int64)
+            np.add.at(self.table[d], idx, counts)
+
+    def query(self, values: np.ndarray) -> np.ndarray:
+        values = np.asarray(values)
+        est = np.full(len(values), np.iinfo(np.int64).max, dtype=np.int64)
+        for d in range(self.depth):
+            idx = (hash_ints(values, self.seed * 1_000_003 + d) % np.uint64(self.width)).astype(np.int64)
+            np.minimum(est, self.table[d][idx], out=est)
+        return est
+
+    def merge(self, other: "CMSSketch") -> "CMSSketch":
+        assert (self.width, self.depth, self.seed) == (other.width, other.depth, other.seed)
+        self.table += other.table
+        self.total += other.total
+        return self
+
+    @property
+    def epsilon(self) -> float:
+        return float(np.e) / self.width
+
+    @property
+    def delta(self) -> float:
+        return float(np.exp(-self.depth))
+
+    def to_bytes(self) -> bytes:
+        return struct.pack("<qqqq", self.width, self.depth, self.seed, self.total) + self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "CMSSketch":
+        width, depth, seed, total = struct.unpack_from("<qqqq", data)
+        sk = cls.__new__(cls)
+        sk.width, sk.depth, sk.seed, sk.total = width, depth, seed, total
+        sk.table = np.frombuffer(data[32:], dtype=np.int64).reshape(depth, width).copy()
+        return sk

@@ -1,0 +1,123 @@
+"""MinHash and SimHash signatures for near-duplicate detection.
+
+- ``MinHashSketch``: Broder, "On the resemblance and containment of
+  documents" (SEQUENCES 1997). k independent hash minima over a shingle set;
+  E[matching fraction of two signatures] = Jaccard similarity. Mergeable by
+  element-wise min (exactly order-invariant). ``signatures_for`` computes a
+  (rows, k) matrix for a batch in one vectorised pass.
+- LSH banding (Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets" ch.3):
+  split the k-row signature into b bands of r rows; docs sharing any band
+  hash become candidates. P(candidate) = 1 - (1 - s^r)^b.
+- ``simhash64``: Charikar, "Similarity estimation techniques from rounding
+  algorithms" (STOC 2002): 64-bit fingerprints whose Hamming distance tracks
+  cosine similarity of the token-frequency vectors.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .base import register
+from .hashing import hash_ints, splitmix64
+
+__all__ = ["MinHashSketch", "minhash_signatures", "band_keys", "simhash64", "hamming64"]
+
+
+def _seeds(k: int, seed: int) -> np.ndarray:
+    return splitmix64(np.arange(seed, seed + k, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15 | 1))
+
+
+def minhash_signatures(token_lists: list[np.ndarray], k: int = 128, seed: int = 0) -> np.ndarray:
+    """(rows, k) uint64 MinHash signature matrix for a batch of token-id
+    arrays. Each row's tokens are hashed once, then the k permutations are
+    simulated with per-permutation XOR seeds (one vector op per row)."""
+    seeds = _seeds(k, seed)
+    out = np.full((len(token_lists), k), np.iinfo(np.uint64).max, dtype=np.uint64)
+    for i, toks in enumerate(token_lists):
+        if len(toks) == 0:
+            continue
+        h = hash_ints(np.asarray(toks))  # (n,)
+        with np.errstate(over="ignore"):
+            m = splitmix64(h[:, None] ^ seeds[None, :])  # (n, k)
+        out[i] = m.min(axis=0)
+    return out
+
+
+def band_keys(signatures: np.ndarray, bands: int) -> np.ndarray:
+    """(rows, bands) uint64 band-bucket keys: hash of each band's rows."""
+    rows, k = signatures.shape
+    assert k % bands == 0
+    r = k // bands
+    view = signatures.reshape(rows, bands, r)
+    with np.errstate(over="ignore"):
+        acc = np.zeros((rows, bands), dtype=np.uint64)
+        for j in range(r):
+            acc = splitmix64(acc ^ view[:, :, j])
+    return acc
+
+
+@register("minhash")
+class MinHashSketch:
+    """Corpus/set-level MinHash (mergeable by element-wise min); estimates
+    Jaccard similarity between two accumulated sets."""
+
+    def __init__(self, k: int = 128, seed: int = 0):
+        self.k = int(k)
+        self.seed = int(seed)
+        self.mins = np.full(self.k, np.iinfo(np.uint64).max, dtype=np.uint64)
+
+    def update(self, values: np.ndarray) -> None:
+        if len(values) == 0:
+            return
+        h = hash_ints(np.asarray(values))
+        with np.errstate(over="ignore"):
+            m = splitmix64(h[:, None] ^ _seeds(self.k, self.seed)[None, :])
+        np.minimum(self.mins, m.min(axis=0), out=self.mins)
+
+    def merge(self, other: "MinHashSketch") -> "MinHashSketch":
+        assert (self.k, self.seed) == (other.k, other.seed)
+        np.minimum(self.mins, other.mins, out=self.mins)
+        return self
+
+    def jaccard(self, other: "MinHashSketch") -> float:
+        return float((self.mins == other.mins).mean())
+
+    def to_bytes(self) -> bytes:
+        return struct.pack("<qq", self.k, self.seed) + self.mins.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "MinHashSketch":
+        k, seed = struct.unpack_from("<qq", data)
+        sk = cls(k, seed)
+        sk.mins = np.frombuffer(data, dtype=np.uint64, count=k, offset=16).copy()
+        return sk
+
+
+def simhash64(token_lists: list[np.ndarray], seed: int = 0) -> np.ndarray:
+    """64-bit SimHash fingerprints for a batch of token-id arrays."""
+    out = np.empty(len(token_lists), dtype=np.uint64)
+    bit_cols = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    for i, toks in enumerate(token_lists):
+        if len(toks) == 0:
+            out[i] = 0
+            continue
+        h = hash_ints(np.asarray(toks), seed)
+        # (n, 64) sign contributions: +1 where bit set, -1 otherwise
+        bits = ((h[:, None] & bit_cols[None, :]) != 0).astype(np.int32)
+        score = (2 * bits - 1).sum(axis=0)
+        out[i] = np.uint64(((score > 0).astype(np.uint64) * bit_cols).sum(dtype=np.uint64))
+    return out
+
+
+_POPCOUNT_LUT16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Element-wise Hamming distance between uint64 arrays."""
+    x = a ^ b
+    d = np.zeros(x.shape, dtype=np.int64)
+    for shift in (0, 16, 32, 48):
+        d += _POPCOUNT_LUT16[((x >> np.uint64(shift)) & np.uint64(0xFFFF)).astype(np.int64)]
+    return d

@@ -1,0 +1,107 @@
+"""Ray-level sketch aggregation: kernel-in-map_batches equals
+kernel-in-process, salted merge equivalence, corpus determinism and the
+per-row token-array-equality invariant (BASELINE.json input_hint)."""
+
+import numpy as np
+import pytest
+
+from pprl_ray.sketches import CMSSketch, HLLSketch, KLLSketch
+from pprl_ray.sources.corpus import derive_corpus, synth_batch, synth_corpus
+from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _exact_corpus(n=2000, seed=42):
+    import pyarrow as pa
+
+    batch = synth_batch(pa.table({"id": pa.array(np.arange(n), pa.int64())}), seed=seed)
+    return batch
+
+
+def test_hll_by_source_matches_exact():
+    n = 2000
+    table = _exact_corpus(n)
+    ds = synth_corpus(n, override_num_blocks=8)
+    merged = sketch_by_key(ds, lambda: HLLSketch(14), "tokens", "source", batch_size=256)
+    sketches = finalize_sketches(merged, HLLSketch)
+
+    # exact distinct per source from the same deterministic table
+    sources = np.array(table["source"].to_pylist())
+    flat_rows = np.repeat(np.arange(n), table["n_tok"].to_numpy())
+    tokens = table["tokens"].combine_chunks().values.to_numpy(zero_copy_only=False)
+    for src in np.unique(sources):
+        exact = len(np.unique(tokens[sources[flat_rows] == src]))
+        est = sketches[src].estimate()
+        assert abs(est - exact) / exact < 3 * sketches[src].relative_error_bound(), src
+
+
+def test_salted_merge_equals_flat_merge():
+    n = 1000
+    ds = synth_corpus(n, override_num_blocks=8)
+    flat = finalize_sketches(
+        sketch_by_key(ds, lambda: HLLSketch(12), "tokens", "source", salt=0, batch_size=128),
+        HLLSketch,
+    )
+    ds2 = synth_corpus(n, override_num_blocks=8)
+    salted = finalize_sketches(
+        sketch_by_key(ds2, lambda: HLLSketch(12), "tokens", "source", salt=4, batch_size=128),
+        HLLSketch,
+    )
+    assert set(flat) == set(salted)
+    for k in flat:
+        assert flat[k].to_bytes() == salted[k].to_bytes(), k
+
+
+def test_global_sketch_and_scalar_column():
+    n = 1500
+    ds = synth_corpus(n, override_num_blocks=4)
+    merged = sketch_by_key(ds, lambda: KLLSketch(200), "n_tok", None, batch_size=256)
+    sk = finalize_sketches(merged, KLLSketch)[""]
+    table = _exact_corpus(n)
+    ntok = np.sort(table["n_tok"].to_numpy())
+    for q in (0.25, 0.5, 0.9):
+        est = sk.quantile(q)
+        true_rank = np.searchsorted(ntok, est, side="right") / len(ntok)
+        assert abs(true_rank - q) < 0.03, (q, est, true_rank)
+
+
+def test_cms_in_ray_matches_in_process():
+    n = 800
+    table = _exact_corpus(n)
+    ds = synth_corpus(n, override_num_blocks=4)
+    merged = sketch_by_key(ds, lambda: CMSSketch(1 << 14, 5), "tokens", None, batch_size=100)
+    ray_sk = finalize_sketches(merged, CMSSketch)[""]
+
+    local = CMSSketch(1 << 14, 5)
+    local.update(table["tokens"].combine_chunks().values.to_numpy(zero_copy_only=False))
+    assert ray_sk.to_bytes() == local.to_bytes()  # counter-add merge is exact
+
+
+def test_synth_corpus_deterministic_across_partitionings():
+    a = synth_corpus(500, override_num_blocks=2).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = synth_corpus(500, override_num_blocks=7).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["n_tok"].tolist() == b["n_tok"].tolist()
+    for x, y in zip(a["tokens"], b["tokens"]):
+        assert np.array_equal(x, y)
+
+
+def test_derived_corpus_token_array_equality(sf_dir):
+    """input_hint invariant: the tokens column read back through the engine
+    equals a direct in-process derivation, element for element."""
+    import polars as pl
+    import pyarrow.parquet as pq
+
+    from pprl_ray.sources.corpus import tokenize_words_batch
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+    expected = tokenize_words_batch(docs)
+
+    got = derive_corpus(sf_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    exp = expected.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["n_tok"].tolist() == exp["n_tok"].tolist()
+    for x, y in zip(got["tokens"], exp["tokens"]):
+        assert np.array_equal(x, y)
+    assert (got["n_tok"] == got["tokens"].map(len)).all()

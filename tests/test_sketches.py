@@ -1,0 +1,208 @@
+"""Sketch accuracy (published error bounds), merge order-invariance
+properties (FIXTURES.md F5) and serialization round-trips."""
+
+import random
+
+import numpy as np
+import pytest
+
+from pprl_ray.sketches import (
+    BloomSketch,
+    CMSSketch,
+    HLLSketch,
+    KLLSketch,
+    MinHashSketch,
+    TDigestSketch,
+    band_keys,
+    hamming64,
+    minhash_signatures,
+    simhash64,
+)
+
+
+def _zipf_stream(n, vocab=200_000, seed=7):
+    rng = np.random.default_rng(seed)
+    return rng.zipf(1.3, n).clip(1, vocab)
+
+
+# --- accuracy bounds --------------------------------------------------------
+
+
+def test_hll_within_published_bound():
+    vals = _zipf_stream(500_000)
+    exact = len(np.unique(vals))
+    for p in (12, 14):
+        sk = HLLSketch(p)
+        sk.update(vals)
+        rel = abs(sk.estimate() - exact) / exact
+        assert rel < 3 * sk.relative_error_bound(), (p, rel)
+
+
+def test_hll_small_range_linear_counting():
+    sk = HLLSketch(14)
+    vals = np.arange(100)
+    sk.update(vals)
+    assert abs(sk.estimate() - 100) < 5
+
+
+def test_cms_overestimate_bound():
+    vals = _zipf_stream(300_000)
+    sk = CMSSketch(1 << 15, 5)
+    sk.update(vals)
+    heavy = np.arange(1, 50)
+    est = sk.query(heavy)
+    true = np.array([(vals == h).sum() for h in heavy])
+    assert (est >= true).all()  # CMS never underestimates
+    assert ((est - true) <= sk.epsilon * sk.total).all()
+
+
+def test_bloom_no_false_negatives_and_fpr():
+    vals = np.unique(_zipf_stream(100_000))
+    sk = BloomSketch(1 << 20, 4)
+    sk.update(vals)
+    assert sk.contains(vals).all()  # no false negatives, ever
+    absent = np.arange(1_000_000, 1_050_000)
+    measured_fpr = sk.contains(absent).mean()
+    assert measured_fpr <= 3 * max(sk.fpr(len(vals)), 1e-4)
+    rel = abs(sk.estimate_cardinality() - len(vals)) / len(vals)
+    assert rel < 0.05
+
+
+def test_tdigest_quantile_accuracy():
+    rng = np.random.default_rng(7)
+    data = rng.lognormal(3.0, 1.0, 200_000)
+    sk = TDigestSketch(200)
+    for chunk in np.array_split(data, 20):
+        sk.update(chunk)
+    s = np.sort(data)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99, 0.999):
+        est = sk.quantile(q)
+        true_rank = np.searchsorted(s, est) / len(s)
+        tol = 0.005 if 0.1 < q < 0.9 else 0.002  # t-digest is tighter at tails
+        assert abs(true_rank - q) < tol, (q, true_rank)
+
+
+def test_kll_rank_error_bound():
+    rng = np.random.default_rng(11)
+    data = rng.normal(0, 1, 200_000)
+    sk = KLLSketch(200)
+    for chunk in np.array_split(data, 37):
+        sk.update(chunk)
+    s = np.sort(data)
+    for q in (0.05, 0.25, 0.5, 0.75, 0.95):
+        est = sk.quantile(q)
+        true_rank = np.searchsorted(s, est) / len(s)
+        assert abs(true_rank - q) < 0.02, (q, true_rank)  # ~2/k with k=200
+
+
+def test_minhash_jaccard_estimate():
+    a = np.arange(0, 1000)
+    b = np.arange(500, 1500)
+    sa, sb = MinHashSketch(256), MinHashSketch(256)
+    sa.update(a)
+    sb.update(b)
+    true = 500 / 1500
+    assert abs(sa.jaccard(sb) - true) < 0.08  # ~3/sqrt(k)
+
+
+def test_simhash_similarity_tracks_hamming():
+    base = np.arange(1000)
+    near = np.concatenate([np.arange(950), np.arange(5000, 5050)])
+    far = np.arange(10_000, 11_000)
+    s = simhash64([base, near, far])
+    d_near = hamming64(s[:1], s[1:2])[0]
+    d_far = hamming64(s[:1], s[2:3])[0]
+    assert d_near < d_far
+    assert d_near <= 12
+
+
+def test_band_keys_collision():
+    sigs = minhash_signatures([np.arange(100), np.arange(100), np.arange(200, 300)], k=128)
+    bk = band_keys(sigs, bands=16)
+    assert (bk[0] == bk[1]).all()
+    assert not (bk[0] == bk[2]).any()
+
+
+# --- merge properties -------------------------------------------------------
+
+
+def _partitions(vals, n_parts, seed):
+    rng = np.random.default_rng(seed)
+    assignment = rng.integers(0, n_parts, len(vals))
+    return [vals[assignment == p] for p in range(n_parts)]
+
+
+@pytest.mark.parametrize("cls,kwargs", [
+    (BloomSketch, {"m_bits": 1 << 16, "k": 4}),
+    (HLLSketch, {"p": 12}),
+    (CMSSketch, {"width": 1 << 12, "depth": 5}),
+    (MinHashSketch, {"k": 128}),
+])
+def test_exact_merge_order_invariance(cls, kwargs):
+    """Bloom/HLL/CMS/MinHash merges must be bit-exact under any merge order
+    and any partitioning (the north-rule UDAF contract)."""
+    vals = _zipf_stream(50_000)
+    parts = _partitions(vals, 8, seed=3)
+    results = []
+    for order_seed in range(4):
+        order = list(range(8))
+        random.Random(order_seed).shuffle(order)
+        sketches = []
+        for p in order:
+            sk = cls(**kwargs)
+            sk.update(parts[p])
+            sketches.append(sk)
+        acc = sketches[0]
+        for sk in sketches[1:]:
+            acc = acc.merge(sk)
+        results.append(acc.to_bytes())
+    assert all(r == results[0] for r in results[1:])
+    # and equals the single-pass sketch
+    single = cls(**kwargs)
+    single.update(vals)
+    assert results[0] == single.to_bytes()
+
+
+@pytest.mark.parametrize("cls,kwargs,tol", [
+    (TDigestSketch, {"compression": 200}, 0.01),
+    (KLLSketch, {"k": 200}, 0.025),
+])
+def test_quantile_merge_order_invariance_within_bound(cls, kwargs, tol):
+    """t-digest / KLL merges are order-invariant within the published
+    rank-error bound (not bit-exact — documented property)."""
+    rng = np.random.default_rng(5)
+    vals = rng.lognormal(2, 1, 100_000)
+    s = np.sort(vals)
+    parts = _partitions(vals, 8, seed=4)
+    for order_seed in range(3):
+        order = list(range(8))
+        random.Random(order_seed).shuffle(order)
+        acc = None
+        for p in order:
+            sk = cls(**kwargs)
+            sk.update(parts[p])
+            acc = sk if acc is None else acc.merge(sk)
+        for q in (0.1, 0.5, 0.9):
+            est = acc.quantile(q)
+            true_rank = np.searchsorted(s, est) / len(s)
+            assert abs(true_rank - q) < tol, (order_seed, q, true_rank)
+
+
+@pytest.mark.parametrize("cls,kwargs", [
+    (BloomSketch, {"m_bits": 1 << 14, "k": 3}),
+    (HLLSketch, {"p": 10}),
+    (CMSSketch, {"width": 256, "depth": 3}),
+    (MinHashSketch, {"k": 64}),
+    (TDigestSketch, {"compression": 100}),
+    (KLLSketch, {"k": 128}),
+])
+def test_serialization_roundtrip(cls, kwargs):
+    sk = cls(**kwargs)
+    sk.update(_zipf_stream(5_000))
+    data = sk.to_bytes()
+    back = cls.from_bytes(data)
+    assert back.to_bytes() == data
+    # merged-after-roundtrip still works
+    other = cls(**kwargs)
+    other.update(_zipf_stream(1_000, seed=9))
+    back.merge(other)
