@@ -1,44 +1,789 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke pipeline, queries() per-operator pipelines,
+oracle_sql() DuckDB equivalents (SURVEY.md §2 coverage).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing here
+(or in pprl_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Every float-valued output column is rounded identically in the Ray pipeline
+and the oracle SQL (ROUND(x, 6) / round(x, 4)) so the driver's value-hash
+compares stable digits, not accumulation-order noise.
 """
 
 from __future__ import annotations
 
+import base64
+import math
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# shared helpers
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _explode_words(sf_dir: str, keep=("doc_id",)):
+    """(keep..., token) — one row per whitespace word occurrence."""
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        texts = pl.from_arrow(batch["text"].combine_chunks())
+        words = texts.str.split(" ")
+        lengths = words.list.len().to_numpy().astype(np.int64)
+        flat = words.explode().to_arrow().cast(pa.string())
+        cols = {}
+        for k in keep:
+            cols[k] = batch[k].take(pa.array(np.repeat(np.arange(batch.num_rows), lengths)))
+        cols["token"] = flat
+        return pa.table(cols)
+
+    return _docs(sf_dir, columns=list(dict.fromkeys(list(keep) + ["text"]))).map_batches(
+        _explode, batch_format="pyarrow"
+    )
+
+
+def _round_cols(ds, cols: dict[str, int]):
+    def _r(batch: pa.Table) -> pa.Table:
+        out = {name: batch[name] for name in batch.column_names}
+        for c, nd in cols.items():
+            out[c] = pc.round(pc.cast(batch[c], pa.float64()), ndigits=nd)
+        return pa.table(out)
+
+    return ds.map_batches(_r, batch_format="pyarrow")
+
+
+def _customer_entities(sf_dir: str):
+    """customer -> (id: string, c_mktsegment) entity table for masking."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    return ds.map_batches(
+        lambda b: pa.table(
+            {
+                "id": pc.cast(b["c_custkey"], pa.string()),
+                "c_custkey": b["c_custkey"],
+                "c_mktsegment": b["c_mktsegment"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _clk_config(filter_size=1024, hash_values=5, hardeners=()):
+    from pprl_ray.config import CLKFilter, HashConfig, HashFunctionConfig, MaskConfig
+
+    return MaskConfig(
+        token_size=2,
+        hash=HashConfig(HashFunctionConfig(("sha1",)), "double_hash"),
+        filter=CLKFilter(filter_size, hash_values),
+        padding="_",
+        hardeners=hardeners,
+    )
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+
+
+def q_tokenize_qgrams(sf_dir: str):
+    """Padded 2-gram token sets of lower(text), exploded (reference
+    tokenize semantics, pprl_core/common.py:9-28)."""
+    from pprl_ray.functions.qgram import tokenize
+
+    def _qgrams(batch: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            ts = sorted(tokenize(text.lower(), 2, "_"))
+            ids.extend([did] * len(ts))
+            toks.extend(ts)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()), "token": pa.array(toks, pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(_qgrams, batch_format="pyarrow")
+
+
+def q_token_count(sf_dir: str):
+    from pprl_ray.stages.text import token_count_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        token_count_batch, batch_format="pyarrow"
+    )
+    return ds.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["doc_id"], "n_tok": pc.cast(b["n_tok"], pa.int64()), "source": b["source"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_token_freq(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    counted = _explode_words(sf_dir, keep=()).groupby("token").aggregate(Count(alias_name="cnt"))
+    return counted.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["cnt"], 5)), batch_format="pyarrow"
+    )
+
+
+def q_source_stats(sf_dir: str):
+    """Per-source doc count + mean token count (reference
+    compute_attribute_stats shape, pprl_client/lib.py:133-162)."""
+    from ray.data.aggregate import Count, Mean
+
+    ds = q_token_count(sf_dir)
+    agg = ds.groupby("source").aggregate(
+        Count(alias_name="n_docs"), Mean("n_tok", alias_name="avg_tokens")
+    )
+    return _round_cols(agg, {"avg_tokens": 6})
+
+
+def q_lang_entropy(sf_dir: str):
+    """Shannon entropy of the word distribution per lang (reference
+    compute_ngram_entropy, pprl_client/lib.py:122-130)."""
+    from ray.data.aggregate import Count
+
+    wc = _explode_words(sf_dir, keep=("lang",)).groupby(["lang", "token"]).aggregate(
+        Count(alias_name="c")
+    )
+
+    def _entropy(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["c"].to_numpy(dtype=np.float64)
+        p = c / c.sum()
+        return pd.DataFrame(
+            {"lang": [g["lang"].iloc[0]], "entropy": [round(float(-(p * np.log2(p)).sum()), 6)]}
+        )
+
+    return wc.groupby("lang").map_groups(_entropy, batch_format="pandas")
+
+
+def q_exact_dedup(sf_dir: str):
+    """Self-duplicated corpus -> exact dedup keeps the smallest doc_id."""
+    from pprl_ray.stages.dedup import exact_dedup
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    dup = docs.map_batches(
+        lambda b: pa.table({"doc_id": pc.add(b["doc_id"], 100_000), "text": b["text"]}),
+        batch_format="pyarrow",
+    )
+    kept = exact_dedup(docs.union(dup))
+    return kept.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"]}), batch_format="pyarrow"
+    )
+
+
+def q_quality(sf_dir: str):
+    from pprl_ray.stages.text import quality_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(quality_batch, batch_format="pyarrow")
+    out = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_words": b["n_words"],
+                "mean_word_len": b["mean_word_len"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return _round_cols(out, {"mean_word_len": 6})
+
+
+def q_events_agg(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    agg = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("value", alias_name="sum_value"),
+        Mean("value", alias_name="avg_value"),
+    )
+    return _round_cols(agg, {"sum_value": 6, "avg_value": 6})
+
+
+def q_ntok_quantiles(sf_dir: str):
+    """Exact discrete quantiles of the word count, computed distributed as
+    value-counts (tiny domain) + driver-side cumulative walk; quantile rule
+    matches DuckDB quantile_disc: sorted[ceil(q*n) - 1]."""
+    from ray.data.aggregate import Count
+
+    counts = q_token_count(sf_dir).groupby("n_tok").aggregate(Count(alias_name="c")).to_pandas()
+    counts = counts.sort_values("n_tok").reset_index(drop=True)
+    n = counts["c"].sum()
+    cum = counts["c"].cumsum()
+    rows = []
+    for q in (0.25, 0.5, 0.75, 0.9):
+        target = math.ceil(q * n)
+        val = int(counts["n_tok"][int((cum >= target).idxmax())])
+        rows.append({"q": q, "value": val})
+    return pd.DataFrame(rows)
+
+
+def q_top_docs(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+    # deterministic total order: (n_chars desc, doc_id asc)
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
+
+
+def q_fingerprint(sf_dir: str):
+    from pprl_ray.stages.text import fingerprint_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(fingerprint_batch, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "fp_md5": b["fp_md5"]}), batch_format="pyarrow"
+    )
+
+
+def q_transform_normalize(sf_dir: str):
+    """Per-attribute transformer chains (routers/transform.py semantics):
+    normalization on one column, character_filter on another."""
+    import ray.data as rd
+
+    from pprl_ray.stages.mask import transform_entities
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    ds = ds.map_batches(
+        lambda b: pa.table(
+            {"c_custkey": b["c_custkey"], "name_norm": b["c_name"], "name_filtered": b["c_name"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return transform_entities(
+        ds,
+        attribute_transformers={
+            "name_norm": [{"name": "normalization"}],
+            "name_filtered": [{"name": "character_filter", "characters": "#"}],
+        },
+        id_column="c_custkey",
+    )
+
+
+def q_date_format(sf_dir: str):
+    """date_time transformer (transform.py:58-62) over order dates."""
+    import ray.data as rd
+
+    from pprl_ray.functions.transform import date_time
+
+    fn = date_time("%Y-%m-%d", "%d.%m.%Y")
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
+
+    def _fmt(batch: pa.Table) -> pa.Table:
+        iso = pc.strftime(batch["o_orderdate"], format="%Y-%m-%d")
+        out = [fn(s) for s in iso.to_pylist()]
+        return pa.table({"o_orderkey": batch["o_orderkey"], "order_date": pa.array(out, pa.string())})
+
+    return ds.map_batches(_fmt, batch_format="pyarrow")
+
+
+def q_phonetic_codes(sf_dir: str):
+    """All six phonetic algorithms over region/nation names (rows-only)."""
+    import ray.data as rd
+
+    from pprl_ray.functions.phonetics import PHONETIC_ALGORITHMS
+
+    algos = PHONETIC_ALGORITHMS()
+    ds = rd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+
+    def _codes(batch: pa.Table) -> pa.Table:
+        names = batch["n_name"].to_pylist()
+        cols: dict[str, Any] = {"n_nationkey": batch["n_nationkey"], "n_name": batch["n_name"]}
+        for alg, obj in algos.items():
+            cols[alg] = pa.array([obj.phonetics(n) for n in names], pa.string())
+        return pa.table(cols)
+
+    return ds.map_batches(_codes, batch_format="pyarrow")
+
+
+def _masked_customers(sf_dir: str, config=None):
+    from pprl_ray.stages.mask import mask_entities
+
+    config = config or _clk_config()
+    return mask_entities(
+        _customer_entities(sf_dir), config, attribute_columns=["c_mktsegment"]
+    )
+
+
+def q_clk_mask(sf_dir: str):
+    return _masked_customers(sf_dir)
+
+
+def q_clk_mask_hardened(sf_dir: str):
+    return _masked_customers(
+        sf_dir,
+        _clk_config(
+            hardeners=(
+                {"name": "balance"},
+                {"name": "permute", "seed": 727},
+                {"name": "xor_fold"},
+            )
+        ),
+    )
+
+
+def q_rbf_mask(sf_dir: str):
+    from pprl_ray.config import AttributeConfig, HashConfig, HashFunctionConfig, MaskConfig, RBFFilter
+
+    cfg = MaskConfig(
+        token_size=2,
+        hash=HashConfig(HashFunctionConfig(("sha1",)), "double_hash"),
+        filter=RBFFilter(hash_values=5, seed=727),
+        padding="_",
+        attributes=(AttributeConfig("c_mktsegment", weight=4, average_token_count=10),),
+    )
+    return _masked_customers(sf_dir, cfg)
+
+
+def q_clkrbf_mask(sf_dir: str):
+    from pprl_ray.config import AttributeConfig, CLKRBFFilter, HashConfig, HashFunctionConfig, MaskConfig
+
+    cfg = MaskConfig(
+        token_size=2,
+        hash=HashConfig(HashFunctionConfig(("sha1", "md5"), key="k3y"), "triple_hash"),
+        filter=CLKRBFFilter(hash_values=5),
+        padding="_",
+        attributes=(AttributeConfig("c_mktsegment", weight=4, average_token_count=10),),
+    )
+    return _masked_customers(sf_dir, cfg)
+
+
+def q_match_crosswise(sf_dir: str):
+    """Crosswise θ-join at dice >= 1.0 over segment-only CLKs: matches are
+    exactly the equal-segment pairs (domain = custkey < 100)."""
+    from pprl_ray.config import MatchConfig
+    from pprl_ray.stages.match import match_crosswise
+
+    masked = _masked_customers(sf_dir).materialize()
+    ids_int = masked.map_batches(
+        lambda b: b.append_column("key_int", pc.cast(b["id"], pa.int64())), batch_format="pyarrow"
+    )
+    domain = ids_int.filter(expr="key_int < 100").drop_columns(["key_int"])
+    return match_crosswise(domain, masked, MatchConfig("dice", 1.0, "crosswise"))
+
+
+def q_match_pairwise(sf_dir: str):
+    from pprl_ray.config import MatchConfig
+    from pprl_ray.stages.match import match_pairwise
+
+    masked = _masked_customers(sf_dir).materialize()
+    return match_pairwise(masked, masked, MatchConfig("jaccard", 1.0, "pairwise"))
+
+
+def q_exact_distinct_tokens(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    per_word = _explode_words(sf_dir, keep=("source",)).groupby(["source", "token"]).aggregate(
+        Count(alias_name="c")
+    )
+    return per_word.groupby("source").aggregate(Count(alias_name="distinct_tokens"))
+
+
+# -- corpus / sketch queries (rows-only; accuracy gated in tests) -----------
+
+
+def q_corpus_build(sf_dir: str):
+    from pprl_ray.sources.corpus import derive_corpus
+
+    return derive_corpus(sf_dir)
+
+
+def q_hll_distinct_tokens(sf_dir: str):
+    from pprl_ray.sketches import HLLSketch
+    from pprl_ray.sources.corpus import derive_corpus
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    merged = sketch_by_key(
+        derive_corpus(sf_dir), lambda: HLLSketch(14), "tokens", "source", salt=4
+    )
+    sketches = finalize_sketches(merged, HLLSketch)
+    rows = [{"source": k, "hll_estimate": round(sk.estimate(), 2)} for k, sk in sketches.items()]
+    return pd.DataFrame(sorted(rows, key=lambda r: r["source"]))
+
+
+def q_cms_token_counts(sf_dir: str):
+    from pprl_ray.sketches import CMSSketch
+    from pprl_ray.sources.corpus import derive_corpus
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    merged = sketch_by_key(derive_corpus(sf_dir), lambda: CMSSketch(1 << 15, 5), "tokens", None)
+    sk = finalize_sketches(merged, CMSSketch)[""]
+    probe = np.arange(0, 2**31 - 1, 2**31 // 64, dtype=np.int64)[:64]
+    est = sk.query(probe)
+    return pd.DataFrame({"token": probe, "cms_estimate": est.astype(np.int64)})
+
+
+def q_kll_ntok_quantiles(sf_dir: str):
+    from pprl_ray.sketches import KLLSketch
+    from pprl_ray.sources.corpus import derive_corpus
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    merged = sketch_by_key(derive_corpus(sf_dir), lambda: KLLSketch(200), "n_tok", None)
+    sk = finalize_sketches(merged, KLLSketch)[""]
+    return pd.DataFrame(
+        [{"q": q, "kll_value": float(sk.quantile(q))} for q in (0.25, 0.5, 0.75, 0.9)]
+    )
+
+
+def q_tdigest_ntok_quantiles(sf_dir: str):
+    from pprl_ray.sketches import TDigestSketch
+    from pprl_ray.sources.corpus import derive_corpus
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    merged = sketch_by_key(derive_corpus(sf_dir), lambda: TDigestSketch(200), "n_tok", None)
+    sk = finalize_sketches(merged, TDigestSketch)[""]
+    return pd.DataFrame(
+        [{"q": q, "tdigest_value": round(sk.quantile(q), 4)} for q in (0.25, 0.5, 0.75, 0.9)]
+    )
+
+
+def q_bloom_sources(sf_dir: str):
+    from pprl_ray.sketches import BloomSketch
+    from pprl_ray.sources.corpus import derive_corpus
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    merged = sketch_by_key(
+        derive_corpus(sf_dir), lambda: BloomSketch(1 << 20, 4), "tokens", "source", salt=4
+    )
+    sketches = finalize_sketches(merged, BloomSketch)
+    return pd.DataFrame(
+        sorted(
+            (
+                {
+                    "source": k,
+                    "bits_set": sk.bits_set(),
+                    "est_cardinality": round(sk.estimate_cardinality(), 2),
+                }
+                for k, sk in sketches.items()
+            ),
+            key=lambda r: r["source"],
+        )
+    )
+
+
+def q_minhash_dedup(sf_dir: str):
+    from pprl_ray.stages.dedup import minhash_dedup_pairs
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    # plant near-duplicates: copy of each doc with doc_id+500000 and one word
+    # appended — verification must find (d, d+500000) pairs
+    def _mutate(batch: pa.Table) -> pa.Table:
+        texts = [t + " extra" for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": pc.add(batch["doc_id"], 500_000), "text": pa.array(texts, pa.string())}
+        )
+
+    planted = docs.union(docs.map_batches(_mutate, batch_format="pyarrow"))
+    pairs = minhash_dedup_pairs(planted, threshold=0.6)
+    return pairs.map_batches(
+        lambda b: pa.table(
+            {
+                "id_a": pc.cast(b["id_a"], pa.int64()),
+                "id_b": pc.cast(b["id_b"], pa.int64()),
+                "jaccard": pc.round(pc.cast(b["jaccard"], pa.float64()), ndigits=4),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_simhash(sf_dir: str):
+    from pprl_ray.stages.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_knn_cosine(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from pprl_ray.stages.ann import knn_brute
+
+    import ray.data as rd
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mask = pc.less(tbl["vec_id"], 3)
+    qtbl = tbl.filter(mask)
+    qids = qtbl["vec_id"].to_pylist()
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qtbl["embedding"].to_pylist()])
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = knn_brute(ds, qids, qmat, k=5)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "query_id": pc.cast(b["query_id"], pa.int64()),
+                "neighbor_id": pc.cast(b["neighbor_id"], pa.int64()),
+                "score": pc.round(pc.cast(b["score"], pa.float64()), ndigits=4),
+                "rank": pc.cast(b["rank"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_knn_ivf(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from pprl_ray.stages.ann import build_ivf, knn_ivf
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qtbl = tbl.filter(pc.less(tbl["vec_id"], 3))
+    qids = qtbl["vec_id"].to_pylist()
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qtbl["embedding"].to_pylist()])
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    assigned, centroids = build_ivf(ds, n_centroids=8)
+    return knn_ivf(assigned.materialize(), centroids, qids, qmat, k=5, nprobe=4)
+
+
+def q_embedding_near_dup(sf_dir: str):
+    import ray.data as rd
+
+    from pprl_ray.stages.ann import embedding_near_dup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pdf = ds.limit(5).to_pandas()
+    pdf["vec_id"] = pdf["vec_id"] + 900_000
+    planted = ds.union(rd.from_pandas(pdf))
+    return embedding_near_dup_pairs(planted, threshold=0.999)
+
+
+def q_lang_id(sf_dir: str):
+    from pprl_ray.stages.text import LangIdStage
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        LangIdStage, batch_format="pyarrow", concurrency=2
+    )
+    return ds.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "lang_pred": b["lang_pred"]}),
+        batch_format="pyarrow",
+    )
+
+
+def q_multimodal_features(sf_dir: str):
+    import ray.data as rd
+
+    from pprl_ray.stages.multimodal import ImageDecodeStage, synth_media_batch
+
+    ds = rd.range(200).map_batches(synth_media_batch, batch_format="pyarrow")
+    out = ds.map_batches(ImageDecodeStage, batch_format="pyarrow", batch_size=64, concurrency=2)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "media_id": b["media_id"],
+                "img_mean": pc.round(b["img_mean"], ndigits=6),
+                "img_entropy8": pc.round(b["img_entropy8"], ndigits=6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver API
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: derive the tokenized corpus, build the
+    full per-source sketch summary (HLL distinct, KLL median, row/token
+    counts) in one streaming pass + tiny blob merges."""
+    from ray.data.aggregate import Count, Sum
+
+    from pprl_ray.sketches import HLLSketch, KLLSketch
+    from pprl_ray.sources.corpus import derive_corpus
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    sf_dir = SF_DEFAULT
+    corpus = derive_corpus(sf_dir).materialize()
+    base = corpus.groupby("source").aggregate(
+        Count(alias_name="n_docs"), Sum("n_tok", alias_name="n_tokens")
+    ).to_pandas()
+    hll = finalize_sketches(
+        sketch_by_key(corpus, lambda: HLLSketch(14), "tokens", "source", salt=4), HLLSketch
+    )
+    kll = finalize_sketches(
+        sketch_by_key(corpus, lambda: KLLSketch(200), "n_tok", "source"), KLLSketch
+    )
+    base["hll_distinct_tokens"] = [round(hll[s].estimate(), 2) for s in base["source"]]
+    base["p50_n_tok"] = [float(kll[s].quantile(0.5)) for s in base["source"]]
+    return base.sort_values("source").reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tokenize_qgrams": q_tokenize_qgrams,
+        "token_count": q_token_count,
+        "token_freq": q_token_freq,
+        "source_stats": q_source_stats,
+        "lang_entropy": q_lang_entropy,
+        "exact_dedup": q_exact_dedup,
+        "quality": q_quality,
+        "events_agg": q_events_agg,
+        "ntok_quantiles": q_ntok_quantiles,
+        "top_docs": q_top_docs,
+        "fingerprint": q_fingerprint,
+        "transform_normalize": q_transform_normalize,
+        "date_format": q_date_format,
+        "phonetic_codes": q_phonetic_codes,
+        "clk_mask": q_clk_mask,
+        "clk_mask_hardened": q_clk_mask_hardened,
+        "rbf_mask": q_rbf_mask,
+        "clkrbf_mask": q_clkrbf_mask,
+        "match_crosswise": q_match_crosswise,
+        "match_pairwise": q_match_pairwise,
+        "exact_distinct_tokens": q_exact_distinct_tokens,
+        "corpus_build": q_corpus_build,
+        "hll_distinct_tokens": q_hll_distinct_tokens,
+        "cms_token_counts": q_cms_token_counts,
+        "kll_ntok_quantiles": q_kll_ntok_quantiles,
+        "tdigest_ntok_quantiles": q_tdigest_ntok_quantiles,
+        "bloom_sources": q_bloom_sources,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash": q_simhash,
+        "knn_cosine": q_knn_cosine,
+        "knn_ivf": q_knn_ivf,
+        "embedding_near_dup": q_embedding_near_dup,
+        "lang_id": q_lang_id,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tokenize_qgrams": """
+            WITH padded AS (
+                SELECT doc_id, '_' || lower(text) || '_' AS p FROM documents
+            )
+            SELECT DISTINCT doc_id, substring(p, CAST(i AS INT), 2) AS token
+            FROM (SELECT doc_id, p, unnest(range(1, length(p))) AS i FROM padded)
+        """,
+        "token_count": """
+            SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, source
+            FROM documents
+        """,
+        "token_freq": """
+            SELECT w AS token, count(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            GROUP BY w HAVING count(*) >= 5
+        """,
+        "source_stats": """
+            SELECT source, count(*) AS n_docs,
+                   round(avg(len(string_split(text, ' '))), 6) AS avg_tokens
+            FROM documents GROUP BY source
+        """,
+        "lang_entropy": """
+            WITH wc AS (
+                SELECT lang, w, count(*) AS c
+                FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+                GROUP BY lang, w
+            ), tot AS (SELECT lang, sum(c) AS s FROM wc GROUP BY lang)
+            SELECT wc.lang AS lang,
+                   round(-sum((c / s) * log2(c / s)), 6) AS entropy
+            FROM wc JOIN tot ON wc.lang = tot.lang
+            GROUP BY wc.lang
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id) AS doc_id
+            FROM (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text FROM documents
+            ) GROUP BY text
+        """,
+        "quality": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                   round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                         / len(string_split(text, ' ')), 6) AS mean_word_len
+            FROM documents
+        """,
+        "events_agg": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(value), 6) AS sum_value,
+                   round(avg(value), 6) AS avg_value
+            FROM events GROUP BY event_type
+        """,
+        "ntok_quantiles": """
+            WITH n AS (SELECT len(string_split(text, ' ')) AS n_tok FROM documents)
+            SELECT 0.25 AS q, CAST(quantile_disc(n_tok, 0.25) AS BIGINT) AS value FROM n
+            UNION ALL
+            SELECT 0.5, CAST(quantile_disc(n_tok, 0.5) AS BIGINT) FROM n
+            UNION ALL
+            SELECT 0.75, CAST(quantile_disc(n_tok, 0.75) AS BIGINT) FROM n
+            UNION ALL
+            SELECT 0.9, CAST(quantile_disc(n_tok, 0.9) AS BIGINT) FROM n
+        """,
+        "top_docs": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 10
+        """,
+        "fingerprint": """
+            SELECT doc_id, md5(lower(text)) AS fp_md5 FROM documents
+        """,
+        "transform_normalize": """
+            SELECT c_custkey,
+                   trim(regexp_replace(lower(c_name), '\\s+', ' ', 'g')) AS name_norm,
+                   replace(c_name, '#', '') AS name_filtered
+            FROM customer
+        """,
+        "date_format": """
+            SELECT o_orderkey, strftime(o_orderdate, '%d.%m.%Y') AS order_date FROM orders
+        """,
+        "match_crosswise": """
+            SELECT CAST(a.c_custkey AS VARCHAR) AS domain_id,
+                   CAST(b.c_custkey AS VARCHAR) AS range_id,
+                   CAST(1.0 AS DOUBLE) AS similarity
+            FROM customer a JOIN customer b ON a.c_mktsegment = b.c_mktsegment
+            WHERE a.c_custkey < 100
+        """,
+        "match_pairwise": """
+            SELECT CAST(c_custkey AS VARCHAR) AS domain_id,
+                   CAST(c_custkey AS VARCHAR) AS range_id,
+                   CAST(1.0 AS DOUBLE) AS similarity
+            FROM customer
+        """,
+        "exact_distinct_tokens": """
+            SELECT source, count(DISTINCT w) AS distinct_tokens
+            FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+            GROUP BY source
+        """,
+        "knn_cosine": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3),
+            sims AS (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.embedding, e.embedding) AS score
+                FROM q CROSS JOIN embeddings e
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY score DESC, neighbor_id
+                ) AS rank FROM sims
+            )
+            SELECT query_id, neighbor_id,
+                   round(CAST(score AS DOUBLE), 4) AS score, rank
+            FROM ranked WHERE rank <= 5
+        """,
+    }
+
+
+if __name__ == "__main__":
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    print(entry())
+    ray.shutdown()
