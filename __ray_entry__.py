@@ -408,7 +408,7 @@ def q_hll_distinct_tokens(sf_dir: str):
     from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
 
     merged = sketch_by_key(
-        derive_corpus(sf_dir), lambda: HLLSketch(14), "tokens", "source", salt=4
+        derive_corpus(sf_dir), lambda: HLLSketch(14), "tokens", "source"
     )
     sketches = finalize_sketches(merged, HLLSketch)
     rows = [{"source": k, "hll_estimate": round(sk.estimate(), 2)} for k, sk in sketches.items()]
@@ -457,7 +457,7 @@ def q_bloom_sources(sf_dir: str):
     from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
 
     merged = sketch_by_key(
-        derive_corpus(sf_dir), lambda: BloomSketch(1 << 20, 4), "tokens", "source", salt=4
+        derive_corpus(sf_dir), lambda: BloomSketch(1 << 20, 4), "tokens", "source"
     )
     sketches = finalize_sketches(merged, BloomSketch)
     return pd.DataFrame(
@@ -613,7 +613,7 @@ def entry() -> Any:
         Count(alias_name="n_docs"), Sum("n_tok", alias_name="n_tokens")
     ).to_pandas()
     hll = finalize_sketches(
-        sketch_by_key(corpus, lambda: HLLSketch(14), "tokens", "source", salt=4), HLLSketch
+        sketch_by_key(corpus, lambda: HLLSketch(14), "tokens", "source"), HLLSketch
     )
     kll = finalize_sketches(
         sketch_by_key(corpus, lambda: KLLSketch(200), "n_tok", "source"), KLLSketch

@@ -48,6 +48,14 @@ class BloomSketch:
     def update(self, values: np.ndarray) -> None:
         if len(values) == 0:
             return
+        # set semantics: duplicates set the same bits — dedup before probing
+        self.update_unique(np.unique(np.asarray(values)))
+
+    def update_unique(self, values: np.ndarray) -> None:
+        """Update with ALREADY-DEDUPLICATED values (duplicates are harmless
+        but waste work)."""
+        if len(values) == 0:
+            return
         pos = self._positions(np.asarray(values))
         byte_idx = (pos >> np.uint64(3)).astype(np.int64)
         masks = (np.uint8(128) >> (pos & np.uint64(7)).astype(np.uint8)).astype(np.uint8)

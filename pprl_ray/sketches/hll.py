@@ -41,7 +41,17 @@ class HLLSketch:
     def update(self, values: np.ndarray) -> None:
         if len(values) == 0:
             return
-        h = hash_ints(np.asarray(values), self.seed)
+        # registers depend only on the distinct values: dedup first (zipf-ish
+        # token batches dedup 10-20x, and np.unique is far cheaper than the
+        # hash+clz pipeline on the duplicates)
+        self.update_unique(np.unique(np.asarray(values)))
+
+    def update_unique(self, values: np.ndarray) -> None:
+        """Update with ALREADY-DEDUPLICATED values (caller guarantees
+        uniqueness; duplicates are harmless but waste work)."""
+        if len(values) == 0:
+            return
+        h = hash_ints(values, self.seed)
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
         rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)  # sentinel low bits
         # rho = count of leading zeros in the remaining 64-p bits, + 1

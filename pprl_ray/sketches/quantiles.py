@@ -67,31 +67,29 @@ class TDigestSketch:
             self._buf, self._buf_n = [], 0
         else:
             means, weights = self.means, self.weights
+        if len(means) == 0:
+            return
         order = np.argsort(means, kind="stable")
         means, weights = means[order], weights[order]
         total = weights.sum()
 
-        out_means: list[float] = []
-        out_weights: list[float] = []
-        cur_m, cur_w = means[0], weights[0]
-        q0 = 0.0
-        k0 = float(self._k(np.array([0.0]))[0])
-        for i in range(1, len(means)):
-            q2 = q0 + (cur_w + weights[i]) / total
-            if float(self._k(np.array([q2]))[0]) - k0 <= 1.0:
-                # merge into current centroid (weighted mean)
-                cur_m = (cur_m * cur_w + means[i] * weights[i]) / (cur_w + weights[i])
-                cur_w += weights[i]
-            else:
-                out_means.append(cur_m)
-                out_weights.append(cur_w)
-                q0 += cur_w / total
-                k0 = float(self._k(np.array([q0]))[0])
-                cur_m, cur_w = means[i], weights[i]
-        out_means.append(cur_m)
-        out_weights.append(cur_w)
-        self.means = np.array(out_means)
-        self.weights = np.array(out_weights)
+        # Fully vectorised clustering: bin centroids by the integer part of
+        # the k1 scale function at their cumulative-weight midpoint. Bins
+        # have unit k-width, so each output centroid obeys the same
+        # k(q_right) - k(q_left) <= 1 size bound as the sequential greedy
+        # merge (accuracy concentrated at the tails); merging within a bin
+        # is one weighted-mean reduceat.
+        cum = np.cumsum(weights)
+        qmid = (cum - weights / 2) / total
+        # half-unit k bins: twice the centroid resolution of the greedy
+        # unit-step merge (count still O(delta)), comfortably inside the
+        # k1-scale rank-error bound after repeated re-compressions
+        bins = np.floor(2.0 * self._k(qmid))
+        starts = np.flatnonzero(np.diff(bins, prepend=bins[0] - 1) != 0)
+        wsum = np.add.reduceat(weights, starts)
+        msum = np.add.reduceat(means * weights, starts)
+        self.means = msum / wsum
+        self.weights = wsum
 
     def merge(self, other: "TDigestSketch") -> "TDigestSketch":
         assert self.delta == other.delta

@@ -117,12 +117,50 @@ def _merge_group(df, sketch_cls) -> "Any":
     )
 
 
-def merge_blob_rows(partials_ds, sketch_cls, salt: int = 0):
+def _combine_batch(batch: pa.Table, sketch_cls) -> pa.Table:
+    """Local combiner: merge per-key partials WITHIN one bundled batch of
+    partial rows (no shuffle). Each combiner task emits at most one row per
+    key regardless of skew, bounding the final groupby's per-key fan-in to
+    the number of combiner tasks."""
+    merged: dict[str, Any] = {}
+    rowsum: dict[str, int] = {}
+    for key, blob, r in zip(
+        batch["key"].to_pylist(), batch["blob"].to_pylist(), batch["rows"].to_pylist()
+    ):
+        sk = sketch_cls.from_bytes(zlib.decompress(blob))
+        if key in merged:
+            merged[key] = merged[key].merge(sk)
+            rowsum[key] += r
+        else:
+            merged[key] = sk
+            rowsum[key] = r
+    ks = sorted(merged)
+    return pa.table(
+        {
+            "key": pa.array(ks, pa.string()),
+            "blob": pa.array([zlib.compress(merged[k].to_bytes(), 1) for k in ks], pa.large_binary()),
+            "rows": pa.array([rowsum[k] for k in ks], pa.int64()),
+        }
+    )
+
+
+def merge_blob_rows(partials_ds, sketch_cls, salt: int = 0, combine_batch_size: int | None = 4096):
     """Merge a Dataset of (key, blob, rows) partials down to one row per key.
 
-    With ``salt > 0`` an intermediate ``groupby([key, salt])`` level first
-    reduces fan-in per key (sketch merges are associative, so the two-level
-    result is identical to a flat merge)."""
+    Default topology: a local combiner map (bundles many partial blocks per
+    task, merges within the bundle, no shuffle) followed by one small
+    ``groupby``. With ``salt > 0`` an additional intermediate
+    ``groupby([key, salt])`` level further spreads per-key reduce fan-in
+    across ``salt`` reducers (useful when even combiner output per key is
+    large); sketch merges are associative, so every topology yields an
+    identical result (tested)."""
+
+    if combine_batch_size:
+        partials_ds = partials_ds.map_batches(
+            lambda b: _combine_batch(b, sketch_cls),
+            batch_format="pyarrow",
+            batch_size=combine_batch_size,
+        )
 
     if salt > 0:
 
@@ -147,14 +185,23 @@ def sketch_by_key(
     value_col: str,
     key_col: str | None = None,
     *,
+    merge: str | None = "combine",
     salt: int = 0,
-    batch_size: int = 65536,
+    batch_size: int | None = None,
+    combine_batch_size: int = 256,
     concurrency: int | None = None,
 ):
-    """Full pipeline: Dataset -> one merged sketch row per key.
+    """Full pipeline: Dataset -> (key, blob, rows) sketch rows; consume with
+    :func:`finalize_sketches` (small result; merges per-key duplicates).
 
-    Returns a Ray Dataset with schema (key: string, blob: binary, rows: int64)
-    — consume with :func:`finalize_sketches` (small result)."""
+    ``merge="combine"`` (default): materialize the tiny per-block partial
+    rows (aggregate state only — the input stream stays fully pipelined),
+    then merge them with bundled combiner map tasks; no sort-based shuffle.
+    A hot key collapses to one row per combiner task, so skew never
+    concentrates on a single reducer. ``merge="groupby"`` produces exactly
+    one row per key via a groupby shuffle (``salt`` adds a two-level salted
+    reduce) — use when the sketch table itself is the output (e.g. written
+    to Parquet). ``merge=None`` returns raw per-block partials."""
     sketch_cls = type(sketch_factory())
     partials = ds.map_batches(
         SketchPartials(sketch_factory, value_col, key_col),
@@ -162,12 +209,33 @@ def sketch_by_key(
         batch_size=batch_size,
         **({"concurrency": concurrency} if concurrency else {}),
     )
-    return merge_blob_rows(partials, sketch_cls, salt=salt)
+    if salt > 0:
+        merge = "groupby"  # salting only exists in the groupby topology
+    if merge == "combine":
+        # iterative parallel tree-reduce over the materialized partial rows
+        # (aggregate state only; the input stream stays fully pipelined)
+        combine = lambda b: _combine_batch(b, sketch_cls)  # noqa: E731
+        partials = partials.materialize()
+        while partials.count() > 8 * combine_batch_size:
+            partials = partials.map_batches(
+                combine, batch_format="pyarrow", batch_size=combine_batch_size
+            ).materialize()
+        return partials.map_batches(
+            combine, batch_format="pyarrow", batch_size=combine_batch_size
+        )
+    if merge == "groupby":
+        return merge_blob_rows(partials, sketch_cls, salt=salt)
+    if merge is None:
+        return partials
+    raise ValueError(f"unknown merge mode {merge!r}")
 
 
 def finalize_sketches(merged_ds, sketch_cls) -> dict[str, Any]:
-    """Materialise the (tiny) merged sketch table into {key: sketch}."""
+    """Driver-side final merge of a (small) sketch-row Dataset into
+    {key: sketch}; per-key duplicates (combiner partials) are merged."""
     out: dict[str, Any] = {}
     for row in merged_ds.take_all():
-        out[row["key"]] = sketch_cls.from_bytes(zlib.decompress(row["blob"]))
+        sk = sketch_cls.from_bytes(zlib.decompress(row["blob"]))
+        k = row["key"]
+        out[k] = out[k].merge(sk) if k in out else sk
     return out
