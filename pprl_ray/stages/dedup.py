@@ -84,14 +84,22 @@ def shingle_tokens(batch: pa.Table, text_col: str = "text", n: int = 3) -> list[
 
 
 class _MinHashStage:
-    """Per-row minhash signature + exploded (band, band_key) rows."""
+    """Per-row minhash signature + exploded (band, band_key) rows.
 
-    def __init__(self, text_col: str, id_col: str, k: int, bands: int, shingle_n: int):
+    ``with_signature=False`` (the scale default) omits the k*8-byte
+    signature from the exploded rows: the bands-fold replication would
+    otherwise dominate shuffle volume (k=128, bands=16 -> 16 KiB per doc
+    vs ~30 bytes for the keys alone), and exact verification recomputes
+    similarity from shingles anyway."""
+
+    def __init__(self, text_col: str, id_col: str, k: int, bands: int, shingle_n: int,
+                 with_signature: bool = False):
         self.text_col = text_col
         self.id_col = id_col
         self.k = k
         self.bands = bands
         self.shingle_n = shingle_n
+        self.with_signature = with_signature
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         shingles = shingle_tokens(batch, self.text_col, self.shingle_n)
@@ -101,58 +109,85 @@ class _MinHashStage:
         ids = batch[self.id_col].to_pylist()
         rep_ids = np.repeat(np.arange(n), self.bands)
         band_idx = np.tile(np.arange(self.bands), n)
-        return pa.table(
-            {
-                self.id_col: pa.array([ids[i] for i in rep_ids]),
-                "band": pa.array(band_idx, pa.int32()),
-                "band_key": pa.array(bkeys[rep_ids, band_idx].astype(np.int64), pa.int64()),
-                "signature": pa.array(
-                    [sigs[i].astype(np.int64).tobytes() for i in rep_ids], pa.large_binary()
-                ),
-            }
-        )
+        cols = {
+            self.id_col: pa.array([ids[i] for i in rep_ids]),
+            "band": pa.array(band_idx, pa.int32()),
+            "band_key": pa.array(bkeys[rep_ids, band_idx].astype(np.int64), pa.int64()),
+        }
+        if self.with_signature:
+            cols["signature"] = pa.array(
+                [sigs[i].astype(np.int64).tobytes() for i in rep_ids], pa.large_binary()
+            )
+        return pa.table(cols)
 
 
 def minhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
                        k: int = 128, bands: int = 16, shingle_n: int = 3,
-                       max_bucket: int = 200):
+                       max_bucket: int = 200, partitions: int = 32,
+                       with_estimates: bool = False):
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
 
-    Emits (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated across
-    bands by keeping a pair only in its first shared band. ``max_bucket``
-    caps quadratic blowup in degenerate buckets (capped pairs are dropped,
-    logged via the ``truncated`` column of the bucket summary — no silent
-    unbounded work)."""
-    exploded = ds.map_batches(
-        _MinHashStage,
-        fn_constructor_kwargs=dict(
-            text_col=text_col, id_col=id_col, k=k, bands=bands, shingle_n=shingle_n
-        ),
-        batch_format="pyarrow",
-        concurrency=2,
+    Emits (id_a, id_b) with id_a < id_b (plus ``est_jaccard`` — the
+    signature agreement fraction — when ``with_estimates=True``),
+    deduplicated across bands. ``max_bucket`` caps quadratic blowup in
+    degenerate buckets (no silent unbounded work).
+
+    Scale shape: only ~30-byte (id, band, band_key) rows shuffle (the k*8-B
+    signatures stay out of the exchange unless estimates are requested);
+    bucket pairing is a vectorised pandas join per (band, band_key %
+    partitions) reduce group, so per-group Python overhead is
+    O(bands*partitions), not O(buckets)."""
+    stage = _MinHashStage(
+        text_col=text_col, id_col=id_col, k=k, bands=bands, shingle_n=shingle_n,
+        with_signature=with_estimates,
     )
+    # stateless kernel: plain task pool (no actor startup latency)
+    exploded = ds.map_batches(stage, batch_format="pyarrow")
 
-    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(id_col).head(max_bucket)
-        ids = g[id_col].tolist()
-        sigs = [np.frombuffer(s, dtype=np.int64) for s in g["signature"]]
-        rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                est = float((sigs[i] == sigs[j]).mean())
-                rows.append((ids[i], ids[j], est))
-        if not rows:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        df = pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard"])
-        return df
+    def _band_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col).reset_index(drop=True)
+        # cap degenerate buckets (documented truncation, no silent O(n^2))
+        g = g[g.groupby("band_key").cumcount() < max_bucket].reset_index(drop=True)
+        empty_cols = {"id_a": [], "id_b": []}
+        if with_estimates:
+            empty_cols["est_jaccard"] = []
+        if len(g) < 2:
+            return pd.DataFrame(empty_cols)
+        idx = np.arange(len(g))
+        left = pd.DataFrame({"band_key": g["band_key"].to_numpy(), "i": idx})
+        m = left.merge(left.rename(columns={"i": "j"}), on="band_key")
+        m = m[m["i"] < m["j"]]
+        if len(m) == 0:
+            return pd.DataFrame(empty_cols)
+        i, j = m["i"].to_numpy(), m["j"].to_numpy()
+        ids = g[id_col].to_numpy()
+        # g sorted by id => i < j implies id_a < id_b
+        out = {"id_a": ids[i], "id_b": ids[j]}
+        if with_estimates:
+            sig_mat = np.frombuffer(b"".join(g["signature"]), dtype=np.int64).reshape(len(g), -1)
+            out["est_jaccard"] = (sig_mat[i] == sig_mat[j]).mean(axis=1)
+        return pd.DataFrame(out)
 
-    pairs = exploded.groupby(["band", "band_key"]).map_groups(_pairs, batch_format="pandas")
+    # Partition buckets into (band, band_key % partitions) reduce groups:
+    # pairing stays exact (a pair shares its full band_key, hence its
+    # partition) while reducer work per group is ~1/partitions of a band —
+    # one-group-per-band would bottleneck a single reducer at corpus scale.
+    def _add_part(batch: pa.Table) -> pa.Table:
+        part = batch["band_key"].to_numpy() % np.int64(partitions)
+        return batch.append_column("part", pa.array(part.astype(np.int32)))
 
-    # a pair found in multiple bands appears multiple times — keep one
-    def _dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
+    parted = exploded.map_batches(_add_part, batch_format="pyarrow")
+    pairs = parted.groupby(["band", "part"]).map_groups(_band_pairs, batch_format="pandas")
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(_dedup_pairs, batch_format="pandas")
+    # a pair found in multiple bands appears once per band — keep one
+    # (native aggregate: vectorized, no per-group Python)
+    from ray.data.aggregate import Count, Max
+
+    if with_estimates:
+        return pairs.groupby(["id_a", "id_b"]).aggregate(
+            Max("est_jaccard", alias_name="est_jaccard")
+        )
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_bands")).drop_columns(["n_bands"])
 
 
 def verify_jaccard_pairs(pairs_ds, docs_ds, text_col: str = "text", id_col: str = "doc_id",
@@ -165,35 +200,42 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, text_col: str = "text", id_col: str 
     with a bucket-join on id."""
     import ray
 
+    # shingle in parallel map tasks; the driver only assembles the dict
+    shingled = docs_ds.map_batches(
+        lambda b: pa.table(
+            {
+                id_col: b[id_col],
+                "shingles": pa.array(
+                    [sh.tobytes() for sh in shingle_tokens(b, text_col, shingle_n)],
+                    pa.large_binary(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
     shingle_map: dict = {}
-    for batch in docs_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        ids = batch[id_col].to_pylist()
-        for i, sh in enumerate(shingle_tokens(batch, text_col, shingle_n)):
-            shingle_map[ids[i]] = sh
+    for batch in shingled.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        for i, blob in zip(batch[id_col].to_pylist(), batch["shingles"].to_pylist()):
+            shingle_map[i] = np.frombuffer(blob, dtype=np.uint64)
     ref = ray.put(shingle_map)
 
-    class _Verify:
-        def __init__(self, ref):
-            self.lookup = ray.get(ref)
+    def _verify(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)  # zero-copy from the local object store
+        id_a = batch["id_a"].to_pylist()
+        id_b = batch["id_b"].to_pylist()
+        sims = []
+        for a, b in zip(id_a, id_b):
+            sa, sb = lookup.get(a), lookup.get(b)
+            if sa is None or sb is None:
+                sims.append(0.0)
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            sims.append(inter / union if union else 1.0)
+        out = batch.append_column("jaccard", pa.array(sims, pa.float64()))
+        return out.filter(pa.compute.greater_equal(out["jaccard"], threshold))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            id_a = batch["id_a"].to_pylist()
-            id_b = batch["id_b"].to_pylist()
-            sims = []
-            for a, b in zip(id_a, id_b):
-                sa, sb = self.lookup.get(a), self.lookup.get(b)
-                if sa is None or sb is None:
-                    sims.append(0.0)
-                    continue
-                inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                union = len(sa) + len(sb) - inter
-                sims.append(inter / union if union else 1.0)
-            out = batch.append_column("jaccard", pa.array(sims, pa.float64()))
-            return out.filter(pa.compute.greater_equal(out["jaccard"], threshold))
-
-    return pairs_ds.map_batches(
-        _Verify, fn_constructor_kwargs=dict(ref=ref), batch_format="pyarrow", concurrency=2
-    )
+    return pairs_ds.map_batches(_verify, batch_format="pyarrow")
 
 
 def minhash_dedup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -271,9 +313,9 @@ def simhash_candidates(fp_ds, id_col: str = "doc_id", max_hamming: int = 3, max_
         )
 
     pairs = exploded.groupby(["band", "band_key"]).map_groups(_pairs, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
 # --- cluster collapse ------------------------------------------------------
