@@ -1,0 +1,361 @@
+"""``ray job submit``-able CLI entry points.
+
+Mirrors the reference CLI surface (`/root/reference/packages/pprl_client/
+pprl_client/cli.py`: ``pprl transform | mask | match | estimate``) as Ray
+Data pipelines, plus the sketch/dedup commands this engine adds. Config
+files use the REFERENCE's JSON request shapes (``BaseMaskRequest`` /
+``BaseTransformRequest``, `pprl_model/mask.py:159-168`,
+`pprl_model/transform.py:85-99`) so existing configs port unchanged.
+
+Usage (cluster):
+    ray job submit --working-dir . -- python -m pprl_ray.cli profile \
+        --input /data/corpus --output /data/profile
+Local runs auto-initialise Ray (guarded — the driver harness owns the
+session when one exists).
+
+Inputs may be Parquet (dir or file) or CSV; outputs are partitioned Parquet
+(one file per block — resumable sinks write per-partition, never one giant
+file).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .config import (
+    AttributeConfig,
+    AttributeSalt,
+    CLKFilter,
+    CLKRBFFilter,
+    HashConfig,
+    HashFunctionConfig,
+    MaskConfig,
+    MatchConfig,
+    RBFFilter,
+)
+
+__all__ = ["main", "mask_config_from_request", "transform_kwargs_from_request"]
+
+
+# --------------------------------------------------------------------------
+# config adapters: reference JSON request shapes -> our dataclasses
+
+
+def mask_config_from_request(req: dict) -> MaskConfig:
+    """``BaseMaskRequest`` JSON (config + attributes) -> MaskConfig."""
+    c = req["config"]
+    f = c["filter"]
+    ftype = f.get("type", "clk")
+    if ftype == "clk":
+        filt = CLKFilter(filter_size=f["filter_size"], hash_values=f["hash_values"])
+    elif ftype == "rbf":
+        filt = RBFFilter(hash_values=f["hash_values"], seed=f["seed"])
+    elif ftype == "clkrbf":
+        filt = CLKRBFFilter(hash_values=f["hash_values"])
+    else:
+        raise ValueError(f"unknown filter type {ftype!r}")
+
+    attrs = []
+    for a in req.get("attributes", []):
+        salt = None
+        if a.get("salt"):
+            salt = AttributeSalt(value=a["salt"].get("value"), attribute=a["salt"].get("attribute"))
+        attrs.append(
+            AttributeConfig(
+                attribute_name=a["attribute_name"],
+                salt=salt,
+                weight=a.get("weight"),
+                average_token_count=a.get("average_token_count"),
+            )
+        )
+
+    strategy = c["hash"]["strategy"]
+    return MaskConfig(
+        token_size=c["token_size"],
+        hash=HashConfig(
+            function=HashFunctionConfig(
+                algorithms=tuple(c["hash"]["function"]["algorithms"]),
+                key=c["hash"]["function"].get("key"),
+            ),
+            strategy=strategy["name"] if isinstance(strategy, dict) else strategy,
+        ),
+        filter=filt,
+        prepend_attribute_name=c.get("prepend_attribute_name", True),
+        padding=c.get("padding", ""),
+        hardeners=tuple(c.get("hardeners", [])),
+        attributes=tuple(attrs),
+    )
+
+
+def transform_kwargs_from_request(req: dict) -> dict:
+    """``BaseTransformRequest`` JSON -> transform_entities kwargs."""
+    at = {
+        a["attribute_name"]: a["transformers"] for a in req.get("attribute_transformers", [])
+    }
+    g = req.get("global_transformers", {})
+    return dict(
+        attribute_transformers=at or None,
+        global_before=g.get("before") or None,
+        global_after=g.get("after") or None,
+        empty_value=req.get("config", {}).get("empty_value", "error"),
+    )
+
+
+# --------------------------------------------------------------------------
+# IO helpers
+
+
+def _init_ray() -> bool:
+    """Init Ray if nobody owns a session yet; returns True if WE own it
+    (and should shut it down) — never tear down a caller's session."""
+    import ray
+
+    if ray.is_initialized():
+        return False
+    ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    return True
+
+
+def _read(path: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    if path.endswith(".csv"):
+        ds = rd.read_csv(path)
+        return ds.select_columns(columns) if columns else ds
+    return rd.read_parquet(path, columns=columns)
+
+
+def _write(ds, path: str, fmt: str = "parquet") -> int:
+    if fmt == "csv":
+        ds = ds.materialize()
+        ds.write_csv(path)
+    else:
+        ds = ds.materialize()
+        ds.write_parquet(path)
+    return ds.count()
+
+
+# --------------------------------------------------------------------------
+# subcommands
+
+
+def cmd_transform(args) -> None:
+    from .stages.mask import transform_entities
+
+    req = json.load(open(args.config))
+    ds = _read(args.input)
+    out = transform_entities(ds, id_column=args.id_column, **transform_kwargs_from_request(req))
+    n = _write(out, args.output, args.format)
+    print(json.dumps({"command": "transform", "rows": n, "output": args.output}))
+
+
+def cmd_mask(args) -> None:
+    from .stages.mask import mask_entities
+
+    req = json.load(open(args.config))
+    config = mask_config_from_request(req)
+    ds = _read(args.input)
+    out = mask_entities(ds, config, id_column=args.id_column)
+    n = _write(out, args.output, args.format)
+    print(json.dumps({"command": "mask", "rows": n, "output": args.output}))
+
+
+def cmd_match(args) -> None:
+    import pyarrow as pa
+
+    from .stages.match import match_many, match_pairwise
+
+    config = MatchConfig(measure=args.measure, threshold=args.threshold, method=args.method)
+    datasets = [_read(p) for p in args.inputs]
+    if args.method == "pairwise":
+        pair_results = {
+            (i, j): match_pairwise(datasets[i], datasets[j], config)
+            for i in range(len(datasets))
+            for j in range(i + 1, len(datasets))
+        }
+    else:
+        pair_results = match_many(datasets, config)
+
+    # one output per file pair, labelled like the reference match CSV
+    # (domain_file / range_file columns, cli.py:202-245)
+    total = 0
+    for (i, j), ds in pair_results.items():
+        labelled = ds.map_batches(
+            lambda b, i=i, j=j: b.append_column(
+                "domain_file", pa.array([args.inputs[i]] * b.num_rows, pa.string())
+            ).append_column("range_file", pa.array([args.inputs[j]] * b.num_rows, pa.string())),
+            batch_format="pyarrow",
+        )
+        total += _write(labelled, f"{args.output}/pair_{i}_{j}", args.format)
+    print(json.dumps({"command": "match", "pairs": total, "output": args.output}))
+
+
+def cmd_profile(args) -> None:
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .pipelines.profile import corpus_profile, default_specs, finalize_profile
+
+    specs = default_specs(
+        hll_p=args.hll_p,
+        cms_width=args.cms_width,
+        cms_depth=args.cms_depth,
+        kll_k=args.kll_k,
+        bloom_bits=args.bloom_bits,
+    )
+    corpus = _read(args.input, columns=["tokens", "n_tok", "source"])
+    merged = corpus_profile(corpus, specs)
+    profile = finalize_profile(merged, specs)
+
+    if args.output:
+        rows = {
+            "sketch": [],
+            "key": [],
+            "blob": [],
+        }
+        for (name, key), sk in sorted(profile.items()):
+            rows["sketch"].append(name)
+            rows["key"].append(key)
+            rows["blob"].append(zlib.compress(sk.to_bytes(), 1))
+        import os
+
+        os.makedirs(args.output, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "sketch": pa.array(rows["sketch"], pa.string()),
+                    "key": pa.array(rows["key"], pa.string()),
+                    "blob": pa.array(rows["blob"], pa.large_binary()),
+                }
+            ),
+            f"{args.output}/profile.parquet",
+        )
+
+    report = {}
+    for (name, key), sk in sorted(profile.items()):
+        label = f"{name}[{key}]" if key else name
+        if hasattr(sk, "estimate"):
+            report[label] = round(sk.estimate(), 2)
+        elif hasattr(sk, "quantile"):
+            report[label] = {q: round(float(sk.quantile(q)), 2) for q in (0.25, 0.5, 0.75, 0.99)}
+        elif hasattr(sk, "estimate_cardinality"):
+            report[label] = round(sk.estimate_cardinality(), 2)
+        elif hasattr(sk, "total"):
+            report[label] = int(sk.total)
+    print(json.dumps({"command": "profile", "estimates": report, "output": args.output}))
+
+
+def cmd_dedup(args) -> None:
+    from .stages.dedup import exact_dedup, minhash_dedup_pairs, simhash_candidates, simhash_fingerprints
+
+    ds = _read(args.input)
+    if args.method == "exact":
+        out = exact_dedup(ds, id_col=args.id_column, text_col=args.text_column)
+    elif args.method == "minhash":
+        out = minhash_dedup_pairs(
+            ds, text_col=args.text_column, id_col=args.id_column, threshold=args.threshold
+        )
+    elif args.method == "simhash":
+        fp = simhash_fingerprints(ds, text_col=args.text_column, id_col=args.id_column)
+        out = simhash_candidates(fp, id_col=args.id_column, max_hamming=args.max_hamming)
+    else:
+        raise ValueError(args.method)
+    n = _write(out, args.output, args.format)
+    print(json.dumps({"command": "dedup", "method": args.method, "rows": n, "output": args.output}))
+
+
+def cmd_checkpointed_profile(args) -> None:
+    """Resumable per-partition sketch build (north_rule checkpoint path)."""
+    import glob
+
+    from .sketches import HLLSketch
+    from .state.checkpoint import CheckpointedSketchBuild
+
+    paths = sorted(glob.glob(f"{args.input}/*.parquet"))
+    build = CheckpointedSketchBuild(
+        args.checkpoint_dir,
+        lambda: HLLSketch(args.hll_p),
+        value_col="tokens",
+        key_col="source",
+    )
+    done_before = len(build.completed_partitions(paths))
+    sketches = build.run(paths)
+    print(json.dumps({
+        "command": "checkpointed-profile",
+        "partitions": len(paths),
+        "resumed": done_before,
+        "estimates": {k: round(v.estimate(), 2) for k, v in sorted(sketches.items())},
+    }))
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="pprl-ray", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp, output=True):
+        sp.add_argument("--input", required=True)
+        if output:
+            sp.add_argument("--output", required=True)
+        sp.add_argument("--format", choices=("parquet", "csv"), default="parquet")
+        sp.add_argument("--id-column", default="id")
+
+    sp = sub.add_parser("transform", help="string-transform entity attributes")
+    common(sp)
+    sp.add_argument("--config", required=True, help="BaseTransformRequest JSON")
+    sp.set_defaults(fn=cmd_transform)
+
+    sp = sub.add_parser("mask", help="encode entities into CLK/RBF/CLKRBF bit vectors")
+    common(sp)
+    sp.add_argument("--config", required=True, help="BaseMaskRequest JSON")
+    sp.set_defaults(fn=cmd_mask)
+
+    sp = sub.add_parser("match", help="match >= 2 bit-vector tables pairwise/crosswise")
+    sp.add_argument("--inputs", nargs="+", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--format", choices=("parquet", "csv"), default="parquet")
+    sp.add_argument("--measure", choices=("dice", "cosine", "jaccard"), default="dice")
+    sp.add_argument("--threshold", type=float, default=0.8)
+    sp.add_argument("--method", choices=("crosswise", "pairwise"), default="crosswise")
+    sp.set_defaults(fn=cmd_match)
+
+    sp = sub.add_parser("profile", help="one-pass corpus sketch profile (HLL/CMS/KLL/t-digest/Bloom)")
+    sp.add_argument("--input", required=True, help="tokenized-corpus parquet (input_hint schema)")
+    sp.add_argument("--output", default=None, help="optional dir for the merged sketch table")
+    sp.add_argument("--hll-p", type=int, default=14)
+    sp.add_argument("--cms-width", type=int, default=1 << 16)
+    sp.add_argument("--cms-depth", type=int, default=5)
+    sp.add_argument("--kll-k", type=int, default=200)
+    sp.add_argument("--bloom-bits", type=int, default=1 << 20)
+    sp.set_defaults(fn=cmd_profile)
+
+    sp = sub.add_parser("dedup", help="exact / minhash / simhash deduplication")
+    common(sp)
+    sp.add_argument("--method", choices=("exact", "minhash", "simhash"), default="exact")
+    sp.add_argument("--text-column", default="text")
+    sp.add_argument("--threshold", type=float, default=0.8)
+    sp.add_argument("--max-hamming", type=int, default=3)
+    sp.set_defaults(fn=cmd_dedup)
+
+    sp = sub.add_parser("checkpointed-profile", help="resumable per-partition HLL build")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--checkpoint-dir", required=True)
+    sp.add_argument("--hll-p", type=int, default=14)
+    sp.set_defaults(fn=cmd_checkpointed_profile)
+
+    args = p.parse_args(argv)
+    owns_session = _init_ray()
+    try:
+        args.fn(args)
+    finally:
+        if owns_session:
+            import ray
+
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

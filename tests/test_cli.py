@@ -1,0 +1,144 @@
+"""End-to-end CLI tests (`python -m pprl_ray.cli ...` semantics via main()).
+
+Mirrors the reference's CLI integration tests
+(`/root/reference/packages/pprl_client/tests/test_cli.py:74-200`: CSV/file
+in -> file out, row counts and headers), minus the HTTP service hop.
+"""
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pprl_ray.cli import main, mask_config_from_request, transform_kwargs_from_request
+
+MASK_REQUEST = {
+    "config": {
+        "token_size": 2,
+        "hash": {"function": {"algorithms": ["sha1"], "key": None}, "strategy": {"name": "double_hash"}},
+        "prepend_attribute_name": True,
+        "filter": {"type": "clk", "filter_size": 512, "hash_values": 5},
+        "padding": "_",
+        "hardeners": [{"name": "balance"}],
+    },
+    "attributes": [],
+}
+
+TRANSFORM_REQUEST = {
+    "config": {"empty_value": "skip"},
+    "attribute_transformers": [],
+    "global_transformers": {"before": [{"name": "normalization"}], "after": []},
+}
+
+
+@pytest.fixture()
+def entities_file(tmp_path):
+    path = tmp_path / "entities.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([str(i) for i in range(20)], pa.string()),
+                "name": pa.array([f"  Person-{i} É " for i in range(20)], pa.string()),
+            }
+        ),
+        path,
+    )
+    return str(path)
+
+
+def _run(capsys, argv):
+    main(argv)
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+def test_cli_transform_mask_match(ray_session, tmp_path, entities_file, capsys):
+    cfg_t = tmp_path / "t.json"
+    cfg_t.write_text(json.dumps(TRANSFORM_REQUEST))
+    cfg_m = tmp_path / "m.json"
+    cfg_m.write_text(json.dumps(MASK_REQUEST))
+
+    r = _run(capsys, [
+        "transform", "--input", entities_file, "--config", str(cfg_t),
+        "--output", str(tmp_path / "transformed"),
+    ])
+    assert r["rows"] == 20
+    # normalization applied: lowercase, accents stripped
+    t = pq.read_table(str(tmp_path / "transformed"))
+    assert all(v == v.strip().lower() for v in t["name"].to_pylist())
+
+    r = _run(capsys, [
+        "mask", "--input", str(tmp_path / "transformed"), "--config", str(cfg_m),
+        "--output", str(tmp_path / "masked"),
+    ])
+    assert r["rows"] == 20
+    m = pq.read_table(str(tmp_path / "masked"))
+    assert m.column_names == ["id", "value"]
+    # balance hardener doubles 512 -> 1024 bits = 128 bytes -> 172 b64 chars
+    assert all(len(v) == 172 for v in m["value"].to_pylist())
+
+    r = _run(capsys, [
+        "match", "--inputs", str(tmp_path / "masked"), str(tmp_path / "masked"),
+        "--output", str(tmp_path / "matches"), "--threshold", "1.0",
+    ])
+    # crosswise self-match at threshold 1: every entity matches itself
+    assert r["pairs"] >= 20
+
+
+def test_cli_profile_and_dedup(ray_session, tmp_path, capsys):
+    import ray.data as rd
+
+    from pprl_ray.sources.corpus import synth_corpus
+
+    corpus_dir = tmp_path / "corpus"
+    synth_corpus(2000, override_num_blocks=4).write_parquet(str(corpus_dir))
+
+    r = _run(capsys, ["profile", "--input", str(corpus_dir)])
+    est = r["estimates"]
+    assert "hll_tokens[web]" in est and est["hll_tokens[web]"] > 0
+    assert "kll_ntok" in est and est["kll_ntok"]["0.5"] > 0
+
+    docs = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(["a", "b", "c", "d"], pa.string()),
+                "text": pa.array(["x y z", "x y z", "p q r", "s t u"], pa.string()),
+            }
+        ),
+        docs,
+    )
+    r = _run(capsys, [
+        "dedup", "--input", str(docs), "--output", str(tmp_path / "dd"),
+        "--method", "exact", "--id-column", "doc_id",
+    ])
+    assert r["rows"] == 3  # "a"/"b" collapse to one
+
+
+def test_cli_checkpointed_profile_resumes(ray_session, tmp_path, capsys):
+    from pprl_ray.sources.corpus import synth_corpus
+
+    corpus_dir = tmp_path / "corpus"
+    synth_corpus(2000, override_num_blocks=4).write_parquet(str(corpus_dir))
+
+    r1 = _run(capsys, [
+        "checkpointed-profile", "--input", str(corpus_dir),
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+    ])
+    assert r1["resumed"] == 0 and r1["partitions"] == 4
+    r2 = _run(capsys, [
+        "checkpointed-profile", "--input", str(corpus_dir),
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+    ])
+    assert r2["resumed"] == 4
+    assert r1["estimates"] == r2["estimates"]  # byte-identical resume
+
+
+def test_config_adapters_reference_shapes():
+    cfg = mask_config_from_request(MASK_REQUEST)
+    assert cfg.filter.filter_size == 512 and cfg.hash.strategy == "double_hash"
+    assert cfg.hardeners == ({"name": "balance"},)
+    kw = transform_kwargs_from_request(TRANSFORM_REQUEST)
+    assert kw["empty_value"] == "skip"
+    assert kw["global_before"] == [{"name": "normalization"}]
