@@ -593,6 +593,148 @@ def q_multimodal_features(sf_dir: str):
     )
 
 
+def q_broadcast_join(sf_dir: str):
+    """orders ⋈ customer (broadcast small side) -> per-segment totals;
+    broadcast-join operator from pprl_ray/stages/join.py."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from pprl_ray.stages.join import broadcast_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    joined = broadcast_join(orders, cust, keys="o_custkey", right_keys="c_custkey")
+    # exact money math: sum integer cents, not floats (accumulation order
+    # differs between the distributed Sum and DuckDB)
+    cents = joined.map_batches(
+        lambda b: b.append_column(
+            "cents", pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100)), pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    agg = cents.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("cents", alias_name="total_cents")
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "c_mktsegment": b["c_mktsegment"],
+                "n_orders": b["n_orders"],
+                "total_price": pc.divide(pc.cast(b["total_cents"], pa.float64()), 100.0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary over lineitem (the largest table) —
+    native partial+final aggregates, no raw-row shuffle beyond the groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Mean, Sum
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    agg = li.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="count_order"),
+    )
+    return _round_cols(agg, {"sum_qty": 2, "sum_base_price": 0, "avg_disc": 6})
+
+
+def q_attribute_stats(sf_dir: str):
+    """Reference weight-estimation parity (`pprl_client/lib.py:133-162`):
+    per attribute, the mean padded-2-gram token-set size and the Shannon
+    entropy of the global token counts."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Mean
+
+    from pprl_ray.functions.qgram import tokenize
+
+    attrs = ("c_name", "c_mktsegment")
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=list(attrs))
+
+    def _tokens(batch: pa.Table) -> pa.Table:
+        out_attr: list[str] = []
+        out_token: list[str] = []
+        out_ntok: list[int] = []
+        out_is_first: list[bool] = []
+        for attr in attrs:
+            for v in batch[attr].to_pylist():
+                toks = sorted(tokenize("" if v is None else str(v), 2, "_"))
+                for i, t in enumerate(toks):
+                    out_attr.append(attr)
+                    out_token.append(t)
+                    out_ntok.append(len(toks))
+                    out_is_first.append(i == 0)
+        return pa.table(
+            {
+                "attribute": pa.array(out_attr, pa.string()),
+                "token": pa.array(out_token, pa.string()),
+                "n_tokens": pa.array(out_ntok, pa.int64()),
+                "is_first": pa.array(out_is_first, pa.bool_()),
+            }
+        )
+
+    rows = cust.map_batches(_tokens, batch_format="pyarrow")
+    # avg token-set size: one contribution per (entity, attribute)
+    avg = rows.filter(expr="is_first == True").groupby("attribute").aggregate(
+        Mean("n_tokens", alias_name="avg_tokens")
+    )
+    # entropy over global token counts (each entity's token SET counted once)
+    counts = rows.groupby(["attribute", "token"]).aggregate(Count(alias_name="c"))
+
+    def _entropy(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["c"].to_numpy().astype(np.float64)
+        p = c / c.sum()
+        return pd.DataFrame(
+            {"attribute": [g["attribute"].iloc[0]], "entropy": [float(-(p * np.log2(p)).sum())]}
+        )
+
+    ent = counts.groupby("attribute").map_groups(_entropy, batch_format="pandas")
+    joined = avg.to_pandas().merge(ent.to_pandas(), on="attribute")
+    joined["avg_tokens"] = joined["avg_tokens"].round(6)
+    joined["entropy"] = joined["entropy"].round(6)
+    return joined.sort_values("attribute").reset_index(drop=True)
+
+
+def q_corpus_profile(sf_dir: str):
+    """Flagship fused one-pass sketch profile (HLL + CMS + KLL + t-digest +
+    Bloom in a single corpus scan, pprl_ray/pipelines/profile.py)."""
+    from pprl_ray.pipelines.profile import corpus_profile, default_specs, finalize_profile
+    from pprl_ray.sources.corpus import derive_corpus
+
+    specs = default_specs()
+    profile = finalize_profile(corpus_profile(derive_corpus(sf_dir), specs), specs)
+    rows = []
+    for (name, key), sk in sorted(profile.items()):
+        if hasattr(sk, "estimate"):
+            est = sk.estimate()
+        elif hasattr(sk, "quantile"):
+            est = float(sk.quantile(0.5))
+        elif hasattr(sk, "bits_set"):
+            est = float(sk.bits_set())
+        else:
+            est = float(sk.total)
+        rows.append({"sketch": name, "key": key, "estimate": round(est, 2)})
+    return pd.DataFrame(rows)
+
+
+def q_top_tokens(sf_dir: str):
+    """Deterministic top-20 tokens by frequency (count desc, token asc)."""
+    from ray.data.aggregate import Count
+
+    counts = _explode_words(sf_dir, keep=()).groupby("token").aggregate(Count(alias_name="cnt"))
+    top = counts.sort(["cnt", "token"], descending=[True, False]).limit(20)
+    return top
+
+
 # ---------------------------------------------------------------------------
 # driver API
 
@@ -603,23 +745,23 @@ def entry() -> Any:
     counts) in one streaming pass + tiny blob merges."""
     from ray.data.aggregate import Count, Sum
 
+    from pprl_ray.pipelines.profile import ProfileSpec, corpus_profile, finalize_profile
     from pprl_ray.sketches import HLLSketch, KLLSketch
     from pprl_ray.sources.corpus import derive_corpus
-    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
 
     sf_dir = SF_DEFAULT
     corpus = derive_corpus(sf_dir).materialize()
     base = corpus.groupby("source").aggregate(
         Count(alias_name="n_docs"), Sum("n_tok", alias_name="n_tokens")
     ).to_pandas()
-    hll = finalize_sketches(
-        sketch_by_key(corpus, lambda: HLLSketch(14), "tokens", "source"), HLLSketch
-    )
-    kll = finalize_sketches(
-        sketch_by_key(corpus, lambda: KLLSketch(200), "n_tok", "source"), KLLSketch
-    )
-    base["hll_distinct_tokens"] = [round(hll[s].estimate(), 2) for s in base["source"]]
-    base["p50_n_tok"] = [float(kll[s].quantile(0.5)) for s in base["source"]]
+    # fused flagship: both sketches in ONE corpus scan
+    specs = [
+        ProfileSpec("hll", "hll", lambda: HLLSketch(14), "tokens", "source"),
+        ProfileSpec("kll", "kll", lambda: KLLSketch(200), "n_tok", "source"),
+    ]
+    profile = finalize_profile(corpus_profile(corpus, specs), specs)
+    base["hll_distinct_tokens"] = [round(profile[("hll", s)].estimate(), 2) for s in base["source"]]
+    base["p50_n_tok"] = [float(profile[("kll", s)].quantile(0.5)) for s in base["source"]]
     return base.sort_values("source").reset_index(drop=True)
 
 
@@ -654,6 +796,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_sources": q_bloom_sources,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
+        "corpus_profile": q_corpus_profile,
+        "broadcast_join": q_broadcast_join,
+        "lineitem_pricing": q_lineitem_pricing,
+        "attribute_stats": q_attribute_stats,
+        "top_tokens": q_top_tokens,
         "knn_cosine": q_knn_cosine,
         "knn_ivf": q_knn_ivf,
         "embedding_near_dup": q_embedding_near_dup,
@@ -664,6 +811,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "broadcast_join": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 0) AS sum_base_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "attribute_stats": """
+            WITH vals AS (
+                SELECT ROW_NUMBER() OVER () AS rid, 'c_name' AS attribute, c_name AS v FROM customer
+                UNION ALL
+                SELECT ROW_NUMBER() OVER () + 10000000, 'c_mktsegment', c_mktsegment FROM customer
+            ), toks AS (
+                SELECT DISTINCT rid, attribute,
+                       substring('_' || v || '_', CAST(i AS INT), 2) AS token
+                FROM (SELECT rid, attribute, v, unnest(range(1, length(v) + 2)) AS i FROM vals)
+            ), per_entity AS (
+                SELECT rid, attribute, count(*) AS n FROM toks GROUP BY rid, attribute
+            ), avg_t AS (
+                SELECT attribute, avg(n) AS avg_tokens FROM per_entity GROUP BY attribute
+            ), cnts AS (
+                SELECT attribute, token, count(*) AS c FROM toks GROUP BY attribute, token
+            ), tot AS (
+                SELECT attribute, sum(c) AS s FROM cnts GROUP BY attribute
+            ), ent AS (
+                SELECT cnts.attribute AS attribute, -sum((c / s) * log2(c / s)) AS entropy
+                FROM cnts JOIN tot ON cnts.attribute = tot.attribute GROUP BY cnts.attribute
+            )
+            SELECT a.attribute AS attribute, round(avg_tokens, 6) AS avg_tokens,
+                   round(entropy, 6) AS entropy
+            FROM avg_t a JOIN ent ON a.attribute = ent.attribute
+        """,
+        "top_tokens": """
+            SELECT w AS token, count(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            GROUP BY w ORDER BY cnt DESC, w ASC LIMIT 20
+        """,
         "tokenize_qgrams": """
             WITH padded AS (
                 SELECT doc_id, '_' || lower(text) || '_' AS p FROM documents
