@@ -704,6 +704,91 @@ def q_attribute_stats(sf_dir: str):
     return joined.sort_values("attribute").reset_index(drop=True)
 
 
+def q_event_windows(sf_dir: str):
+    """Tumbling 1-day windowed aggregate over the event stream: the windowed
+    operator composes as window-key derivation (vectorized pc.floor on
+    epoch) + native partial+final aggregates — no per-event shuffle beyond
+    the (type, window) groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def _window(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "window_start": pc.strftime(batch["ts"], format="%Y-%m-%d"),
+                # integer micro-units: exact distributed sum
+                "value_u": pc.cast(pc.round(pc.multiply(batch["value"], 1_000_000)), pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(_window, batch_format="pyarrow").groupby(
+        ["event_type", "window_start"]
+    ).aggregate(Count(alias_name="n_events"), Sum("value_u", alias_name="sum_u"))
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b["event_type"],
+                "window_start": b["window_start"],
+                "n_events": b["n_events"],
+                "sum_value": pc.divide(pc.cast(b["sum_u"], pa.float64()), 1_000_000.0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_transform_chain(sf_dir: str):
+    """Full transformer-chain coverage in one oracled query: global-before
+    character_filter('#') -> per-attribute mapping (segment abbreviations,
+    whole-value with default) and number(2) on the account balance
+    (reference chain semantics, routers/transform.py:111-150)."""
+    from pprl_ray.stages.mask import transform_entities
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment", "c_acctbal"]
+    )
+    ents = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "id": pc.cast(b["c_custkey"], pa.string()),
+                "segment": b["c_mktsegment"],
+                "balance": pc.cast(b["c_acctbal"], pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = transform_entities(
+        ents,
+        attribute_transformers={
+            "segment": [
+                {
+                    "name": "mapping",
+                    "mapping": {"BUILDING": "BLD", "AUTOMOBILE": "AUT", "MACHINERY": "MCH"},
+                    "default_value": "OTH",
+                }
+            ],
+            "balance": [{"name": "number", "decimal_places": 2}],
+        },
+        global_before=[{"name": "character_filter", "characters": "#"}],
+        empty_value="skip",
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "id": pc.cast(b["id"], pa.int64()),
+                "segment": b["segment"],
+                "balance": b["balance"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_corpus_profile(sf_dir: str):
     """Flagship fused one-pass sketch profile (HLL + CMS + KLL + t-digest +
     Bloom in a single corpus scan, pprl_ray/pipelines/profile.py)."""
@@ -796,6 +881,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_sources": q_bloom_sources,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
+        "event_windows": q_event_windows,
+        "transform_chain": q_transform_chain,
         "corpus_profile": q_corpus_profile,
         "broadcast_join": q_broadcast_join,
         "lineitem_pricing": q_lineitem_pricing,
@@ -811,6 +898,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "event_windows": """
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS window_start,
+                   count(*) AS n_events,
+                   sum(CAST(round(value * 1000000, 0) AS BIGINT)) / 1000000.0 AS sum_value
+            FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+        """,
+        "transform_chain": """
+            SELECT c_custkey AS id,
+                   CASE replace(c_mktsegment, '#', '')
+                        WHEN 'BUILDING' THEN 'BLD'
+                        WHEN 'AUTOMOBILE' THEN 'AUT'
+                        WHEN 'MACHINERY' THEN 'MCH'
+                        ELSE 'OTH' END AS segment,
+                   printf('%.2f', c_acctbal) AS balance
+            FROM customer
+        """,
         "broadcast_join": """
             SELECT c_mktsegment, count(*) AS n_orders,
                    sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS total_price
