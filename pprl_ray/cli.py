@@ -269,26 +269,34 @@ def cmd_dedup(args) -> None:
 
 
 def cmd_checkpointed_profile(args) -> None:
-    """Resumable per-partition sketch build (north_rule checkpoint path)."""
+    """Resumable per-partition FUSED profile build (north_rule checkpoint
+    path): all five sketch kinds per partition, manifest-last lineage,
+    byte-identical resume."""
     import glob
 
-    from .sketches import HLLSketch
-    from .state.checkpoint import CheckpointedSketchBuild
+    from .pipelines.profile import default_specs
+    from .state.checkpoint import CheckpointedProfileBuild
 
     paths = sorted(glob.glob(f"{args.input}/*.parquet"))
-    build = CheckpointedSketchBuild(
-        args.checkpoint_dir,
-        lambda: HLLSketch(args.hll_p),
-        value_col="tokens",
-        key_col="source",
-    )
+    build = CheckpointedProfileBuild(args.checkpoint_dir, default_specs(hll_p=args.hll_p))
     done_before = len(build.completed_partitions(paths))
-    sketches = build.run(paths)
+    profile = build.run(paths)
+    report = {}
+    for (name, key), sk in sorted(profile.items()):
+        label = f"{name}[{key}]" if key else name
+        if hasattr(sk, "estimate"):
+            report[label] = round(sk.estimate(), 2)
+        elif hasattr(sk, "quantile"):
+            report[label] = round(float(sk.quantile(0.5)), 2)
+        elif hasattr(sk, "bits_set"):
+            report[label] = sk.bits_set()
+        else:
+            report[label] = int(sk.total)
     print(json.dumps({
         "command": "checkpointed-profile",
         "partitions": len(paths),
         "resumed": done_before,
-        "estimates": {k: round(v.estimate(), 2) for k, v in sorted(sketches.items())},
+        "estimates": report,
     }))
 
 

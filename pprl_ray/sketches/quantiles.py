@@ -58,8 +58,10 @@ class TDigestSketch:
         return self.delta / (2 * np.pi) * np.arcsin(2 * np.clip(q, 0, 1) - 1)
 
     def _compress(self) -> None:
-        if self._buf_n == 0 and len(self.means) <= self.delta:
-            return
+        # NOTE: no early-return on small centroid counts — merge()
+        # concatenates centroid arrays unsorted, and quantile()/rank()
+        # interpolate over cumulative weights assuming SORTED means, so
+        # _compress must always re-sort even when no shrinking is needed.
         if self._buf:
             bm = np.concatenate(self._buf)
             means = np.concatenate([self.means, bm])
@@ -71,6 +73,10 @@ class TDigestSketch:
             return
         order = np.argsort(means, kind="stable")
         means, weights = means[order], weights[order]
+        if len(means) <= self.delta:
+            # under budget: keep every centroid (maximum accuracy), sorted
+            self.means, self.weights = means, weights
+            return
         total = weights.sum()
 
         # Fully vectorised clustering: bin centroids by the integer part of

@@ -27,7 +27,7 @@ import zlib
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-__all__ = ["CheckpointedSketchBuild"]
+__all__ = ["CheckpointedSketchBuild", "CheckpointedProfileBuild"]
 
 
 def _partition_id(path: str) -> str:
@@ -160,6 +160,99 @@ class CheckpointedSketchBuild:
                 else:
                     merged[key] = sk
         return merged
+
+
+class CheckpointedProfileBuild(CheckpointedSketchBuild):
+    """Checkpointed FUSED multi-sketch profile: every spec of the one-pass
+    corpus profile (``pipelines/profile.py``) accumulated per input
+    partition, persisted as (sketch, key, blob) partials with the same
+    manifest-last lineage layout, resumed byte-identically."""
+
+    def __init__(self, ckpt_dir: str, specs=None, transform_batch=None, batch_size: int = 8192):
+        from ..pipelines.profile import default_specs
+
+        self.specs = specs if specs is not None else default_specs()
+        super().__init__(
+            ckpt_dir,
+            sketch_factory=None,
+            value_col=None,
+            key_col=None,
+            transform_batch=transform_batch,
+            batch_size=batch_size,
+        )
+
+    def run(self, input_paths: list[str], max_partitions: int | None = None) -> dict:
+        """Build (or resume); returns {(sketch_name, key): sketch}."""
+        import ray
+
+        pending = [p for p in input_paths if not self._manifest_valid(_partition_id(p), p)]
+        if max_partitions is not None:
+            pending = pending[:max_partitions]
+
+        build = ray.remote(_build_profile_partition)
+        futures = {
+            path: build.remote(path, self.specs, self.transform_batch, self.batch_size)
+            for path in pending
+        }
+        for path, fut in futures.items():
+            rows, n_values, blobs, wall = ray.get(fut)
+            self._persist(path, rows, n_values, blobs, wall)
+
+        done = self.completed_partitions(input_paths)
+        if len(done) < len(input_paths):
+            raise RuntimeError(
+                f"{len(input_paths) - len(done)} partitions still pending; rerun to resume"
+            )
+        return self._merge(input_paths)
+
+    def _merge(self, input_paths: list[str]) -> dict:
+        from ..pipelines.profile import SKETCH_CLASSES
+
+        kind_by_name = {s.name: s.kind for s in self.specs}
+        merged: dict = {}
+        for path in input_paths:  # deterministic order
+            tbl = pq.read_table(self._part_path(_partition_id(path)))
+            for key, blob in zip(tbl["key"].to_pylist(), tbl["blob"].to_pylist()):
+                name, _, k = key.partition("\x00")
+                cls = SKETCH_CLASSES[kind_by_name[name]]
+                sk = cls.from_bytes(zlib.decompress(blob))
+                gk = (name, k)
+                merged[gk] = merged[gk].merge(sk) if gk in merged else sk
+        return merged
+
+
+def _build_profile_partition(path, specs, transform_batch, batch_size):
+    """Idempotent fused-profile partition build (runs as a Ray task)."""
+    from ..pipelines.profile import SKETCH_CLASSES, MultiSketchPartials
+
+    kind_by_name = {s.name: s.kind for s in specs}
+    start = time.time()
+    pf = pq.ParquetFile(path)
+    stage = MultiSketchPartials(specs)
+    acc: dict = {}
+    rows = 0
+    n_values = 0
+    for rb in pf.iter_batches(batch_size=batch_size):
+        batch = pa.Table.from_batches([rb])
+        if transform_batch is not None:
+            batch = transform_batch(batch)
+        rows += batch.num_rows
+        out = stage(batch)
+        for name, key, blob in zip(
+            out["sketch"].to_pylist(), out["key"].to_pylist(), out["blob"].to_pylist()
+        ):
+            cls = SKETCH_CLASSES[kind_by_name[name]]
+            sk = cls.from_bytes(zlib.decompress(blob))
+            gk = f"{name}\x00{key}"
+            acc[gk] = acc[gk].merge(sk) if gk in acc else sk
+        for s in specs:
+            if s.value_col in batch.column_names:
+                col = batch[s.value_col]
+                if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+                    n_values += len(col.combine_chunks().values)
+                break
+    blobs = {k: zlib.compress(v.to_bytes(), 1) for k, v in acc.items()}
+    return rows, n_values, blobs, time.time() - start
 
 
 def _build_partition(path, sketch_factory, value_col, key_col, transform_batch, batch_size):

@@ -89,3 +89,48 @@ def test_corrupted_partial_is_rebuilt(corpus_files, tmp_path):
     again = fresh.run(corpus_files)
     for k in full:
         assert full[k].to_bytes() == again[k].to_bytes()
+
+
+def test_checkpointed_profile_matches_streaming_profile(ray_session, tmp_path):
+    """Fused checkpointed build == streaming corpus_profile, and resume after
+    a partial run is byte-identical."""
+    from pprl_ray.pipelines.profile import corpus_profile, default_specs, finalize_profile
+    from pprl_ray.sources.corpus import synth_corpus
+    from pprl_ray.state.checkpoint import CheckpointedProfileBuild
+    import glob
+    import pytest
+
+    corpus_dir = tmp_path / "corpus"
+    synth_corpus(3000, override_num_blocks=4).write_parquet(str(corpus_dir))
+    paths = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
+    specs = default_specs(hll_p=10, bloom_bits=1 << 14)
+
+    import ray.data as rd
+
+    streaming = finalize_profile(
+        corpus_profile(rd.read_parquet(str(corpus_dir)), specs), specs
+    )
+
+    build = CheckpointedProfileBuild(str(tmp_path / "ckpt"), specs)
+    with pytest.raises(RuntimeError, match="pending"):
+        build.run(paths, max_partitions=2)  # simulate a killed run
+    assert len(build.completed_partitions(paths)) == 2
+    resumed = build.run(paths)  # finishes the remaining partitions
+
+    assert set(resumed) == set(streaming)
+    # Bloom/HLL/CMS merges are bit-exact under ANY merge topology
+    for gk in streaming:
+        if gk[0] in ("hll_tokens", "cms_tokens", "bloom_tokens"):
+            assert resumed[gk].to_bytes() == streaming[gk].to_bytes(), gk
+    # quantile sketches are only bound-stable across topologies; compare
+    # their estimates
+    for gk in streaming:
+        if gk[0] in ("kll_ntok", "tdigest_ntok"):
+            a, b = resumed[gk].quantile(0.5), streaming[gk].quantile(0.5)
+            assert abs(a - b) / max(b, 1.0) < 0.05, (gk, a, b)
+
+    # resume vs an UNINTERRUPTED checkpointed run (same deterministic
+    # partition merge order): byte-identical for every sketch kind
+    fresh = CheckpointedProfileBuild(str(tmp_path / "ckpt2"), specs).run(paths)
+    for gk in resumed:
+        assert fresh[gk].to_bytes() == resumed[gk].to_bytes(), gk
