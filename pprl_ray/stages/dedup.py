@@ -48,18 +48,32 @@ def add_content_hash(batch: pa.Table, text_col: str = "text", out_col: str = "co
     return batch.append_column(out_col, pa.array(hashes, pa.string()))
 
 
-def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
-    """Keep the row with the smallest id per distinct content
-    (hash-partitioned groupby; per-group work is O(group))."""
-    hashed = ds.map_batches(
-        lambda b: add_content_hash(b, text_col), batch_format="pyarrow"
-    )
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text", partitions: int = 64):
+    """Keep the row with the smallest id per distinct content.
 
-    def _first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(id_col).head(1)
+    Scale shape: rows shuffle once by ``crc32(content_hash) % partitions``
+    (equal hashes co-locate, so dedup within a partition group is exact);
+    per-group work is ONE vectorised pandas drop_duplicates over the whole
+    partition — per-group Python overhead is O(partitions), not
+    O(distinct contents)."""
+    import zlib as _z
 
-    out = hashed.groupby("content_hash").map_groups(_first, batch_format="pandas")
-    return out.drop_columns(["content_hash"])
+    def _hash_part(batch: pa.Table) -> pa.Table:
+        out = add_content_hash(batch, text_col)
+        part = np.array(
+            [_z.crc32(h.encode()) % partitions for h in out["content_hash"].to_pylist()],
+            dtype=np.int32,
+        )
+        return out.append_column("part", pa.array(part))
+
+    hashed = ds.map_batches(_hash_part, batch_format="pyarrow")
+
+    def _first_per_hash(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([id_col])
+        return g.drop_duplicates(subset="content_hash", keep="first")
+
+    out = hashed.groupby("part").map_groups(_first_per_hash, batch_format="pandas")
+    return out.drop_columns(["content_hash", "part"])
 
 
 # --- minhash / LSH ---------------------------------------------------------
