@@ -27,35 +27,42 @@ __all__ = ["match_crosswise", "match_pairwise", "match_many", "BroadcastMatcher"
 
 
 class BroadcastMatcher:
-    """Actor-pool stage: holds the broadcast (small) domain side; each batch
-    of the range side produces all threshold-passing pairs."""
+    """Stateless matcher against the broadcast (small) domain side; each
+    batch of the range side produces all threshold-passing pairs. The
+    domain tuple is fetched per call via ``ray.get`` — a zero-copy read
+    from the node's object store, so this runs as a plain task pool (no
+    actor startup)."""
 
     def __init__(self, domain_ref, measure: str, threshold: float):
-        import ray
-
-        self.domain_ids, self.domain_mat = ray.get(domain_ref)
+        self.domain_ref = domain_ref
         self.measure = measure
         self.threshold = threshold
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        range_ids = batch["id"].to_pylist()
+        import ray
+
+        domain_ids, domain_mat = ray.get(self.domain_ref)
+        range_ids = np.asarray(batch["id"].to_pylist(), dtype=object)
         range_mat = decode_b64_column(batch["value"].to_pylist())
-        sims = crosswise_similarity(self.domain_mat, range_mat, self.measure)
+        sims = crosswise_similarity(domain_mat, range_mat, self.measure)
         dom_idx, rng_idx = np.nonzero(sims >= self.threshold)
         return pa.table(
             {
-                "domain_id": pa.array([self.domain_ids[i] for i in dom_idx], pa.string()),
-                "range_id": pa.array([range_ids[j] for j in rng_idx], pa.string()),
+                "domain_id": pa.array(domain_ids[dom_idx], pa.string()),
+                "range_id": pa.array(range_ids[rng_idx], pa.string()),
                 "similarity": pa.array(sims[dom_idx, rng_idx], pa.float64()),
             }
         )
 
 
-def _materialize_side(ds) -> tuple[list[str], np.ndarray]:
-    tbl = pa.Table.from_pandas(ds.to_pandas())
-    ids = [str(v) for v in tbl["id"].to_pylist()]
-    mat = decode_b64_column(tbl["value"].to_pylist())
-    return ids, mat
+def _materialize_side(ds) -> tuple[np.ndarray, np.ndarray]:
+    batches = list(ds.iter_batches(batch_format="pyarrow", batch_size=65536))
+    ids: list[str] = []
+    vals: list[str] = []
+    for b in batches:
+        ids.extend(str(v) for v in b["id"].to_pylist())
+        vals.extend(b["value"].to_pylist())
+    return np.asarray(ids, dtype=object), decode_b64_column(vals)
 
 
 def match_crosswise(domain_ds, range_ds, config: MatchConfig | None = None, **map_kwargs):
@@ -65,13 +72,9 @@ def match_crosswise(domain_ds, range_ds, config: MatchConfig | None = None, **ma
 
     config = config or MatchConfig()
     domain_ref = ray.put(_materialize_side(domain_ds))
-    map_kwargs.setdefault("concurrency", 2)
     map_kwargs.setdefault("batch_size", 4096)
     return range_ds.map_batches(
-        BroadcastMatcher,
-        fn_constructor_kwargs=dict(
-            domain_ref=domain_ref, measure=config.measure, threshold=config.threshold
-        ),
+        BroadcastMatcher(domain_ref, config.measure, config.threshold),
         batch_format="pyarrow",
         **map_kwargs,
     )
@@ -80,10 +83,11 @@ def match_crosswise(domain_ds, range_ds, config: MatchConfig | None = None, **ma
 def match_pairwise(domain_ds, range_ds, config: MatchConfig | None = None):
     """Positional zip match; raises on length mismatch like the reference."""
     config = config or MatchConfig()
-    if domain_ds.count() != range_ds.count():
+    n_domain, n_range = domain_ds.count(), range_ds.count()
+    if n_domain != n_range:
         raise ValueError(
             "length of domain and range lists do not match: domain has length of "
-            f"{domain_ds.count()}, range has length of {range_ds.count()}"
+            f"{n_domain}, range has length of {n_range}"
         )
     d = domain_ds.rename_columns({"id": "domain_id", "value": "domain_value"})
     r = range_ds.rename_columns({"id": "range_id", "value": "range_value"})

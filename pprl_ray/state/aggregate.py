@@ -1,13 +1,16 @@
-"""Sketch aggregation over Ray Data: partial-per-batch, salted two-level merge.
+"""Sketch aggregation over Ray Data: partial-per-batch, combiner-tree merge.
 
 The scale contract (SURVEY.md §4): raw rows are NEVER shuffled. Stage 1 runs
 inside ``map_batches`` and folds each Arrow batch into one sketch per group
 key, emitting tiny ``(key, blob, rows)`` partial rows (zlib-compressed
-serialized state — sketches over modest corpora are sparse). Only those
-partials move through the ``groupby``; because every sketch merge is
-associative + commutative, a salted intermediate merge level
-(``groupby([key, salt])`` with ``salt = blob_hash % S``) bounds the fan-in on
-hot keys (the skewed ``source`` column) before the final per-key merge.
+serialized state). Because every sketch merge is associative + commutative,
+the default merge is an iterative parallel COMBINER tree over the
+materialized partial rows (bundled map tasks, no sort-based shuffle): a hot
+key collapses to one row per combiner task, so skew never concentrates on a
+single reducer. A ``groupby``-based topology (optionally two-level salted:
+``groupby([key, salt])`` with ``salt = blob_hash % S``) remains available
+for writing exactly-one-row-per-key sketch tables and is property-tested
+equivalent.
 
 Partial extraction is fully vectorised: the token ``list<int32>`` column is
 flattened once via its Arrow offsets, token->row->key codes are computed with
