@@ -30,6 +30,7 @@ __all__ = [
     "add_content_hash",
     "exact_dedup",
     "shingle_tokens",
+    "shingle_docs",
     "minhash_candidates",
     "verify_jaccard_pairs",
     "minhash_dedup_pairs",
@@ -97,8 +98,30 @@ def shingle_tokens(batch: pa.Table, text_col: str = "text", n: int = 3) -> list[
     return out
 
 
+def shingle_docs(ds, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 3):
+    """One shingling pass: (id, shingles) with the hash set serialized as a
+    binary column. Compute ONCE and reuse for both LSH banding and exact
+    Jaccard verification — shingling is the dominant per-doc cost."""
+
+    def _stage(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "shingles": pa.array(
+                    [sh.tobytes() for sh in shingle_tokens(batch, text_col, shingle_n)],
+                    pa.large_binary(),
+                ),
+            }
+        )
+
+    return ds.map_batches(_stage, batch_format="pyarrow")
+
+
 class _MinHashStage:
     """Per-row minhash signature + exploded (band, band_key) rows.
+
+    Input batches may carry either a raw ``text`` column (shingled here) or
+    a precomputed ``shingles`` binary column (from :func:`shingle_docs`).
 
     ``with_signature=False`` (the scale default) omits the k*8-byte
     signature from the exploded rows: the bands-fold replication would
@@ -116,7 +139,12 @@ class _MinHashStage:
         self.with_signature = with_signature
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        shingles = shingle_tokens(batch, self.text_col, self.shingle_n)
+        if "shingles" in batch.column_names:
+            shingles = [
+                np.frombuffer(b, dtype=np.uint64) for b in batch["shingles"].to_pylist()
+            ]
+        else:
+            shingles = shingle_tokens(batch, self.text_col, self.shingle_n)
         sigs = minhash_signatures(shingles, self.k)
         bkeys = band_keys(sigs, self.bands)  # (rows, bands)
         n = len(shingles)
@@ -214,19 +242,12 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, text_col: str = "text", id_col: str 
     with a bucket-join on id."""
     import ray
 
-    # shingle in parallel map tasks; the driver only assembles the dict
-    shingled = docs_ds.map_batches(
-        lambda b: pa.table(
-            {
-                id_col: b[id_col],
-                "shingles": pa.array(
-                    [sh.tobytes() for sh in shingle_tokens(b, text_col, shingle_n)],
-                    pa.large_binary(),
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    # shingle in parallel map tasks (no-op if docs_ds is already shingled);
+    # the driver only assembles the dict
+    if "shingles" in docs_ds.schema().names:
+        shingled = docs_ds
+    else:
+        shingled = shingle_docs(docs_ds, text_col, id_col, shingle_n)
     shingle_map: dict = {}
     for batch in shingled.iter_batches(batch_size=8192, batch_format="pyarrow"):
         for i, blob in zip(batch[id_col].to_pylist(), batch["shingles"].to_pylist()):
@@ -254,9 +275,12 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, text_col: str = "text", id_col: str 
 
 def minhash_dedup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         threshold: float = 0.8, **kwargs):
-    """Candidates -> exact verification, one call."""
-    cands = minhash_candidates(ds, text_col, id_col, **kwargs)
-    return verify_jaccard_pairs(cands, ds, text_col, id_col,
+    """Candidates -> exact verification, one call. The corpus is shingled
+    exactly ONCE (materialized compact (id, shingles) table feeds both the
+    LSH banding and the verification lookup)."""
+    shingled = shingle_docs(ds, text_col, id_col, kwargs.get("shingle_n", 3)).materialize()
+    cands = minhash_candidates(shingled, text_col, id_col, **kwargs)
+    return verify_jaccard_pairs(cands, shingled, text_col, id_col,
                                 kwargs.get("shingle_n", 3), threshold)
 
 
