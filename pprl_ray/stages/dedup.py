@@ -81,21 +81,73 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text", partitions: 
 
 
 def shingle_tokens(batch: pa.Table, text_col: str = "text", n: int = 3) -> list[np.ndarray]:
-    """Word n-gram shingle hashes per row (vectorised via polars hashing)."""
+    """Word n-gram shingle hashes per row — fully vectorised.
+
+    One polars pass hashes every word occurrence; shingle hashes are a
+    rolling splitmix64 combination of ``n`` consecutive word hashes with
+    row-boundary masking, deduplicated per row via one lexsort. No Python
+    loop over rows or words; equality of shingle hash <=> equality of the
+    underlying word n-gram (modulo 64-bit collisions), which is all
+    Jaccard/minhash need."""
     import polars as pl
 
-    texts = pl.from_arrow(
-        batch[text_col].combine_chunks() if isinstance(batch[text_col], pa.ChunkedArray) else batch[text_col]
-    )
-    out: list[np.ndarray] = []
-    for t in texts:
-        words = str(t).split()
-        if len(words) < n:
-            shingles = [" ".join(words)] if words else [""]
-        else:
-            shingles = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
-        out.append(np.unique(hash_strings(shingles)))
-    return out
+    from ..sketches.hashing import splitmix64
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    texts = pl.from_arrow(col).fill_null("")
+    words = texts.str.split(" ")
+    lengths = words.list.len().to_numpy().astype(np.int64)
+    n_rows = len(lengths)
+    flat_hashes = words.explode().hash(seed=41).to_numpy().astype(np.uint64)
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    total = int(offsets[-1])
+    if total == 0:
+        return [np.unique(hash_strings([""]))] * n_rows
+
+    # polars explode of an empty list yields one null row — lengths==0 rows
+    # still occupy one slot; normalise by treating them as a single "" word
+    if len(flat_hashes) != total:
+        lengths = np.maximum(lengths, 1)
+        offsets = np.concatenate([[0], np.cumsum(lengths)])
+        total = int(offsets[-1])
+
+    row_of = np.repeat(np.arange(n_rows), lengths)
+    # rolling combine of n consecutive word hashes (within-row positions)
+    C = np.uint64(0x9E3779B97F4A7C15)
+    comb = flat_hashes.copy()
+    with np.errstate(over="ignore"):
+        for j in range(1, n):
+            shifted = np.empty_like(flat_hashes)
+            shifted[: total - j] = flat_hashes[j:]
+            shifted[total - j :] = 0
+            comb = comb * C + shifted
+        sh = splitmix64(comb)
+    # valid shingle start positions: i + n - 1 stays inside the row
+    pos_in_row = np.arange(total) - offsets[row_of]
+    valid = pos_in_row + (n - 1) < lengths[row_of]
+    # short rows (< n words) keep exactly their first position: the combined
+    # hash of all their words (+ zero padding) stands in for the joined text
+    first_pos = pos_in_row == 0
+    short = lengths[row_of] < n
+    keep = valid | (short & first_pos)
+
+    rows_kept = row_of[keep]
+    hashes_kept = sh[keep]
+    # per-row dedup: one lexsort, drop consecutive duplicates within a row
+    order = np.lexsort((hashes_kept, rows_kept))
+    r_sorted = rows_kept[order]
+    h_sorted = hashes_kept[order]
+    dup = np.zeros(len(order), dtype=bool)
+    if len(order) > 1:
+        dup[1:] = (r_sorted[1:] == r_sorted[:-1]) & (h_sorted[1:] == h_sorted[:-1])
+    r_final = r_sorted[~dup]
+    h_final = h_sorted[~dup]
+    counts = np.bincount(r_final, minlength=n_rows)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    return [h_final[starts[i] : ends[i]] for i in range(n_rows)]
 
 
 def shingle_docs(ds, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 3):
