@@ -43,27 +43,31 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 
 class _BruteTopK:
-    def __init__(self, queries_ref, id_col: str, vec_col: str, k: int):
-        import ray
+    """Stateless top-k kernel: fetches the (pre-normalized) broadcast query
+    matrix per call — zero-copy local object-store read — so it runs as a
+    plain task pool (no actor startup)."""
 
-        self.query_ids, qmat = ray.get(queries_ref)
-        self.qnorm = _normalize(qmat)  # (q, d)
+    def __init__(self, queries_ref, id_col: str, vec_col: str, k: int):
+        self.queries_ref = queries_ref
         self.id_col = id_col
         self.vec_col = vec_col
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        query_ids, qnorm = ray.get(self.queries_ref)
         mat = _normalize(_embedding_matrix(batch, self.vec_col))  # (n, d)
-        sims = mat @ self.qnorm.T  # (n, q)
-        ids = batch[self.id_col].to_pylist()
+        sims = mat @ qnorm.T  # (n, q)
+        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=object)
         k = min(self.k, sims.shape[0])
         top = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, q)
         q_idx = np.tile(np.arange(sims.shape[1]), k)
         n_idx = top.ravel()
         return pa.table(
             {
-                "query_id": pa.array([self.query_ids[q] for q in q_idx]),
-                "neighbor_id": pa.array([ids[i] for i in n_idx]),
+                "query_id": pa.array(np.asarray(query_ids, dtype=object)[q_idx]),
+                "neighbor_id": pa.array(ids[n_idx]),
                 "score": pa.array(sims[n_idx, q_idx], pa.float64()),
             }
         )
@@ -84,12 +88,12 @@ def knn_brute(ds, query_ids: list, query_matrix: np.ndarray, k: int = 10,
     """Exact cosine top-k of every query against the full dataset."""
     import ray
 
-    ref = ray.put((list(query_ids), np.asarray(query_matrix, dtype=np.float64)))
-    map_kwargs.setdefault("concurrency", 2)
+    ref = ray.put(
+        (list(query_ids), _normalize(np.asarray(query_matrix, dtype=np.float64)))
+    )
     map_kwargs.setdefault("batch_size", 4096)
     cands = ds.map_batches(
-        _BruteTopK,
-        fn_constructor_kwargs=dict(queries_ref=ref, id_col=id_col, vec_col=vec_col, k=k),
+        _BruteTopK(ref, id_col, vec_col, k),
         batch_format="pyarrow",
         **map_kwargs,
     )
@@ -124,17 +128,13 @@ def build_ivf(ds, n_centroids: int = 16, id_col: str = "vec_id", vec_col: str = 
 
     cref = ray.put(centroids)
 
-    class _Assign:
-        def __init__(self, cref):
-            self.centroids = ray.get(cref)
+    def _assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cref)  # zero-copy local object-store read
+        mat = _normalize(_embedding_matrix(batch, vec_col))
+        bucket = (mat @ cents.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("bucket", pa.array(bucket, pa.int32()))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mat = _normalize(_embedding_matrix(batch, vec_col))
-            bucket = (mat @ self.centroids.T).argmax(axis=1).astype(np.int32)
-            return batch.append_column("bucket", pa.array(bucket, pa.int32()))
-
-    assigned = ds.map_batches(_Assign, fn_constructor_kwargs=dict(cref=cref),
-                              batch_format="pyarrow", concurrency=2)
+    assigned = ds.map_batches(_assign, batch_format="pyarrow")
     return assigned, centroids
 
 
