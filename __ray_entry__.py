@@ -789,6 +789,39 @@ def q_transform_chain(sf_dir: str):
     )
 
 
+def q_connected_components(sf_dir: str):
+    """Multi-hop connected-component collapse (distributed min-label
+    propagation, stages/dedup.py) over a deterministic chain-edge graph:
+    edge (k, k+1) unless k % 10 == 0, so components are runs of 10
+    consecutive custkeys and rep_id is the run minimum — reachable only
+    through up to 9 propagation hops."""
+    import ray.data as rd
+
+    from pprl_ray.stages.dedup import connected_components_collapse
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    n_max = cust.max("c_custkey")
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy()
+        keep = (k % 10 != 0) & (k + 1 <= n_max)
+        return pa.table(
+            {"id_a": pa.array(k[keep], pa.int64()), "id_b": pa.array(k[keep] + 1, pa.int64())}
+        )
+
+    pairs = cust.map_batches(_edges, batch_format="pyarrow")
+    out = connected_components_collapse(pairs)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "rep_id": pc.cast(b["rep_id"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_corpus_profile(sf_dir: str):
     """Flagship fused one-pass sketch profile (HLL + CMS + KLL + t-digest +
     Bloom in a single corpus scan, pprl_ray/pipelines/profile.py)."""
@@ -883,6 +916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "event_windows": q_event_windows,
         "transform_chain": q_transform_chain,
+        "connected_components": q_connected_components,
         "corpus_profile": q_corpus_profile,
         "broadcast_join": q_broadcast_join,
         "lineitem_pricing": q_lineitem_pricing,
@@ -898,6 +932,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "connected_components": """
+            WITH RECURSIVE
+            edges AS (
+                SELECT c_custkey AS a, c_custkey + 1 AS b FROM customer
+                WHERE c_custkey % 10 != 0
+                  AND c_custkey + 1 <= (SELECT max(c_custkey) FROM customer)
+            ),
+            bidir AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+            nodes AS (SELECT DISTINCT a AS node FROM bidir),
+            reach(node, rep) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.b, r.rep FROM reach r JOIN bidir e ON e.a = r.node
+            )
+            SELECT node AS doc_id, min(rep) AS rep_id FROM reach GROUP BY node
+        """,
         "event_windows": """
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS window_start,
                    count(*) AS n_events,
