@@ -789,6 +789,42 @@ def q_transform_chain(sf_dir: str):
     )
 
 
+def q_json_props(sf_dir: str):
+    """Semi-structured parsing: extract a field from the JSON ``props``
+    column (vectorized polars json_path_match) and aggregate per type."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+
+    def _parse(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        k = (
+            pl.from_arrow(batch["props"].combine_chunks())
+            .str.json_path_match("$.k")
+            .cast(pl.Int64)
+            .to_numpy()
+        )
+        return pa.table(
+            {"event_type": batch["event_type"], "k": pa.array(k, pa.int64())}
+        )
+
+    agg = ds.map_batches(_parse, batch_format="pyarrow").groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("k", alias_name="sum_k")
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b["event_type"],
+                "n": b["n"],
+                "sum_k": pc.cast(b["sum_k"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_connected_components(sf_dir: str):
     """Multi-hop connected-component collapse (distributed min-label
     propagation, stages/dedup.py) over a deterministic chain-edge graph:
@@ -916,6 +952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "event_windows": q_event_windows,
         "transform_chain": q_transform_chain,
+        "json_props": q_json_props,
         "connected_components": q_connected_components,
         "corpus_profile": q_corpus_profile,
         "broadcast_join": q_broadcast_join,
@@ -932,6 +969,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "json_props": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+            FROM events GROUP BY event_type
+        """,
         "connected_components": """
             WITH RECURSIVE
             edges AS (

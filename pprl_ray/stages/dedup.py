@@ -289,10 +289,19 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, text_col: str = "text", id_col: str 
     """Exact n-gram Jaccard verification of candidate pairs against a
     broadcast {id -> shingle set} lookup built from ``docs_ds``.
 
-    Scale note: assumes the *candidate* document set fits the object store
-    (candidates ≪ corpus); for larger candidate sets, replace the broadcast
-    with a bucket-join on id."""
+    Scale note: only documents that APPEAR in a candidate pair enter the
+    broadcast lookup (candidates ≪ corpus by LSH construction); for
+    pathological candidate sets, replace the broadcast with a bucket-join
+    on id."""
     import ray
+
+    # restrict the lookup to candidate ids (the documented scale assumption)
+    pairs_ds = pairs_ds.materialize()
+    cand_ids: set = set()
+    for b in pairs_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+        cand_ids.update(b["id_a"].to_pylist())
+        cand_ids.update(b["id_b"].to_pylist())
+    cand_ref = ray.put(cand_ids)
 
     # shingle in parallel map tasks (no-op if docs_ds is already shingled);
     # the driver only assembles the dict
@@ -300,6 +309,13 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, text_col: str = "text", id_col: str 
         shingled = docs_ds
     else:
         shingled = shingle_docs(docs_ds, text_col, id_col, shingle_n)
+
+    def _keep_candidates(batch: pa.Table) -> pa.Table:
+        ids = ray.get(cand_ref)
+        mask = [v in ids for v in batch[id_col].to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    shingled = shingled.map_batches(_keep_candidates, batch_format="pyarrow")
     shingle_map: dict = {}
     for batch in shingled.iter_batches(batch_size=8192, batch_format="pyarrow"):
         for i, blob in zip(batch[id_col].to_pylist(), batch["shingles"].to_pylist()):
