@@ -59,6 +59,37 @@ def _explode_words(sf_dir: str, keep=("doc_id",)):
     )
 
 
+def _word_counts(sf_dir: str, keys=()):
+    """Pre-aggregated word counts: counting happens INSIDE map_batches
+    (vectorized polars value_counts per batch), so only (keys..., token,
+    partial cnt) rows — deduplicated per batch, ~10-20x fewer than raw word
+    occurrences — enter the groupby shuffle; a Sum of partials finishes the
+    count. This is the map-side-combine pattern every token-frequency query
+    needs at corpus scale."""
+    from ray.data.aggregate import Sum
+
+    key_list = list(keys)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame(
+            {
+                "token": pl.from_arrow(batch["text"].combine_chunks()).str.split(" "),
+                **{k: pl.from_arrow(batch[k].combine_chunks()) for k in key_list},
+            }
+        )
+        counts = (
+            df.explode("token").group_by(key_list + ["token"]).len(name="cnt")
+        )
+        return counts.to_arrow()
+
+    partials = _docs(sf_dir, columns=list(dict.fromkeys(key_list + ["text"]))).map_batches(
+        _partial, batch_format="pyarrow"
+    )
+    return partials.groupby(key_list + ["token"]).aggregate(Sum("cnt", alias_name="cnt"))
+
+
 def _round_cols(ds, cols: dict[str, int]):
     def _r(batch: pa.Table) -> pa.Table:
         out = {name: batch[name] for name in batch.column_names}
@@ -133,11 +164,12 @@ def q_token_count(sf_dir: str):
 
 
 def q_token_freq(sf_dir: str):
-    from ray.data.aggregate import Count
-
-    counted = _explode_words(sf_dir, keep=()).groupby("token").aggregate(Count(alias_name="cnt"))
+    counted = _word_counts(sf_dir)
     return counted.map_batches(
-        lambda b: b.filter(pc.greater_equal(b["cnt"], 5)), batch_format="pyarrow"
+        lambda b: pa.table(
+            {"token": b["token"], "cnt": pc.cast(b["cnt"], pa.int64())}
+        ).filter(pc.greater_equal(b["cnt"], 5)),
+        batch_format="pyarrow",
     )
 
 
@@ -158,8 +190,9 @@ def q_lang_entropy(sf_dir: str):
     compute_ngram_entropy, pprl_client/lib.py:122-130)."""
     from ray.data.aggregate import Count
 
-    wc = _explode_words(sf_dir, keep=("lang",)).groupby(["lang", "token"]).aggregate(
-        Count(alias_name="c")
+    wc = _word_counts(sf_dir, keys=("lang",)).map_batches(
+        lambda b: pa.table({"lang": b["lang"], "token": b["token"], "c": b["cnt"]}),
+        batch_format="pyarrow",
     )
 
     def _entropy(g: pd.DataFrame) -> pd.DataFrame:
@@ -387,9 +420,7 @@ def q_match_pairwise(sf_dir: str):
 def q_exact_distinct_tokens(sf_dir: str):
     from ray.data.aggregate import Count
 
-    per_word = _explode_words(sf_dir, keep=("source",)).groupby(["source", "token"]).aggregate(
-        Count(alias_name="c")
-    )
+    per_word = _word_counts(sf_dir, keys=("source",))
     return per_word.groupby("source").aggregate(Count(alias_name="distinct_tokens"))
 
 
@@ -884,7 +915,10 @@ def q_top_tokens(sf_dir: str):
     """Deterministic top-20 tokens by frequency (count desc, token asc)."""
     from ray.data.aggregate import Count
 
-    counts = _explode_words(sf_dir, keep=()).groupby("token").aggregate(Count(alias_name="cnt"))
+    counts = _word_counts(sf_dir).map_batches(
+        lambda b: pa.table({"token": b["token"], "cnt": pc.cast(b["cnt"], pa.int64())}),
+        batch_format="pyarrow",
+    )
     top = counts.sort(["cnt", "token"], descending=[True, False]).limit(20)
     return top
 
