@@ -46,6 +46,12 @@ BENCH_QUERIES = [
     "simhash",
     "knn_cosine",
     "lang_id",
+    "broadcast_join",
+    "lineitem_pricing",
+    "event_windows",
+    "json_props",
+    "top_tokens",
+    "corpus_profile",
 ]
 
 

@@ -1,0 +1,104 @@
+"""Hypothesis property tests for the core kernels and sketch merge laws
+(SURVEY.md §5: merge order-invariance is the north_rule's named property)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pprl_ray.sketches import BloomSketch, CMSSketch, HLLSketch, KLLSketch
+
+values_arrays = st.lists(
+    st.lists(st.integers(min_value=0, max_value=2**31 - 1), min_size=0, max_size=200),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _merge_in_order(cls_factory, parts, order):
+    acc = None
+    for i in order:
+        sk = cls_factory()
+        sk.update(np.asarray(parts[i], dtype=np.int64))
+        acc = sk if acc is None else acc.merge(sk)
+    return acc
+
+
+@settings(max_examples=40, deadline=None)
+@given(values_arrays, st.randoms(use_true_random=False))
+def test_hll_merge_order_invariant_bitexact(parts, rnd):
+    order = list(range(len(parts)))
+    rnd.shuffle(order)
+    a = _merge_in_order(lambda: HLLSketch(10), parts, range(len(parts)))
+    b = _merge_in_order(lambda: HLLSketch(10), parts, order)
+    assert a.to_bytes() == b.to_bytes()
+
+
+@settings(max_examples=40, deadline=None)
+@given(values_arrays, st.randoms(use_true_random=False))
+def test_cms_merge_order_invariant_bitexact(parts, rnd):
+    order = list(range(len(parts)))
+    rnd.shuffle(order)
+    a = _merge_in_order(lambda: CMSSketch(1 << 10, 3), parts, range(len(parts)))
+    b = _merge_in_order(lambda: CMSSketch(1 << 10, 3), parts, order)
+    assert a.to_bytes() == b.to_bytes()
+
+
+@settings(max_examples=40, deadline=None)
+@given(values_arrays, st.randoms(use_true_random=False))
+def test_bloom_merge_order_invariant_and_idempotent(parts, rnd):
+    order = list(range(len(parts)))
+    rnd.shuffle(order)
+    a = _merge_in_order(lambda: BloomSketch(1 << 12, 3), parts, range(len(parts)))
+    b = _merge_in_order(lambda: BloomSketch(1 << 12, 3), parts, order + order)  # idempotent
+    assert a.to_bytes() == b.to_bytes()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=20, max_size=500),
+    st.randoms(use_true_random=False),
+)
+def test_kll_merge_rank_error_within_bound(values, rnd):
+    """Any partitioning/merge order keeps the median's rank error small."""
+    values = np.asarray(values, dtype=np.int64)
+    n_parts = rnd.randint(1, 5)
+    idx = np.arange(len(values))
+    rnd.shuffle(list(idx))
+    parts = np.array_split(values, n_parts)
+    order = list(range(n_parts))
+    rnd.shuffle(order)
+    acc = None
+    for i in order:
+        sk = KLLSketch(200)
+        sk.update(parts[i])
+        acc = sk if acc is None else acc.merge(sk)
+    est = acc.quantile(0.5)
+    s = np.sort(values)
+    # with ties the estimate's rank is an interval; error is distance to it
+    lo = np.searchsorted(s, est, side="left") / len(s)
+    hi = np.searchsorted(s, est, side="right") / len(s)
+    err = 0.0 if lo <= 0.5 <= hi else min(abs(lo - 0.5), abs(hi - 0.5))
+    assert err <= 0.1
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(max_size=40), st.integers(min_value=2, max_value=4))
+def test_tokenize_set_properties(value, q):
+    """Reference tokenize (common.py:9-28): padded q-grams, deduplicated,
+    every token has length q, and the set is order-deterministic."""
+    from pprl_ray.functions.qgram import tokenize
+
+    toks = tokenize(value, q, "_")
+    assert toks == tokenize(value, q, "_")
+    assert all(len(t) == q for t in toks)
+    pad = "_" * (q - 1)
+    padded = pad + value + pad
+    assert len(toks) <= max(len(padded) - q + 1, 0) + 1
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=0, max_size=64))
+def test_bitvec_base64_roundtrip(data):
+    import base64
+
+    assert base64.b64decode(base64.b64encode(data)) == data
