@@ -156,6 +156,26 @@ def cmd_mask(args) -> None:
 
     req = json.load(open(args.config))
     config = mask_config_from_request(req)
+
+    if getattr(args, "checkpoint_dir", None):
+        # resumable partitioned sink: one output file per input fragment,
+        # manifest-last lineage; a rerun skips completed partitions
+        import glob
+        import os
+
+        from .stages.mask import EncodeStage
+        from .state.checkpoint import CheckpointedMapWrite
+
+        paths = (
+            sorted(glob.glob(f"{args.input}/*.parquet"))
+            if os.path.isdir(args.input)
+            else [args.input]
+        )
+        stage = EncodeStage(config, id_column=args.id_column)
+        stats = CheckpointedMapWrite(args.checkpoint_dir, stage).run(paths, args.output)
+        print(json.dumps({"command": "mask", **stats, "output": args.output}))
+        return
+
     ds = _read(args.input)
     out = mask_entities(ds, config, id_column=args.id_column)
     n = _write(out, args.output, args.format)
@@ -319,6 +339,8 @@ def main(argv: list[str] | None = None) -> None:
     sp = sub.add_parser("mask", help="encode entities into CLK/RBF/CLKRBF bit vectors")
     common(sp)
     sp.add_argument("--config", required=True, help="BaseMaskRequest JSON")
+    sp.add_argument("--checkpoint-dir", default=None,
+                    help="resumable partitioned sink: per-input-fragment outputs + manifests")
     sp.set_defaults(fn=cmd_mask)
 
     sp = sub.add_parser("match", help="match >= 2 bit-vector tables pairwise/crosswise")

@@ -27,7 +27,7 @@ import zlib
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-__all__ = ["CheckpointedSketchBuild", "CheckpointedProfileBuild"]
+__all__ = ["CheckpointedSketchBuild", "CheckpointedProfileBuild", "CheckpointedMapWrite"]
 
 
 def _partition_id(path: str) -> str:
@@ -219,6 +219,117 @@ class CheckpointedProfileBuild(CheckpointedSketchBuild):
                 gk = (name, k)
                 merged[gk] = merged[gk].merge(sk) if gk in merged else sk
         return merged
+
+
+class CheckpointedMapWrite:
+    """Resumable partitioned SINK: one output parquet per input fragment.
+
+    Each input file is processed by an idempotent Ray task (read -> batch
+    transform -> write ``{output_dir}/part-{partition_id}.parquet`` via
+    atomic rename), then a manifest records lineage (input path, row counts,
+    output sha256) and throughput — manifest written LAST, so a crash never
+    leaves a valid-looking partial. A resumed run skips every partition with
+    a valid manifest; output is never one giant file."""
+
+    def __init__(self, ckpt_dir: str, transform_batch, batch_size: int = 8192):
+        self.ckpt_dir = ckpt_dir
+        self.transform_batch = transform_batch
+        self.batch_size = batch_size
+        os.makedirs(os.path.join(ckpt_dir, "manifests"), exist_ok=True)
+
+    def _manifest_path(self, pid: str) -> str:
+        return os.path.join(self.ckpt_dir, "manifests", f"{pid}.json")
+
+    def _out_path(self, output_dir: str, pid: str) -> str:
+        return os.path.join(output_dir, f"part-{pid}.parquet")
+
+    def _manifest_valid(self, pid: str, input_path: str, output_dir: str) -> bool:
+        mpath = self._manifest_path(pid)
+        opath = self._out_path(output_dir, pid)
+        if not (os.path.exists(mpath) and os.path.exists(opath)):
+            return False
+        try:
+            manifest = json.load(open(mpath))
+            if manifest["input_path"] != input_path:
+                return False
+            with open(opath, "rb") as f:
+                digest = hashlib.sha256(f.read()).hexdigest()
+            return digest == manifest["output_sha256"]
+        except Exception:
+            return False
+
+    def completed_partitions(self, input_paths: list[str], output_dir: str) -> list[str]:
+        return [
+            p for p in input_paths if self._manifest_valid(_partition_id(p), p, output_dir)
+        ]
+
+    def run(self, input_paths: list[str], output_dir: str,
+            max_partitions: int | None = None) -> dict:
+        import ray
+
+        os.makedirs(output_dir, exist_ok=True)
+        pending = [
+            p for p in input_paths if not self._manifest_valid(_partition_id(p), p, output_dir)
+        ]
+        skipped = len(input_paths) - len(pending)
+        if max_partitions is not None:
+            pending = pending[:max_partitions]
+
+        task = ray.remote(_map_write_partition)
+        futures = {
+            path: task.remote(
+                path,
+                self._out_path(output_dir, _partition_id(path)),
+                self.transform_batch,
+                self.batch_size,
+            )
+            for path in pending
+        }
+        total_rows = 0
+        for path, fut in futures.items():
+            rows_in, rows_out, sha, wall = ray.get(fut)
+            total_rows += rows_out
+            pid = _partition_id(path)
+            manifest = {
+                "partition_id": pid,
+                "input_path": path,
+                "rows_in": rows_in,
+                "rows_out": rows_out,
+                "output_sha256": sha,
+                "wall_sec": round(wall, 4),
+                "rows_per_sec": round(rows_in / wall, 1) if wall > 0 else None,
+                "completed_at": time.time(),
+            }
+            mtmp = self._manifest_path(pid) + ".tmp"
+            with open(mtmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(mtmp, self._manifest_path(pid))  # manifest LAST
+
+        done = self.completed_partitions(input_paths, output_dir)
+        if len(done) < len(input_paths):
+            raise RuntimeError(
+                f"{len(input_paths) - len(done)} partitions still pending; rerun to resume"
+            )
+        return {"partitions": len(input_paths), "resumed": skipped, "rows_written": total_rows}
+
+
+def _map_write_partition(path, out_path, transform_batch, batch_size):
+    """Idempotent per-partition transform + atomic write (Ray task)."""
+    start = time.time()
+    pf = pq.ParquetFile(path)
+    out_batches = []
+    rows_in = 0
+    for rb in pf.iter_batches(batch_size=batch_size):
+        batch = pa.Table.from_batches([rb])
+        rows_in += batch.num_rows
+        out_batches.append(transform_batch(batch))
+    out = pa.concat_tables(out_batches)
+    tmp = out_path + ".tmp"
+    pq.write_table(out, tmp)
+    with open(tmp, "rb") as f:
+        sha = hashlib.sha256(f.read()).hexdigest()
+    os.replace(tmp, out_path)
+    return rows_in, out.num_rows, sha, time.time() - start
 
 
 def _build_profile_partition(path, specs, transform_batch, batch_size):

@@ -134,3 +134,49 @@ def test_checkpointed_profile_matches_streaming_profile(ray_session, tmp_path):
     fresh = CheckpointedProfileBuild(str(tmp_path / "ckpt2"), specs).run(paths)
     for gk in resumed:
         assert fresh[gk].to_bytes() == resumed[gk].to_bytes(), gk
+
+
+def test_checkpointed_map_write_resumes_byte_identical(ray_session, tmp_path):
+    """Resumable sink: interrupted run resumes, skips finished partitions,
+    and final outputs are byte-identical to an uninterrupted run."""
+    import glob
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    import ray.data as rd
+
+    from pprl_ray.state.checkpoint import CheckpointedMapWrite
+
+    src = tmp_path / "src"
+    rd.range(4000).map_batches(
+        lambda b: pa.table({"id": b["id"], "v": pa.compute.multiply(b["id"], 3)}),
+        batch_format="pyarrow",
+    ).repartition(4).write_parquet(str(src))
+    paths = sorted(glob.glob(f"{src}/*.parquet"))
+
+    def double(batch: pa.Table) -> pa.Table:
+        return batch.append_column("v2", pa.compute.multiply(batch["v"], 2))
+
+    out_a = tmp_path / "out_a"
+    w = CheckpointedMapWrite(str(tmp_path / "ck_a"), double)
+    with pytest.raises(RuntimeError, match="pending"):
+        w.run(paths, str(out_a), max_partitions=2)  # simulated kill
+    assert len(w.completed_partitions(paths, str(out_a))) == 2
+    stats = w.run(paths, str(out_a))
+    assert stats["resumed"] == 2 and stats["partitions"] == 4
+
+    out_b = tmp_path / "out_b"
+    CheckpointedMapWrite(str(tmp_path / "ck_b"), double).run(paths, str(out_b))
+
+    def digest(d):
+        return {
+            f.split("/")[-1]: hashlib.sha256(open(f, "rb").read()).hexdigest()
+            for f in sorted(glob.glob(f"{d}/*.parquet"))
+        }
+
+    assert digest(str(out_a)) == digest(str(out_b))
+    total = pq.read_table(str(out_a))
+    assert total.num_rows == 4000 and "v2" in total.column_names
