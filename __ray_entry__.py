@@ -820,6 +820,27 @@ def q_transform_chain(sf_dir: str):
     )
 
 
+def q_hash_sample(sf_dir: str):
+    """Deterministic content-hash sampling (the reproducible train/eval
+    split primitive): keep docs where md5(doc_id) lands in a 10% bucket —
+    identical sample under ANY partitioning / cluster size, unlike
+    random_shuffle-based sampling."""
+    import hashlib
+
+    def _sample(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        keep = [
+            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10 == 0 for i in ids
+        ]
+        return batch.filter(pa.array(keep))
+
+    ds = _docs(sf_dir, ["doc_id", "source"]).map_batches(_sample, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "source": b["source"]}),
+        batch_format="pyarrow",
+    )
+
+
 def q_json_props(sf_dir: str):
     """Semi-structured parsing: extract a field from the JSON ``props``
     column (vectorized polars json_path_match) and aggregate per type."""
@@ -986,6 +1007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "event_windows": q_event_windows,
         "transform_chain": q_transform_chain,
+        "hash_sample": q_hash_sample,
         "json_props": q_json_props,
         "connected_components": q_connected_components,
         "corpus_profile": q_corpus_profile,
@@ -1003,6 +1025,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "hash_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
+        """,
         "json_props": """
             SELECT event_type, count(*) AS n,
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
