@@ -288,6 +288,29 @@ def cmd_dedup(args) -> None:
     print(json.dumps({"command": "dedup", "method": args.method, "rows": n, "output": args.output}))
 
 
+def cmd_estimate(args) -> None:
+    """Reference `pprl estimate` parity: per-attribute (entropy weight,
+    average token count) -> WeightedAttributeConfig JSON, after an optional
+    transform (default: normalization before, skip empties — the reference
+    default, cli.py:372-378)."""
+    from .pipelines.estimate import estimate_attribute_weights
+    from .stages.mask import transform_entities
+
+    ds = _read(args.input)
+    if args.transform_config:
+        req = json.load(open(args.transform_config))
+        kw = transform_kwargs_from_request(req)
+    else:
+        kw = dict(global_before=[{"name": "normalization"}], empty_value="skip")
+    ds = transform_entities(ds, id_column=args.id_column, **kw)
+    configs = estimate_attribute_weights(
+        ds, id_column=args.id_column, token_size=args.token_size, padding=args.padding
+    )
+    with open(args.output, "w") as f:
+        json.dump(configs, f, indent=2)
+    print(json.dumps({"command": "estimate", "attributes": len(configs), "output": args.output}))
+
+
 def cmd_checkpointed_profile(args) -> None:
     """Resumable per-partition FUSED profile build (north_rule checkpoint
     path): all five sketch kinds per partition, manifest-last lineage,
@@ -369,6 +392,15 @@ def main(argv: list[str] | None = None) -> None:
     sp.add_argument("--threshold", type=float, default=0.8)
     sp.add_argument("--max-hamming", type=int, default=3)
     sp.set_defaults(fn=cmd_dedup)
+
+    sp = sub.add_parser("estimate", help="per-attribute weight estimation (entropy + avg tokens)")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True, help="WeightedAttributeConfig JSON file")
+    sp.add_argument("--id-column", default="id")
+    sp.add_argument("--transform-config", default=None, help="BaseTransformRequest JSON")
+    sp.add_argument("--token-size", type=int, default=2)
+    sp.add_argument("--padding", default="_")
+    sp.set_defaults(fn=cmd_estimate)
 
     sp = sub.add_parser("checkpointed-profile", help="resumable per-partition HLL build")
     sp.add_argument("--input", required=True)

@@ -142,3 +142,40 @@ def test_config_adapters_reference_shapes():
     kw = transform_kwargs_from_request(TRANSFORM_REQUEST)
     assert kw["empty_value"] == "skip"
     assert kw["global_before"] == [{"name": "normalization"}]
+
+
+def test_estimate_matches_direct_computation(ray_session, tmp_path, capsys):
+    """estimate pipeline == straight per-row recomputation of the reference
+    stats (lib.py:103-130 semantics: avg token-set size, Shannon entropy of
+    global token counts)."""
+    import collections
+    import math
+
+    import numpy as np
+    import ray.data as rd
+
+    from pprl_ray.functions.qgram import tokenize
+    from pprl_ray.pipelines.estimate import estimate_attribute_weights
+
+    vals = [f"Person-{i % 7}" for i in range(40)]
+    tbl = pa.table(
+        {
+            "id": pa.array([str(i) for i in range(40)], pa.string()),
+            "name": pa.array(vals, pa.string()),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    [cfg] = estimate_attribute_weights(ds, id_column="id")
+
+    sizes = []
+    counter = collections.Counter()
+    for v in vals:
+        toks = tokenize(v, 2, "_")
+        sizes.append(len(toks))
+        counter.update(toks)
+    total = sum(counter.values())
+    entropy = -sum((c / total) * math.log2(c / total) for c in counter.values())
+
+    assert cfg["attribute_name"] == "name"
+    assert cfg["average_token_count"] == round(float(np.mean(sizes)), 6)
+    assert cfg["weight"] == round(entropy, 6)
