@@ -124,7 +124,10 @@ def decode_b64_column(values: list[str]) -> np.ndarray:
 
 def transform_entities(ds, attribute_transformers=None, global_before=None, global_after=None,
                        empty_value: str = "error", id_column: str = "id", **map_kwargs):
-    map_kwargs.setdefault("concurrency", 2)
+    # actor pool on purpose: TransformStage memoizes (column, value) ->
+    # transformed value ACROSS batches, which pays off on low-cardinality
+    # attribute columns; autoscale rather than pin the pool size
+    map_kwargs.setdefault("concurrency", (1, 8))
     return ds.map_batches(
         TransformStage,
         fn_constructor_kwargs=dict(
@@ -141,13 +144,11 @@ def transform_entities(ds, attribute_transformers=None, global_before=None, glob
 
 def mask_entities(ds, config: MaskConfig, id_column: str = "id",
                   attribute_columns: list[str] | None = None, **map_kwargs):
-    map_kwargs.setdefault("concurrency", 2)
+    # stateless kernel (config compiled per task, trivial cost): plain task
+    # pool so encoding scales to every cluster core with no actor startup
     map_kwargs.setdefault("batch_size", 4096)
     return ds.map_batches(
-        EncodeStage,
-        fn_constructor_kwargs=dict(
-            config=config, id_column=id_column, attribute_columns=attribute_columns
-        ),
+        EncodeStage(config, id_column=id_column, attribute_columns=attribute_columns),
         batch_format="pyarrow",
         **map_kwargs,
     )
