@@ -597,7 +597,7 @@ def q_lang_id(sf_dir: str):
     from pprl_ray.stages.text import LangIdStage
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        LangIdStage, batch_format="pyarrow", concurrency=2
+        LangIdStage(), batch_format="pyarrow"
     )
     return ds.map_batches(
         lambda b: pa.table({"doc_id": b["doc_id"], "lang_pred": b["lang_pred"]}),

@@ -478,20 +478,17 @@ def connected_components_collapse(pairs_ds, max_rounds: int = 10):
 
 
 def _hash_join(left, right, key: str):
-    """Portable left join for modest tables via per-group pandas merge."""
+    """Broadcast left join for modest right sides: the right table is put
+    in the object store once; each map task merges its batch against the
+    zero-copy local read (task pool — this join runs once per
+    label-propagation round, so actor startup would dominate)."""
     import ray
 
     right_df = right.to_pandas()
     ref = ray.put(right_df)
 
-    class _Join:
-        def __init__(self, ref):
-            self.right = ray.get(ref)
+    def _join(batch: pa.Table) -> pa.Table:
+        merged = batch.to_pandas().merge(ray.get(ref), on=key, how="left")
+        return pa.Table.from_pandas(merged, preserve_index=False)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            left_df = batch.to_pandas()
-            merged = left_df.merge(self.right, on=key, how="left")
-            return pa.Table.from_pandas(merged, preserve_index=False)
-
-    return left.map_batches(_Join, fn_constructor_kwargs=dict(ref=ref), batch_format="pyarrow",
-                            concurrency=2)
+    return left.map_batches(_join, batch_format="pyarrow")
