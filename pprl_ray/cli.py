@@ -119,9 +119,19 @@ def _init_ray() -> bool:
 
 
 def _read(path: str, columns: list[str] | None = None):
+    """Read a parquet/CSV file or directory (format sniffed from the
+    extension of the path or, for directories, of the contained files)."""
+    import glob
+    import os
+
     import ray.data as rd
 
-    if path.endswith(".csv"):
+    is_csv = path.endswith(".csv") or (
+        os.path.isdir(path)
+        and not glob.glob(f"{path}/*.parquet")
+        and bool(glob.glob(f"{path}/*.csv"))
+    )
+    if is_csv:
         ds = rd.read_csv(path)
         return ds.select_columns(columns) if columns else ds
     return rd.read_parquet(path, columns=columns)

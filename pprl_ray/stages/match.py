@@ -42,7 +42,9 @@ class BroadcastMatcher:
         import ray
 
         domain_ids, domain_mat = ray.get(self.domain_ref)
-        range_ids = np.asarray(batch["id"].to_pylist(), dtype=object)
+        # ids are strings in the reference's model; CSV inference may have
+        # read them back as ints — normalise like _materialize_side does
+        range_ids = np.asarray([str(v) for v in batch["id"].to_pylist()], dtype=object)
         range_mat = decode_b64_column(batch["value"].to_pylist())
         sims = crosswise_similarity(domain_mat, range_mat, self.measure)
         dom_idx, rng_idx = np.nonzero(sims >= self.threshold)

@@ -179,3 +179,25 @@ def test_estimate_matches_direct_computation(ray_session, tmp_path, capsys):
     assert cfg["attribute_name"] == "name"
     assert cfg["average_token_count"] == round(float(np.mean(sizes)), 6)
     assert cfg["weight"] == round(entropy, 6)
+
+
+def test_cli_csv_round_trip(ray_session, tmp_path, entities_file, capsys):
+    """Reference-style CSV workflow: mask -> CSV dir -> match reads the CSV
+    dir back (the reference's bit-vector CSV edge format, cli.py:77-153)."""
+    cfg_m = tmp_path / "m.json"
+    cfg_m.write_text(json.dumps(MASK_REQUEST))
+
+    r = _run(capsys, [
+        "mask", "--input", entities_file, "--config", str(cfg_m),
+        "--output", str(tmp_path / "masked_csv"), "--format", "csv",
+    ])
+    assert r["rows"] == 20
+    import glob
+
+    assert glob.glob(f"{tmp_path}/masked_csv/*.csv")
+
+    r = _run(capsys, [
+        "match", "--inputs", str(tmp_path / "masked_csv"), str(tmp_path / "masked_csv"),
+        "--output", str(tmp_path / "matches_csv"), "--threshold", "1.0", "--format", "csv",
+    ])
+    assert r["pairs"] >= 20
