@@ -820,6 +820,16 @@ def q_transform_chain(sf_dir: str):
     )
 
 
+def q_source_jaccard(sf_dir: str):
+    """Exact pairwise Jaccard between sources' word sets (corpus-overlap
+    matrix) — distributed bitmask set-op, stages/setops.py."""
+    from pprl_ray.stages.setops import pairwise_jaccard
+
+    distinct = _word_counts(sf_dir, keys=("source",))  # (source, token, cnt): distinct rows
+    df = pairwise_jaccard(distinct, "source", "token")
+    return df.rename(columns={"key_a": "source_a", "key_b": "source_b"})
+
+
 def q_hash_sample(sf_dir: str):
     """Deterministic content-hash sampling (the reproducible train/eval
     split primitive): keep docs where md5(doc_id) lands in a 10% bucket —
@@ -1007,6 +1017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "event_windows": q_event_windows,
         "transform_chain": q_transform_chain,
+        "source_jaccard": q_source_jaccard,
         "hash_sample": q_hash_sample,
         "json_props": q_json_props,
         "connected_components": q_connected_components,
@@ -1025,6 +1036,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "source_jaccard": """
+            WITH st AS (
+                SELECT DISTINCT source, w AS token
+                FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+            ), pairs AS (
+                SELECT a.source AS sa, b.source AS sb, count(*) AS inter
+                FROM st a JOIN st b USING (token)
+                WHERE a.source < b.source GROUP BY a.source, b.source
+            ), sizes AS (
+                SELECT source, count(*) AS n FROM st GROUP BY source
+            )
+            SELECT x.source AS source_a, y.source AS source_b,
+                   round(COALESCE(inter, 0) * 1.0 /
+                         (x.n + y.n - COALESCE(inter, 0)), 6) AS jaccard
+            FROM sizes x JOIN sizes y ON x.source < y.source
+            LEFT JOIN pairs ON sa = x.source AND sb = y.source
+        """,
         "hash_sample": """
             SELECT doc_id, source FROM documents
             WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
