@@ -820,6 +820,37 @@ def q_transform_chain(sf_dir: str):
     )
 
 
+def q_sessionize(sf_dir: str):
+    """Gap-based session windows per user over the event stream (30-minute
+    inactivity gap), stages/window.py — the stateful streaming-window
+    operator expressed batch-side with exact window-function oracle."""
+    import ray.data as rd
+
+    from pprl_ray.stages.window import sessionize
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    sess = sessionize(events, key_col="user_id", ts_col="ts", gap_minutes=30)
+    return sess.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                # Arrow's %S emits fractional seconds on sub-second types:
+                # truncate to seconds first
+                "session_start": pc.strftime(
+                    pc.cast(pc.floor_temporal(b["session_start"], unit="second"), pa.timestamp("s")),
+                    format="%Y-%m-%d %H:%M:%S",
+                ),
+                "session_end": pc.strftime(
+                    pc.cast(pc.floor_temporal(b["session_end"], unit="second"), pa.timestamp("s")),
+                    format="%Y-%m-%d %H:%M:%S",
+                ),
+                "n_events": pc.cast(b["n_events"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_source_jaccard(sf_dir: str):
     """Exact pairwise Jaccard between sources' word sets (corpus-overlap
     matrix) — distributed bitmask set-op, stages/setops.py."""
@@ -1017,6 +1048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "event_windows": q_event_windows,
         "transform_chain": q_transform_chain,
+        "sessionize": q_sessionize,
         "source_jaccard": q_source_jaccard,
         "hash_sample": q_hash_sample,
         "json_props": q_json_props,
@@ -1036,6 +1068,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "sessionize": """
+            WITH marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                              OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+                SELECT user_id, ts,
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sess_id
+                FROM marked
+            )
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id, sess_id
+        """,
         "source_jaccard": """
             WITH st AS (
                 SELECT DISTINCT source, w AS token
