@@ -820,6 +820,38 @@ def q_transform_chain(sf_dir: str):
     )
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join: attach each error event's most recent preceding purchase
+    by the same user (stages/join.py asof_join; DuckDB native ASOF LEFT
+    JOIN oracle)."""
+    import ray.data as rd
+
+    from pprl_ray.stages.join import asof_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type", "value"])
+    errors = ev.filter(expr="event_type == 'error'").drop_columns(["event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
+    joined = asof_join(errors, purchases, key_col="user_id", ts_col="ts")
+
+    def _fmt(b: pa.Table) -> pa.Table:
+        def s(col):
+            return pc.strftime(
+                pc.cast(pc.floor_temporal(b[col], unit="second"), pa.timestamp("s")),
+                format="%Y-%m-%d %H:%M:%S",
+            )
+
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "ts": s("ts"),
+                "purchase_ts": s("ts_r"),
+                "purchase_value": pc.round(pc.cast(b["value_r"], pa.float64()), ndigits=6),
+            }
+        )
+
+    return joined.map_batches(_fmt, batch_format="pyarrow")
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based session windows per user over the event stream (30-minute
     inactivity gap), stages/window.py — the stateful streaming-window
@@ -1048,6 +1080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "event_windows": q_event_windows,
         "transform_chain": q_transform_chain,
+        "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "source_jaccard": q_source_jaccard,
         "hash_sample": q_hash_sample,
@@ -1068,6 +1101,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "asof_join": """
+            WITH errors AS (
+                SELECT user_id, ts, value FROM events WHERE event_type = 'error'
+            ), purchases AS (
+                SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+            )
+            SELECT e.user_id AS user_id,
+                   strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                   strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+                   round(p.value, 6) AS purchase_value
+            FROM errors e ASOF LEFT JOIN purchases p
+              ON e.user_id = p.user_id AND e.ts >= p.ts
+        """,
         "sessionize": """
             WITH marked AS (
                 SELECT user_id, ts,

@@ -36,3 +36,31 @@ def test_left_outer_join(sides):
     ).to_pandas()
     assert len(out) == 6
     assert out.loc[out["v"] == "f", "dim"].isna().all()
+
+
+def test_asof_join_backward(ray_session):
+    import ray.data as rd
+
+    from pprl_ray.stages.join import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 2, 3], pa.int64()),
+        "t": pa.array([10, 20, 5, 15, 7], pa.int64()),
+        "lv": pa.array(list("abcde")),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "t": pa.array([8, 20, 99], pa.int64()),
+        "rv": pa.array(["x", "y", "z"]),
+    }))
+    out = asof_join(left, right, key_col="k", ts_col="t").to_pandas()
+    got = {(r["k"], r["t"]): r["rv_r"] for _, r in out.iterrows()}
+    assert got[(1, 10)] == "x"     # latest right t<=10 is 8
+    assert got[(1, 20)] == "y"     # exact match allowed
+    assert pd.isna(got[(1, 5)])    # nothing at or before 5
+    assert pd.isna(got[(2, 15)])   # right t=99 is in the future
+    assert pd.isna(got[(3, 7)])    # key absent on right
+    assert len(out) == 5
+
+
+import pandas as pd  # noqa: E402
