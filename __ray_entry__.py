@@ -840,12 +840,16 @@ def q_asof_join(sf_dir: str):
                 format="%Y-%m-%d %H:%M:%S",
             )
 
+        # deterministic null encoding on BOTH sides (driver comparators
+        # stringify nulls inconsistently across engines)
         return pa.table(
             {
                 "user_id": pc.cast(b["user_id"], pa.int64()),
                 "ts": s("ts"),
-                "purchase_ts": s("ts_r"),
-                "purchase_value": pc.round(pc.cast(b["value_r"], pa.float64()), ndigits=6),
+                "purchase_ts": pc.fill_null(s("ts_r"), "none"),
+                "purchase_value": pc.fill_null(
+                    pc.round(pc.cast(b["value_r"], pa.float64()), ndigits=6), -1.0
+                ),
             }
         )
 
@@ -1109,8 +1113,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT e.user_id AS user_id,
                    strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
-                   strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
-                   round(p.value, 6) AS purchase_value
+                   COALESCE(strftime(p.ts, '%Y-%m-%d %H:%M:%S'), 'none') AS purchase_ts,
+                   COALESCE(round(p.value, 6), -1.0) AS purchase_value
             FROM errors e ASOF LEFT JOIN purchases p
               ON e.user_id = p.user_id AND e.ts >= p.ts
         """,
