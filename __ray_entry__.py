@@ -820,6 +820,39 @@ def q_transform_chain(sf_dir: str):
     )
 
 
+def q_top_per_group(sf_dir: str):
+    """Per-group top-k: the 3 longest documents per source (deterministic
+    tie-break on doc_id). Partitioned-vectorized: groups co-locate by key
+    hash, one pandas sort+head per partition group — no global sort."""
+    def _prep(batch: pa.Table) -> pa.Table:
+        part = (batch["doc_id"].to_numpy() % np.int64(16)).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+                "part": pa.array(part),
+            }
+        )
+
+    def _topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["source", "n_chars", "doc_id"], ascending=[True, False, True])
+        return g.groupby("source", group_keys=False).head(3)[["doc_id", "source", "n_chars"]]
+
+    # stage 1: per-partition candidates (each partition's own top-3 per
+    # source); stage 2: re-reduce the tiny candidate set globally
+    import ray.data as rd
+
+    cands = (
+        _docs(sf_dir, ["doc_id", "source", "text"])
+        .map_batches(_prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_topk, batch_format="pandas")
+    )
+    final = _topk(cands.to_pandas().assign(part=0))
+    return final.reset_index(drop=True)
+
+
 def q_asof_join(sf_dir: str):
     """As-of join: attach each error event's most recent preceding purchase
     by the same user (stages/join.py asof_join; DuckDB native ASOF LEFT
@@ -1084,6 +1117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "event_windows": q_event_windows,
         "transform_chain": q_transform_chain,
+        "top_per_group": q_top_per_group,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "source_jaccard": q_source_jaccard,
@@ -1105,6 +1139,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "top_per_group": """
+            SELECT doc_id, source, n_chars FROM (
+                SELECT doc_id, source, length(text) AS n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY length(text) DESC, doc_id ASC) AS rn
+                FROM documents
+            ) WHERE rn <= 3
+        """,
         "asof_join": """
             WITH errors AS (
                 SELECT user_id, ts, value FROM events WHERE event_type = 'error'
