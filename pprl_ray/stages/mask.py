@@ -81,17 +81,29 @@ class EncodeStage:
     reference's ``bits.to_base64`` edge format (``routers/mask.py:402-410``).
 
     ``attribute_columns=None`` encodes every non-id column (the reference
-    masks every attribute on the entity, ``routers/mask.py:221``)."""
+    masks every attribute on the entity, ``routers/mask.py:221``).
+
+    ``on_error``: the reference turns a bad record (e.g. a value yielding
+    zero tokens, ``routers/mask.py:194-200``) into an HTTP 400 naming the
+    entity. ``"raise"`` (default) maps that to fail-fast (the error message
+    carries the entity id); ``"quarantine"`` keeps the job alive: output
+    gains an ``error`` column, failed rows get ``value=""`` and the
+    reference-formatted message, and the caller routes them to a quarantine
+    sink with one filter."""
 
     def __init__(
         self,
         config: MaskConfig,
         id_column: str = "id",
         attribute_columns: list[str] | None = None,
+        on_error: str = "raise",
     ):
         self.encoder = MaskEncoder(config)
         self.id_column = id_column
         self.attribute_columns = attribute_columns
+        if on_error not in ("raise", "quarantine"):
+            raise ValueError(f"unknown on_error mode {on_error!r}")
+        self.on_error = on_error
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols = self.attribute_columns
@@ -99,10 +111,35 @@ class EncodeStage:
             cols = [c for c in batch.column_names if c != self.id_column]
         ids = [str(v) for v in batch[self.id_column].to_pylist()]
         attrs = {c: ["" if v is None else str(v) for v in batch[c].to_pylist()] for c in cols}
-        packed, nbits = self.encoder.encode(ids, attrs)
-        values = [base64.b64encode(row.tobytes()).decode() for row in packed]
+        if self.on_error == "raise":
+            packed, _ = self.encoder.encode(ids, attrs)
+            values = [base64.b64encode(row.tobytes()).decode() for row in packed]
+            return pa.table(
+                {"id": pa.array(ids, pa.string()), "value": pa.array(values, pa.string())}
+            )
+
+        # quarantine: fast path first; only a failing batch pays the
+        # per-entity retry that pinpoints the bad rows
+        try:
+            packed, _ = self.encoder.encode(ids, attrs)
+            values = [base64.b64encode(row.tobytes()).decode() for row in packed]
+            errors = [""] * len(ids)
+        except ValueError:
+            values, errors = [], []
+            for i, eid in enumerate(ids):
+                try:
+                    row_packed, _ = self.encoder.encode([eid], {c: [attrs[c][i]] for c in cols})
+                    values.append(base64.b64encode(row_packed[0].tobytes()).decode())
+                    errors.append("")
+                except ValueError as exc:
+                    values.append("")
+                    errors.append(str(exc))
         return pa.table(
-            {"id": pa.array(ids, pa.string()), "value": pa.array(values, pa.string())}
+            {
+                "id": pa.array(ids, pa.string()),
+                "value": pa.array(values, pa.string()),
+                "error": pa.array(errors, pa.string()),
+            }
         )
 
 
@@ -143,12 +180,14 @@ def transform_entities(ds, attribute_transformers=None, global_before=None, glob
 
 
 def mask_entities(ds, config: MaskConfig, id_column: str = "id",
-                  attribute_columns: list[str] | None = None, **map_kwargs):
+                  attribute_columns: list[str] | None = None, on_error: str = "raise",
+                  **map_kwargs):
     # stateless kernel (config compiled per task, trivial cost): plain task
     # pool so encoding scales to every cluster core with no actor startup
     map_kwargs.setdefault("batch_size", 4096)
     return ds.map_batches(
-        EncodeStage(config, id_column=id_column, attribute_columns=attribute_columns),
+        EncodeStage(config, id_column=id_column, attribute_columns=attribute_columns,
+                    on_error=on_error),
         batch_format="pyarrow",
         **map_kwargs,
     )

@@ -280,3 +280,40 @@ def _has_pil():
         return True
     except ImportError:
         return False
+
+
+def test_mask_quarantine_mode(ray_session):
+    """Bad rows (zero tokens at token_size > len+padding) are quarantined
+    with the reference-formatted error; good rows still encode (reference
+    maps this case to a 400 naming the entity, routers/mask.py:194-200)."""
+    import ray.data as rd
+
+    from pprl_ray.config import CLKFilter, HashConfig, HashFunctionConfig, MaskConfig
+    from pprl_ray.stages.mask import mask_entities
+
+    cfg = MaskConfig(
+        token_size=4,
+        hash=HashConfig(HashFunctionConfig(("sha1",)), "double_hash"),
+        filter=CLKFilter(256, 3),
+        padding="",  # no padding: values shorter than 4 chars yield no tokens
+    )
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(["a", "b", "c"], pa.string()),
+                "name": pa.array(["long-enough-value", "xy", "also long enough"], pa.string()),
+            }
+        )
+    )
+    out = mask_entities(ds, cfg, on_error="quarantine").to_pandas()
+    bad = out[out["error"] != ""]
+    good = out[out["error"] == ""]
+    assert list(bad["id"]) == ["b"] and "did not produce any tokens" in bad["error"].iloc[0]
+    assert len(good) == 2 and (good["value"].str.len() > 0).all()
+
+    # fail-fast default still raises, naming the entity
+    import pytest
+    import ray.exceptions
+
+    with pytest.raises(Exception, match="`b`"):
+        mask_entities(ds, cfg).materialize()
