@@ -22,7 +22,7 @@ import pyarrow as pa
 
 from ..sketches.hashing import splitmix64
 
-__all__ = ["knn_brute", "build_ivf", "knn_ivf", "embedding_near_dup_pairs"]
+__all__ = ["knn_brute", "build_ivf", "knn_ivf", "write_ivf_index", "knn_ivf_pruned", "embedding_near_dup_pairs"]
 
 
 def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
@@ -154,6 +154,50 @@ def knn_ivf(assigned_ds, centroids: np.ndarray, query_ids: list, query_matrix: n
         lambda b: b.filter(pc.is_in(b["bucket"], value_set=pa.array(buckets, pa.int32()))),
         batch_format="pyarrow",
     )
+    return knn_brute(pruned, query_ids, query_matrix, k, id_col, vec_col)
+
+
+def write_ivf_index(ds, path: str, n_centroids: int = 16, id_col: str = "vec_id",
+                    vec_col: str = "embedding", **build_kwargs):
+    """Persist an IVF index: the assigned table written to Parquet
+    PARTITIONED BY BUCKET (one directory per bucket) plus the centroid
+    matrix — the physical layout that lets queries prune at the READ, not
+    post-read."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    assigned, centroids = build_ivf(ds, n_centroids, id_col, vec_col, **build_kwargs)
+    assigned.write_parquet(path, partition_cols=["bucket"])
+    pq.write_table(
+        pa.table({"centroid": [c.tobytes() for c in centroids]}),
+        os.path.join(path, "_centroids.parquet"),
+    )
+    return centroids
+
+
+def knn_ivf_pruned(index_path: str, query_ids: list, query_matrix: np.ndarray,
+                   k: int = 10, nprobe: int = 4, id_col: str = "vec_id",
+                   vec_col: str = "embedding"):
+    """Query a persisted IVF index reading ONLY the probed bucket
+    partitions from storage (~nprobe/n_centroids of the corpus bytes) —
+    column/partition pruning at the read, the 100-TB-correct shape."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    cent_tbl = pq.read_table(os.path.join(index_path, "_centroids.parquet"))
+    centroids = np.stack(
+        [np.frombuffer(b, dtype=np.float64) for b in cent_tbl["centroid"].to_pylist()]
+    )
+    qnorm = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    probe = np.argsort(-(qnorm @ centroids.T), axis=1)[:, :nprobe]
+    buckets = sorted(set(int(b) for b in probe.ravel()))
+
+    paths = [p for b in buckets for p in glob.glob(f"{index_path}/bucket={b}/*.parquet")]
+    pruned = rd.read_parquet(paths, columns=[id_col, vec_col])
     return knn_brute(pruned, query_ids, query_matrix, k, id_col, vec_col)
 
 

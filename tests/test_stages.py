@@ -317,3 +317,35 @@ def test_mask_quarantine_mode(ray_session):
 
     with pytest.raises(Exception, match="`b`"):
         mask_entities(ds, cfg).materialize()
+
+
+def test_ivf_pruned_read_matches_streaming_ivf(ray_session, tmp_path, sf_dir):
+    """Persisted bucket-partitioned IVF index queried via partition-pruned
+    reads returns the same neighbors as the streaming IVF path, and reads
+    only the probed bucket files."""
+    import glob
+
+    import numpy as np
+    import ray.data as rd
+
+    from pprl_ray.stages.ann import build_ivf, knn_ivf, knn_ivf_pruned, write_ivf_index
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = ds.limit(3).to_pandas()
+    qids = q["vec_id"].tolist()
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in q["embedding"]])
+
+    idx_path = str(tmp_path / "ivf")
+    centroids = write_ivf_index(ds, idx_path, n_centroids=8, sample_size=512)
+    bucket_dirs = glob.glob(f"{idx_path}/bucket=*")
+    assert len(bucket_dirs) >= 2  # genuinely partitioned
+
+    pruned = knn_ivf_pruned(idx_path, qids, qmat, k=5, nprobe=3).to_pandas()
+
+    assigned, cents2 = build_ivf(ds, n_centroids=8, sample_size=512)
+    streaming = knn_ivf(assigned, cents2, qids, qmat, k=5, nprobe=3).to_pandas()
+
+    key = ["query_id", "rank"]
+    p = pruned.sort_values(key).reset_index(drop=True)
+    s = streaming.sort_values(key).reset_index(drop=True)
+    assert list(p["neighbor_id"]) == list(s["neighbor_id"])
