@@ -820,6 +820,21 @@ def q_transform_chain(sf_dir: str):
     )
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Approximate heavy hitters over corpus tokens via a mergeable
+    Misra-Gries summary (guaranteed superset of tokens with frequency
+    > total/k; bounds pytest-gated in tests/test_sketches.py)."""
+    from pprl_ray.sketches import MGSketch
+    from pprl_ray.sources.corpus import derive_corpus
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    merged = sketch_by_key(derive_corpus(sf_dir), lambda: MGSketch(256), "tokens", None)
+    sk = finalize_sketches(merged, MGSketch)[""]
+    hitters = sk.heavy_hitters(0.005)
+    rows = sorted(hitters.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    return pd.DataFrame({"token": [t for t, _ in rows], "mg_estimate": [n for _, n in rows]})
+
+
 def q_top_per_group(sf_dir: str):
     """Per-group top-k: the 3 longest documents per source (deterministic
     tie-break on doc_id). Partitioned-vectorized: groups co-locate by key
@@ -1117,6 +1132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "event_windows": q_event_windows,
         "transform_chain": q_transform_chain,
+        "heavy_hitters": q_heavy_hitters,
         "top_per_group": q_top_per_group,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,

@@ -24,7 +24,7 @@ from typing import Any, Callable
 import numpy as np
 import pyarrow as pa
 
-from ..sketches import BloomSketch, CMSSketch, HLLSketch, KLLSketch, TDigestSketch
+from ..sketches import BloomSketch, CMSSketch, HLLSketch, KLLSketch, MGSketch, TDigestSketch
 from ..state.aggregate import _flatten_list_column
 
 __all__ = [
@@ -42,6 +42,7 @@ SKETCH_CLASSES: dict[str, type] = {
     "kll": KLLSketch,
     "tdigest": TDigestSketch,
     "bloom": BloomSketch,
+    "mg": MGSketch,
 }
 
 

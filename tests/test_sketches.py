@@ -206,3 +206,58 @@ def test_serialization_roundtrip(cls, kwargs):
     other = cls(**kwargs)
     other.update(_zipf_stream(1_000, seed=9))
     back.merge(other)
+
+
+class TestMGSketch:
+    """Misra-Gries heavy hitters: guarantee + bound + mergeability."""
+
+    def test_undercount_bound_and_hitter_guarantee(self):
+        import collections
+
+        from pprl_ray.sketches import MGSketch
+
+        rng = np.random.default_rng(3)
+        vals = rng.zipf(1.3, 50_000).astype(np.int64) % 5000
+        sk = MGSketch(k=128)
+        for chunk in np.array_split(vals, 7):
+            sk.update(chunk)
+        exact = collections.Counter(vals.tolist())
+        bound = sk.error_bound
+        for v, est in sk.counters.items():
+            assert 0 < est <= exact[v]            # never overcounts
+            assert exact[v] - est <= bound + 1e-9  # undercount <= N/k
+        # every item with true count > N/k must be present
+        for v, c in exact.items():
+            if c > bound:
+                assert v in sk.counters, (v, c, bound)
+
+    def test_merge_preserves_bound_any_order(self):
+        import collections
+
+        from pprl_ray.sketches import MGSketch
+
+        rng = np.random.default_rng(4)
+        vals = rng.zipf(1.2, 30_000).astype(np.int64) % 2000
+        parts = np.array_split(vals, 6)
+        for order in ([0, 1, 2, 3, 4, 5], [5, 3, 1, 0, 4, 2]):
+            acc = None
+            for i in order:
+                sk = MGSketch(k=64)
+                sk.update(parts[i])
+                acc = sk if acc is None else acc.merge(sk)
+            exact = collections.Counter(vals.tolist())
+            assert acc.total == len(vals)
+            bound = acc.error_bound
+            for v, est in acc.counters.items():
+                assert est <= exact[v] and exact[v] - est <= bound + 1e-9
+            for v, c in exact.items():
+                if c > bound:
+                    assert v in acc.counters
+
+    def test_serialization_roundtrip(self):
+        from pprl_ray.sketches import MGSketch
+
+        sk = MGSketch(k=8)
+        sk.update(np.array([1, 1, 2, 3, 3, 3], dtype=np.int64))
+        rt = MGSketch.from_bytes(sk.to_bytes())
+        assert rt.counters == sk.counters and rt.total == sk.total and rt.k == sk.k
