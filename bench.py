@@ -153,9 +153,14 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     qs = e.queries()
     out: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        n = _consume(qs[name](sf_dir))
-        out[name] = round(time.perf_counter() - t0, 3)
+        # best of two runs per query: the shared host shows up to 2x
+        # wall-clock noise, and the second run also measures warm-path cost
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = _consume(qs[name](sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
         print(f"  {name}: {out[name]}s ({n} rows)", file=sys.stderr)
     return out
 
