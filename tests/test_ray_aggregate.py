@@ -105,3 +105,39 @@ def test_derived_corpus_token_array_equality(sf_dir):
     for x, y in zip(got["tokens"], exp["tokens"]):
         assert np.array_equal(x, y)
     assert (got["n_tok"] == got["tokens"].map(len)).all()
+
+
+def test_profile_wall_time_unaffected_by_extreme_key_skew(ray_session):
+    """Combiner-tree skew-proofness: 99% of rows on ONE hot source key must
+    not slow the fused profile (no reducer concentrates per-key fan-in)."""
+    import time
+
+    import numpy as np
+    import pyarrow as pa
+
+    from pprl_ray.pipelines.profile import corpus_profile, default_specs, finalize_profile
+    from pprl_ray.sources.corpus import synth_corpus
+
+    def run(extreme: bool) -> float:
+        c = synth_corpus(40_000, override_num_blocks=16)
+        if extreme:
+            def _skew(b: pa.Table) -> pa.Table:
+                n = b.num_rows
+                keep = np.random.default_rng(0).random(n) < 0.01
+                src = np.where(
+                    keep, np.asarray(b["source"].to_pylist(), dtype=object), "web"
+                )
+                return b.set_column(
+                    b.column_names.index("source"), "source", pa.array(src, pa.string())
+                )
+
+            c = c.map_batches(_skew, batch_format="pyarrow")
+        specs = default_specs(hll_p=10, bloom_bits=1 << 14)
+        t0 = time.perf_counter()
+        finalize_profile(corpus_profile(c, specs), specs)
+        return time.perf_counter() - t0
+
+    run(False)  # warm
+    balanced = min(run(False) for _ in range(2))
+    skewed = min(run(True) for _ in range(2))
+    assert skewed < 3.0 * balanced + 1.0, (balanced, skewed)
