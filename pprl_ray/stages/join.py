@@ -84,10 +84,9 @@ def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
                         src = batch[key_col]
                 cols[name] = src if src is not None else pa.nulls(n, typ)
             t = pa.table(cols)
-            part = (
-                batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-                % np.int64(partitions)
-            ).astype(np.int32)
+            from .window import _hash_partition
+
+            part = _hash_partition(batch[key_col], partitions)
             return t.append_column("part", pa.array(part)).append_column(
                 "__side", pa.array(np.full(n, side, np.int8))
             )

@@ -22,17 +22,27 @@ import pyarrow as pa
 __all__ = ["sessionize"]
 
 
+def _hash_partition(col: "pa.ChunkedArray | pa.Array", partitions: int) -> "np.ndarray":
+    """Dtype-agnostic partition ids for a key column (polars 64-bit hash —
+    works for strings, ints, etc.; same key always lands in one partition)."""
+    import polars as pl
+
+    if hasattr(col, "combine_chunks"):
+        col = col.combine_chunks()
+    h = pl.from_arrow(col).hash(seed=97).to_numpy()
+    return (h % np.uint64(partitions)).astype(np.int32)
+
+
+
 def sessionize(ds, key_col: str = "user_id", ts_col: str = "ts",
                gap_minutes: float = 30.0, partitions: int = 64):
     """Dataset of events -> Dataset of sessions
     ``(key, session_start, session_end, n_events)``."""
 
     def _part(batch: pa.Table) -> pa.Table:
-        part = (
-            batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            % np.int64(partitions)
-        ).astype(np.int32)
-        return batch.append_column("part", pa.array(part))
+        return batch.append_column(
+            "part", pa.array(_hash_partition(batch[key_col], partitions))
+        )
 
     parted = ds.map_batches(_part, batch_format="pyarrow")
 

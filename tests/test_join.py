@@ -64,3 +64,21 @@ def test_asof_join_backward(ray_session):
 
 
 import pandas as pd  # noqa: E402
+
+
+def test_asof_join_string_keys(ray_session):
+    """Operators must partition correctly on non-integer keys."""
+    import ray.data as rd
+
+    from pprl_ray.stages.join import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(["u1", "u2"]), "t": pa.array([10, 10], pa.int64()),
+        "lv": pa.array(["a", "b"]),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(["u1"]), "t": pa.array([5], pa.int64()), "rv": pa.array(["x"]),
+    }))
+    out = asof_join(left, right, key_col="k", ts_col="t").to_pandas()
+    got = dict(zip(out["k"], out["rv_r"]))
+    assert got["u1"] == "x" and pd.isna(got["u2"])
