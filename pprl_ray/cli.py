@@ -298,6 +298,16 @@ def cmd_dedup(args) -> None:
     print(json.dumps({"command": "dedup", "method": args.method, "rows": n, "output": args.output}))
 
 
+def cmd_generate(args) -> None:
+    """Deterministic synthetic person entities (reference `pprl estimate
+    gecko|faker` generator parity) -> Parquet."""
+    from .sources.corpus import synth_entities
+
+    ds = synth_entities(args.n, seed=args.seed)
+    n = _write(ds, args.output, args.format)
+    print(json.dumps({"command": "generate", "rows": n, "output": args.output}))
+
+
 def cmd_estimate(args) -> None:
     """Reference `pprl estimate` parity: per-attribute (entropy weight,
     average token count) -> WeightedAttributeConfig JSON, after an optional
@@ -402,6 +412,13 @@ def main(argv: list[str] | None = None) -> None:
     sp.add_argument("--threshold", type=float, default=0.8)
     sp.add_argument("--max-hamming", type=int, default=3)
     sp.set_defaults(fn=cmd_dedup)
+
+    sp = sub.add_parser("generate", help="deterministic synthetic person entities")
+    sp.add_argument("-n", type=int, default=1000)
+    sp.add_argument("--seed", type=int, default=727)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--format", choices=("parquet", "csv"), default="parquet")
+    sp.set_defaults(fn=cmd_generate)
 
     sp = sub.add_parser("estimate", help="per-attribute weight estimation (entropy + avg tokens)")
     sp.add_argument("--input", required=True)

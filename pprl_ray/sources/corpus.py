@@ -21,7 +21,7 @@ import pyarrow as pa
 
 from ..sketches.hashing import splitmix64
 
-__all__ = ["derive_corpus", "synth_corpus", "CORPUS_SCHEMA", "tokenize_words_batch"]
+__all__ = ["derive_corpus", "synth_corpus", "synth_entities", "CORPUS_SCHEMA", "tokenize_words_batch"]
 
 VOCAB_SIZE = 50_257
 SOURCES = ("web", "books", "code", "wiki")
@@ -142,6 +142,57 @@ def _concat_aranges(lengths: np.ndarray) -> np.ndarray:
     out[0] = 0
     out[ends[:-1]] = -(lengths[:-1] - 1).astype(np.int64)
     return np.cumsum(out.astype(np.int64)).astype(np.uint64)
+
+
+_FIRST_NAMES = (
+    "Ada Alan Grace Emmy Kurt Rosalind Barbara Donald Edsger Margaret John "
+    "Katherine Claude Hedy Radia Annie Tim Linus Guido Frances Jean Mary "
+    "Dorothy Evelyn Marie Niels Enrico Lise Erwin Paul".split()
+)
+_LAST_NAMES = (
+    "Lovelace Turing Hopper Noether Goedel Franklin Liskov Knuth Dijkstra "
+    "Hamilton Backus Johnson Shannon Lamarr Perlman Easley BernersLee "
+    "Torvalds Rossum Allen Bartik Vaughan Curie Bohr Fermi Meitner "
+    "Schroedinger Dirac Wilson Hoover".split()
+)
+_GENDERS = ("f", "m", "x")
+
+
+def synth_entities(n: int, seed: int = 727):
+    """Deterministic person-entity table (reference ``pprl estimate
+    gecko|faker`` generator parity, `pprl_client/cli.py:428-563` — seeded
+    synthetic entities for weight estimation; Faker/Gecko replaced by an
+    embedded deterministic generator, no external data). Schema matches the
+    reference's Faker persons: id, firstName, lastName, dateOfBirth, gender."""
+    import ray.data as rd
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy().astype(np.uint64)
+        s = splitmix64(ids + np.uint64(seed))
+        fn = np.array(_FIRST_NAMES, dtype=object)[
+            (splitmix64(s + np.uint64(1)) % np.uint64(len(_FIRST_NAMES))).astype(np.int64)
+        ]
+        ln = np.array(_LAST_NAMES, dtype=object)[
+            (splitmix64(s + np.uint64(2)) % np.uint64(len(_LAST_NAMES))).astype(np.int64)
+        ]
+        year = 1920 + (splitmix64(s + np.uint64(3)) % np.uint64(86)).astype(np.int64)
+        month = 1 + (splitmix64(s + np.uint64(4)) % np.uint64(12)).astype(np.int64)
+        day = 1 + (splitmix64(s + np.uint64(5)) % np.uint64(28)).astype(np.int64)
+        dob = [f"{y:04d}-{m:02d}-{d:02d}" for y, m, d in zip(year, month, day)]
+        g = np.array(_GENDERS, dtype=object)[
+            (splitmix64(s + np.uint64(6)) % np.uint64(len(_GENDERS))).astype(np.int64)
+        ]
+        return pa.table(
+            {
+                "id": pa.array([str(i) for i in ids.tolist()], pa.string()),
+                "firstName": pa.array(fn, pa.string()),
+                "lastName": pa.array(ln, pa.string()),
+                "dateOfBirth": pa.array(dob, pa.string()),
+                "gender": pa.array(g, pa.string()),
+            }
+        )
+
+    return rd.range(n).map_batches(_gen, batch_format="pyarrow")
 
 
 def synth_corpus(n_docs: int, seed: int = 42, override_num_blocks: int | None = None):
