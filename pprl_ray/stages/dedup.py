@@ -218,7 +218,7 @@ class _MinHashStage:
 def minhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
                        k: int = 128, bands: int = 16, shingle_n: int = 3,
                        max_bucket: int = 200, partitions: int = 32,
-                       with_estimates: bool = False):
+                       with_estimates: bool = False, dedupe_pairs: bool = True):
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
 
     Emits (id_a, id_b) with id_a < id_b (plus ``est_jaccard`` — the
@@ -273,6 +273,11 @@ def minhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
     parted = exploded.map_batches(_add_part, batch_format="pyarrow")
     pairs = parted.groupby(["band", "part"]).map_groups(_band_pairs, batch_format="pandas")
 
+    if not dedupe_pairs:
+        # caller dedupes (e.g. verify_jaccard_pairs collects the small pair
+        # set anyway) — skipping the groupby saves a whole shuffle
+        return pairs
+
     # a pair found in multiple bands appears once per band — keep one
     # (native aggregate: vectorized, no per-group Python)
     from ray.data.aggregate import Count, Max
@@ -282,6 +287,19 @@ def minhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
             Max("est_jaccard", alias_name="est_jaccard")
         )
     return pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_bands")).drop_columns(["n_bands"])
+
+
+def _pairs_table_ds(uniq_pairs: list):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([a for a, _ in uniq_pairs]),
+                "id_b": pa.array([b for _, b in uniq_pairs]),
+            }
+        )
+    )
 
 
 def verify_jaccard_pairs(pairs_ds, docs_ds, text_col: str = "text", id_col: str = "doc_id",
@@ -295,12 +313,15 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, text_col: str = "text", id_col: str 
     on id."""
     import ray
 
-    # restrict the lookup to candidate ids (the documented scale assumption)
-    pairs_ds = pairs_ds.materialize()
-    cand_ids: set = set()
+    # collect + dedup the (small, by LSH construction) pair set once on the
+    # driver: restricts the shingle lookup to candidate ids AND absorbs the
+    # across-band pair duplicates without a dedicated groupby shuffle
+    pair_set: set = set()
     for b in pairs_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
-        cand_ids.update(b["id_a"].to_pylist())
-        cand_ids.update(b["id_b"].to_pylist())
+        pair_set.update(zip(b["id_a"].to_pylist(), b["id_b"].to_pylist()))
+    uniq = sorted(pair_set)
+    pairs_ds = _pairs_table_ds(uniq)
+    cand_ids = {a for a, _ in uniq} | {b for _, b in uniq}
     cand_ref = ray.put(cand_ids)
 
     # shingle in parallel map tasks (no-op if docs_ds is already shingled);
@@ -347,6 +368,7 @@ def minhash_dedup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     exactly ONCE (materialized compact (id, shingles) table feeds both the
     LSH banding and the verification lookup)."""
     shingled = shingle_docs(ds, text_col, id_col, kwargs.get("shingle_n", 3)).materialize()
+    kwargs.setdefault("dedupe_pairs", False)  # verify's driver collect dedupes
     cands = minhash_candidates(shingled, text_col, id_col, **kwargs)
     return verify_jaccard_pairs(cands, shingled, text_col, id_col,
                                 kwargs.get("shingle_n", 3), threshold)
