@@ -820,6 +820,68 @@ def q_transform_chain(sf_dir: str):
     )
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shaped 3-table pipeline: BUILDING customers ⋈ their orders
+    (broadcast) ⋈ lineitem (broadcast of the filtered orders), revenue
+    aggregated in exact integer micro-units, deterministic top-10. Column
+    pruning at every read; the big lineitem table streams and never
+    shuffles raw — only (orderkey, partial revenue) rows aggregate."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from pprl_ray.stages.join import broadcast_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    bld = cust.filter(expr="c_mktsegment == 'BUILDING'").drop_columns(["c_mktsegment"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    b_orders = broadcast_join(orders, bld, keys="o_custkey", right_keys="c_custkey")
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def _rev(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "rev_u": pc.cast(pc.round(pc.multiply(rev, 1_000_000)), pa.int64()),
+            }
+        )
+
+    li_rev = li.map_batches(_rev, batch_format="pyarrow")
+    joined = broadcast_join(
+        li_rev,
+        b_orders.map_batches(
+            lambda b: pa.table(
+                {
+                    "o_orderkey": b["o_orderkey"],
+                    "o_orderdate": pc.strftime(b["o_orderdate"], format="%Y-%m-%d"),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        keys="l_orderkey",
+        right_keys="o_orderkey",
+    )
+    agg = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(
+        Sum("rev_u", alias_name="rev_u")
+    )
+    top = agg.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b["l_orderkey"],
+                "o_orderdate": b["o_orderdate"],
+                "revenue": pc.divide(pc.cast(b["rev_u"], pa.float64()), 1_000_000.0),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
+    return top
+
+
 def q_heavy_hitters(sf_dir: str):
     """Approximate heavy hitters over corpus tokens via a mergeable
     Misra-Gries summary (guaranteed superset of tokens with frequency
@@ -1132,6 +1194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "event_windows": q_event_windows,
         "transform_chain": q_transform_chain,
+        "shipping_priority": q_shipping_priority,
         "heavy_hitters": q_heavy_hitters,
         "top_per_group": q_top_per_group,
         "asof_join": q_asof_join,
@@ -1155,6 +1218,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "shipping_priority": """
+            SELECT l_orderkey AS o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000, 0)
+                            AS BIGINT)) / 1000000.0 AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+            ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+        """,
         "top_per_group": """
             SELECT doc_id, source, n_chars FROM (
                 SELECT doc_id, source, length(text) AS n_chars,
