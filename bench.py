@@ -91,7 +91,10 @@ def ensure_corpus(n_docs: int, num_files: int = 64) -> tuple[str, int]:
     manifest = f"{path}.manifest.json"
     if os.path.exists(manifest):
         with open(manifest) as f:
-            return path, json.load(f)["n_tokens"]
+            m = json.load(f)
+        if "exact_distinct" in m:
+            return path, m["n_tokens"]
+        os.remove(manifest)  # older manifest without ground truth: rebuild
     import shutil
 
     from pprl_ray.sources.corpus import synth_corpus
@@ -101,8 +104,42 @@ def ensure_corpus(n_docs: int, num_files: int = 64) -> tuple[str, int]:
     shutil.rmtree(path, ignore_errors=True)
     n_tokens = synth_corpus(n_docs, override_num_blocks=num_files).sum("n_tok")
     synth_corpus(n_docs, override_num_blocks=num_files).write_parquet(path)
+
+    # exact per-source distinct-token counts (ground truth for the
+    # headline's HLL relative-error report): per-batch partial dedup, tiny
+    # driver-side set union (vocab is bounded)
+    import pyarrow as pa
+
+    def _partial_distinct(batch: pa.Table):
+        import numpy as np
+
+        from pprl_ray.state.aggregate import _flatten_list_column
+
+        values, lengths = _flatten_list_column(batch["tokens"])
+        src = batch["source"].to_pylist()
+        codes = np.repeat(np.arange(batch.num_rows), lengths)
+        out_s, out_t = [], []
+        for i, s in enumerate(set(src)):
+            mask = np.asarray([v == s for v in src])
+            vals = np.unique(values[np.isin(codes, np.flatnonzero(mask))])
+            out_s.extend([s] * len(vals))
+            out_t.extend(vals.tolist())
+        return pa.table({"source": pa.array(out_s), "token": pa.array(out_t, pa.int64())})
+
+    distinct_sets: dict = {}
+    for b in (
+        synth_corpus(n_docs, override_num_blocks=num_files)
+        .map_batches(_partial_distinct, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)
+    ):
+        for s, t in zip(b["source"].to_pylist(), b["token"].to_pylist()):
+            distinct_sets.setdefault(s, set()).add(t)
+    exact_distinct = {s: len(v) for s, v in distinct_sets.items()}
+
     with open(manifest, "w") as f:
-        json.dump({"n_docs": n_docs, "n_tokens": int(n_tokens)}, f)
+        json.dump(
+            {"n_docs": n_docs, "n_tokens": int(n_tokens), "exact_distinct": exact_distinct}, f
+        )
     return path, int(n_tokens)
 
 
@@ -136,6 +173,16 @@ def run_headline(num_cpus: int) -> dict:
         wall = min(wall, time.perf_counter() - t0)
 
     hll_web = profile[("hll_tokens", "web")].estimate()
+    with open(f"{path}.manifest.json") as f:
+        exact_distinct = json.load(f)["exact_distinct"]
+    # HLL relative error vs exact ground truth (BASELINE.json metric).
+    # 1.04/sqrt(m) is the STANDARD ERROR (1 sigma), not a hard cap; the
+    # conventional acceptance gate (also pytest-enforced) is 3 sigma.
+    hll_err = {
+        s: abs(profile[("hll_tokens", s)].estimate() - n) / n
+        for s, n in exact_distinct.items()
+    }
+    sigma = 1.04 / (2**14) ** 0.5
     return {
         "docs": HEADLINE_DOCS,
         "tokens": int(n_tokens),
@@ -143,6 +190,9 @@ def run_headline(num_cpus: int) -> dict:
         "tokens_per_sec": round(n_tokens / wall, 1),
         "sketch_rows": len(profile),
         "hll_web_distinct": round(hll_web, 1),
+        "hll_max_rel_err": round(max(hll_err.values()), 5),
+        "hll_rel_err_1sigma": round(sigma, 5),
+        "hll_within_3sigma": bool(max(hll_err.values()) <= 3 * sigma),
         "num_cpus": num_cpus,
     }
 
