@@ -164,13 +164,27 @@ def run_headline(num_cpus: int) -> dict:
     warm_path, _ = ensure_corpus(min(HEADLINE_DOCS, 100_000))
     pipeline(warm_path)
 
-    # best of two timed runs: the sandbox host is shared, and single runs at
-    # high parallelism show 2x wall-clock noise from co-tenant load
+    # best of three timed runs: the sandbox host is shared, and single runs
+    # at high parallelism show 2x wall-clock noise from co-tenant load
     wall = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         profile = pipeline()
         wall = min(wall, time.perf_counter() - t0)
+
+    # single-core calibration kernel: its wall time exposes co-tenant host
+    # load during THIS run (nominal ~0.25s on an idle core), letting the
+    # scaling report correct for host-wide slowdown between the fresh
+    # sessions it compares
+    import numpy as np
+
+    cal = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x = np.random.default_rng(1).random(40_000)
+        for _ in range(2000):
+            x = np.sqrt(x * x + 1.0)
+        cal = min(cal, time.perf_counter() - t0)
 
     hll_web = profile[("hll_tokens", "web")].estimate()
     with open(f"{path}.manifest.json") as f:
@@ -193,6 +207,7 @@ def run_headline(num_cpus: int) -> dict:
         "hll_max_rel_err": round(max(hll_err.values()), 5),
         "hll_rel_err_1sigma": round(sigma, 5),
         "hll_within_3sigma": bool(max(hll_err.values()) <= 3 * sigma),
+        "cal_sec": round(cal, 4),
         "num_cpus": num_cpus,
     }
 
@@ -226,7 +241,9 @@ def main() -> None:
         # memory-bus saturation (an artifact a real multi-node cluster does
         # not have). See BASELINE.md for the analysis.
         results = {}
-        for cpus in (2, 8, 32):
+        # 32 first: the first run (re)generates the shared corpus +
+        # ground-truth manifest, which should happen at full parallelism
+        for cpus in (32, 8, 2):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
                        BENCH_DOCS=os.environ.get("BENCH_DOCS", "2400000"))
             proc = subprocess.run(
@@ -243,12 +260,14 @@ def main() -> None:
             print(f"num_cpus={cpus}: {results[cpus]['tokens_per_sec']} tokens/sec",
                   file=sys.stderr)
         tps = {c: results[c]["tokens_per_sec"] for c in results}
+        cal = {c: results[c].get("cal_sec", 1.0) for c in results}
         print(json.dumps({
             "metric": "sketch-build N->4N scaling efficiency (2->8 cpus, fresh sessions, same input)",
             "value": round((tps[8] / tps[2]) / 4.0, 3),
             "unit": "efficiency",
             "efficiency_2_to_8": round((tps[8] / tps[2]) / 4.0, 3),
             "efficiency_8_to_32": round((tps[32] / tps[8]) / 4.0, 3),
+            "single_core_calibration_sec": {str(c): cal[c] for c in sorted(cal)},
             "tokens_per_sec": {str(c): tps[c] for c in sorted(tps)},
             "sec": {str(c): results[c]["sec"] for c in sorted(results)},
             "tokens": results[8]["tokens"],
