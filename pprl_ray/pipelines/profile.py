@@ -264,7 +264,7 @@ def corpus_profile(
     combiner: str | None = "tasks",
     combine_batch_size: int = 256,
     combiner_actors: int = 4,
-    batch_size: int | None = 8192,
+    batch_size: int | None = 16384,
     concurrency: int | None = None,
 ):
     """One fused scan -> Dataset of combined (sketch, key, blob, rows)
