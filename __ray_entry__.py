@@ -11,7 +11,6 @@ compares stable digits, not accumulation-order noise.
 
 from __future__ import annotations
 
-import base64
 import math
 import os
 import sys

@@ -8,7 +8,7 @@ Defaults match the reference: ``prepend_attribute_name=True``, ``padding=""``
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 __all__ = [
     "HashFunctionConfig",

@@ -31,7 +31,7 @@ def estimate_attribute_weights(
     """Returns the reference's ``WeightedAttributeConfig`` list:
     ``[{attribute_name, weight (= ngram entropy), average_token_count}]``,
     sorted by attribute name."""
-    from ray.data.aggregate import Count, Mean, Sum
+    from ray.data.aggregate import Mean, Sum
 
     cols = attribute_columns
 
