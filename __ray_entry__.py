@@ -819,6 +819,40 @@ def q_transform_chain(sf_dir: str):
     )
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: 20 docs per source, ordered by
+    md5(doc_id) — reproducible under any partitioning (the per-group
+    variant of hash sampling); partial top-k per partition then a tiny
+    final re-reduce, like q_top_per_group."""
+    import hashlib
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        h = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        part = (batch["doc_id"].to_numpy() % np.int64(16)).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "h": pa.array(h, pa.string()),
+                "part": pa.array(part),
+            }
+        )
+
+    def _topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["source", "h", "doc_id"])
+        return g.groupby("source", group_keys=False).head(20)[["doc_id", "source", "h"]]
+
+    cands = (
+        _docs(sf_dir, ["doc_id", "source"])
+        .map_batches(_prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_topk, batch_format="pandas")
+    )
+    final = _topk(cands.to_pandas().assign(part=0))
+    return final[["doc_id", "source"]].reset_index(drop=True)
+
+
 def q_shipping_priority(sf_dir: str):
     """TPC-H Q3-shaped 3-table pipeline: BUILDING customers ⋈ their orders
     (broadcast) ⋈ lineitem (broadcast of the filtered orders), revenue
@@ -1193,6 +1227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "event_windows": q_event_windows,
         "transform_chain": q_transform_chain,
+        "stratified_sample": q_stratified_sample,
         "shipping_priority": q_shipping_priority,
         "heavy_hitters": q_heavy_hitters,
         "top_per_group": q_top_per_group,
@@ -1217,6 +1252,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "stratified_sample": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 20
+        """,
         "shipping_priority": """
             SELECT l_orderkey AS o_orderkey,
                    strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
