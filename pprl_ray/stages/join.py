@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-__all__ = ["broadcast_join", "asof_join"]
+__all__ = ["broadcast_join", "asof_join", "interval_join"]
 
 
 def broadcast_join(large_ds, small_ds, keys, right_keys=None, join_type: str = "inner",
@@ -122,3 +122,44 @@ def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
         return merged
 
     return both.groupby("part").map_groups(_asof, batch_format="pandas")
+
+
+def interval_join(points_ds, intervals_ds, key_col: str, ts_col: str,
+                  start_col: str = "start", end_col: str = "end",
+                  partitions: int = 64):
+    """Range join: attach to each point the interval (same key) that
+    CONTAINS it (``start <= ts <= end``); points outside every interval
+    keep nulls. Requires NON-OVERLAPPING intervals per key (e.g. session
+    windows) — with overlap, the latest-starting containing interval wins.
+
+    Scale shape: implemented as a backward as-of join on the interval start
+    (one co-partitioned shuffle + vectorised ``merge_asof`` per partition
+    group) followed by a containment filter — no point-x-interval blowup."""
+    # as-of needs the RIGHT ts column named like the left's; feed intervals
+    # with start as their timestamp
+    iv = intervals_ds.map_batches(
+        lambda b: b.rename_columns(
+            [ts_col if c == start_col else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    out = asof_join(points_ds, iv, key_col=key_col, ts_col=ts_col, right_suffix="_iv",
+                    partitions=partitions)
+
+    end_iv = end_col + "_iv"
+
+    def _contain(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        inside = pc.and_kleene(
+            pc.is_valid(batch[end_iv]), pc.less_equal(batch[ts_col], batch[end_iv])
+        )
+        cols = {}
+        for name in batch.column_names:
+            if name.endswith("_iv"):
+                cols[name] = pc.if_else(inside, batch[name], pa.nulls(batch.num_rows, batch[name].type))
+            else:
+                cols[name] = batch[name]
+        return pa.table(cols)
+
+    return out.map_batches(_contain, batch_format="pyarrow")

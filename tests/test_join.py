@@ -82,3 +82,27 @@ def test_asof_join_string_keys(ray_session):
     out = asof_join(left, right, key_col="k", ts_col="t").to_pandas()
     got = dict(zip(out["k"], out["rv_r"]))
     assert got["u1"] == "x" and pd.isna(got["u2"])
+
+
+def test_interval_join_containment(ray_session):
+    import ray.data as rd
+
+    from pprl_ray.stages.join import interval_join
+
+    points = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 2], pa.int64()),
+        "t": pa.array([5, 15, 40, 7], pa.int64()),
+    }))
+    intervals = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "start": pa.array([0, 20, 50], pa.int64()),
+        "end": pa.array([10, 30, 60], pa.int64()),
+        "label": pa.array(["a", "b", "c"]),
+    }))
+    out = interval_join(points, intervals, key_col="k", ts_col="t").to_pandas()
+    got = {(r["k"], r["t"]): r["label_iv"] for _, r in out.iterrows()}
+    assert got[(1, 5)] == "a"       # inside [0,10]
+    assert pd.isna(got[(1, 15)])    # gap between intervals
+    assert pd.isna(got[(1, 40)])    # after last interval's end
+    assert pd.isna(got[(2, 7)])     # before key 2's interval
+    assert len(out) == 4
