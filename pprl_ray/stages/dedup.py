@@ -114,14 +114,17 @@ def shingle_tokens(batch: pa.Table, text_col: str = "text", n: int = 3) -> list[
         total = int(offsets[-1])
 
     row_of = np.repeat(np.arange(n_rows), lengths)
-    # rolling combine of n consecutive word hashes (within-row positions)
+    # rolling combine of n consecutive word hashes (within-row positions);
+    # positions shifted past a row's end contribute 0, so a short row's
+    # combined hash depends ONLY on its own words — identical short docs get
+    # identical shingle hashes regardless of batch neighbors
     C = np.uint64(0x9E3779B97F4A7C15)
     comb = flat_hashes.copy()
     with np.errstate(over="ignore"):
         for j in range(1, n):
-            shifted = np.empty_like(flat_hashes)
-            shifted[: total - j] = flat_hashes[j:]
-            shifted[total - j :] = 0
+            shifted = np.zeros_like(flat_hashes)
+            same_row = row_of[j:] == row_of[: total - j]
+            shifted[: total - j][same_row] = flat_hashes[j:][same_row]
             comb = comb * C + shifted
         sh = splitmix64(comb)
     # valid shingle start positions: i + n - 1 stays inside the row

@@ -1,0 +1,55 @@
+"""Scale-aware partition-count derivation for partitioned-vectorized
+operators (co-partitioned joins, windowed aggregates, dedup).
+
+Fixed partition counts are the classic scale bug: each ``map_groups``
+partition group materializes as ONE in-memory frame, so ``input_bytes /
+partitions`` must stay bounded (~``target_bytes``) as inputs grow 1000x.
+``auto_partitions`` derives the count from dataset metadata when that is
+free (pure read plans / materialized datasets expose size without
+execution) and falls back to a caller hint or default otherwise — it NEVER
+triggers execution of a lazy pipeline just to size partitions.
+"""
+
+from __future__ import annotations
+
+import math
+
+__all__ = ["auto_partitions", "free_size_bytes"]
+
+# ~128 MiB of input rows per partition group: large enough that per-group
+# Python overhead (~0.5 ms) is noise, small enough that a group's pandas
+# frame fits a worker heap with room for the merge/sort temporaries.
+TARGET_PARTITION_BYTES = 128 << 20
+
+
+def free_size_bytes(ds) -> int | None:
+    """Dataset size in bytes IF knowable without execution, else None.
+
+    Pure read plans carry parquet-metadata estimates; materialized /
+    executed plans carry exact block metadata. Lazy transformed plans
+    return None (``Dataset.size_bytes()`` would execute them — never do
+    that here)."""
+    try:
+        return ds._logical_plan.dag.infer_metadata().size_bytes
+    except Exception:
+        return None
+
+
+def auto_partitions(
+    ds=None,
+    *,
+    size_bytes: int | None = None,
+    target_bytes: int = TARGET_PARTITION_BYTES,
+    default: int = 64,
+    lo: int = 8,
+    hi: int = 1 << 20,
+) -> int:
+    """Partition count targeting ``target_bytes`` of input per partition.
+
+    Resolution order: explicit ``size_bytes`` hint > free dataset metadata
+    (:func:`free_size_bytes`) > ``default``. Clamped to [lo, hi]."""
+    if size_bytes is None and ds is not None:
+        size_bytes = free_size_bytes(ds)
+    if size_bytes is None:
+        return default
+    return int(min(hi, max(lo, math.ceil(size_bytes / target_bytes))))

@@ -133,6 +133,38 @@ def test_minhash_dedup_finds_planted_near_dups():
     assert (verified["jaccard"] >= 0.7).all()
 
 
+def test_shingles_of_short_docs_ignore_batch_neighbors():
+    """Rows with fewer than n words keep one combined hash of their OWN
+    words only — the rolling combine must not read word hashes from the
+    next row in the batch (ADVICE r1: identical short dups previously got
+    different hashes depending on which row followed them)."""
+    from pprl_ray.stages.dedup import shingle_tokens
+
+    short = "hello world"
+    t1 = pa.table({"text": [short, "completely different follower text here"]})
+    t2 = pa.table({"text": [short, "another unrelated neighbor document entirely"]})
+    t3 = pa.table({"text": ["leading doc words first", short]})  # short row last
+    s1 = shingle_tokens(t1, n=3)[0]
+    s2 = shingle_tokens(t2, n=3)[0]
+    s3 = shingle_tokens(t3, n=3)[1]
+    assert np.array_equal(s1, s2)
+    assert np.array_equal(s1, s3)
+    # and a lone-row batch agrees too
+    s_alone = shingle_tokens(pa.table({"text": [short]}), n=3)[0]
+    assert np.array_equal(s1, s_alone)
+
+
+def test_minhash_detects_short_duplicates_any_batching():
+    """Identical 2-word duplicates must be found regardless of batch
+    composition/partitioning (regression for the row-boundary bug)."""
+    rows = [{"doc_id": f"f{i:02d}", "text": f"filler{i} document number {i} with words"} for i in range(20)]
+    rows.insert(3, {"doc_id": "s-a", "text": "tiny doc"})
+    rows.insert(11, {"doc_id": "s-b", "text": "tiny doc"})
+    ds = rd.from_items(rows).repartition(4)
+    verified = minhash_dedup_pairs(ds, threshold=0.99).to_pandas()
+    assert ("s-a", "s-b") in set(zip(verified["id_a"], verified["id_b"]))
+
+
 def test_simhash_candidates_and_components():
     rows = [
         {"doc_id": "x1", "text": "the quick brown fox jumps over the lazy dog again and again"},
