@@ -1,22 +1,40 @@
-"""Broadcast hash join: the scale-correct join when one side is small.
+"""Distributed equi-joins: broadcast (one small side) and co-partitioned
+bucket join (two large sides), plus as-of / interval joins.
 
 The reference's only join is the crosswise θ-join on similarity
 (`/root/reference/packages/pprl_service/pprl_service/routers/match.py:54-67`,
 broadcast in ``stages/match.py``); equi-joins are an extension a training-
-data pipeline needs (dim tables, metadata enrichment).
+data pipeline needs (dim tables, metadata enrichment, fact-fact joins).
 
-Scale shape: the small side is materialized ONCE into the object store
-(``ray.put``) and every map task joins its batch against the shared table
-zero-copy via ``pyarrow.Table.join`` — no all-to-all exchange of the large
-side, no per-batch reserialization. For two large sides, pre-bucket both by
-key hash and join bucket-wise instead (not needed by any current pipeline).
+Scale shapes:
+
+- :func:`broadcast_join` — the small side is materialized ONCE into the
+  object store (``ray.put``) and every map task joins its batch against the
+  shared table zero-copy via ``pyarrow.Table.join`` — no all-to-all exchange
+  of the large side. Only per-batch-safe join types are allowed (a right /
+  full outer join would re-emit unmatched small-side rows once per batch).
+- :func:`bucket_join` — BOTH sides are hash-bucketed by key in one union
+  shuffle (equal keys co-locate), then each bucket joins independently with
+  a vectorised ``pyarrow.Table.join``. All join types are exact because a
+  key's rows from both sides always share a bucket. Shuffle volume is one
+  pass over both inputs — the scale-correct fact⋈fact join.
+- :func:`asof_join` / :func:`interval_join` — one co-partitioned union
+  shuffle + vectorised ``merge_asof`` per bucket.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
-__all__ = ["broadcast_join", "asof_join", "interval_join"]
+from .partitioning import auto_partitions
+
+__all__ = ["broadcast_join", "bucket_join", "asof_join", "interval_join"]
+
+# join types that are correct when executed independently per large-side
+# batch against the full small side (unmatched SMALL-side rows are never
+# emitted, so nothing is duplicated across batches)
+_BROADCAST_SAFE = {"inner", "left outer", "left semi", "left anti"}
 
 
 def broadcast_join(large_ds, small_ds, keys, right_keys=None, join_type: str = "inner",
@@ -24,9 +42,17 @@ def broadcast_join(large_ds, small_ds, keys, right_keys=None, join_type: str = "
     """Join each batch of ``large_ds`` against the materialized ``small_ds``.
 
     ``keys``/``right_keys`` follow ``pyarrow.Table.join`` semantics;
-    ``join_type``: "inner" | "left outer" | etc. (pyarrow names)."""
+    ``join_type`` must be per-batch-safe ("inner" | "left outer" |
+    "left semi" | "left anti") — right/full outer joins would emit
+    unmatched small-side rows once PER BATCH; use :func:`bucket_join`
+    (or swap the sides) for those."""
     import ray
 
+    if join_type not in _BROADCAST_SAFE:
+        raise ValueError(
+            f"broadcast_join join_type must be one of {sorted(_BROADCAST_SAFE)} "
+            f"(got {join_type!r}); right/full outer joins need bucket_join"
+        )
     keys = [keys] if isinstance(keys, str) else list(keys)
     right = pa.concat_tables(
         [b for b in small_ds.iter_batches(batch_format="pyarrow", batch_size=65536)]
@@ -40,8 +66,100 @@ def broadcast_join(large_ds, small_ds, keys, right_keys=None, join_type: str = "
     return large_ds.map_batches(_join, batch_format="pyarrow", **map_kwargs)
 
 
+def _multi_hash_partition(batch: pa.Table, key_cols: list[str], partitions: int) -> np.ndarray:
+    """Dtype-agnostic bucket ids over one or more key columns (polars 64-bit
+    row hash — deterministic across workers; equal key tuples co-locate)."""
+    import polars as pl
+
+    df = pl.DataFrame(
+        {c: pl.from_arrow(batch[c].combine_chunks()) for c in key_cols}
+    )
+    h = df.hash_rows(seed=97).to_numpy()
+    return (h % np.uint64(partitions)).astype(np.int32)
+
+
+def bucket_join(left_ds, right_ds, keys, right_keys=None, join_type: str = "inner",
+                partitions: int | None = None, suffix: str = "_r"):
+    """Co-partitioned hash join of two LARGE datasets (neither broadcast).
+
+    Both sides are tagged and hash-bucketed by key in ONE union shuffle;
+    each bucket then joins independently with ``pyarrow.Table.join`` (all
+    pyarrow join types supported, including right/full outer and semi/anti
+    — exact because equal keys always share a bucket). Right key columns
+    are matched to the left key names; right payload columns that collide
+    with left names get ``suffix``.
+
+    Partitioning assumption: per-bucket rows (~input/partitions) fit one
+    worker; ``partitions`` defaults to input-size-derived
+    (:func:`auto_partitions`) so bucket memory stays flat as inputs grow.
+    Skewed hot keys concentrate in one bucket — pre-aggregate or salt
+    upstream if a single key's rows exceed a worker."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    right_keys = keys if right_keys is None else (
+        [right_keys] if isinstance(right_keys, str) else list(right_keys)
+    )
+    if len(right_keys) != len(keys):
+        raise ValueError("right_keys must match keys in length")
+    if partitions is None:
+        sizes = [s for s in (auto_partitions(left_ds), auto_partitions(right_ds))]
+        partitions = max(sizes)
+
+    left_schema = left_ds.schema().base_schema
+    right_schema = right_ds.schema().base_schema
+    left_cols = list(left_schema.names)
+    key_types = {k: left_schema.field(k).type for k in keys}
+    rename = dict(zip(right_keys, keys))
+    right_payload = [c for c in right_schema.names if c not in right_keys]
+    for c in right_payload:
+        rename[c] = c + suffix if c in left_schema.names else c
+    right_cols_u = [rename[c] for c in right_payload]
+    union_fields = [(c, left_schema.field(c).type) for c in left_cols] + [
+        (rename[c], right_schema.field(c).type) for c in right_payload
+    ]
+
+    def _tag(side: int):
+        def _t(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            n = batch.num_rows
+            cols = {}
+            for name, typ in union_fields:
+                if side == 0:
+                    cols[name] = batch[name] if name in batch.column_names else pa.nulls(n, typ)
+                else:
+                    orig = next((rc for rc, un in rename.items() if un == name), None)
+                    if orig is not None and orig in batch.column_names:
+                        src = batch[orig]
+                        if name in key_types and src.type != key_types[name]:
+                            src = pc.cast(src, key_types[name])
+                        cols[name] = src
+                    else:
+                        cols[name] = pa.nulls(n, typ)
+            t = pa.table(cols)
+            part = _multi_hash_partition(t, keys, partitions)
+            return t.append_column("part", pa.array(part)).append_column(
+                "__side", pa.array(np.full(n, side, np.int8))
+            )
+
+        return _t
+
+    both = left_ds.map_batches(_tag(0), batch_format="pyarrow").union(
+        right_ds.map_batches(_tag(1), batch_format="pyarrow")
+    )
+
+    def _join_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = group["__side"]
+        left = group.filter(pc.equal(side, 0)).select(left_cols)
+        right = group.filter(pc.equal(side, 1)).select(keys + right_cols_u)
+        return left.join(right, keys=keys, join_type=join_type)
+
+    return both.groupby("part").map_groups(_join_bucket, batch_format="pyarrow")
+
+
 def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
-              right_suffix: str = "_r", partitions: int = 64):
+              right_suffix: str = "_r", partitions: int | None = None):
     """As-of (backward) join: for each left row, attach the LATEST right row
     with ``right.ts <= left.ts`` for the same key; left rows without a match
     keep nulls (LEFT ASOF semantics, matching DuckDB ``ASOF LEFT JOIN``).
@@ -50,9 +168,14 @@ def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
     union shuffle (same-key rows of both sides co-locate, so the as-of
     match within a partition group is exact); per group the work is one
     vectorised ``pandas.merge_asof`` over the partition's sorted rows —
-    per-group Python is O(partitions), not O(keys)."""
-    import numpy as np
+    per-group Python is O(partitions), not O(keys). ``partitions`` defaults
+    to input-size-derived (:func:`auto_partitions`).
 
+    Dtype note: groups are received as Arrow and each side is converted to
+    pandas SEPARATELY, so the merge keys keep their native dtype (int64
+    epoch keys compare exactly — no float64 round-trip above 2^53)."""
+    if partitions is None:
+        partitions = max(auto_partitions(left_ds), auto_partitions(right_ds))
     left_schema = left_ds.schema().base_schema
     right_schema = right_ds.schema().base_schema
     left_cols = list(left_schema.names)
@@ -84,9 +207,7 @@ def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
                         src = batch[key_col]
                 cols[name] = src if src is not None else pa.nulls(n, typ)
             t = pa.table(cols)
-            from .window import _hash_partition
-
-            part = _hash_partition(batch[key_col], partitions)
+            part = _multi_hash_partition(t, [key_col], partitions)
             return t.append_column("part", pa.array(part)).append_column(
                 "__side", pa.array(np.full(n, side, np.int8))
             )
@@ -99,17 +220,23 @@ def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
 
     ts_r = ts_col + right_suffix
 
-    def _asof(group):
+    def _asof(group: pa.Table):
         import pandas as pd
+        import pyarrow.compute as pc
 
-        left = group[group["__side"] == 0][left_cols].sort_values(ts_col)
-        right = group[group["__side"] == 1][[key_col] + right_cols_u].sort_values(ts_r)
+        side = group["__side"]
+        # convert each side separately: a side's own columns are non-null
+        # within its rows, so int64/timestamp dtypes survive the pandas
+        # conversion and merge_asof compares exact keys
+        left = group.filter(pc.equal(side, 0)).select(left_cols).to_pandas().sort_values(ts_col)
+        right = (
+            group.filter(pc.equal(side, 1))
+            .select([key_col] + right_cols_u)
+            .to_pandas()
+            .sort_values(ts_r)
+        )
         if len(left) == 0:
             return pd.DataFrame(columns=left_cols + right_cols_u)
-        # the union pads each side's missing columns with nulls, which
-        # float-ifies the right timestamp dtype in pandas — realign the
-        # merge keys (right rows themselves are never null here)
-        right = right.assign(**{ts_r: right[ts_r].astype(left[ts_col].dtype)})
         merged = pd.merge_asof(
             left,
             right,
@@ -121,12 +248,12 @@ def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
         )
         return merged
 
-    return both.groupby("part").map_groups(_asof, batch_format="pandas")
+    return both.groupby("part").map_groups(_asof, batch_format="pyarrow")
 
 
 def interval_join(points_ds, intervals_ds, key_col: str, ts_col: str,
                   start_col: str = "start", end_col: str = "end",
-                  partitions: int = 64):
+                  partitions: int | None = None):
     """Range join: attach to each point the interval (same key) that
     CONTAINS it (``start <= ts <= end``); points outside every interval
     keep nulls. Requires NON-OVERLAPPING intervals per key (e.g. session

@@ -106,3 +106,95 @@ def test_interval_join_containment(ray_session):
     assert pd.isna(got[(1, 40)])    # after last interval's end
     assert pd.isna(got[(2, 7)])     # before key 2's interval
     assert len(out) == 4
+
+
+def test_broadcast_join_rejects_unsafe_types(sides):
+    from pprl_ray.stages.join import broadcast_join
+
+    large, small = sides
+    with pytest.raises(ValueError, match="bucket_join"):
+        broadcast_join(large, small, keys="k", right_keys="rk", join_type="full outer")
+
+
+def test_bucket_join_inner_and_outer(sides):
+    """Two-large-sides co-partitioned join: results match the broadcast
+    join on the same inputs, for every pyarrow join type incl. the ones
+    broadcast can't do."""
+    from pprl_ray.stages.join import bucket_join
+
+    large, small = sides
+    inner = bucket_join(large, small, keys="k", right_keys="rk", partitions=5).to_pandas()
+    assert dict(zip(inner["v"], inner["dim"])) == {"a": "x", "b": "y", "c": "z", "e": "y"}
+
+    left = bucket_join(
+        large, small, keys="k", right_keys="rk", join_type="left outer", partitions=5
+    ).to_pandas()
+    assert len(left) == 6
+    assert left.loc[left["v"] == "f", "dim"].isna().all()
+
+    full = bucket_join(
+        large, small, keys="k", right_keys="rk", join_type="full outer", partitions=5
+    ).to_pandas()
+    assert len(full) == 6  # 4 matched + k=4,9 unmatched left; no unmatched right
+    semi = bucket_join(
+        large, small, keys="k", right_keys="rk", join_type="left semi", partitions=5
+    ).to_pandas()
+    assert sorted(semi["v"]) == ["a", "b", "c", "e"]
+    anti = bucket_join(
+        large, small, keys="k", right_keys="rk", join_type="left anti", partitions=5
+    ).to_pandas()
+    assert sorted(anti["v"]) == ["d", "f"]
+
+
+def test_bucket_join_suffixes_colliding_columns(ray_session):
+    import ray.data as rd
+
+    from pprl_ray.stages.join import bucket_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64()), "v": pa.array(["a", "b"])}))
+    right = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()), "v": pa.array(["x"])}))
+    out = bucket_join(left, right, keys="k", partitions=3).to_pandas()
+    assert sorted(out.columns) == ["k", "v", "v_r"]
+    assert out.iloc[0]["v"] == "a" and out.iloc[0]["v_r"] == "x"
+
+
+def test_bucket_join_multi_key_and_string(ray_session):
+    import ray.data as rd
+
+    from pprl_ray.stages.join import bucket_join
+
+    left = rd.from_arrow(pa.table({
+        "a": pa.array(["x", "x", "y"]), "b": pa.array([1, 2, 1], pa.int64()),
+        "lv": pa.array([10, 20, 30], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "a": pa.array(["x", "y"]), "b": pa.array([2, 1], pa.int64()),
+        "rv": pa.array([200, 300], pa.int64()),
+    }))
+    out = bucket_join(left, right, keys=["a", "b"], partitions=4).to_pandas()
+    assert sorted(zip(out["lv"], out["rv"])) == [(20, 200), (30, 300)]
+
+
+def test_asof_join_int64_keys_above_2_53(ray_session):
+    """Epoch-nanosecond int64 keys must compare exactly (no float64
+    round-trip): values differing by 1 ns above 2^53 pick the right row."""
+    import ray.data as rd
+
+    from pprl_ray.stages.join import asof_join
+
+    base = 1_600_000_000_000_000_000  # ~2^60 epoch ns
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "t": pa.array([base + 2, base + 5], pa.int64()),
+        "lv": pa.array(["p", "q"]),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1], pa.int64()),
+        "t": pa.array([base + 1, base + 3, base + 6], pa.int64()),
+        "rv": pa.array(["r1", "r2", "r3"]),
+    }))
+    out = asof_join(left, right, key_col="k", ts_col="t").to_pandas()
+    got = dict(zip(out["t"], out["rv_r"]))
+    # float64 would collapse base+1..base+6 to the same key and mismatch
+    assert got[base + 2] == "r1" and got[base + 5] == "r2"
+    assert out["t"].dtype == "int64"
