@@ -452,68 +452,144 @@ def simhash_candidates(fp_ds, id_col: str = "doc_id", max_hamming: int = 3, max_
 # --- cluster collapse ------------------------------------------------------
 
 
-def connected_components_collapse(pairs_ds, max_rounds: int = 10):
-    """Min-label propagation over a pair table: returns (doc_id, rep_id)
-    where rep_id is the smallest id in each connected component. O(log n)
-    groupby rounds; each round shuffles only (node, label) rows."""
+def connected_components_collapse(pairs_ds, max_rounds: int = 30, partitions: int | None = None):
+    """Distributed min-label propagation with pointer jumping over a pair
+    table: returns (doc_id, rep_id) where rep_id is the smallest id in each
+    connected component.
+
+    Each round, every node's candidate labels are (a) its own label, (b)
+    its neighbors' labels — looked up through the static edge table — and
+    (c) its label's label (pointer jumping, which collapses long chains in
+    O(log diameter) rounds); the new label is the min. Neighbor propagation
+    makes min labels travel AGAINST pointer direction too (pure pointer
+    jumping is wrong on e.g. a star 1-6, 5-6: node 5 never learns 1).
+
+    Scale shape: everything is either a native partial+final aggregate
+    (Min/Max/Sum — vectorized, no per-group Python) or ONE co-partitioned
+    hash-bucket lookup join per round (union shuffle of compact
+    (key, node) / (key, label) rows, vectorized ``pyarrow.Table.join``
+    per bucket). Nothing materializes on the driver; per-round cost is
+    O(edges + nodes) shuffled bytes."""
+    import math
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    from .partitioning import auto_partitions
+
+    if partitions is None:
+        partitions = auto_partitions(pairs_ds)
+
+    def _compact(mat_ds, target_bytes: int = 64 << 20):
+        """Bound a materialized dataset's block count. Iterative rounds
+        otherwise MULTIPLY block counts (unions + shuffles inherit input
+        block counts), turning tiny-block inputs into thousands of
+        ~50ms tasks per round."""
+        size = mat_ds.size_bytes() or 0
+        nb = max(1, math.ceil(size / target_bytes))
+        if mat_ds.num_blocks() > max(8, 2 * nb):
+            return mat_ds.repartition(nb).materialize()
+        return mat_ds
 
     def _edges(batch: pa.Table) -> pa.Table:
-        a = batch["id_a"].to_pylist()
-        b = batch["id_b"].to_pylist()
-        return pa.table({"node": a + b, "peer": b + a})
+        a, b = batch["id_a"], batch["id_b"]
+        return pa.concat_tables(
+            [pa.table({"node": a, "peer": b}), pa.table({"node": b, "peer": a})]
+        ).combine_chunks()
 
-    labels = pairs_ds.map_batches(_edges, batch_format="pyarrow")
+    # static bidirectional edge table, reused every round
+    edges = _compact(pairs_ds.map_batches(_edges, batch_format="pyarrow").materialize())
 
-    def _min_label(group: pd.DataFrame) -> pd.DataFrame:
-        node = group["node"].iloc[0]
-        rep = min(group["peer"].min(), node)
-        return pd.DataFrame({"node": [node], "rep": [rep]})
+    def _self_min(batch: pa.Table) -> pa.Table:
+        rep = pc.if_else(pc.less(batch["rep"], batch["node"]), batch["rep"], batch["node"])
+        return pa.table({"node": batch["node"], "rep": rep})
 
-    current = labels.groupby("node").map_groups(_min_label, batch_format="pandas")
-    for _ in range(max_rounds):
-        # propagate: join node->rep with rep->rep' by treating rep as node
-        reps = current.map_batches(
-            lambda b: pa.table({"rep": b["node"], "rep2": b["rep"]}), batch_format="pyarrow"
-        )
-        joined = _hash_join(current, reps, "rep")
-
-        def _step(batch: pa.Table) -> pa.Table:
-            rep2 = batch["rep2"].to_pylist()
-            rep = batch["rep"].to_pylist()
-            new = [r2 if r2 is not None and r2 < r else r for r, r2 in zip(rep, rep2)]
-            return pa.table({"node": batch["node"], "rep": pa.array(new)})
-
-        nxt = joined.map_batches(_step, batch_format="pyarrow")
-        nxt = nxt.materialize()
-        old = current.map_batches(
-            lambda b: pa.table({"node": b["node"], "rep_old": b["rep"]}), batch_format="pyarrow"
-        )
-        changed = _hash_join(old, nxt, "node").map_batches(
-            lambda b: pa.table(
-                {"n": pa.array([int((np.array(b["rep_old"]) != np.array(b["rep"])).sum())])}
-            ),
-            batch_format="pyarrow",
-        ).sum("n")
-        current = nxt
-        if not changed:
-            break
-    return current.map_batches(
-        lambda b: pa.table({"doc_id": b["node"], "rep_id": b["rep"]}), batch_format="pyarrow"
+    labels = _compact(
+        edges.groupby("node")
+        .aggregate(Min("peer", alias_name="rep"))
+        .map_batches(_self_min, batch_format="pyarrow")
+        .materialize()
     )
 
+    def _bucket_of(col, parts: int) -> pa.Array:
+        import polars as pl
 
-def _hash_join(left, right, key: str):
-    """Broadcast left join for modest right sides: the right table is put
-    in the object store once; each map task merges its batch against the
-    zero-copy local read (task pool — this join runs once per
-    label-propagation round, so actor startup would dominate)."""
-    import ray
+        if hasattr(col, "combine_chunks"):
+            col = col.combine_chunks()
+        h = pl.from_arrow(col).hash(seed=89).to_numpy()
+        return pa.array((h % np.uint64(parts)).astype(np.int32))
 
-    right_df = right.to_pandas()
-    ref = ray.put(right_df)
+    def _requests(batch: pa.Table) -> pa.Table:
+        # lookup requests: key -> deliver label(key) to tgt.
+        # edge rows ask for label(peer) on behalf of node; label rows ask
+        # for label(rep) on behalf of node (pointer jump).
+        if "peer" in batch.column_names:
+            t = pa.table({"key": batch["peer"], "tgt": batch["node"]})
+        else:
+            t = pa.table({"key": batch["rep"], "tgt": batch["node"]})
+        return (
+            t.append_column("val", pa.nulls(t.num_rows, t["key"].type))
+            .append_column("part", _bucket_of(t["key"], partitions))
+            .append_column("__side", pa.array(np.zeros(t.num_rows, np.int8)))
+        )
 
-    def _join(batch: pa.Table) -> pa.Table:
-        merged = batch.to_pandas().merge(ray.get(ref), on=key, how="left")
-        return pa.Table.from_pandas(merged, preserve_index=False)
+    def _providers(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "key": batch["node"],
+                "tgt": pa.nulls(batch.num_rows, batch["node"].type),
+                "val": batch["rep"],
+            }
+        )
+        return t.append_column("part", _bucket_of(t["key"], partitions)).append_column(
+            "__side", pa.array(np.ones(t.num_rows, np.int8))
+        )
 
-    return left.map_batches(_join, batch_format="pyarrow")
+    def _resolve(group: pa.Table) -> pa.Table:
+        side = group["__side"]
+        req = group.filter(pc.equal(side, 0)).select(["key", "tgt"])
+        prov = group.filter(pc.equal(side, 1)).select(["key", "val"])
+        j = req.join(prov, keys="key", join_type="inner")
+        return pa.table({"node": j["tgt"], "cand": j["val"]})
+
+    for _ in range(max_rounds):
+        lookups = (
+            edges.map_batches(_requests, batch_format="pyarrow")
+            .union(labels.map_batches(_requests, batch_format="pyarrow"))
+            .union(labels.map_batches(_providers, batch_format="pyarrow"))
+            .groupby("part")
+            .map_groups(_resolve, batch_format="pyarrow")
+        )
+        # candidates: looked-up labels (old=null) + each node's own label
+        # (old=rep, so Max(old) recovers the previous label per node)
+        cands = lookups.map_batches(
+            lambda b: b.append_column("old", pa.nulls(b.num_rows, b["cand"].type)),
+            batch_format="pyarrow",
+        ).union(
+            labels.map_batches(
+                lambda b: pa.table({"node": b["node"], "cand": b["rep"], "old": b["rep"]}),
+                batch_format="pyarrow",
+            )
+        )
+        new_labels = (
+            cands.groupby("node")
+            .aggregate(Min("cand", alias_name="rep"), Max("old", alias_name="old"))
+            .materialize()
+        )
+        changed = new_labels.map_batches(
+            lambda b: pa.table(
+                {"c": pc.cast(pc.less(b["rep"], b["old"]), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).sum("c")
+        labels = _compact(
+            new_labels.map_batches(
+                lambda b: pa.table({"node": b["node"], "rep": b["rep"]}),
+                batch_format="pyarrow",
+            ).materialize()
+        )
+        if not changed:
+            break
+    return labels.map_batches(
+        lambda b: pa.table({"doc_id": b["node"], "rep_id": b["rep"]}), batch_format="pyarrow"
+    )

@@ -381,3 +381,41 @@ def test_ivf_pruned_read_matches_streaming_ivf(ray_session, tmp_path, sf_dir):
     p = pruned.sort_values(key).reset_index(drop=True)
     s = streaming.sort_values(key).reset_index(drop=True)
     assert list(p["neighbor_id"]) == list(s["neighbor_id"])
+
+
+def test_connected_components_star_and_backward_propagation():
+    """Min labels must travel AGAINST pointer direction: in {1,5,6} with
+    edges 5-6 and 1-6, node 5's initial pointer is to itself (min neighbor
+    6 > 5), so pure pointer jumping never finds 1 (r1 latent bug)."""
+    comps = connected_components_collapse(
+        rd.from_items([{"id_a": 5, "id_b": 6}, {"id_a": 1, "id_b": 6}])
+    ).to_pandas()
+    rep = dict(zip(comps["doc_id"], comps["rep_id"]))
+    assert rep == {1: 1, 5: 1, 6: 1}
+
+
+def test_connected_components_random_graphs_match_networkx_free_oracle():
+    """Random sparse graphs vs an in-process union-find oracle."""
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        n = 120
+        edges = [(int(a), int(b)) for a, b in rng.integers(0, n, size=(80, 2)) if a != b]
+        # union-find oracle
+        parent = list(range(n))
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {}
+        touched = {v for e in edges for v in e}
+        for v in touched:
+            expected[v] = find(v)
+        got = connected_components_collapse(
+            rd.from_items([{"id_a": a, "id_b": b} for a, b in edges])
+        ).to_pandas()
+        assert dict(zip(got["doc_id"], got["rep_id"])) == expected, trial
