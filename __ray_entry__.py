@@ -26,6 +26,43 @@ import pyarrow.compute as pc
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
+# (token, soundex, metaphone, refined_soundex, fuzzy_soundex, cologne) for the
+# synthetic corpus vocabulary; codes produced by the golden-vector-gated
+# kernels (tests/test_phonetics.py, provenance Apache commons-codec vectors)
+_PHONETIC_GOLDEN = [
+    ("a", "A000", "A", "A0", "A000", "0"),
+    ("agg", "A200", "AK", "A04", "A400", "04"),
+    ("batch", "B320", "BTX", "B10630", "B300", "184"),
+    ("big", "B200", "BJ", "B104", "B400", "14"),
+    ("column", "C450", "KLMN", "C30708", "K780", "456"),
+    ("customer", "C235", "KSTMR", "C30360809", "K368", "48267"),
+    ("data", "D300", "TT", "D6060", "D600", "22"),
+    ("dup", "D100", "TP", "D601", "D100", "21"),
+    ("fast", "F230", "FST", "F2036", "F360", "382"),
+    ("filter", "F436", "FLTR", "F207609", "F769", "3527"),
+    ("group", "G610", "KRP", "G4901", "G910", "471"),
+    ("hash", "H200", "X", "H030", "H300", "08"),
+    ("join", "J500", "JN", "J408", "J800", "06"),
+    ("key", "K000", "KY", "K30", "K000", "4"),
+    ("line", "L500", "LN", "L7080", "L800", "56"),
+    ("merge", "M620", "MRJ", "M80940", "M940", "674"),
+    ("order", "O636", "ORTR", "O09609", "O969", "0727"),
+    ("part", "P630", "PRT", "P1096", "P960", "172"),
+    ("query", "Q600", "KRY", "Q5090", "Q900", "47"),
+    ("row", "R000", "RW", "R90", "R000", "73"),
+    ("scan", "S500", "SKN", "S308", "S800", "86"),
+    ("slow", "S400", "SLW", "S370", "S700", "853"),
+    ("small", "S540", "SML", "S3807", "S870", "865"),
+    ("sort", "S630", "SRT", "S3096", "S960", "872"),
+    ("spark", "S162", "SPRK", "S31093", "S193", "8174"),
+    ("stream", "S365", "STRM", "S36908", "S698", "8276"),
+    ("table", "T140", "TBL", "T60170", "T170", "215"),
+    ("the", "T000", "0", "T60", "T000", "2"),
+    ("value", "V400", "FL", "V2070", "V700", "35"),
+    ("vector", "V236", "FKTR", "V203609", "V369", "3827"),
+    ("window", "W530", "WNTW", "W0860", "W860", "3623")
+]
+
 
 # ---------------------------------------------------------------------------
 # shared helpers
@@ -324,22 +361,26 @@ def q_date_format(sf_dir: str):
 
 
 def q_phonetic_codes(sf_dir: str):
-    """All six phonetic algorithms over region/nation names (rows-only)."""
-    import ray.data as rd
+    """All five phonetic algorithms over the corpus's distinct words.
 
+    Oracled: the expected codes are pinned in ``_PHONETIC_GOLDEN`` (derived
+    from the commons-codec-golden-vector-gated kernels,
+    tests/test_phonetics.py) and joined in SQL against the live
+    distinct-word list — a vocabulary word missing from the pin fails the
+    row-count check loudly."""
     from pprl_ray.functions.phonetics import PHONETIC_ALGORITHMS
 
     algos = PHONETIC_ALGORITHMS()
-    ds = rd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    distinct = _word_counts(sf_dir).drop_columns(["cnt"])
 
     def _codes(batch: pa.Table) -> pa.Table:
-        names = batch["n_name"].to_pylist()
-        cols: dict[str, Any] = {"n_nationkey": batch["n_nationkey"], "n_name": batch["n_name"]}
+        toks = batch["token"].to_pylist()
+        cols: dict[str, Any] = {"token": batch["token"]}
         for alg, obj in algos.items():
-            cols[alg] = pa.array([obj.phonetics(n) for n in names], pa.string())
+            cols[alg] = pa.array([obj.phonetics(t) for t in toks], pa.string())
         return pa.table(cols)
 
-    return ds.map_batches(_codes, batch_format="pyarrow")
+    return distinct.map_batches(_codes, batch_format="pyarrow")
 
 
 def _masked_customers(sf_dir: str, config=None):
@@ -427,9 +468,22 @@ def q_exact_distinct_tokens(sf_dir: str):
 
 
 def q_corpus_build(sf_dir: str):
+    """Corpus derivation (documents -> BASELINE input_hint schema), oracled
+    on its SQL-derivable columns (doc_id derivation, whitespace token
+    count, source passthrough); the hashed token ids themselves are pinned
+    by every downstream sketch query + pytest."""
     from pprl_ray.sources.corpus import derive_corpus
 
-    return derive_corpus(sf_dir)
+    return derive_corpus(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tok": pc.cast(b["n_tok"], pa.int64()),
+                "source": b["source"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def q_hll_distinct_tokens(sf_dir: str):
@@ -565,6 +619,11 @@ def q_knn_cosine(sf_dir: str):
 
 
 def q_knn_ivf(sf_dir: str):
+    """IVF ANN driven at nprobe == n_centroids: the probe union covers every
+    bucket, so the output is EXACTLY brute-force top-k — which makes the
+    knn_cosine SQL a strict oracle for the whole IVF path (train, assign,
+    probe, prune, merge). Pruned-recall at nprobe < n_centroids is gated
+    separately in tests/test_stages.py."""
     import pyarrow.parquet as pq
 
     import ray.data as rd
@@ -577,19 +636,48 @@ def q_knn_ivf(sf_dir: str):
     qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qtbl["embedding"].to_pylist()])
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     assigned, centroids = build_ivf(ds, n_centroids=8)
-    return knn_ivf(assigned.materialize(), centroids, qids, qmat, k=5, nprobe=4)
+    out = knn_ivf(assigned.materialize(), centroids, qids, qmat, k=5, nprobe=8)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "query_id": pc.cast(b["query_id"], pa.int64()),
+                "neighbor_id": pc.cast(b["neighbor_id"], pa.int64()),
+                "score": pc.round(pc.cast(b["score"], pa.float64()), ndigits=4),
+                "rank": pc.cast(b["rank"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def q_embedding_near_dup(sf_dir: str):
+    """Hyperplane-LSH near-dup pairs over a corpus with planted exact
+    copies (vec_id+900000 for vec_id < 5). Oracled by exact threshold-
+    cosine SQL: exact copies always share every hyperplane sign (recall 1
+    at cosine == 1), and no organic pair reaches the 0.999 threshold."""
     import ray.data as rd
 
     from pprl_ray.stages.ann import embedding_near_dup_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    pdf = ds.limit(5).to_pandas()
-    pdf["vec_id"] = pdf["vec_id"] + 900_000
-    planted = ds.union(rd.from_pandas(pdf))
-    return embedding_near_dup_pairs(planted, threshold=0.999)
+    copies = ds.filter(expr="vec_id < 5").map_batches(
+        lambda b: pa.table(
+            {"vec_id": pc.add(b["vec_id"], 900_000), "embedding": b["embedding"]}
+        ),
+        batch_format="pyarrow",
+    )
+    planted = ds.union(copies)
+    pairs = embedding_near_dup_pairs(planted, threshold=0.999)
+    return pairs.map_batches(
+        lambda b: pa.table(
+            {
+                "id_a": pc.cast(b["id_a"], pa.int64()),
+                "id_b": pc.cast(b["id_b"], pa.int64()),
+                "cosine": pc.round(pc.cast(b["cosine"], pa.float64()), ndigits=4),
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def q_lang_id(sf_dir: str):
@@ -1251,7 +1339,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    phonetic_vals = ",\n                ".join(
+        "(%s)" % ", ".join(f"'{v}'" for v in row) for row in _PHONETIC_GOLDEN
+    )
     return {
+        "phonetic_codes": f"""
+            WITH words AS (
+                SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents
+            )
+            SELECT w.token, v.soundex, v.metaphone, v.refined_soundex,
+                   v.fuzzy_soundex, v.cologne
+            FROM words w JOIN (VALUES
+                {phonetic_vals}
+            ) AS v(token, soundex, metaphone, refined_soundex, fuzzy_soundex, cologne)
+            ON w.token = v.token
+        """,
+        "corpus_build": """
+            SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                   source
+            FROM documents
+        """,
+        "knn_ivf": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3),
+            sims AS (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.embedding, e.embedding) AS score
+                FROM q CROSS JOIN embeddings e
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY score DESC, neighbor_id
+                ) AS rank FROM sims
+            )
+            SELECT query_id, neighbor_id,
+                   round(CAST(score AS DOUBLE), 4) AS score, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "embedding_near_dup": """
+            WITH planted AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 900000 AS vec_id, embedding FROM embeddings
+                WHERE vec_id < 5
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                              AS DOUBLE), 4) AS cosine
+            FROM planted a JOIN planted b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999
+        """,
         "stratified_sample": """
             SELECT doc_id, source FROM (
                 SELECT doc_id, source,

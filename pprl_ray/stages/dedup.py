@@ -44,37 +44,89 @@ __all__ = [
 
 
 def add_content_hash(batch: pa.Table, text_col: str = "text", out_col: str = "content_hash") -> pa.Table:
-    """md5 hex of the raw text — a stable exact-dup key."""
+    """md5 hex of the raw text — a stable, SQL-reproducible exact-dup key
+    (DuckDB ``md5(text)``). For the dedup hot path use :func:`content_hash128`
+    (vectorised)."""
     hashes = [hashlib.md5(t.encode()).hexdigest() for t in batch[text_col].to_pylist()]
     return batch.append_column(out_col, pa.array(hashes, pa.string()))
 
 
-def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text", partitions: int = 64):
+def content_hash128(batch: pa.Table, text_col: str = "text") -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit vectorised content hashes (xxhash via polars,
+    distinct seeds) — a 128-bit exact-dup key with collision probability
+    ~n²/2^129, computed with zero per-row Python."""
+    import polars as pl
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    s = pl.from_arrow(col).fill_null("")
+    h1 = s.hash(seed=101).to_numpy().astype(np.uint64)
+    h2 = s.hash(seed=211).to_numpy().astype(np.uint64)
+    return h1, h2
+
+
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                partitions: int | None = None, loser_broadcast_max: int = 5_000_000):
     """Keep the row with the smallest id per distinct content.
 
-    Scale shape: rows shuffle once by ``crc32(content_hash) % partitions``
-    (equal hashes co-locate, so dedup within a partition group is exact);
-    per-group work is ONE vectorised pandas drop_duplicates over the whole
-    partition — per-group Python overhead is O(partitions), not
-    O(distinct contents)."""
-    import zlib as _z
+    Scale shape: the full-text column NEVER shuffles. Only slim
+    (hash128, id) rows move through the groupby (equal hashes co-locate,
+    so picking winners within a partition group is exact, via one
+    vectorised pandas drop_duplicates per group). The surviving rows are
+    then selected by streaming the ORIGINAL dataset through an
+    anti-filter against the LOSER id set — duplicates are the minority,
+    so the broadcast set is far smaller than a winner set; beyond
+    ``loser_broadcast_max`` losers the filter falls back to a
+    co-partitioned left-anti bucket join (one shuffle of the data,
+    no driver materialization)."""
+    import pyarrow.compute as pc
 
-    def _hash_part(batch: pa.Table) -> pa.Table:
-        out = add_content_hash(batch, text_col)
-        part = np.array(
-            [_z.crc32(h.encode()) % partitions for h in out["content_hash"].to_pylist()],
-            dtype=np.int32,
+    from .partitioning import auto_partitions
+
+    if partitions is None:
+        partitions = auto_partitions(ds)
+
+    def _slim(batch: pa.Table) -> pa.Table:
+        h1, h2 = content_hash128(batch, text_col)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "h1": pa.array(h1.astype(np.int64), pa.int64()),
+                "h2": pa.array(h2.astype(np.int64), pa.int64()),
+                "part": pa.array((h1 % np.uint64(partitions)).astype(np.int32)),
+            }
         )
-        return out.append_column("part", pa.array(part))
 
-    hashed = ds.map_batches(_hash_part, batch_format="pyarrow")
+    slim = ds.map_batches(_slim, batch_format="pyarrow")
 
-    def _first_per_hash(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values([id_col])
-        return g.drop_duplicates(subset="content_hash", keep="first")
+    def _losers(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col)
+        dup = g.duplicated(subset=["h1", "h2"], keep="first")
+        return g.loc[dup, [id_col]]
 
-    out = hashed.groupby("part").map_groups(_first_per_hash, batch_format="pandas")
-    return out.drop_columns(["content_hash", "part"])
+    losers = slim.groupby("part").map_groups(_losers, batch_format="pandas").materialize()
+    n_losers = losers.count()
+    if n_losers == 0:
+        return ds
+    if n_losers <= loser_broadcast_max:
+        import ray
+
+        loser_tbl = pa.concat_tables(
+            [b for b in losers.iter_batches(batch_format="pyarrow", batch_size=1 << 20)]
+        )
+        ref = ray.put(loser_tbl[id_col].combine_chunks())
+
+        def _anti(batch: pa.Table) -> pa.Table:
+            bad = ray.get(ref)  # zero-copy local object-store read
+            return batch.filter(pc.invert(pc.is_in(batch[id_col], value_set=bad)))
+
+        return ds.map_batches(_anti, batch_format="pyarrow")
+    # loser set too large to broadcast: co-partitioned anti join (one
+    # shuffle of the data keyed by id; equal ids co-locate)
+    from .join import bucket_join
+
+    return bucket_join(ds, losers, keys=id_col, join_type="left anti", partitions=partitions)
 
 
 # --- minhash / LSH ---------------------------------------------------------
@@ -245,9 +297,14 @@ def minhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
         g = group.sort_values(id_col).reset_index(drop=True)
         # cap degenerate buckets (documented truncation, no silent O(n^2))
         g = g[g.groupby("band_key").cumcount() < max_bucket].reset_index(drop=True)
-        empty_cols = {"id_a": [], "id_b": []}
+        # empty outputs keep the id dtype (empty object frames become
+        # null-typed Arrow columns that poison downstream schema unification)
+        empty_cols = {
+            "id_a": pd.Series(dtype=g[id_col].dtype),
+            "id_b": pd.Series(dtype=g[id_col].dtype),
+        }
         if with_estimates:
-            empty_cols["est_jaccard"] = []
+            empty_cols["est_jaccard"] = pd.Series(dtype=np.float64)
         if len(g) < 2:
             return pd.DataFrame(empty_cols)
         idx = np.arange(len(g))
@@ -292,86 +349,155 @@ def minhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
     return pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_bands")).drop_columns(["n_bands"])
 
 
-def _pairs_table_ds(uniq_pairs: list):
-    import ray.data as rd
-
-    return rd.from_arrow(
-        pa.table(
-            {
-                "id_a": pa.array([a for a, _ in uniq_pairs]),
-                "id_b": pa.array([b for _, b in uniq_pairs]),
-            }
-        )
-    )
-
-
 def verify_jaccard_pairs(pairs_ds, docs_ds, text_col: str = "text", id_col: str = "doc_id",
-                         shingle_n: int = 3, threshold: float = 0.8):
-    """Exact n-gram Jaccard verification of candidate pairs against a
-    broadcast {id -> shingle set} lookup built from ``docs_ds``.
+                         shingle_n: int = 3, threshold: float = 0.8,
+                         partitions: int | None = None):
+    """Exact n-gram Jaccard verification of candidate pairs, fully
+    distributed — nothing materializes on the driver.
 
-    Scale note: only documents that APPEAR in a candidate pair enter the
-    broadcast lookup (candidates ≪ corpus by LSH construction); for
-    pathological candidate sets, replace the broadcast with a bucket-join
-    on id."""
-    import ray
+    Scale shape: shingle blobs are delivered to the pairs through ONE
+    co-partitioned hash-bucket join keyed by doc id (the corpus-sized
+    shingle table crosses the exchange exactly once; each candidate pair
+    requests its two blobs). The (pair, blob) rows — candidates ≪ corpus
+    by LSH construction — then co-partition by pair key, where one
+    vectorised pandas merge aligns the two halves and a bounded numpy
+    intersect per pair computes exact Jaccard.
 
-    # collect + dedup the (small, by LSH construction) pair set once on the
-    # driver: restricts the shingle lookup to candidate ids AND absorbs the
-    # across-band pair duplicates without a dedicated groupby shuffle
-    pair_set: set = set()
-    for b in pairs_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
-        pair_set.update(zip(b["id_a"].to_pylist(), b["id_b"].to_pylist()))
-    uniq = sorted(pair_set)
-    pairs_ds = _pairs_table_ds(uniq)
-    cand_ids = {a for a, _ in uniq} | {b for _, b in uniq}
-    cand_ref = ray.put(cand_ids)
+    ``pairs_ds`` may contain duplicate rows per pair (e.g. one per matching
+    LSH band): all copies of a pair hash to the same verify bucket, where
+    one vectorised drop_duplicates absorbs them — cheaper than a dedicated
+    global pair-dedup shuffle."""
+    import polars as pl
+    import pyarrow.compute as pc
 
-    # shingle in parallel map tasks (no-op if docs_ds is already shingled);
-    # the driver only assembles the dict
+    from .partitioning import auto_partitions
+
+    if partitions is None:
+        partitions = max(auto_partitions(pairs_ds), auto_partitions(docs_ds))
+
     if "shingles" in docs_ds.schema().names:
         shingled = docs_ds
     else:
         shingled = shingle_docs(docs_ds, text_col, id_col, shingle_n)
+    id_type = shingled.schema().base_schema.field(id_col).type
 
-    def _keep_candidates(batch: pa.Table) -> pa.Table:
-        ids = ray.get(cand_ref)
-        mask = [v in ids for v in batch[id_col].to_pylist()]
-        return batch.filter(pa.array(mask))
+    def _bucket1(col) -> pa.Array:
+        if hasattr(col, "combine_chunks"):
+            col = col.combine_chunks()
+        h = pl.from_arrow(col).hash(seed=83).to_numpy()
+        return pa.array((h % np.uint64(partitions)).astype(np.int32))
 
-    shingled = shingled.map_batches(_keep_candidates, batch_format="pyarrow")
-    shingle_map: dict = {}
-    for batch in shingled.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        for i, blob in zip(batch[id_col].to_pylist(), batch["shingles"].to_pylist()):
-            shingle_map[i] = np.frombuffer(blob, dtype=np.uint64)
-    ref = ray.put(shingle_map)
+    def _bucket2(tbl: pa.Table) -> pa.Array:
+        df = pl.DataFrame(
+            {c: pl.from_arrow(tbl[c].combine_chunks()) for c in ("id_a", "id_b")}
+        )
+        h = df.hash_rows(seed=83).to_numpy()
+        return pa.array((h % np.uint64(partitions)).astype(np.int32))
 
-    def _verify(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(ref)  # zero-copy from the local object store
-        id_a = batch["id_a"].to_pylist()
-        id_b = batch["id_b"].to_pylist()
-        sims = []
-        for a, b in zip(id_a, id_b):
-            sa, sb = lookup.get(a), lookup.get(b)
-            if sa is None or sb is None:
-                sims.append(0.0)
-                continue
+    def _prov(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        t = pa.table(
+            {
+                "key": batch[id_col],
+                "sh": batch["shingles"],
+                "id_a": pa.nulls(n, id_type),
+                "id_b": pa.nulls(n, id_type),
+                "half": pa.nulls(n, pa.int8()),
+            }
+        )
+        return t.append_column("part", _bucket1(t["key"])).append_column(
+            "__side", pa.array(np.ones(n, np.int8))
+        )
+
+    def _req(batch: pa.Table) -> pa.Table:
+        a = pc.cast(batch["id_a"], id_type)
+        b = pc.cast(batch["id_b"], id_type)
+        n = batch.num_rows
+        halves = []
+        for key, half in ((a, 0), (b, 1)):
+            halves.append(
+                pa.table(
+                    {
+                        "key": key,
+                        "sh": pa.nulls(n, pa.large_binary()),
+                        "id_a": a,
+                        "id_b": b,
+                        "half": pa.array(np.full(n, half, np.int8)),
+                    }
+                )
+            )
+        t = pa.concat_tables(halves).combine_chunks()
+        # batch-local dedup of band-duplicate pairs: keeps duplicate blob
+        # payloads out of the second shuffle (remaining cross-batch dups
+        # are absorbed in the verify bucket)
+        mask = ~pd.DataFrame(
+            {"a": t["id_a"].to_pandas(), "b": t["id_b"].to_pandas(), "h": t["half"].to_pandas()}
+        ).duplicated().to_numpy()
+        t = t.filter(pa.array(mask))
+        return t.append_column("part", _bucket1(t["key"])).append_column(
+            "__side", pa.array(np.zeros(t.num_rows, np.int8))
+        )
+
+    req_schema = pa.schema(
+        [("key", id_type), ("id_a", id_type), ("id_b", id_type), ("half", pa.int8())]
+    )
+    prov_schema = pa.schema([("key", id_type), ("sh", pa.large_binary())])
+
+    def _deliver(group: pa.Table) -> pa.Table:
+        side = group["__side"]
+        # explicit casts: a group whose side is empty can arrive with
+        # null-typed padding columns, which Acero joins reject
+        req = group.filter(pc.equal(side, 0)).select(
+            ["key", "id_a", "id_b", "half"]
+        ).cast(req_schema)
+        prov = group.filter(pc.equal(side, 1)).select(["key", "sh"]).cast(prov_schema)
+        j = req.join(prov, keys="key", join_type="inner")
+        out = pa.table(
+            {"id_a": j["id_a"], "id_b": j["id_b"], "half": j["half"], "sh": j["sh"]}
+        )
+        return out.append_column("part2", _bucket2(out))
+
+    delivered = (
+        shingled.map_batches(_prov, batch_format="pyarrow")
+        .union(pairs_ds.map_batches(_req, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(_deliver, batch_format="pyarrow")
+    )
+
+    def _verify(group: pd.DataFrame) -> pd.DataFrame:
+        dedup = group.drop_duplicates(subset=["id_a", "id_b", "half"])
+        ha = dedup[dedup["half"] == 0][["id_a", "id_b", "sh"]]
+        hb = dedup[dedup["half"] == 1][["id_a", "id_b", "sh"]]
+        m = ha.merge(hb, on=["id_a", "id_b"], suffixes=("_a", "_b"))
+        if len(m) == 0:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype=group["id_a"].dtype),
+                    "id_b": pd.Series(dtype=group["id_b"].dtype),
+                    "jaccard": pd.Series(dtype=np.float64),
+                }
+            )
+        sims = np.empty(len(m), np.float64)
+        for i, (ba, bb) in enumerate(zip(m["sh_a"], m["sh_b"])):
+            sa = np.frombuffer(ba, dtype=np.uint64)
+            sb = np.frombuffer(bb, dtype=np.uint64)
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
-            sims.append(inter / union if union else 1.0)
-        out = batch.append_column("jaccard", pa.array(sims, pa.float64()))
-        return out.filter(pa.compute.greater_equal(out["jaccard"], threshold))
+            sims[i] = inter / union if union else 1.0
+        out = m[["id_a", "id_b"]].copy()
+        out["jaccard"] = sims
+        return out[out["jaccard"] >= threshold]
 
-    return pairs_ds.map_batches(_verify, batch_format="pyarrow")
+    return delivered.groupby("part2").map_groups(_verify, batch_format="pandas")
 
 
 def minhash_dedup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         threshold: float = 0.8, **kwargs):
     """Candidates -> exact verification, one call. The corpus is shingled
     exactly ONCE (materialized compact (id, shingles) table feeds both the
-    LSH banding and the verification lookup)."""
+    LSH banding and the verification join)."""
     shingled = shingle_docs(ds, text_col, id_col, kwargs.get("shingle_n", 3)).materialize()
-    kwargs.setdefault("dedupe_pairs", False)  # verify's driver collect dedupes
+    kwargs.setdefault("dedupe_pairs", False)  # verify's buckets absorb band dups
     cands = minhash_candidates(shingled, text_col, id_col, **kwargs)
     return verify_jaccard_pairs(cands, shingled, text_col, id_col,
                                 kwargs.get("shingle_n", 3), threshold)
