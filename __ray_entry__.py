@@ -573,12 +573,18 @@ def q_minhash_dedup(sf_dir: str):
 
     planted = docs.union(docs.map_batches(_mutate, batch_format="pyarrow"))
     pairs = minhash_dedup_pairs(planted, threshold=0.6)
+    # floor-scale instead of round: Jaccard values like 29/32 land EXACTLY
+    # on a rounding half, where Python (half-even) and DuckDB (half-away)
+    # disagree; floor of identical float64 inputs is engine-independent
     return pairs.map_batches(
         lambda b: pa.table(
             {
                 "id_a": pc.cast(b["id_a"], pa.int64()),
                 "id_b": pc.cast(b["id_b"], pa.int64()),
-                "jaccard": pc.round(pc.cast(b["jaccard"], pa.float64()), ndigits=4),
+                "jaccard": pc.divide(
+                    pc.floor(pc.multiply(pc.cast(b["jaccard"], pa.float64()), 10000.0)),
+                    10000.0,
+                ),
             }
         ),
         batch_format="pyarrow",
@@ -1353,6 +1359,31 @@ def oracle_sql() -> dict[str, str]:
                 {phonetic_vals}
             ) AS v(token, soundex, metaphone, refined_soundex, fuzzy_soundex, cologne)
             ON w.token = v.token
+        """,
+        "minhash_dedup": """
+            WITH base AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 500000 AS doc_id, text || ' extra' AS text FROM documents
+            ), toks AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM base
+            ), grams AS (
+                SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+                FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000) / 10000
+                       AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6
         """,
         "corpus_build": """
             SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id,
