@@ -171,16 +171,31 @@ def _clk_config(filter_size=1024, hash_values=5, hardeners=()):
 
 def q_tokenize_qgrams(sf_dir: str):
     """Padded 2-gram token sets of lower(text), exploded (reference
-    tokenize semantics, pprl_core/common.py:9-28)."""
-    from pprl_ray.functions.qgram import tokenize
+    tokenize semantics, pprl_core/common.py:9-28). Fully vectorised: one
+    polars pass pads/lowercases, explodes per-position slices and
+    set-dedups — no per-row Python (parity with the row-wise kernel is
+    pytest-gated, tests/test_properties.py)."""
 
     def _qgrams(batch: pa.Table) -> pa.Table:
-        ids, toks = [], []
-        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            ts = sorted(tokenize(text.lower(), 2, "_"))
-            ids.extend([did] * len(ts))
-            toks.extend(ts)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()), "token": pa.array(toks, pa.string())})
+        import polars as pl
+
+        df = pl.DataFrame(
+            {
+                "doc_id": pl.from_arrow(batch["doc_id"].combine_chunks()),
+                "t": pl.from_arrow(batch["text"].combine_chunks()),
+            }
+        )
+        out = (
+            df.with_columns(("_" + pl.col("t").str.to_lowercase() + "_").alias("p"))
+            .with_columns(pl.int_ranges(0, pl.col("p").str.len_chars() - 1).alias("i"))
+            .explode("i")
+            .with_columns(pl.col("p").str.slice(pl.col("i"), 2).alias("token"))
+            .select(["doc_id", "token"])
+            .unique()
+        )
+        return out.to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("token", pa.string())])
+        )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(_qgrams, batch_format="pyarrow")
 
@@ -1247,15 +1262,26 @@ def q_corpus_profile(sf_dir: str):
 
 
 def q_top_tokens(sf_dir: str):
-    """Deterministic top-20 tokens by frequency (count desc, token asc)."""
-    from ray.data.aggregate import Count
+    """Deterministic top-20 tokens by frequency (count desc, token asc).
 
+    Partial-topk: each block of the aggregated (token, cnt) table emits its
+    own top-20 (any global-top-20 row is in its block's top-20), then a
+    tiny candidate set — ≤ 20 x blocks rows — re-reduces. No global sort
+    all-to-all over the full token table."""
     counts = _word_counts(sf_dir).map_batches(
         lambda b: pa.table({"token": b["token"], "cnt": pc.cast(b["cnt"], pa.int64())}),
         batch_format="pyarrow",
     )
-    top = counts.sort(["cnt", "token"], descending=[True, False]).limit(20)
-    return top
+
+    def _partial_top(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["cnt", "token"], ascending=[False, True]).head(20)
+
+    cands = counts.map_batches(_partial_top, batch_format="pandas").to_pandas()
+    return (
+        cands.sort_values(["cnt", "token"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1344,11 +1370,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _lang_id_oracle() -> str:
+    """DuckDB replica of LangIdStage scoring (stages/text.py): same word
+    regex, stopword/trigram sets, score arithmetic (hits/n + (0.5*tri)/n in
+    DOUBLE, identical operation order) and first-wins tie-break."""
+    from pprl_ray.stages.text import _STOPWORDS, LangIdStage
+
+    tris = LangIdStage._TRIGRAMS
+
+    def _inlist(vals):
+        return ", ".join(f"'{v}'" for v in sorted(vals))
+
+    feats = []
+    for lang in ("en", "de", "es", "fr"):
+        t = _inlist(tris[lang])
+        feats.append(
+            f"sum(CASE WHEN w IN ({_inlist(_STOPWORDS[lang])}) THEN 1 ELSE 0 END) AS st_{lang}"
+        )
+        feats.append(
+            f"sum(CASE WHEN length(w) >= 3 AND (substring(w, 1, 3) IN ({t}) "
+            f"OR substring(w, length(w) - 2, 3) IN ({t})) THEN 1 ELSE 0 END) AS tr_{lang}"
+        )
+    feat_sql = ",\n                   ".join(feats)
+    score_sql = ",\n                   ".join(
+        f"CAST(st_{lang} AS DOUBLE) / n + (0.5 * tr_{lang}) / n AS s_{lang}"
+        for lang in ("en", "de", "es", "fr")
+    )
+    return f"""
+        WITH words AS (
+            SELECT doc_id, lower(unnest(regexp_extract_all(text, '[a-zA-Zà-ÿÀ-ß]+'))) AS w
+            FROM documents
+        ), feats AS (
+            SELECT doc_id, count(*) AS n,
+                   {feat_sql}
+            FROM words GROUP BY doc_id
+        ), scores AS (
+            SELECT doc_id,
+                   {score_sql}
+            FROM feats
+        ), cjk AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[一-鿿㐀-䶿]')) AS nc,
+                   length(replace(text, ' ', '')) AS ns
+            FROM documents
+        )
+        SELECT d.doc_id AS doc_id,
+               CASE
+                   WHEN c.nc > 0 AND CAST(c.nc AS DOUBLE) / GREATEST(c.ns, 1) > 0.2
+                       THEN 'zh'
+                   WHEN s.doc_id IS NULL THEN 'unknown'
+                   WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0
+                       THEN 'en'
+                   WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+                   WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+                   WHEN s_fr > 0 THEN 'fr'
+                   ELSE 'unknown'
+               END AS lang_pred
+        FROM documents d
+        LEFT JOIN scores s ON d.doc_id = s.doc_id
+        LEFT JOIN cjk c ON d.doc_id = c.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     phonetic_vals = ",\n                ".join(
         "(%s)" % ", ".join(f"'{v}'" for v in row) for row in _PHONETIC_GOLDEN
     )
     return {
+        "lang_id": _lang_id_oracle(),
         "phonetic_codes": f"""
             WITH words AS (
                 SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents

@@ -105,12 +105,47 @@ def knn_brute(ds, query_ids: list, query_matrix: np.ndarray, k: int = 10,
 
 def build_ivf(ds, n_centroids: int = 16, id_col: str = "vec_id", vec_col: str = "embedding",
               sample_size: int = 2048, iters: int = 5, seed: int = 7):
-    """Train a coarse quantiser from a deterministic sample and assign every
-    vector to its nearest centroid. Returns (assigned_ds with ``bucket``
-    column, centroids ndarray)."""
+    """Train a coarse quantiser from a deterministic UNBIASED sample and
+    assign every vector to its nearest centroid. Returns (assigned_ds with
+    ``bucket`` column, centroids ndarray).
+
+    Sampling: rows whose id-hash falls under ``~4*sample_size/n`` are
+    collected (distributed filter — every partition contributes, unlike a
+    ``limit()`` which takes the FIRST blocks and biases centroids on
+    sorted/clustered inputs), then hash order picks exactly ``sample_size``
+    of them deterministically. The row count comes free from read metadata
+    when available; otherwise one counting pass is spent (an index build
+    warrants it)."""
     import ray
 
-    sample = ds.limit(sample_size).to_pandas()
+    from .partitioning import free_num_rows
+
+    n_rows = free_num_rows(ds)
+    if n_rows is None:
+        n_rows = ds.count()
+    fraction = min(1.0, (4.0 * sample_size) / max(n_rows, 1))
+    threshold = np.uint64(min(int(fraction * 2.0**64), 2**64 - 1))
+
+    def _sample(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        h = pl.from_arrow(ids).hash(seed=seed).to_numpy().astype(np.uint64)
+        keep = h <= threshold
+        vecs = batch[vec_col]
+        if isinstance(vecs, pa.ChunkedArray):
+            vecs = vecs.combine_chunks()
+        return pa.table(
+            {
+                "h": pa.array(h[keep].astype(np.int64), pa.int64()),
+                vec_col: vecs.filter(pa.array(keep)),
+            }
+        )
+
+    sample = ds.map_batches(_sample, batch_format="pyarrow").to_pandas()
+    sample = sample.sort_values("h").head(sample_size).reset_index(drop=True)
     smat = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]]))
     # deterministic init: spread picks via splitmix
     idx = (splitmix64(np.arange(n_centroids, dtype=np.uint64) + np.uint64(seed))

@@ -22,6 +22,15 @@ __all__ = ["auto_partitions", "free_size_bytes"]
 TARGET_PARTITION_BYTES = 128 << 20
 
 
+def free_num_rows(ds) -> int | None:
+    """Row count IF knowable without execution (parquet metadata / pure
+    read plans / materialized datasets), else None."""
+    try:
+        return ds._logical_plan.dag.infer_metadata().num_rows
+    except Exception:
+        return None
+
+
 def free_size_bytes(ds) -> int | None:
     """Dataset size in bytes IF knowable without execution, else None.
 

@@ -29,19 +29,28 @@ class LangIdStage:
     Scoring: CJK character ratio short-circuits to ``zh``; otherwise the
     language whose stopword set covers the largest fraction of words wins,
     falling back to character-trigram overlap with tiny per-language
-    profiles. Emits ``lang_pred`` and ``lang_score``."""
+    profiles. Emits ``lang_pred`` and ``lang_score``.
 
+    ``__call__`` is fully vectorised (one polars pass extracts and
+    lowercases every word occurrence; set membership + per-row bincount
+    sums compute all language scores with zero per-row Python).
+    ``_classify`` is the row-at-a-time reference implementation the
+    vectorised path is parity-tested against (tests/test_stages.py)."""
+
+    _WORD_RE = r"[a-zA-Zà-ÿÀ-ß]+"
+    _CJK_RE = r"[一-鿿㐀-䶿]"
     _TRIGRAMS = {
         "en": {"the", "ing", "and", "ion", "ent", "her", "for", "tha"},
         "de": {"der", "ein", "ich", "und", "sch", "die", "che", "end"},
         "es": {"que", "los", "ent", "ado", "con", "por", "una", "cio"},
         "fr": {"les", "ent", "que", "des", "une", "ion", "eur", "ait"},
     }
+    _LANGS = tuple(_STOPWORDS)  # insertion order == tie-break priority
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.word_re = re.compile(r"[a-zA-Zà-ÿÀ-ß]+")
-        self.cjk_re = re.compile(r"[一-鿿㐀-䶿]")
+        self.word_re = re.compile(self._WORD_RE)
+        self.cjk_re = re.compile(self._CJK_RE)
 
     def _classify(self, text: str) -> tuple[str, float]:
         if not text:
@@ -63,14 +72,63 @@ class LangIdStage:
         return best_lang, best_score
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds, scores = [], []
-        for t in batch[self.text_col].to_pylist():
-            lang, score = self._classify(t or "")
-            preds.append(lang)
-            scores.append(score)
-        return batch.append_column("lang_pred", pa.array(preds, pa.string())).append_column(
-            "lang_score", pa.array(scores, pa.float64())
+        import polars as pl
+
+        col = batch[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        texts = pl.from_arrow(col).fill_null("")
+        n = len(texts)
+        if n == 0:
+            return batch.append_column("lang_pred", pa.array([], pa.string())).append_column(
+                "lang_score", pa.array([], pa.float64())
+            )
+
+        # CJK short-circuit features
+        cjk_cnt = texts.str.count_matches(self._CJK_RE).to_numpy().astype(np.float64)
+        nonspace = (
+            texts.str.replace_all(" ", "", literal=True).str.len_chars().to_numpy().astype(np.float64)
         )
+        cjk_ratio = cjk_cnt / np.maximum(nonspace, 1.0)
+        is_zh = (cjk_cnt > 0) & (cjk_ratio > 0.2)
+
+        # one exploded (row, word) frame for all languages
+        df = pl.DataFrame({"row": pl.arange(0, n, eager=True)}).with_columns(
+            texts.str.extract_all(self._WORD_RE).alias("w")
+        )
+        ex = df.explode("w").drop_nulls("w").with_columns(pl.col("w").str.to_lowercase())
+        rows = ex["row"].to_numpy()
+        w = ex["w"]
+        long_enough = (w.str.len_chars() >= 3).to_numpy()
+        pre = w.str.slice(0, 3)
+        suf = w.str.slice(-3, 3)
+
+        n_words = np.bincount(rows, minlength=n).astype(np.float64)
+        scores = np.zeros((len(self._LANGS), n), dtype=np.float64)
+        for li, lang in enumerate(self._LANGS):
+            stop_hits = np.bincount(
+                rows, weights=w.is_in(sorted(_STOPWORDS[lang])).to_numpy(), minlength=n
+            )
+            tris = sorted(self._TRIGRAMS[lang])
+            tri_mask = long_enough & (
+                pre.is_in(tris).to_numpy() | suf.is_in(tris).to_numpy()
+            )
+            tri_hits = np.bincount(rows, weights=tri_mask, minlength=n)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                # mirror the reference arithmetic exactly: hits/n + (0.5*tri)/n
+                scores[li] = stop_hits / n_words + (0.5 * tri_hits) / n_words
+        scores[:, n_words == 0] = 0.0
+
+        best_idx = np.argmax(scores, axis=0)  # first max wins, like the dict loop
+        best = scores[best_idx, np.arange(n)]
+        lang_arr = np.array(self._LANGS, dtype=object)
+        preds = np.where(best > 0, lang_arr[best_idx], "unknown")
+        out_scores = np.where(best > 0, best, 0.0)
+        preds = np.where(is_zh, "zh", preds)
+        out_scores = np.where(is_zh, cjk_ratio, out_scores)
+        return batch.append_column(
+            "lang_pred", pa.array(preds, pa.string())
+        ).append_column("lang_score", pa.array(out_scores, pa.float64()))
 
 
 # BPE-ish word/number/punct segmentation (GPT-2-style coarse pattern)

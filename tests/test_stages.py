@@ -419,3 +419,66 @@ def test_connected_components_random_graphs_match_networkx_free_oracle():
             rd.from_items([{"id_a": a, "id_b": b} for a, b in edges])
         ).to_pandas()
         assert dict(zip(got["doc_id"], got["rep_id"])) == expected, trial
+
+
+def test_lang_id_vectorized_matches_rowwise_reference():
+    """The vectorised __call__ must reproduce _classify exactly (pred AND
+    score bits) on edge cases: empty, CJK, accents, no-letter, mixed."""
+    stage = LangIdStage()
+    texts = [
+        "the cat and the dog for the win",
+        "der hund und die katze ist ein tier",
+        "el que la de los con una es",
+        "le chat les des une est pour dans",
+        "",
+        "12345 67 89 ---",
+        "你好 世界 你好 世界",
+        "mixed 你 text with one cjk char only here",
+        "Â côté ÀÉ übel",
+        "ab cd ef",  # all words shorter than 3
+        "the the the the",
+        None,
+    ]
+    batch = pa.table({"doc_id": list(range(len(texts))), "text": pa.array(texts, pa.string())})
+    out = stage(batch)
+    for i, t in enumerate(texts):
+        exp_lang, exp_score = stage._classify(t or "")
+        assert out["lang_pred"][i].as_py() == exp_lang, (i, t)
+        assert out["lang_score"][i].as_py() == exp_score, (i, t)
+
+
+def test_lang_id_vectorized_matches_reference_on_corpus(sf_dir):
+    stage = LangIdStage()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = docs.map_batches(stage, batch_format="pyarrow").to_pandas().sort_values("doc_id")
+    import pyarrow.parquet as pq
+
+    ref = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    ref = ref.sort_values("doc_id")
+    expected = [stage._classify(t or "") for t in ref["text"]]
+    assert out["lang_pred"].tolist() == [lang for lang, _ in expected]
+    assert out["lang_score"].tolist() == [score for _, score in expected]
+
+
+def test_build_ivf_sample_unbiased_on_sorted_input():
+    """Centroids must train on a corpus-wide sample: with the input SORTED
+    so all of cluster B sits in the last blocks, a first-blocks limit()
+    sample would leave B without a nearby centroid (r1 flaw)."""
+    rng = np.random.default_rng(5)
+    a = rng.normal(loc=(10, 0, 0), scale=0.1, size=(800, 3))
+    b = rng.normal(loc=(0, 10, 0), scale=0.1, size=(800, 3))
+    vecs = np.vstack([a, b])  # sorted: A rows first
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(1600), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+    })).repartition(8)
+    from pprl_ray.stages.ann import build_ivf
+
+    assigned, centroids = build_ivf(ds, n_centroids=4, sample_size=128)
+    # every normalized vector must have a centroid at cosine > 0.99
+    from pprl_ray.stages.ann import _normalize
+    sims = _normalize(vecs) @ centroids.T
+    assert sims.max(axis=1).min() > 0.99
+    # and the two clusters land in different buckets
+    df = assigned.to_pandas().sort_values("vec_id")
+    assert set(df["bucket"][:800]).isdisjoint(set(df["bucket"][800:]))
