@@ -241,11 +241,22 @@ def knn_ivf_pruned(index_path: str, query_ids: list, query_matrix: np.ndarray,
 
 def embedding_near_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 16,
                              id_col: str = "vec_id", vec_col: str = "embedding",
-                             max_bucket: int = 1000, seed: int = 11):
-    """Cosine near-dup pairs via random-hyperplane signature blocking: rows
-    sharing a 16-bit sign pattern are candidates; exact cosine verifies."""
-    rng = np.random.default_rng(seed)
+                             max_bucket: int = 1000, seed: int = 11,
+                             partitions: int | None = None):
+    """Cosine near-dup pairs via random-hyperplane signature blocking
+    (Charikar 2002): rows sharing a ``n_planes``-bit sign pattern are
+    candidates; exact cosine verifies.
+
+    Scale shape: buckets reduce in ``code % partitions`` groups (per-group
+    Python is O(partitions), not O(2^n_planes)); in-bucket pairing is one
+    vectorised self-merge + batched row-dot — no per-pair Python. The
+    normalized float32 vector rides the exchange (compact; re-joining
+    vectors to pairs would cost two more corpus shuffles)."""
     planes_holder: dict[int, np.ndarray] = {}
+    if partitions is None:
+        from .partitioning import auto_partitions
+
+        partitions = auto_partitions(ds)
 
     def _sig(batch: pa.Table) -> pa.Table:
         mat = _normalize(_embedding_matrix(batch, vec_col))
@@ -255,28 +266,41 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 16,
         planes = planes_holder[d]
         signs = (mat @ planes) > 0
         code = (signs * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+        mat32 = mat.astype(np.float32)
         return pa.table(
             {
                 id_col: batch[id_col],
                 "code": pa.array(code, pa.int64()),
-                "vec": pa.array([row.astype(np.float32).tobytes() for row in mat], pa.large_binary()),
+                "part": pa.array((code % np.int64(partitions)).astype(np.int32)),
+                "vec": pa.array([row.tobytes() for row in mat32], pa.large_binary()),
             }
         )
 
     coded = ds.map_batches(_sig, batch_format="pyarrow")
 
     def _pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(id_col).head(max_bucket)
-        ids = g[id_col].tolist()
-        vecs = np.stack([np.frombuffer(v, dtype=np.float32) for v in g["vec"]]).astype(np.float64)
-        sims = vecs @ vecs.T
-        rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if sims[i, j] >= threshold:
-                    rows.append((ids[i], ids[j], float(sims[i, j])))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"]) if rows else pd.DataFrame(
-            {"id_a": [], "id_b": [], "cosine": []}
+        g = group.sort_values(id_col).reset_index(drop=True)
+        g = g[g.groupby("code").cumcount() < max_bucket].reset_index(drop=True)
+        empty = {
+            "id_a": pd.Series(dtype=g[id_col].dtype),
+            "id_b": pd.Series(dtype=g[id_col].dtype),
+            "cosine": pd.Series(dtype=np.float64),
+        }
+        if len(g) < 2:
+            return pd.DataFrame(empty)
+        idx = np.arange(len(g))
+        left = pd.DataFrame({"code": g["code"].to_numpy(), "i": idx})
+        m = left.merge(left.rename(columns={"i": "j"}), on="code")
+        m = m[m["i"] < m["j"]]
+        if len(m) == 0:
+            return pd.DataFrame(empty)
+        i, j = m["i"].to_numpy(), m["j"].to_numpy()
+        vecs = np.frombuffer(b"".join(g["vec"]), dtype=np.float32).reshape(len(g), -1).astype(np.float64)
+        sims = (vecs[i] * vecs[j]).sum(axis=1)
+        keep = sims >= threshold
+        ids = g[id_col].to_numpy()
+        return pd.DataFrame(
+            {"id_a": ids[i[keep]], "id_b": ids[j[keep]], "cosine": sims[keep]}
         )
 
-    return coded.groupby("code").map_groups(_pairs, batch_format="pandas")
+    return coded.groupby("part").map_groups(_pairs, batch_format="pandas")

@@ -272,7 +272,7 @@ class _MinHashStage:
 
 def minhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
                        k: int = 128, bands: int = 16, shingle_n: int = 3,
-                       max_bucket: int = 200, partitions: int = 32,
+                       max_bucket: int = 200, partitions: int | None = None,
                        with_estimates: bool = False, dedupe_pairs: bool = True):
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
 
@@ -286,6 +286,10 @@ def minhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
     bucket pairing is a vectorised pandas join per (band, band_key %
     partitions) reduce group, so per-group Python overhead is
     O(bands*partitions), not O(buckets)."""
+    if partitions is None:
+        from .partitioning import auto_partitions
+
+        partitions = max(8, auto_partitions(ds) // bands)
     stage = _MinHashStage(
         text_col=text_col, id_col=id_col, k=k, bands=bands, shingle_n=shingle_n,
         with_signature=with_estimates,
@@ -523,19 +527,26 @@ def simhash_fingerprints(ds, text_col: str = "text", id_col: str = "doc_id", shi
 
 
 def simhash_candidates(fp_ds, id_col: str = "doc_id", max_hamming: int = 3, max_bucket: int = 500,
-                       bands: int = 4):
+                       bands: int = 4, partitions: int | None = None):
     """Near-dup candidates by band blocking over the 64-bit simhash: two
     fingerprints within Hamming distance ``bands - 1`` share at least one of
     the ``bands`` equal-width bands (pigeonhole).
 
-    Scale note: wider bands (fewer of them) give more selective buckets —
+    Scale notes: wider bands (fewer of them) give more selective buckets —
     ``bands=4`` (16-bit keys) is the scale-safe default with a ≤3 guarantee;
     ``bands=8`` (8-bit keys, ≤7 guarantee) only suits modest corpora because
     there are just 256 distinct buckets per band. For higher distances at
-    scale use the rotate-and-sort scheme of Manku et al. (WWW 2007)."""
+    scale use the rotate-and-sort scheme of Manku et al. (WWW 2007).
+    Buckets reduce in ``(band, band_key % partitions)`` groups — one
+    vectorised pandas self-merge + Hamming pass per group, so per-group
+    Python overhead is O(bands * partitions), not O(buckets)."""
     assert 64 % bands == 0
     width = 64 // bands
     key_mask = np.uint64((1 << width) - 1)
+    if partitions is None:
+        from .partitioning import auto_partitions
+
+        partitions = max(8, auto_partitions(fp_ds) // bands)
 
     def _explode(batch: pa.Table) -> pa.Table:
         fp = batch["simhash"].to_numpy().astype(np.uint64)
@@ -555,21 +566,38 @@ def simhash_candidates(fp_ds, id_col: str = "doc_id", max_hamming: int = 3, max_
 
     exploded = fp_ds.map_batches(_explode, batch_format="pyarrow")
 
+    def _add_part(batch: pa.Table) -> pa.Table:
+        part = batch["band_key"].to_numpy() % np.int64(partitions)
+        return batch.append_column("part", pa.array(part.astype(np.int32)))
+
+    parted = exploded.map_batches(_add_part, batch_format="pyarrow")
+
     def _pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(id_col).head(max_bucket)
-        ids = g[id_col].tolist()
+        g = group.sort_values(id_col).reset_index(drop=True)
+        g = g[g.groupby("band_key").cumcount() < max_bucket].reset_index(drop=True)
+        empty = {
+            "id_a": pd.Series(dtype=g[id_col].dtype),
+            "id_b": pd.Series(dtype=g[id_col].dtype),
+            "hamming": pd.Series(dtype=np.int64),
+        }
+        if len(g) < 2:
+            return pd.DataFrame(empty)
+        idx = np.arange(len(g))
+        left = pd.DataFrame({"band_key": g["band_key"].to_numpy(), "i": idx})
+        m = left.merge(left.rename(columns={"i": "j"}), on="band_key")
+        m = m[m["i"] < m["j"]]
+        if len(m) == 0:
+            return pd.DataFrame(empty)
+        i, j = m["i"].to_numpy(), m["j"].to_numpy()
         fps = g["simhash"].to_numpy().astype(np.uint64)
-        rows = []
-        for i in range(len(ids)):
-            d = hamming64(fps[i + 1 :], np.full(len(ids) - i - 1, fps[i], dtype=np.uint64))
-            for off in np.nonzero(d <= max_hamming)[0]:
-                j = i + 1 + off
-                rows.append((ids[i], ids[j], int(d[off])))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"]) if rows else pd.DataFrame(
-            {"id_a": [], "id_b": [], "hamming": []}
+        d = hamming64(fps[i], fps[j])
+        keep = d <= max_hamming
+        ids = g[id_col].to_numpy()
+        return pd.DataFrame(
+            {"id_a": ids[i[keep]], "id_b": ids[j[keep]], "hamming": d[keep]}
         )
 
-    pairs = exploded.groupby(["band", "band_key"]).map_groups(_pairs, batch_format="pandas")
+    pairs = parted.groupby(["band", "part"]).map_groups(_pairs, batch_format="pandas")
     from ray.data.aggregate import Min
 
     return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))

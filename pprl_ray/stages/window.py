@@ -35,9 +35,15 @@ def _hash_partition(col: "pa.ChunkedArray | pa.Array", partitions: int) -> "np.n
 
 
 def sessionize(ds, key_col: str = "user_id", ts_col: str = "ts",
-               gap_minutes: float = 30.0, partitions: int = 64):
+               gap_minutes: float = 30.0, partitions: int | None = None):
     """Dataset of events -> Dataset of sessions
-    ``(key, session_start, session_end, n_events)``."""
+    ``(key, session_start, session_end, n_events)``. ``partitions``
+    defaults to input-size-derived (:func:`.partitioning.auto_partitions`)
+    so per-group memory stays flat as inputs grow."""
+    if partitions is None:
+        from .partitioning import auto_partitions
+
+        partitions = auto_partitions(ds)
 
     def _part(batch: pa.Table) -> pa.Table:
         return batch.append_column(

@@ -482,3 +482,32 @@ def test_build_ivf_sample_unbiased_on_sorted_input():
     # and the two clusters land in different buckets
     df = assigned.to_pandas().sort_values("vec_id")
     assert set(df["bucket"][:800]).isdisjoint(set(df["bucket"][800:]))
+
+
+def test_auto_partitions_scales_with_input(sf_dir):
+    """Per-partition-group bytes stay flat as inputs grow: the derived
+    partition count is linear in input size (10x data -> 10x partitions),
+    clamped, and never triggers execution of lazy pipelines."""
+    import time
+
+    from pprl_ray.stages.partitioning import (
+        TARGET_PARTITION_BYTES,
+        auto_partitions,
+        free_size_bytes,
+    )
+
+    one = auto_partitions(size_bytes=10 * TARGET_PARTITION_BYTES)
+    ten = auto_partitions(size_bytes=100 * TARGET_PARTITION_BYTES)
+    assert one == 10 and ten == 100  # linear: group bytes flat at 10x
+    assert auto_partitions(size_bytes=1) == 8  # lo clamp
+    assert auto_partitions() == 64  # unknown -> default
+    assert auto_partitions(size_bytes=(1 << 21) * TARGET_PARTITION_BYTES) == 1 << 20  # hi clamp
+
+    # pure read: size comes free from parquet metadata
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    assert free_size_bytes(ds) is not None
+    # lazy transform: must NOT execute the pipeline to answer
+    slow = ds.map_batches(lambda b: (time.sleep(60) or b), batch_format="pyarrow")
+    t0 = time.time()
+    assert auto_partitions(slow) == 64
+    assert time.time() - t0 < 5
