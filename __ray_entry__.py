@@ -768,6 +768,53 @@ def q_broadcast_join(sf_dir: str):
     )
 
 
+def q_bucket_join(sf_dir: str):
+    """lineitem ⋈ orders with NEITHER side broadcast: both fact tables
+    hash-bucket by order key in one union shuffle and join bucket-wise
+    (stages/join.py bucket_join) — the two-large-sides join shape. Revenue
+    aggregates per order priority in exact integer micro-units."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from pprl_ray.stages.join import bucket_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def _rev(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "rev_u": pc.cast(pc.round(pc.multiply(rev, 1_000_000)), pa.int64()),
+            }
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = bucket_join(
+        li.map_batches(_rev, batch_format="pyarrow"),
+        orders,
+        keys="l_orderkey",
+        right_keys="o_orderkey",
+    )
+    agg = joined.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_items"), Sum("rev_u", alias_name="rev_u")
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "n_items": b["n_items"],
+                "revenue": pc.divide(pc.cast(b["rev_u"], pa.float64()), 1_000_000.0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_lineitem_pricing(sf_dir: str):
     """TPC-H Q1-shaped pricing summary over lineitem (the largest table) —
     native partial+final aggregates, no raw-row shuffle beyond the groupby."""
@@ -1359,6 +1406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": q_connected_components,
         "corpus_profile": q_corpus_profile,
         "broadcast_join": q_broadcast_join,
+        "bucket_join": q_bucket_join,
         "lineitem_pricing": q_lineitem_pricing,
         "attribute_stats": q_attribute_stats,
         "top_tokens": q_top_tokens,
@@ -1628,6 +1676,13 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'OTH' END AS segment,
                    printf('%.2f', c_acctbal) AS balance
             FROM customer
+        """,
+        "bucket_join": """
+            SELECT o_orderpriority, count(*) AS n_items,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000, 0)
+                            AS BIGINT)) / 1000000.0 AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
         "broadcast_join": """
             SELECT c_mktsegment, count(*) AS n_orders,
