@@ -157,6 +157,9 @@ def build_transformer(cfg: dict) -> StringTransformFn:
     Names: character_filter, normalization, number, date_time, mapping,
     phonetic_code.
     """
+    from ..config import validate_transformer_config
+
+    validate_transformer_config(cfg)
     name = cfg["name"]
     if name == "character_filter":
         return character_filter(cfg.get("characters") or str(string.punctuation))

@@ -161,6 +161,17 @@ def decode_b64_column(values: list[str]) -> np.ndarray:
 
 def transform_entities(ds, attribute_transformers=None, global_before=None, global_after=None,
                        empty_value: str = "error", id_column: str = "id", **map_kwargs):
+    # request-level parity with the reference's EntityTransformRequest
+    # validator (pprl_model/transform.py:90-95): reject empty chains and
+    # bad transformer configs on the driver, not deep inside a Ray task
+    from ..config import validate_transformer_config
+
+    all_cfgs = [c for cfgs in (attribute_transformers or {}).values() for c in cfgs]
+    all_cfgs += list(global_before or []) + list(global_after or [])
+    if not all_cfgs:
+        raise ValueError("attribute and global transformers are empty: must contain at least one")
+    for cfg in all_cfgs:
+        validate_transformer_config(cfg)
     # actor pool on purpose: TransformStage memoizes (column, value) ->
     # transformed value ACROSS batches, which pays off on low-cardinality
     # attribute columns; autoscale rather than pin the pool size
@@ -182,6 +193,11 @@ def transform_entities(ds, attribute_transformers=None, global_before=None, glob
 def mask_entities(ds, config: MaskConfig, id_column: str = "id",
                   attribute_columns: list[str] | None = None, on_error: str = "raise",
                   **map_kwargs):
+    # dataset-level parity with the reference's per-entity attribute /
+    # salt-attribute presence validators (pprl_model/mask.py:197-263)
+    from ..config import validate_mask_columns
+
+    validate_mask_columns(config, list(ds.schema().names))
     # stateless kernel (config compiled per task, trivial cost): plain task
     # pool so encoding scales to every cluster core with no actor startup
     map_kwargs.setdefault("batch_size", 4096)
