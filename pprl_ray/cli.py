@@ -298,11 +298,19 @@ def cmd_dedup(args) -> None:
 
 
 def cmd_generate(args) -> None:
-    """Deterministic synthetic person entities (reference `pprl estimate
-    gecko|faker` generator parity) -> Parquet."""
-    from .sources.corpus import synth_entities
+    """Deterministic synthetic entities -> Parquet. With --generator-config,
+    a reference-style FakerGeneratorConfig JSON (`pprl_client/model.py:6-20`)
+    drives the function-name-by-string registry (sources/generate.py);
+    otherwise the fixed person schema (sources/corpus.py synth_entities)."""
+    if args.generator_config:
+        from .sources.generate import generated_entities
 
-    ds = synth_entities(args.n, seed=args.seed)
+        config = json.load(open(args.generator_config))
+        ds = generated_entities(config)
+    else:
+        from .sources.corpus import synth_entities
+
+        ds = synth_entities(args.n, seed=args.seed)
     n = _write(ds, args.output, args.format)
     print(json.dumps({"command": "generate", "rows": n, "output": args.output}))
 
@@ -315,7 +323,16 @@ def cmd_estimate(args) -> None:
     from .pipelines.estimate import estimate_attribute_weights
     from .stages.mask import transform_entities
 
-    ds = _read(args.input)
+    if args.generator_config:
+        # reference `pprl estimate faker CONFIG OUT` flow: generate the
+        # estimation corpus from the config instead of reading a table
+        from .sources.generate import generated_entities
+
+        ds = generated_entities(json.load(open(args.generator_config)))
+    elif args.input:
+        ds = _read(args.input)
+    else:
+        raise SystemExit("estimate requires --input or --generator-config")
     if args.transform_config:
         req = json.load(open(args.transform_config))
         kw = transform_kwargs_from_request(req)
@@ -412,15 +429,19 @@ def main(argv: list[str] | None = None) -> None:
     sp.add_argument("--max-hamming", type=int, default=3)
     sp.set_defaults(fn=cmd_dedup)
 
-    sp = sub.add_parser("generate", help="deterministic synthetic person entities")
+    sp = sub.add_parser("generate", help="deterministic synthetic entities")
     sp.add_argument("-n", type=int, default=1000)
     sp.add_argument("--seed", type=int, default=727)
+    sp.add_argument("--generator-config", default=None,
+                    help="FakerGeneratorConfig JSON (function-name-by-string generators)")
     sp.add_argument("--output", required=True)
     sp.add_argument("--format", choices=("parquet", "csv"), default="parquet")
     sp.set_defaults(fn=cmd_generate)
 
     sp = sub.add_parser("estimate", help="per-attribute weight estimation (entropy + avg tokens)")
-    sp.add_argument("--input", required=True)
+    sp.add_argument("--input", default=None)
+    sp.add_argument("--generator-config", default=None,
+                    help="generate the estimation corpus from a FakerGeneratorConfig JSON")
     sp.add_argument("--output", required=True, help="WeightedAttributeConfig JSON file")
     sp.add_argument("--id-column", default="id")
     sp.add_argument("--transform-config", default=None, help="BaseTransformRequest JSON")

@@ -201,3 +201,58 @@ def test_cli_csv_round_trip(ray_session, tmp_path, entities_file, capsys):
         "--output", str(tmp_path / "matches_csv"), "--threshold", "1.0", "--format", "csv",
     ])
     assert r["pairs"] >= 20
+
+
+def test_generator_config_driven_generate_and_estimate(ray_session, tmp_path, capsys):
+    """Reference `pprl estimate faker CONFIG OUT` parity: a
+    FakerGeneratorConfig-shaped JSON drives generation by function-name
+    strings, and the estimate flow produces a WeightedAttributeConfig list."""
+    import json
+
+    from pprl_ray.cli import main
+    from pprl_ray.sources.generate import generated_entities
+
+    cfg = {
+        "seed": 727,
+        "count": 200,
+        "generators": [
+            {"function_name": "first_name", "attribute_name": "firstName"},
+            {"function_name": "last_name", "attribute_name": "lastName"},
+            {"function_name": "date_of_birth", "attribute_name": "dob",
+             "args": {"minimum_age": 18, "maximum_age": 90}},
+            {"function_name": "random_element", "attribute_name": "gender",
+             "args": {"elements": ["f", "m", "x"]}},
+        ],
+    }
+    cfg_path = tmp_path / "gen.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    # determinism: same config -> identical table under different parallelism
+    a = generated_entities(cfg).to_pandas().sort_values("id").reset_index(drop=True)
+    b = generated_entities(cfg).to_pandas().sort_values("id").reset_index(drop=True)
+    assert a.equals(b)
+    assert list(a.columns) == ["id", "firstName", "lastName", "dob", "gender"]
+    assert set(a["gender"]) <= {"f", "m", "x"}
+    years = a["dob"].str.slice(0, 4).astype(int)
+    assert years.between(2024 - 90, 2024 - 18).all()
+
+    out = tmp_path / "entities.parquet"
+    main(["generate", "--generator-config", str(cfg_path), "--output", str(out)])
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["rows"] == 200
+
+    weights = tmp_path / "weights.json"
+    main(["estimate", "--generator-config", str(cfg_path), "--output", str(weights)])
+    configs = json.loads(weights.read_text())
+    assert sorted(c["attribute_name"] for c in configs) == ["dob", "firstName", "gender", "lastName"]
+    for c in configs:
+        assert c["weight"] > 0 and c["average_token_count"] > 0
+
+
+def test_generator_config_invalid_function_name():
+    import pytest as _pytest
+
+    from pprl_ray.sources.generate import generated_entities
+
+    with _pytest.raises(ValueError, match="invalid faker function: `?shoe_size"):
+        generated_entities({"seed": 1, "count": 5, "generators": [
+            {"function_name": "shoe_size", "attribute_name": "x"}]})
