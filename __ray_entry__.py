@@ -63,6 +63,45 @@ _PHONETIC_GOLDEN = [
     ("window", "W530", "WNTW", "W0860", "W860", "3623")
 ]
 
+# (word, token_id) for the synthetic corpus vocabulary: token_id is the
+# corpus derivation's 64-bit word hash folded to non-negative int32
+# (pprl_ray/sources/corpus.py tokenize_words_batch); pinned so SQL can
+# reason about hashed token ids (collision-free over this vocabulary)
+_TOKEN_ID_GOLDEN = [
+    ("a", 732459709),
+    ("agg", 1882265958),
+    ("batch", 667934488),
+    ("big", 379168403),
+    ("column", 1423645830),
+    ("customer", 1868214576),
+    ("data", 1056933602),
+    ("dup", 1746322128),
+    ("fast", 432021034),
+    ("filter", 1354970299),
+    ("group", 2067952031),
+    ("hash", 1753069059),
+    ("join", 1368196793),
+    ("key", 518146510),
+    ("line", 989612502),
+    ("merge", 845860964),
+    ("order", 1362650252),
+    ("part", 1712236872),
+    ("query", 779366555),
+    ("row", 707319880),
+    ("scan", 1934254803),
+    ("slow", 463567242),
+    ("small", 660945052),
+    ("sort", 778350154),
+    ("spark", 1869945607),
+    ("stream", 734536268),
+    ("table", 1380538008),
+    ("the", 1123943390),
+    ("value", 2067672380),
+    ("vector", 734484438),
+    ("window", 32052870)
+]
+
+
 
 # ---------------------------------------------------------------------------
 # shared helpers
@@ -1484,8 +1523,32 @@ def oracle_sql() -> dict[str, str]:
     phonetic_vals = ",\n                ".join(
         "(%s)" % ", ".join(f"'{v}'" for v in row) for row in _PHONETIC_GOLDEN
     )
+    token_map_vals = ",\n                ".join(
+        f"('{w}', {i})" for w, i in _TOKEN_ID_GOLDEN
+    )
     return {
         "lang_id": _lang_id_oracle(),
+        # exact because the MG summary has k=256 counters and the corpus
+        # vocabulary has 31 distinct tokens: _shrink never fires, so every
+        # counter equals the true count under any merge tree; the pinned
+        # word->token_id map lets SQL name the hashed ids
+        "heavy_hitters": f"""
+            WITH counts AS (
+                SELECT w, count(*) AS c
+                FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                GROUP BY w
+            ), tot AS (SELECT sum(c) AS n FROM counts),
+            mapped AS (
+                SELECT v.token_id AS token, c
+                FROM counts JOIN (VALUES
+                {token_map_vals}
+                ) AS v(w, token_id) ON counts.w = v.w
+            )
+            SELECT CAST(token AS BIGINT) AS token, CAST(c AS BIGINT) AS mg_estimate
+            FROM mapped, tot
+            WHERE c >= (0.005 - 1.0/256) * n
+            ORDER BY c DESC, token ASC LIMIT 50
+        """,
         "phonetic_codes": f"""
             WITH words AS (
                 SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents
