@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "knn_cosine",
     "lang_id",
     "broadcast_join",
+    "bucket_join",
+    "connected_components",
     "lineitem_pricing",
     "event_windows",
     "json_props",

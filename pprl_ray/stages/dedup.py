@@ -98,7 +98,11 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
             }
         )
 
-    slim = ds.map_batches(_slim, batch_format="pyarrow")
+    from .partitioning import compact_blocks
+
+    # materialize + compact the slim table: its groupby otherwise inherits
+    # the input's block count and pays per-block shuffle scheduling
+    slim = compact_blocks(ds.map_batches(_slim, batch_format="pyarrow").materialize())
 
     def _losers(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(id_col)
@@ -499,10 +503,17 @@ def minhash_dedup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         threshold: float = 0.8, **kwargs):
     """Candidates -> exact verification, one call. The corpus is shingled
     exactly ONCE (materialized compact (id, shingles) table feeds both the
-    LSH banding and the verification join)."""
-    shingled = shingle_docs(ds, text_col, id_col, kwargs.get("shingle_n", 3)).materialize()
+    LSH banding and the verification join). Materialized intermediates are
+    block-compacted: shuffle operators pay per-block scheduling overhead,
+    and the upstream read splits small inputs into hundreds of tiny
+    blocks."""
+    from .partitioning import compact_blocks
+
+    shingled = compact_blocks(
+        shingle_docs(ds, text_col, id_col, kwargs.get("shingle_n", 3)).materialize()
+    )
     kwargs.setdefault("dedupe_pairs", False)  # verify's buckets absorb band dups
-    cands = minhash_candidates(shingled, text_col, id_col, **kwargs)
+    cands = compact_blocks(minhash_candidates(shingled, text_col, id_col, **kwargs).materialize())
     return verify_jaccard_pairs(cands, shingled, text_col, id_col,
                                 kwargs.get("shingle_n", 3), threshold)
 
@@ -624,8 +635,6 @@ def connected_components_collapse(pairs_ds, max_rounds: int = 30, partitions: in
     (key, node) / (key, label) rows, vectorized ``pyarrow.Table.join``
     per bucket). Nothing materializes on the driver; per-round cost is
     O(edges + nodes) shuffled bytes."""
-    import math
-
     import pyarrow.compute as pc
     from ray.data.aggregate import Max, Min
 
@@ -634,16 +643,7 @@ def connected_components_collapse(pairs_ds, max_rounds: int = 30, partitions: in
     if partitions is None:
         partitions = auto_partitions(pairs_ds)
 
-    def _compact(mat_ds, target_bytes: int = 64 << 20):
-        """Bound a materialized dataset's block count. Iterative rounds
-        otherwise MULTIPLY block counts (unions + shuffles inherit input
-        block counts), turning tiny-block inputs into thousands of
-        ~50ms tasks per round."""
-        size = mat_ds.size_bytes() or 0
-        nb = max(1, math.ceil(size / target_bytes))
-        if mat_ds.num_blocks() > max(8, 2 * nb):
-            return mat_ds.repartition(nb).materialize()
-        return mat_ds
+    from .partitioning import compact_blocks as _compact
 
     def _edges(batch: pa.Table) -> pa.Table:
         a, b = batch["id_a"], batch["id_b"]
@@ -725,7 +725,11 @@ def connected_components_collapse(pairs_ds, max_rounds: int = 30, partitions: in
                 batch_format="pyarrow",
             )
         )
-        new_labels = (
+        # ONE materialize per round: the aggregated table serves as the next
+        # round's label table directly (_requests/_providers project the
+        # spare `old` column away); the changed-count is a cheap second
+        # pass over the cached blocks
+        new_labels = _compact(
             cands.groupby("node")
             .aggregate(Min("cand", alias_name="rep"), Max("old", alias_name="old"))
             .materialize()
@@ -736,12 +740,7 @@ def connected_components_collapse(pairs_ds, max_rounds: int = 30, partitions: in
             ),
             batch_format="pyarrow",
         ).sum("c")
-        labels = _compact(
-            new_labels.map_batches(
-                lambda b: pa.table({"node": b["node"], "rep": b["rep"]}),
-                batch_format="pyarrow",
-            ).materialize()
-        )
+        labels = new_labels
         if not changed:
             break
     return labels.map_batches(

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import math
 
-__all__ = ["auto_partitions", "free_size_bytes"]
+__all__ = ["auto_partitions", "free_size_bytes", "free_num_rows", "compact_blocks"]
 
 # ~128 MiB of input rows per partition group: large enough that per-group
 # Python overhead (~0.5 ms) is noise, small enough that a group's pandas
@@ -62,3 +62,17 @@ def auto_partitions(
     if size_bytes is None:
         return default
     return int(min(hi, max(lo, math.ceil(size_bytes / target_bytes))))
+
+
+def compact_blocks(mat_ds, target_bytes: int = 64 << 20, min_blocks: int = 8):
+    """Bound a MATERIALIZED dataset's block count to ~target_bytes blocks
+    (floor ``min_blocks`` for parallelism). Ray's shuffle operators pay
+    per-block scheduling overhead on BOTH sides — an all-to-all over
+    hundreds of tiny blocks spends seconds on task dispatch for millis of
+    compute, and iterative operators multiply tiny blocks across rounds.
+    No-op when the block count is already reasonable."""
+    size = mat_ds.size_bytes() or 0
+    nb = max(min_blocks, math.ceil(size / target_bytes))
+    if mat_ds.num_blocks() > 2 * nb:
+        return mat_ds.repartition(nb).materialize()
+    return mat_ds
