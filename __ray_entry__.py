@@ -1194,6 +1194,93 @@ def q_asof_join(sf_dir: str):
     return joined.map_batches(_fmt, batch_format="pyarrow")
 
 
+def q_interval_join(sf_dir: str):
+    """Range join (stages/join.py interval_join): attach to each error
+    event the user's SESSION WINDOW containing it (sessions from the
+    sessionize operator are non-overlapping per user by construction).
+    Expressed as asof-on-start + containment filter — no point x interval
+    blowup; DuckDB oracle is the equivalent range LEFT JOIN."""
+    import ray.data as rd
+
+    from pprl_ray.stages.join import interval_join
+    from pprl_ray.stages.window import sessionize
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"])
+    sessions = sessionize(
+        events.drop_columns(["event_type"]), key_col="user_id", ts_col="ts", gap_minutes=30
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"],
+                "start": b["session_start"],
+                "end": b["session_end"],
+                "n_events": pc.cast(b["n_events"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    errors = events.filter(expr="event_type == 'error'").drop_columns(["event_type"])
+    joined = interval_join(errors, sessions, key_col="user_id", ts_col="ts")
+
+    def _fmt(b: pa.Table) -> pa.Table:
+        def s(col):
+            return pc.strftime(
+                pc.cast(pc.floor_temporal(b[col], unit="second"), pa.timestamp("s")),
+                format="%Y-%m-%d %H:%M:%S",
+            )
+
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "ts": s("ts"),
+                # interval_join feeds the interval START as the as-of ts,
+                # so the suffixed start column is ts_iv
+                "session_start": pc.fill_null(s("ts_iv"), "none"),
+                "session_n_events": pc.fill_null(pc.cast(b["n_events_iv"], pa.int64()), -1),
+            }
+        )
+
+    return joined.map_batches(_fmt, batch_format="pyarrow")
+
+
+def q_knn_ivf_pruned(sf_dir: str):
+    """Persisted IVF index: write the bucket-PARTITIONED index to scratch,
+    then query reading ONLY the probed bucket partitions from storage
+    (pruning at the read). Driven at nprobe == n_centroids so the brute-
+    force SQL oracles the whole write/prune/read path."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from pprl_ray.stages.ann import knn_ivf_pruned, write_ivf_index
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qtbl = tbl.filter(pc.less(tbl["vec_id"], 3))
+    qids = qtbl["vec_id"].to_pylist()
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qtbl["embedding"].to_pylist()])
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    index_dir = tempfile.mkdtemp(prefix="ivf_index_", dir="/tmp")
+    try:
+        write_ivf_index(ds, index_dir, n_centroids=8)
+        out = knn_ivf_pruned(index_dir, qids, qmat, k=5, nprobe=8).map_batches(
+            lambda b: pa.table(
+                {
+                    "query_id": pc.cast(b["query_id"], pa.int64()),
+                    "neighbor_id": pc.cast(b["neighbor_id"], pa.int64()),
+                    "score": pc.round(pc.cast(b["score"], pa.float64()), ndigits=4),
+                    "rank": pc.cast(b["rank"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        return out.to_pandas()
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based session windows per user over the event stream (30-minute
     inactivity gap), stages/window.py — the stateful streaming-window
@@ -1438,6 +1525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q_heavy_hitters,
         "top_per_group": q_top_per_group,
         "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
         "sessionize": q_sessionize,
         "source_jaccard": q_source_jaccard,
         "hash_sample": q_hash_sample,
@@ -1451,6 +1539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": q_top_tokens,
         "knn_cosine": q_knn_cosine,
         "knn_ivf": q_knn_ivf,
+        "knn_ivf_pruned": q_knn_ivf_pruned,
         "embedding_near_dup": q_embedding_near_dup,
         "lang_id": q_lang_id,
         "multimodal_features": q_multimodal_features,
@@ -1661,6 +1750,50 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(round(p.value, 6), -1.0) AS purchase_value
             FROM errors e ASOF LEFT JOIN purchases p
               ON e.user_id = p.user_id AND e.ts >= p.ts
+        """,
+        "interval_join": """
+            WITH marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                              OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+                SELECT user_id, ts,
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sess_id
+                FROM marked
+            ), sessions AS (
+                SELECT user_id, min(ts) AS s_start, max(ts) AS s_end,
+                       count(*) AS n_events
+                FROM sess GROUP BY user_id, sess_id
+            ), errors AS (
+                SELECT user_id, ts FROM events WHERE event_type = 'error'
+            )
+            SELECT e.user_id AS user_id,
+                   strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                   COALESCE(strftime(s.s_start, '%Y-%m-%d %H:%M:%S'), 'none')
+                       AS session_start,
+                   COALESCE(s.n_events, -1) AS session_n_events
+            FROM errors e LEFT JOIN sessions s
+              ON e.user_id = s.user_id AND e.ts >= s.s_start AND e.ts <= s.s_end
+        """,
+        "knn_ivf_pruned": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3),
+            sims AS (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.embedding, e.embedding) AS score
+                FROM q CROSS JOIN embeddings e
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY score DESC, neighbor_id
+                ) AS rank FROM sims
+            )
+            SELECT query_id, neighbor_id,
+                   round(CAST(score AS DOUBLE), 4) AS score, rank
+            FROM ranked WHERE rank <= 5
         """,
         "sessionize": """
             WITH marked AS (
