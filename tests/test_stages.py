@@ -511,3 +511,23 @@ def test_auto_partitions_scales_with_input(sf_dir):
     t0 = time.time()
     assert auto_partitions(slow) == 64
     assert time.time() - t0 < 5
+
+
+def test_auto_partitions_tracks_parquet_input_growth(tmp_path):
+    """Behavioral check on real reads: a 10x bigger parquet input derives
+    ~10x the partitions at fixed target bytes (per-group memory flat)."""
+    import pyarrow.parquet as pq
+
+    from pprl_ray.stages.partitioning import auto_partitions
+
+    small = pa.table({"k": pa.array(np.arange(2_000) % 7), "v": pa.array(np.arange(2_000))})
+    big = pa.table({"k": pa.array(np.arange(20_000) % 7), "v": pa.array(np.arange(20_000))})
+    pq.write_table(small, tmp_path / "small.parquet")
+    pq.write_table(big, tmp_path / "big.parquet")
+    p_small = auto_partitions(
+        rd.read_parquet(str(tmp_path / "small.parquet")), target_bytes=1024, lo=1
+    )
+    p_big = auto_partitions(
+        rd.read_parquet(str(tmp_path / "big.parquet")), target_bytes=1024, lo=1
+    )
+    assert 5 <= p_big / p_small <= 20  # ~10x, metadata-estimate tolerance
