@@ -1608,6 +1608,59 @@ def _lang_id_oracle() -> str:
     """
 
 
+def _simhash_oracle() -> str:
+    """DuckDB replica of the simhash query: word 2-gram shingles (deduped,
+    via the pinned vocabulary's 961 pair hashes) -> per-bit sign sums ->
+    64-bit fingerprint with signed wrap. The pair-hash table is derived
+    from the pinned vocabulary with the same public hash primitives the
+    pipeline uses (polars word hash -> rolling splitmix64 combine ->
+    splitmix64 finalize); everything downstream — shingle set semantics,
+    distinct handling, the sign-aggregation math, the distributed execution
+    — is verified independently by SQL."""
+    import polars as pl
+
+    from pprl_ray.sketches.hashing import splitmix64
+
+    vocab = [w for w, *_ in _PHONETIC_GOLDEN]
+    h = pl.Series(vocab).hash(seed=41).to_numpy().astype(np.uint64)
+    C = np.uint64(0x9E3779B97F4A7C15)
+    rows = []
+    with np.errstate(over="ignore"):
+        for i, w1 in enumerate(vocab):
+            g = splitmix64(splitmix64(h[i] * C + h))
+            rows.extend((w1, w2, int(gv)) for w2, gv in zip(vocab, g))
+    vals = ",".join(f"('{a}','{b}',{g}::HUGEINT)" for a, b, g in rows)
+    return f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        grams AS (
+            SELECT DISTINCT doc_id, w[i] AS w1, w[i+1] AS w2
+            FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks)
+        ),
+        g AS (
+            SELECT DISTINCT doc_id, v.g FROM grams
+            JOIN (VALUES {vals}) v(w1, w2, g)
+            ON grams.w1 = v.w1 AND grams.w2 = v.w2
+        ),
+        bits AS (
+            SELECT doc_id, b,
+                   sum(CASE WHEN (g >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM g, (SELECT unnest(range(64)) AS b) AS bb(b)
+            GROUP BY doc_id, b
+        ),
+        fp AS (
+            SELECT doc_id,
+                   sum(CASE WHEN s > 0 THEN CAST(1 AS HUGEINT) << b
+                            ELSE CAST(0 AS HUGEINT) END) AS fp_u
+            FROM bits GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN fp_u >= 9223372036854775808::HUGEINT
+                         THEN fp_u - 18446744073709551616::HUGEINT
+                         ELSE fp_u END AS BIGINT) AS simhash
+        FROM fp
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     phonetic_vals = ",\n                ".join(
         "(%s)" % ", ".join(f"'{v}'" for v in row) for row in _PHONETIC_GOLDEN
@@ -1617,6 +1670,7 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "lang_id": _lang_id_oracle(),
+        "simhash": _simhash_oracle(),
         # exact because the MG summary has k=256 counters and the corpus
         # vocabulary has 31 distinct tokens: _shrink never fires, so every
         # counter equals the true count under any merge tree; the pinned
