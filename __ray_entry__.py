@@ -450,6 +450,25 @@ def q_clk_mask(sf_dir: str):
     return _masked_customers(sf_dir)
 
 
+def q_clk_mask_md5(sf_dir: str):
+    """CLK masking driven with md5 (a first-class reference hash algorithm,
+    `pprl_model/mask.py:36-40`) so the ENTIRE mask kernel — padded q-gram
+    tokenize, attribute-name prepend, digest, '<iiii' destructure,
+    double-hash index mixing, negative-flip fold, MSB bit packing, base64 —
+    is byte-identical-checked against DuckDB (md5/unhex/to_base64). The
+    sha1 variants share every code path except the digest call (pinned by
+    the independent re-derivation oracle in tests/test_encode.py)."""
+    from pprl_ray.config import CLKFilter, HashConfig, HashFunctionConfig, MaskConfig
+
+    cfg = MaskConfig(
+        token_size=2,
+        hash=HashConfig(HashFunctionConfig(("md5",)), "double_hash"),
+        filter=CLKFilter(1024, 5),
+        padding="_",
+    )
+    return _masked_customers(sf_dir, cfg)
+
+
 def q_clk_mask_hardened(sf_dir: str):
     return _masked_customers(
         sf_dir,
@@ -1504,6 +1523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_format": q_date_format,
         "phonetic_codes": q_phonetic_codes,
         "clk_mask": q_clk_mask,
+        "clk_mask_md5": q_clk_mask_md5,
         "clk_mask_hardened": q_clk_mask_hardened,
         "rbf_mask": q_rbf_mask,
         "clkrbf_mask": q_clkrbf_mask,
@@ -1608,6 +1628,56 @@ def _lang_id_oracle() -> str:
     """
 
 
+def _clk_mask_md5_oracle() -> str:
+    """DuckDB replica of the full CLK mask edge format for the md5 /
+    double_hash / 1024x5 config: every stage of the kernel is reproduced in
+    SQL and the base64 output compared byte-for-byte. Note DuckDB ``/`` is
+    float division and CAST rounds — byte indices use ``//``."""
+
+    def le32(p: int) -> str:
+        bs = [f"CAST(('0x' || substring(h, {p + 2*j}, 2)) AS BIGINT)" for j in range(4)]
+        v = f"({bs[0]} + {bs[1]}*256 + {bs[2]}*65536 + {bs[3]}*16777216)"
+        return f"(CASE WHEN {v} >= 2147483648 THEN {v} - 4294967296 ELSE {v} END)"
+
+    return f"""
+        WITH ents AS (
+            SELECT CAST(c_custkey AS VARCHAR) AS id, c_mktsegment AS v FROM customer
+        ),
+        toks AS (
+            SELECT DISTINCT id, substring('_' || v || '_', CAST(i AS INT), 2) AS token
+            FROM (SELECT id, v, unnest(range(1, length(v) + 2)) AS i FROM ents)
+        ),
+        dig AS (SELECT id, md5('c_mktsegment' || token) AS h FROM toks),
+        ints AS (
+            SELECT id, {le32(1)} AS i0, {le32(9)} AS i1,
+                   {le32(17)} AS i2, {le32(25)} AS i3
+            FROM dig
+        ),
+        raws AS (
+            SELECT id, xor(i0, i1) + s.i * xor(i2, i3) AS raw
+            FROM ints, (SELECT unnest(range(1, 6)) AS i) s(i)
+        ),
+        bits AS (
+            SELECT DISTINCT id,
+                   CASE WHEN raw < 0 THEN (-raw - 1) % 1024 ELSE raw % 1024 END AS bit
+            FROM raws
+        ),
+        bytes AS (
+            SELECT e.id, bi.byte_idx,
+                   COALESCE(sum(CASE WHEN b.bit IS NOT NULL
+                                     THEN CAST(pow(2, 7 - b.bit % 8) AS BIGINT)
+                                     ELSE 0 END), 0) AS byteval
+            FROM ents e
+            CROSS JOIN (SELECT unnest(range(128)) AS byte_idx) bi
+            LEFT JOIN bits b ON b.id = e.id AND (b.bit // 8) = bi.byte_idx
+            GROUP BY e.id, bi.byte_idx
+        )
+        SELECT id, to_base64(unhex(string_agg(printf('%02x', CAST(byteval AS INT)), ''
+                                              ORDER BY byte_idx))) AS value
+        FROM bytes GROUP BY id
+    """
+
+
 def _simhash_oracle() -> str:
     """DuckDB replica of the simhash query: word 2-gram shingles (deduped,
     via the pinned vocabulary's 961 pair hashes) -> per-bit sign sums ->
@@ -1671,6 +1741,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "lang_id": _lang_id_oracle(),
         "simhash": _simhash_oracle(),
+        "clk_mask_md5": _clk_mask_md5_oracle(),
         # exact because the MG summary has k=256 counters and the corpus
         # vocabulary has 31 distinct tokens: _shrink never fires, so every
         # counter equals the true count under any merge tree; the pinned
