@@ -469,6 +469,23 @@ def q_clk_mask_md5(sf_dir: str):
     return _masked_customers(sf_dir, cfg)
 
 
+def q_clkrbf_mask_md5(sf_dir: str):
+    """CLKRBF masking with md5 + triple_hash: the weighted per-attribute
+    hash count and optimal_size filter sizing (73 bits here — non-byte-
+    aligned) plus the triple-hash index mixing, all byte-identical-checked
+    against the DuckDB kernel replica."""
+    from pprl_ray.config import AttributeConfig, CLKRBFFilter, HashConfig, HashFunctionConfig, MaskConfig
+
+    cfg = MaskConfig(
+        token_size=2,
+        hash=HashConfig(HashFunctionConfig(("md5",)), "triple_hash"),
+        filter=CLKRBFFilter(hash_values=5),
+        padding="_",
+        attributes=(AttributeConfig("c_mktsegment", weight=4, average_token_count=10),),
+    )
+    return _masked_customers(sf_dir, cfg)
+
+
 def q_clk_mask_hardened(sf_dir: str):
     return _masked_customers(
         sf_dir,
@@ -1524,6 +1541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phonetic_codes": q_phonetic_codes,
         "clk_mask": q_clk_mask,
         "clk_mask_md5": q_clk_mask_md5,
+        "clkrbf_mask_md5": q_clkrbf_mask_md5,
         "clk_mask_hardened": q_clk_mask_hardened,
         "rbf_mask": q_rbf_mask,
         "clkrbf_mask": q_clkrbf_mask,
@@ -1628,11 +1646,14 @@ def _lang_id_oracle() -> str:
     """
 
 
-def _clk_mask_md5_oracle() -> str:
-    """DuckDB replica of the full CLK mask edge format for the md5 /
-    double_hash / 1024x5 config: every stage of the kernel is reproduced in
-    SQL and the base64 output compared byte-for-byte. Note DuckDB ``/`` is
-    float division and CAST rounds — byte indices use ``//``."""
+def _mask_oracle(raw_expr: str, nbits: int, k: int) -> str:
+    """DuckDB replica of the full mask edge format for md5-based configs:
+    every kernel stage — padded 2-gram tokenize, attribute prepend, md5,
+    little-endian ``<iiii`` destructure, the given index-mixing expression,
+    negative-flip fold, MSB bit packing, base64 — reproduced in SQL and the
+    output compared byte-for-byte. Note DuckDB ``/`` is float division and
+    CAST rounds — byte indices use ``//``."""
+    nbytes = (nbits + 7) // 8
 
     def le32(p: int) -> str:
         bs = [f"CAST(('0x' || substring(h, {p + 2*j}, 2)) AS BIGINT)" for j in range(4)]
@@ -1654,12 +1675,13 @@ def _clk_mask_md5_oracle() -> str:
             FROM dig
         ),
         raws AS (
-            SELECT id, xor(i0, i1) + s.i * xor(i2, i3) AS raw
-            FROM ints, (SELECT unnest(range(1, 6)) AS i) s(i)
+            SELECT id, {raw_expr} AS raw
+            FROM ints, (SELECT unnest(range(1, {k + 1})) AS i) s(i)
         ),
         bits AS (
             SELECT DISTINCT id,
-                   CASE WHEN raw < 0 THEN (-raw - 1) % 1024 ELSE raw % 1024 END AS bit
+                   CASE WHEN raw < 0 THEN (-raw - 1) % {nbits}
+                        ELSE raw % {nbits} END AS bit
             FROM raws
         ),
         bytes AS (
@@ -1668,7 +1690,7 @@ def _clk_mask_md5_oracle() -> str:
                                      THEN CAST(pow(2, 7 - b.bit % 8) AS BIGINT)
                                      ELSE 0 END), 0) AS byteval
             FROM ents e
-            CROSS JOIN (SELECT unnest(range(128)) AS byte_idx) bi
+            CROSS JOIN (SELECT unnest(range({nbytes})) AS byte_idx) bi
             LEFT JOIN bits b ON b.id = e.id AND (b.bit // 8) = bi.byte_idx
             GROUP BY e.id, bi.byte_idx
         )
@@ -1741,7 +1763,12 @@ def oracle_sql() -> dict[str, str]:
     return {
         "lang_id": _lang_id_oracle(),
         "simhash": _simhash_oracle(),
-        "clk_mask_md5": _clk_mask_md5_oracle(),
+        "clk_mask_md5": _mask_oracle("xor(i0, i1) + s.i * xor(i2, i3)", 1024, 5),
+        # CLKRBF sizing: k=ceil(5*4/4)=5, nbits=optimal_size(0.5, 5*10)=73
+        # (non-byte-aligned — exercises the partial-byte packing edge)
+        "clkrbf_mask_md5": _mask_oracle(
+            "i0 + s.i * i1 + (xor(i2, i3) * (s.i * (s.i - 1))) // 2", 73, 5
+        ),
         # exact because the MG summary has k=256 counters and the corpus
         # vocabulary has 31 distinct tokens: _shrink never fires, so every
         # counter equals the true count under any merge tree; the pinned
