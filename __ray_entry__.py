@@ -486,6 +486,26 @@ def q_clkrbf_mask_md5(sf_dir: str):
     return _masked_customers(sf_dir, cfg)
 
 
+def q_clk_mask_hardened_md5(sf_dir: str):
+    """Hardened CLK masking with an SQL-expressible hardener chain
+    (rule_90 circular-neighbor XOR, then xor_fold to 512 bits) on the md5
+    kernel — the hardener algebra is byte-identical-checked in the driver;
+    the seeded hardeners (permute / randomized_response / rehash) stay
+    pinned by truth-table + determinism pytest. Note balance→…→xor_fold
+    chains are algebraically DEGENERATE (the complement half cancels in
+    the fold), which is why this chain differs from q_clk_mask_hardened's."""
+    from pprl_ray.config import CLKFilter, HashConfig, HashFunctionConfig, MaskConfig
+
+    cfg = MaskConfig(
+        token_size=2,
+        hash=HashConfig(HashFunctionConfig(("md5",)), "double_hash"),
+        filter=CLKFilter(1024, 5),
+        padding="_",
+        hardeners=({"name": "rule_90"}, {"name": "xor_fold"}),
+    )
+    return _masked_customers(sf_dir, cfg)
+
+
 def q_clk_mask_hardened(sf_dir: str):
     return _masked_customers(
         sf_dir,
@@ -1543,6 +1563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clk_mask_md5": q_clk_mask_md5,
         "clkrbf_mask_md5": q_clkrbf_mask_md5,
         "clk_mask_hardened": q_clk_mask_hardened,
+        "clk_mask_hardened_md5": q_clk_mask_hardened_md5,
         "rbf_mask": q_rbf_mask,
         "clkrbf_mask": q_clkrbf_mask,
         "match_crosswise": q_match_crosswise,
@@ -1646,13 +1667,15 @@ def _lang_id_oracle() -> str:
     """
 
 
-def _mask_oracle(raw_expr: str, nbits: int, k: int) -> str:
+def _mask_oracle(raw_expr: str, nbits: int, k: int, rule90_fold: bool = False) -> str:
     """DuckDB replica of the full mask edge format for md5-based configs:
     every kernel stage — padded 2-gram tokenize, attribute prepend, md5,
     little-endian ``<iiii`` destructure, the given index-mixing expression,
     negative-flip fold, MSB bit packing, base64 — reproduced in SQL and the
-    output compared byte-for-byte. Note DuckDB ``/`` is float division and
-    CAST rounds — byte indices use ``//``."""
+    output compared byte-for-byte. ``rule90_fold`` appends the hardener
+    chain rule_90 (circular neighbor XOR) + xor_fold, halving the width:
+    out(p) = XOR of the base bits at (p±1)%n and (p+n/2±1)%n. Note DuckDB
+    ``/`` is float division and CAST rounds — byte indices use ``//``."""
     nbytes = (nbits + 7) // 8
 
     def le32(p: int) -> str:
@@ -1684,7 +1707,16 @@ def _mask_oracle(raw_expr: str, nbits: int, k: int) -> str:
                         ELSE raw % {nbits} END AS bit
             FROM raws
         ),
-        bytes AS (
+        {_mask_bytes_sql(nbits, nbytes, rule90_fold)}
+        SELECT id, to_base64(unhex(string_agg(printf('%02x', CAST(byteval AS INT)), ''
+                                              ORDER BY byte_idx))) AS value
+        FROM bytes GROUP BY id
+    """
+
+
+def _mask_bytes_sql(nbits: int, nbytes: int, rule90_fold: bool) -> str:
+    if not rule90_fold:
+        return f"""bytes AS (
             SELECT e.id, bi.byte_idx,
                    COALESCE(sum(CASE WHEN b.bit IS NOT NULL
                                      THEN CAST(pow(2, 7 - b.bit % 8) AS BIGINT)
@@ -1693,11 +1725,29 @@ def _mask_oracle(raw_expr: str, nbits: int, k: int) -> str:
             CROSS JOIN (SELECT unnest(range({nbytes})) AS byte_idx) bi
             LEFT JOIN bits b ON b.id = e.id AND (b.bit // 8) = bi.byte_idx
             GROUP BY e.id, bi.byte_idx
-        )
-        SELECT id, to_base64(unhex(string_agg(printf('%02x', CAST(byteval AS INT)), ''
-                                              ORDER BY byte_idx))) AS value
-        FROM bytes GROUP BY id
-    """
+        )"""
+    half = nbits // 2
+    return f"""hard AS (
+            SELECT e.id, pp.p,
+                   (COALESCE(b1.one, 0) + COALESCE(b2.one, 0)
+                    + COALESCE(b3.one, 0) + COALESCE(b4.one, 0)) % 2 AS isset
+            FROM ents e
+            CROSS JOIN (SELECT unnest(range({half})) AS p) pp
+            LEFT JOIN (SELECT id, bit, 1 AS one FROM bits) b1
+                   ON b1.id = e.id AND b1.bit = (pp.p + {nbits - 1}) % {nbits}
+            LEFT JOIN (SELECT id, bit, 1 AS one FROM bits) b2
+                   ON b2.id = e.id AND b2.bit = (pp.p + 1) % {nbits}
+            LEFT JOIN (SELECT id, bit, 1 AS one FROM bits) b3
+                   ON b3.id = e.id AND b3.bit = (pp.p + {half - 1}) % {nbits}
+            LEFT JOIN (SELECT id, bit, 1 AS one FROM bits) b4
+                   ON b4.id = e.id AND b4.bit = (pp.p + {half + 1}) % {nbits}
+        ),
+        bytes AS (
+            SELECT id, p // 8 AS byte_idx,
+                   sum(CASE WHEN isset = 1
+                            THEN CAST(pow(2, 7 - p % 8) AS BIGINT) ELSE 0 END) AS byteval
+            FROM hard GROUP BY id, p // 8
+        )"""
 
 
 def _simhash_oracle() -> str:
@@ -1768,6 +1818,9 @@ def oracle_sql() -> dict[str, str]:
         # (non-byte-aligned — exercises the partial-byte packing edge)
         "clkrbf_mask_md5": _mask_oracle(
             "i0 + s.i * i1 + (xor(i2, i3) * (s.i * (s.i - 1))) // 2", 73, 5
+        ),
+        "clk_mask_hardened_md5": _mask_oracle(
+            "xor(i0, i1) + s.i * xor(i2, i3)", 1024, 5, rule90_fold=True
         ),
         # exact because the MG summary has k=256 counters and the corpus
         # vocabulary has 31 distinct tokens: _shrink never fires, so every
