@@ -486,6 +486,25 @@ def q_clkrbf_mask_md5(sf_dir: str):
     return _masked_customers(sf_dir, cfg)
 
 
+def q_rbf_mask_md5(sf_dir: str):
+    """RBF masking with md5: for a single weighted attribute the parent
+    filter is the attribute filter restricted to the seed-727-sampled
+    position set (the sampling sequence is config-only), so the pinned
+    sampled-set VALUES + the md5 kernel replica oracle the whole RBF path
+    byte-for-byte. Multi-attribute offset copying is pinned by the
+    in-process re-derivation tests (tests/test_encode.py)."""
+    from pprl_ray.config import AttributeConfig, HashConfig, HashFunctionConfig, MaskConfig, RBFFilter
+
+    cfg = MaskConfig(
+        token_size=2,
+        hash=HashConfig(HashFunctionConfig(("md5",)), "double_hash"),
+        filter=RBFFilter(hash_values=5, seed=727),
+        padding="_",
+        attributes=(AttributeConfig("c_mktsegment", weight=4, average_token_count=10),),
+    )
+    return _masked_customers(sf_dir, cfg)
+
+
 def q_clk_mask_hardened_md5(sf_dir: str):
     """Hardened CLK masking with an SQL-expressible hardener chain
     (rule_90 circular-neighbor XOR, then xor_fold to 512 bits) on the md5
@@ -1565,6 +1584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clk_mask_hardened": q_clk_mask_hardened,
         "clk_mask_hardened_md5": q_clk_mask_hardened_md5,
         "rbf_mask": q_rbf_mask,
+        "rbf_mask_md5": q_rbf_mask_md5,
         "clkrbf_mask": q_clkrbf_mask,
         "match_crosswise": q_match_crosswise,
         "match_pairwise": q_match_pairwise,
@@ -1667,7 +1687,8 @@ def _lang_id_oracle() -> str:
     """
 
 
-def _mask_oracle(raw_expr: str, nbits: int, k: int, rule90_fold: bool = False) -> str:
+def _mask_oracle(raw_expr: str, nbits: int, k: int, rule90_fold: bool = False,
+                 keep_bits: "list[int] | None" = None) -> str:
     """DuckDB replica of the full mask edge format for md5-based configs:
     every kernel stage — padded 2-gram tokenize, attribute prepend, md5,
     little-endian ``<iiii`` destructure, the given index-mixing expression,
@@ -1706,6 +1727,10 @@ def _mask_oracle(raw_expr: str, nbits: int, k: int, rule90_fold: bool = False) -
                    CASE WHEN raw < 0 THEN (-raw - 1) % {nbits}
                         ELSE raw % {nbits} END AS bit
             FROM raws
+            {"" if keep_bits is None else
+             "WHERE (CASE WHEN raw < 0 THEN (-raw - 1) % " + str(nbits)
+             + " ELSE raw % " + str(nbits) + " END) IN ("
+             + ", ".join(str(b) for b in keep_bits) + ")"}
         ),
         {_mask_bytes_sql(nbits, nbytes, rule90_fold)}
         SELECT id, to_base64(unhex(string_agg(printf('%02x', CAST(byteval AS INT)), ''
@@ -1748,6 +1773,16 @@ def _mask_bytes_sql(nbits: int, nbytes: int, rule90_fold: bool) -> str:
                             THEN CAST(pow(2, 7 - p % 8) AS BIGINT) ELSE 0 END) AS byteval
             FROM hard GROUP BY id, p // 8
         )"""
+
+
+def _rbf_sampled_bits() -> list[int]:
+    """The RBF seed-727 sampled position set for the single-attribute
+    (w=4, avg=10, k=5 -> 73-bit) config: config-only (one Random(727)
+    draw sequence shared by every entity), so it pins as a constant."""
+    from random import Random
+
+    rng = Random(727)
+    return sorted({rng.randrange(73) for _ in range(73)})
 
 
 def _simhash_oracle() -> str:
@@ -1821,6 +1856,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "clk_mask_hardened_md5": _mask_oracle(
             "xor(i0, i1) + s.i * xor(i2, i3)", 1024, 5, rule90_fold=True
+        ),
+        "rbf_mask_md5": _mask_oracle(
+            "xor(i0, i1) + s.i * xor(i2, i3)", 73, 5, keep_bits=_rbf_sampled_bits()
         ),
         # exact because the MG summary has k=256 counters and the corpus
         # vocabulary has 31 distinct tokens: _shrink never fires, so every
