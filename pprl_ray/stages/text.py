@@ -138,59 +138,86 @@ _PUNCT = set(r"""!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~""")
 
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Whitespace token count (vectorised Arrow kernels) + BPE-ish regex
-    token count. Whitespace count matches
+    token count (vectorised polars count_matches — same pattern as the
+    ``_BPEISH`` reference regex). Whitespace count matches
     ``length(string_split(text, ' '))`` in SQL on single-space text."""
+    import polars as pl
+
     texts = batch[text_col]
     ws_counts = pc.list_value_length(pc.split_pattern(texts, " "))
-    bpe_counts = pa.array(
-        [len(_BPEISH.findall(t or "")) for t in texts.to_pylist()], pa.int64()
+    col = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    bpe_counts = (
+        pl.from_arrow(col).fill_null("").str.count_matches(_BPEISH.pattern).to_numpy()
     )
     return batch.append_column("n_tok", pc.cast(ws_counts, pa.int64())).append_column(
-        "n_bpeish", bpe_counts
+        "n_bpeish", pa.array(bpe_counts.astype(np.int64), pa.int64())
     )
 
 
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Quality signals: char/word counts, mean word length, punctuation
     ratio, digit ratio, stopword ratio (en), uppercase ratio — the standard
-    cheap quality-filter features."""
+    cheap quality-filter features. Fully vectorised (polars count_matches /
+    split sums; no per-row or per-char Python) with the same float
+    arithmetic as the row-wise reference (``quality_row_reference``,
+    parity-tested in tests/test_stages.py)."""
+    import polars as pl
+
     out_cols = {name: batch[name] for name in batch.column_names}
-    texts = batch[text_col].to_pylist()
-    n = len(texts)
-    n_chars = np.empty(n, np.int64)
-    n_words = np.empty(n, np.int64)
-    mean_wl = np.empty(n, np.float64)
-    punct_ratio = np.empty(n, np.float64)
-    digit_ratio = np.empty(n, np.float64)
-    stop_ratio = np.empty(n, np.float64)
-    upper_ratio = np.empty(n, np.float64)
-    stops = _STOPWORDS["en"]
-    for i, t in enumerate(texts):
-        t = t or ""
-        n_chars[i] = len(t)
-        words = t.split()
-        n_words[i] = len(words)
-        mean_wl[i] = sum(len(w) for w in words) / len(words) if words else 0.0
-        if t:
-            punct_ratio[i] = sum(1 for c in t if c in _PUNCT) / len(t)
-            digit_ratio[i] = sum(1 for c in t if c.isdigit()) / len(t)
-            upper_ratio[i] = sum(1 for c in t if c.isupper()) / len(t)
-        else:
-            punct_ratio[i] = digit_ratio[i] = upper_ratio[i] = 0.0
-        stop_ratio[i] = (
-            sum(1 for w in words if w.lower() in stops) / len(words) if words else 0.0
-        )
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = pl.from_arrow(col).fill_null("")
+    n_chars = t.str.len_chars().to_numpy().astype(np.int64)
+    # words = t.split() semantics: any-whitespace split, empties dropped
+    words = t.str.extract_all(r"\S+")
+    n_words = words.list.len().to_numpy().astype(np.int64)
+    sum_wl = n_chars - t.str.count_matches(r"\s").to_numpy().astype(np.int64)
+    punct_re = "[" + re.escape("".join(sorted(_PUNCT))) + "]"
+    punct = t.str.count_matches(punct_re).to_numpy().astype(np.int64)
+    digits = t.str.count_matches(r"[0-9]").to_numpy().astype(np.int64)
+    # str.isupper() chars: A-Z plus uppercase Latin-1 (matches Python for
+    # the corpus's character ranges)
+    uppers = t.str.count_matches(r"[A-ZÀ-ÖØ-Þ]").to_numpy().astype(np.int64)
+    stop_hits = (
+        words.list.eval(pl.element().str.to_lowercase().is_in(sorted(_STOPWORDS["en"])))
+        .list.sum()
+        .to_numpy()
+        .astype(np.int64)
+    )
+    nw = np.maximum(n_words, 1).astype(np.float64)
+    nc = np.maximum(n_chars, 1).astype(np.float64)
+    has_w = n_words > 0
+    has_c = n_chars > 0
     for name, arr, typ in [
         ("n_chars_q", n_chars, pa.int64()),
         ("n_words", n_words, pa.int64()),
-        ("mean_word_len", mean_wl, pa.float64()),
-        ("punct_ratio", punct_ratio, pa.float64()),
-        ("digit_ratio", digit_ratio, pa.float64()),
-        ("stopword_ratio", stop_ratio, pa.float64()),
-        ("upper_ratio", upper_ratio, pa.float64()),
+        ("mean_word_len", np.where(has_w, sum_wl / nw, 0.0), pa.float64()),
+        ("punct_ratio", np.where(has_c, punct / nc, 0.0), pa.float64()),
+        ("digit_ratio", np.where(has_c, digits / nc, 0.0), pa.float64()),
+        ("stopword_ratio", np.where(has_w, stop_hits / nw, 0.0), pa.float64()),
+        ("upper_ratio", np.where(has_c, uppers / nc, 0.0), pa.float64()),
     ]:
         out_cols[name] = pa.array(arr, typ)
     return pa.table(out_cols)
+
+
+def quality_row_reference(text: str) -> dict:
+    """Row-at-a-time reference for :func:`quality_batch` (parity tests)."""
+    t = text or ""
+    words = t.split()
+    stops = _STOPWORDS["en"]
+    return {
+        "n_chars_q": len(t),
+        "n_words": len(words),
+        "mean_word_len": sum(len(w) for w in words) / len(words) if words else 0.0,
+        "punct_ratio": sum(1 for c in t if c in _PUNCT) / len(t) if t else 0.0,
+        "digit_ratio": sum(1 for c in t if c.isdigit()) / len(t) if t else 0.0,
+        "stopword_ratio": (
+            sum(1 for w in words if w.lower() in stops) / len(words) if words else 0.0
+        ),
+        "upper_ratio": sum(1 for c in t if c.isupper()) / len(t) if t else 0.0,
+    }
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:

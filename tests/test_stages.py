@@ -531,3 +531,38 @@ def test_auto_partitions_tracks_parquet_input_growth(tmp_path):
         rd.read_parquet(str(tmp_path / "big.parquet")), target_bytes=1024, lo=1
     )
     assert 5 <= p_big / p_small <= 20  # ~10x, metadata-estimate tolerance
+
+
+def test_quality_vectorized_matches_rowwise_reference(sf_dir):
+    """quality_batch is vectorised; it must reproduce the row-wise
+    reference bit-for-bit on edge cases and the corpus."""
+    from pprl_ray.stages.text import quality_row_reference
+
+    edge = [
+        "Hello, World! 42 times",
+        "",
+        "   ",
+        "UPPER lower 123 !!!",
+        "a  b\tc",  # multi-space + tab
+        "Ärger Über straße",
+        None,
+    ]
+    corpus = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"]).take_all()
+    texts = edge + [r["text"] for r in corpus[:200]]
+    batch = pa.table({"text": pa.array(texts, pa.string())})
+    out = quality_batch(batch)
+    for i, t in enumerate(texts):
+        ref = quality_row_reference(t or "")
+        for k, v in ref.items():
+            got = out[k][i].as_py()
+            assert got == v, (k, i, t, got, v)
+
+
+def test_token_count_bpeish_matches_regex_reference():
+    from pprl_ray.stages.text import _BPEISH
+
+    texts = ["hello world42!", "a-b_c 12.5", "", "...", "CamelCase99 ok"]
+    batch = pa.table({"text": pa.array(texts, pa.string())})
+    out = token_count_batch(batch)
+    for i, t in enumerate(texts):
+        assert out["n_bpeish"][i].as_py() == len(_BPEISH.findall(t)), t
