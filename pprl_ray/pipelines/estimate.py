@@ -15,8 +15,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.qgram import tokenize
-
 __all__ = ["estimate_attribute_weights"]
 
 
@@ -34,33 +32,63 @@ def estimate_attribute_weights(
     from ray.data.aggregate import Mean, Sum
 
     cols = attribute_columns
+    pad = (token_size - 1) * padding
+
+    def _qgram_frame(batch: pa.Table, use: list[str]):
+        """One vectorised polars pass: distinct (attribute, row, token) rows
+        for every attribute column (reference ``tokenize`` set semantics —
+        parity with the row-wise kernel is pytest-gated)."""
+        import polars as pl
+
+        frames = []
+        for attr in use:
+            col = batch[attr]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            s = pl.from_arrow(col.cast(pa.string())).fill_null("")
+            df = (
+                pl.DataFrame({"row": pl.arange(0, len(s), eager=True), "v": s})
+                .with_columns((pl.lit(pad) + pl.col("v") + pl.lit(pad)).alias("p"))
+                .with_columns(
+                    pl.int_ranges(0, pl.col("p").str.len_chars() - (token_size - 1)).alias("i")
+                )
+                .explode("i")
+                .with_columns(pl.col("p").str.slice(pl.col("i"), token_size).alias("token"))
+                .select(["row", "token"])
+                .unique()
+                .with_columns(pl.lit(attr).alias("attribute"))
+            )
+            frames.append(df)
+        return pl.concat(frames)
 
     def _partials(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
         use = cols if cols is not None else [c for c in batch.column_names if c != id_column]
-        out_attr: list[str] = []
-        out_token: list[str] = []
-        out_cnt: list[int] = []
-        sz_attr: list[str] = []
-        sz_n: list[int] = []
-        for attr in use:
-            counts: dict[str, int] = {}
-            for v in batch[attr].to_pylist():
-                toks = tokenize("" if v is None else str(v), token_size, padding)
-                sz_attr.append(attr)
-                sz_n.append(len(toks))
-                for t in toks:
-                    counts[t] = counts.get(t, 0) + 1
-            out_attr.extend([attr] * len(counts))
-            out_token.extend(counts.keys())
-            out_cnt.extend(counts.values())
-        # token rows get kind='t'; per-entity size rows kind='s'
-        return pa.table(
-            {
-                "kind": pa.array(["t"] * len(out_attr) + ["s"] * len(sz_attr), pa.string()),
-                "attribute": pa.array(out_attr + sz_attr, pa.string()),
-                "token": pa.array(out_token + [""] * len(sz_attr), pa.string()),
-                "n": pa.array(out_cnt + sz_n, pa.int64()),
-            }
+        g = _qgram_frame(batch, use)
+        token_counts = g.group_by(["attribute", "token"]).len(name="n")
+        sizes = (
+            g.group_by(["attribute", "row"])
+            .len(name="n")
+            .select(["attribute", "n"])
+            .with_columns(pl.lit("").alias("token"))
+        )
+        out = pl.concat(
+            [
+                token_counts.with_columns(pl.lit("t").alias("kind")),
+                sizes.with_columns(pl.lit("s").alias("kind")),
+            ],
+            how="diagonal",
+        ).select(["kind", "attribute", "token", "n"])
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("kind", pa.string()),
+                    ("attribute", pa.string()),
+                    ("token", pa.string()),
+                    ("n", pa.int64()),
+                ]
+            )
         )
 
     rows = ds.map_batches(_partials, batch_format="pyarrow")

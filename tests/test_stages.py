@@ -566,3 +566,32 @@ def test_token_count_bpeish_matches_regex_reference():
     out = token_count_batch(batch)
     for i, t in enumerate(texts):
         assert out["n_bpeish"][i].as_py() == len(_BPEISH.findall(t)), t
+
+
+def test_estimate_weights_vectorized_matches_rowwise_tokenize():
+    """The vectorised q-gram partials in pipelines/estimate.py must agree
+    with the row-wise tokenize kernel on values incl. empties and repeats."""
+    from pprl_ray.functions.qgram import tokenize
+    from pprl_ray.pipelines.estimate import estimate_attribute_weights
+
+    rows = [
+        {"id": "1", "a": "Ada", "b": "xx"},
+        {"id": "2", "a": "Alan", "b": ""},
+        {"id": "3", "a": "Ada", "b": "xyxy"},
+        {"id": "4", "a": None, "b": "zz"},
+    ]
+    got = estimate_attribute_weights(rd.from_items(rows).repartition(2))
+    # row-wise re-derivation
+    import math
+
+    from collections import Counter
+    for attr in ("a", "b"):
+        vals = ["" if r[attr] is None else r[attr] for r in rows]
+        sets = [tokenize(v, 2, "_") for v in vals]
+        avg = sum(len(s) for s in sets) / len(sets)
+        counts = Counter(t for s in sets for t in s)
+        total = sum(counts.values())
+        ent = -sum((c / total) * math.log2(c / total) for c in counts.values())
+        rec = next(c for c in got if c["attribute_name"] == attr)
+        assert rec["average_token_count"] == round(avg, 6), attr
+        assert rec["weight"] == round(ent, 6), attr
