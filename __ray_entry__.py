@@ -578,6 +578,23 @@ def q_match_crosswise(sf_dir: str):
     return match_crosswise(domain, masked, MatchConfig("dice", 1.0, "crosswise"))
 
 
+def q_match_blocked(sf_dir: str):
+    """Banded-blocking match (stages/match.py match_blocked) — the
+    both-sides-large scale path — driven at threshold 1.0 where recall is
+    exactly 1 (identical vectors agree on every band), so the crosswise
+    equality SQL is a strict oracle for the whole block/verify/dedup
+    pipeline."""
+    from pprl_ray.config import MatchConfig
+    from pprl_ray.stages.match import match_blocked
+
+    masked = _masked_customers(sf_dir).materialize()
+    ids_int = masked.map_batches(
+        lambda b: b.append_column("key_int", pc.cast(b["id"], pa.int64())), batch_format="pyarrow"
+    )
+    domain = ids_int.filter(expr="key_int < 100").drop_columns(["key_int"])
+    return match_blocked(domain, masked, MatchConfig("dice", 1.0, "crosswise"))
+
+
 def q_match_pairwise(sf_dir: str):
     from pprl_ray.config import MatchConfig
     from pprl_ray.stages.match import match_pairwise
@@ -1587,6 +1604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rbf_mask_md5": q_rbf_mask_md5,
         "clkrbf_mask": q_clkrbf_mask,
         "match_crosswise": q_match_crosswise,
+        "match_blocked": q_match_blocked,
         "match_pairwise": q_match_pairwise,
         "exact_distinct_tokens": q_exact_distinct_tokens,
         "corpus_build": q_corpus_build,
@@ -2245,6 +2263,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "date_format": """
             SELECT o_orderkey, strftime(o_orderdate, '%d.%m.%Y') AS order_date FROM orders
+        """,
+        "match_blocked": """
+            SELECT CAST(a.c_custkey AS VARCHAR) AS domain_id,
+                   CAST(b.c_custkey AS VARCHAR) AS range_id,
+                   CAST(1.0 AS DOUBLE) AS similarity
+            FROM customer a JOIN customer b ON a.c_mktsegment = b.c_mktsegment
+            WHERE a.c_custkey < 100
         """,
         "match_crosswise": """
             SELECT CAST(a.c_custkey AS VARCHAR) AS domain_id,

@@ -23,7 +23,7 @@ from ..config import MatchConfig
 from ..functions.similarity import crosswise_similarity, pairwise_similarity
 from .mask import decode_b64_column
 
-__all__ = ["match_crosswise", "match_pairwise", "match_many", "BroadcastMatcher"]
+__all__ = ["match_crosswise", "match_pairwise", "match_blocked", "match_many", "BroadcastMatcher"]
 
 
 class BroadcastMatcher:
@@ -112,6 +112,145 @@ def match_pairwise(domain_ds, range_ds, config: MatchConfig | None = None):
         )
 
     return zipped.map_batches(_match, batch_format="pyarrow")
+
+
+def match_blocked(domain_ds, range_ds, config: MatchConfig | None = None,
+                  bands: int = 16, partitions: int | None = None,
+                  max_bucket: int = 10_000):
+    """Banded blocking for bit-vector matching — the scale path when BOTH
+    sides are large (the reference's crosswise θ-join is all-pairs; a
+    broadcast BNL stops fitting once neither side is broadcastable).
+
+    Candidate pairs agree EXACTLY on at least one of ``bands`` byte-bands
+    of the encoded vector; exact similarity then verifies every candidate.
+    Recall: 1.0 for identical vectors (threshold-1.0 matching); for lower
+    thresholds a true pair is missed only if every band contains a
+    differing bit — the standard LSH-banding trade-off (tune ``bands`` up
+    for recall on near-threshold pairs). ``max_bucket`` caps degenerate
+    buckets (documented truncation, no silent O(n²)).
+
+    Scale shape: one union shuffle of (band, key, id, value) rows
+    co-partitions equal bands; per (band, key-partition) group ONE
+    vectorised merge pairs the sides and ONE vectorised popcount kernel
+    verifies; across-band duplicate pairs collapse with a native Max."""
+    import pandas as pd
+
+    from .partitioning import auto_partitions
+
+    config = config or MatchConfig()
+    if partitions is None:
+        partitions = max(auto_partitions(domain_ds), auto_partitions(range_ds))
+
+    from ..sketches.hashing import splitmix64
+
+    def _explode(side: int):
+        def _f(batch: pa.Table) -> pa.Table:
+            ids = np.asarray([str(v) for v in batch["id"].to_pylist()], dtype=object)
+            mat = decode_b64_column(batch["value"].to_pylist())  # (n, nbytes)
+            n, nbytes = mat.shape
+            bands_eff = min(bands, max(nbytes, 1))
+            bounds = np.linspace(0, nbytes, bands_eff + 1).astype(int)
+            out_band: list[np.ndarray] = []
+            out_key: list[np.ndarray] = []
+            for b in range(bands_eff):
+                sl = mat[:, bounds[b] : bounds[b + 1]].astype(np.uint64)
+                h = np.full(n, np.uint64(b + 1))
+                with np.errstate(over="ignore"):
+                    for c in range(sl.shape[1]):
+                        h = splitmix64(h ^ sl[:, c])
+                out_band.append(np.full(n, b, np.int32))
+                out_key.append(h)
+            band = np.concatenate(out_band) if out_band else np.empty(0, np.int32)
+            key = (
+                np.concatenate(out_key).astype(np.int64)
+                if out_key
+                else np.empty(0, np.int64)
+            )
+            rep = np.tile(np.arange(n), len(out_band))
+            return pa.table(
+                {
+                    "band": pa.array(band, pa.int32()),
+                    "key": pa.array(key, pa.int64()),
+                    "part": pa.array(
+                        (key.astype(np.uint64) % np.uint64(partitions)).astype(np.int32)
+                    ),
+                    "id": pa.array(ids[rep]),
+                    "value": batch["value"].take(pa.array(rep)),
+                    "__side": pa.array(np.full(len(rep), side, np.int8)),
+                }
+            )
+
+        return _f
+
+    both = domain_ds.map_batches(_explode(0), batch_format="pyarrow").union(
+        range_ds.map_batches(_explode(1), batch_format="pyarrow")
+    )
+
+    measure, threshold = config.measure, config.threshold
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = {
+            "domain_id": pd.Series(dtype=object),
+            "range_id": pd.Series(dtype=object),
+            "similarity": pd.Series(dtype=np.float64),
+        }
+        dom = group[group["__side"] == 0]
+        rng = group[group["__side"] == 1]
+        if len(dom) == 0 or len(rng) == 0:
+            return pd.DataFrame(empty)
+        dom = dom[dom.groupby(["band", "key"]).cumcount() < max_bucket].reset_index(drop=True)
+        rng = rng[rng.groupby(["band", "key"]).cumcount() < max_bucket].reset_index(drop=True)
+        left = dom[["band", "key"]].assign(i=np.arange(len(dom)))
+        right = rng[["band", "key"]].assign(j=np.arange(len(rng)))
+        m = left.merge(right, on=["band", "key"])
+        if len(m) == 0:
+            return pd.DataFrame(empty)
+        dmat = decode_b64_column(dom["value"].tolist())
+        rmat = decode_b64_column(rng["value"].tolist())
+        i, j = m["i"].to_numpy(), m["j"].to_numpy()
+        sims = pairwise_similarity(dmat[i], rmat[j], measure)
+        keep = sims >= threshold
+        out = pd.DataFrame(
+            {
+                "domain_id": dom["id"].to_numpy()[i[keep]],
+                "range_id": rng["id"].to_numpy()[j[keep]],
+                "similarity": sims[keep],
+            }
+        )
+        # batch-local dedup of across-band duplicates (cross-part dups are
+        # collapsed by the partitioned reduce below)
+        return out.drop_duplicates(subset=["domain_id", "range_id"])
+
+    pairs = both.groupby("part").map_groups(_pairs, batch_format="pandas")
+
+    # across-part duplicate collapse with the partitioned-vectorized
+    # pattern: ONE pandas groupby-max per partition group. (A native
+    # Max aggregate here pays per-distinct-group overhead — with O(pairs)
+    # distinct keys that dominated the whole pipeline.)
+    def _add_part2(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if batch.num_rows == 0:
+            return batch.append_column("part2", pa.array([], pa.int32()))
+        df = pl.DataFrame(
+            {
+                "a": pl.from_arrow(batch["domain_id"].combine_chunks()),
+                "b": pl.from_arrow(batch["range_id"].combine_chunks()),
+            }
+        )
+        h = df.hash_rows(seed=29).to_numpy()
+        return batch.append_column(
+            "part2", pa.array((h % np.uint64(partitions)).astype(np.int32))
+        )
+
+    def _dedup(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby(["domain_id", "range_id"], as_index=False)["similarity"].max()
+
+    return (
+        pairs.map_batches(_add_part2, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(_dedup, batch_format="pandas")
+    )
 
 
 def match_many(datasets: list, config: MatchConfig | None = None):

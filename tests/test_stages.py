@@ -595,3 +595,38 @@ def test_estimate_weights_vectorized_matches_rowwise_tokenize():
         rec = next(c for c in got if c["attribute_name"] == attr)
         assert rec["average_token_count"] == round(avg, 6), attr
         assert rec["weight"] == round(ent, 6), attr
+
+
+def test_match_blocked_equals_crosswise_at_threshold_one():
+    """Blocked matching must find exactly the crosswise matches when
+    vectors are identical (threshold 1.0: recall is 1 by construction)."""
+    from pprl_ray.stages.match import match_blocked
+
+    ds = mask_entities(
+        transform_entities(_entity_ds(), global_before=[{"name": "normalization"}]), CLK_CONFIG
+    ).materialize()
+    cross = match_crosswise(ds, ds, MatchConfig("dice", 1.0, "crosswise")).to_pandas()
+    blocked = match_blocked(ds, ds, MatchConfig("dice", 1.0, "crosswise"), partitions=4).to_pandas()
+    key = lambda df: sorted(zip(df["domain_id"], df["range_id"], df["similarity"]))
+    assert key(cross) == key(blocked)
+
+
+def test_match_blocked_finds_near_threshold_pairs():
+    """With enough bands, near-identical vectors (dice < 1) still share an
+    unchanged band and are found + exactly verified."""
+    import base64
+
+    from pprl_ray.stages.match import match_blocked
+
+    rng = np.random.default_rng(9)
+    base = (rng.random(1024) < 0.3).astype(np.uint8)
+    near = base.copy(); near[5] ^= 1  # one differing bit
+    far = (rng.random(1024) < 0.3).astype(np.uint8)
+    def b64(bits):
+        return base64.b64encode(np.packbits(bits, bitorder="big").tobytes()).decode()
+    a = rd.from_items([{"id": "a", "value": b64(base)}])
+    b = rd.from_items([{"id": "n", "value": b64(near)}, {"id": "f", "value": b64(far)}])
+    out = match_blocked(a, b, MatchConfig("dice", 0.95, "crosswise"), bands=16, partitions=2).to_pandas()
+    got = dict(zip(out["range_id"], out["similarity"]))
+    assert "n" in got and got["n"] > 0.99
+    assert "f" not in got
