@@ -133,6 +133,39 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     return bucket_join(ds, losers, keys=id_col, join_type="left anti", partitions=partitions)
 
 
+def _dedupe_pair_rows(pairs_ds, value_col: str | None, partitions: int,
+                      value_agg: str = "max"):
+    """Collapse duplicate (id_a, id_b) rows with ONE vectorised pandas
+    groupby per hash partition (equal pairs co-locate). ``value_col`` keeps
+    the ``value_agg`` of that column; None keeps bare pairs."""
+    import polars as pl
+
+    def _part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("part", pa.array([], pa.int32()))
+        df = pl.DataFrame(
+            {
+                "a": pl.from_arrow(batch["id_a"].combine_chunks()),
+                "b": pl.from_arrow(batch["id_b"].combine_chunks()),
+            }
+        )
+        h = df.hash_rows(seed=31).to_numpy()
+        return batch.append_column(
+            "part", pa.array((h % np.uint64(partitions)).astype(np.int32))
+        )
+
+    def _dedup(group: pd.DataFrame) -> pd.DataFrame:
+        if value_col is None:
+            return group.drop_duplicates(subset=["id_a", "id_b"])[["id_a", "id_b"]]
+        return group.groupby(["id_a", "id_b"], as_index=False)[value_col].agg(value_agg)
+
+    return (
+        pairs_ds.map_batches(_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_dedup, batch_format="pandas")
+    )
+
+
 # --- minhash / LSH ---------------------------------------------------------
 
 
@@ -342,19 +375,16 @@ def minhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
     pairs = parted.groupby(["band", "part"]).map_groups(_band_pairs, batch_format="pandas")
 
     if not dedupe_pairs:
-        # caller dedupes (e.g. verify_jaccard_pairs collects the small pair
-        # set anyway) — skipping the groupby saves a whole shuffle
+        # caller dedupes (e.g. verify_jaccard_pairs' buckets absorb band
+        # dups) — skipping the reduce saves a whole shuffle
         return pairs
 
-    # a pair found in multiple bands appears once per band — keep one
-    # (native aggregate: vectorized, no per-group Python)
-    from ray.data.aggregate import Count, Max
-
-    if with_estimates:
-        return pairs.groupby(["id_a", "id_b"]).aggregate(
-            Max("est_jaccard", alias_name="est_jaccard")
-        )
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_bands")).drop_columns(["n_bands"])
+    # a pair found in multiple bands appears once per band — keep one via
+    # the partitioned-vectorized reduce (a native aggregate here pays
+    # per-DISTINCT-group Python over O(pairs) groups)
+    return _dedupe_pair_rows(
+        pairs, "est_jaccard" if with_estimates else None, partitions
+    )
 
 
 def verify_jaccard_pairs(pairs_ds, docs_ds, text_col: str = "text", id_col: str = "doc_id",
@@ -609,9 +639,7 @@ def simhash_candidates(fp_ds, id_col: str = "doc_id", max_hamming: int = 3, max_
         )
 
     pairs = parted.groupby(["band", "part"]).map_groups(_pairs, batch_format="pandas")
-    from ray.data.aggregate import Min
-
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    return _dedupe_pair_rows(pairs, "hamming", partitions, value_agg="min")
 
 
 # --- cluster collapse ------------------------------------------------------

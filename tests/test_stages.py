@@ -256,8 +256,10 @@ def test_lang_id_accuracy(sf_dir):
             {"text": "这是一个中文句子 用来测试语言识别"},
         ]
     )
-    preds = probe.map_batches(LangIdStage, batch_format="pyarrow", concurrency=1).to_pandas()["lang_pred"].tolist()
-    assert preds == ["en", "de", "es", "fr", "zh"]
+    pred_df = probe.map_batches(LangIdStage, batch_format="pyarrow", concurrency=1).to_pandas()
+    # Ray does not preserve block order — key predictions by text
+    by_text = dict(zip(pred_df["text"], pred_df["lang_pred"]))
+    assert [by_text[r["text"]] for r in probe.take_all()] == ["en", "de", "es", "fr", "zh"]
 
 
 def test_text_stats_and_fingerprints(sf_dir):
