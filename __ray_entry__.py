@@ -980,7 +980,7 @@ def q_attribute_stats(sf_dir: str):
     per attribute, the mean padded-2-gram token-set size and the Shannon
     entropy of the global token counts."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Mean
+    from ray.data.aggregate import Mean
 
     from pprl_ray.functions.qgram import tokenize
 
@@ -1014,8 +1014,25 @@ def q_attribute_stats(sf_dir: str):
     avg = rows.filter(expr="is_first == True").groupby("attribute").aggregate(
         Mean("n_tokens", alias_name="avg_tokens")
     )
-    # entropy over global token counts (each entity's token SET counted once)
-    counts = rows.groupby(["attribute", "token"]).aggregate(Count(alias_name="c"))
+    # entropy over global token counts (each entity's token SET counted
+    # once); partitioned-vectorized count — O(vocab) distinct groups would
+    # pay per-group Python in a native aggregate
+
+    def _tok_part(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        h = pl.from_arrow(batch["token"].combine_chunks()).hash(seed=53).to_numpy()
+        return batch.append_column("part", pa.array((h % np.uint64(64)).astype(np.int32)))
+
+    def _tok_count(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby(["attribute", "token"], as_index=False).size()
+        return out.rename(columns={"size": "c"})
+
+    counts = (
+        rows.map_batches(_tok_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_tok_count, batch_format="pandas")
+    )
 
     def _entropy(g: pd.DataFrame) -> pd.DataFrame:
         c = g["c"].to_numpy().astype(np.float64)
@@ -1157,7 +1174,6 @@ def q_shipping_priority(sf_dir: str):
     pruning at every read; the big lineitem table streams and never
     shuffles raw — only (orderkey, partial revenue) rows aggregate."""
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     from pprl_ray.stages.join import broadcast_join
 
@@ -1196,8 +1212,19 @@ def q_shipping_priority(sf_dir: str):
         keys="l_orderkey",
         right_keys="o_orderkey",
     )
-    agg = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(
-        Sum("rev_u", alias_name="rev_u")
+    # per-order revenue with the partitioned-vectorized reduce: distinct
+    # groups are O(orders), where a native Sum pays per-group Python
+    def _ord_part(b: pa.Table) -> pa.Table:
+        part = (b["l_orderkey"].to_numpy() % np.int64(64)).astype(np.int32)
+        return b.append_column("part", pa.array(part))
+
+    def _ord_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["l_orderkey", "o_orderdate"], as_index=False)["rev_u"].sum()
+
+    agg = (
+        joined.map_batches(_ord_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_ord_sum, batch_format="pandas")
     )
     top = agg.map_batches(
         lambda b: pa.table(

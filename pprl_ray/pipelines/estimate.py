@@ -29,7 +29,7 @@ def estimate_attribute_weights(
     """Returns the reference's ``WeightedAttributeConfig`` list:
     ``[{attribute_name, weight (= ngram entropy), average_token_count}]``,
     sorted by attribute name."""
-    from ray.data.aggregate import Mean, Sum
+    from ray.data.aggregate import Mean
 
     cols = attribute_columns
     pad = (token_size - 1) * padding
@@ -99,10 +99,26 @@ def estimate_attribute_weights(
         .aggregate(Mean("n", alias_name="average_token_count"))
         .to_pandas()
     )
+    # partitioned-vectorized token-count sum: native aggregates pay
+    # ~0.3 ms of Python per DISTINCT (attribute, token) group — O(vocab)
+    # groups would dominate at scale
+    def _part(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if batch.num_rows == 0:
+            return batch.append_column("part", pa.array([], pa.int32()))
+        h = pl.from_arrow(batch["token"].combine_chunks()).hash(seed=47).to_numpy()
+        return batch.append_column("part", pa.array((h % np.uint64(64)).astype(np.int32)))
+
+    def _sum(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby(["attribute", "token"], as_index=False)["n"].sum()
+        return out.rename(columns={"n": "c"})
+
     token_counts = (
         rows.filter(expr="kind == 't'")
-        .groupby(["attribute", "token"])
-        .aggregate(Sum("n", alias_name="c"))
+        .map_batches(_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_sum, batch_format="pandas")
     )
 
     def _entropy(g: pd.DataFrame) -> pd.DataFrame:

@@ -657,14 +657,14 @@ def connected_components_collapse(pairs_ds, max_rounds: int = 30, partitions: in
     makes min labels travel AGAINST pointer direction too (pure pointer
     jumping is wrong on e.g. a star 1-6, 5-6: node 5 never learns 1).
 
-    Scale shape: everything is either a native partial+final aggregate
-    (Min/Max/Sum — vectorized, no per-group Python) or ONE co-partitioned
-    hash-bucket lookup join per round (union shuffle of compact
-    (key, node) / (key, label) rows, vectorized ``pyarrow.Table.join``
-    per bucket). Nothing materializes on the driver; per-round cost is
+    Scale shape: per round, ONE co-partitioned hash-bucket lookup join
+    (union shuffle of compact (key, node) / (key, label) rows, vectorized
+    ``pyarrow.Table.join`` per bucket) plus ONE partitioned-vectorized
+    min/max reduce (hash(node) % partitions -> a single pandas groupby per
+    partition group — native aggregates would pay ~0.3 ms of Python per
+    DISTINCT node). Nothing materializes on the driver; per-round cost is
     O(edges + nodes) shuffled bytes."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Max, Min
 
     from .partitioning import auto_partitions
 
@@ -682,17 +682,6 @@ def connected_components_collapse(pairs_ds, max_rounds: int = 30, partitions: in
     # static bidirectional edge table, reused every round
     edges = _compact(pairs_ds.map_batches(_edges, batch_format="pyarrow").materialize())
 
-    def _self_min(batch: pa.Table) -> pa.Table:
-        rep = pc.if_else(pc.less(batch["rep"], batch["node"]), batch["rep"], batch["node"])
-        return pa.table({"node": batch["node"], "rep": rep})
-
-    labels = _compact(
-        edges.groupby("node")
-        .aggregate(Min("peer", alias_name="rep"))
-        .map_batches(_self_min, batch_format="pyarrow")
-        .materialize()
-    )
-
     def _bucket_of(col, parts: int) -> pa.Array:
         import polars as pl
 
@@ -700,6 +689,21 @@ def connected_components_collapse(pairs_ds, max_rounds: int = 30, partitions: in
             col = col.combine_chunks()
         h = pl.from_arrow(col).hash(seed=89).to_numpy()
         return pa.array((h % np.uint64(parts)).astype(np.int32))
+
+    def _init_min(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("node", as_index=False)["peer"].min()
+        g["rep"] = np.minimum(g["peer"], g["node"])
+        return g[["node", "rep"]]
+
+    labels = _compact(
+        edges.map_batches(
+            lambda b: b.append_column("part", _bucket_of(b["node"], partitions)),
+            batch_format="pyarrow",
+        )
+        .groupby("part")
+        .map_groups(_init_min, batch_format="pandas")
+        .materialize()
+    )
 
     def _requests(batch: pa.Table) -> pa.Table:
         # lookup requests: key -> deliver label(key) to tgt.
@@ -753,13 +757,30 @@ def connected_components_collapse(pairs_ds, max_rounds: int = 30, partitions: in
                 batch_format="pyarrow",
             )
         )
-        # ONE materialize per round: the aggregated table serves as the next
+        # ONE materialize per round: the reduced table serves as the next
         # round's label table directly (_requests/_providers project the
         # spare `old` column away); the changed-count is a cheap second
         # pass over the cached blocks
+        def _min_max(group: pd.DataFrame) -> pd.DataFrame:
+            rep = group.groupby("node", as_index=False)["cand"].min().rename(
+                columns={"cand": "rep"}
+            )
+            # old is null on lookup rows; every node has exactly one
+            # non-null self row (pandas max chokes on None-mixed objects)
+            old = (
+                group.dropna(subset=["old"])
+                .groupby("node", as_index=False)["old"]
+                .max()
+            )
+            return rep.merge(old, on="node")
+
         new_labels = _compact(
-            cands.groupby("node")
-            .aggregate(Min("cand", alias_name="rep"), Max("old", alias_name="old"))
+            cands.map_batches(
+                lambda b: b.append_column("part", _bucket_of(b["node"], partitions)),
+                batch_format="pyarrow",
+            )
+            .groupby("part")
+            .map_groups(_min_max, batch_format="pandas")
             .materialize()
         )
         changed = new_labels.map_batches(
