@@ -982,31 +982,47 @@ def q_attribute_stats(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Mean
 
-    from pprl_ray.functions.qgram import tokenize
-
     attrs = ("c_name", "c_mktsegment")
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=list(attrs))
 
     def _tokens(batch: pa.Table) -> pa.Table:
-        out_attr: list[str] = []
-        out_token: list[str] = []
-        out_ntok: list[int] = []
-        out_is_first: list[bool] = []
+        """Vectorised padded-2-gram explode per attribute (reference
+        tokenize set semantics): one polars pad/slice/unique pass, then
+        per-row set sizes and a first-token flag — no per-row Python."""
+        import polars as pl
+
+        frames = []
         for attr in attrs:
-            for v in batch[attr].to_pylist():
-                toks = sorted(tokenize("" if v is None else str(v), 2, "_"))
-                for i, t in enumerate(toks):
-                    out_attr.append(attr)
-                    out_token.append(t)
-                    out_ntok.append(len(toks))
-                    out_is_first.append(i == 0)
-        return pa.table(
-            {
-                "attribute": pa.array(out_attr, pa.string()),
-                "token": pa.array(out_token, pa.string()),
-                "n_tokens": pa.array(out_ntok, pa.int64()),
-                "is_first": pa.array(out_is_first, pa.bool_()),
-            }
+            col = batch[attr]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            s = pl.from_arrow(col.cast(pa.string())).fill_null("")
+            g = (
+                pl.DataFrame({"row": pl.arange(0, len(s), eager=True), "v": s})
+                .with_columns(("_" + pl.col("v") + "_").alias("p"))
+                .with_columns(pl.int_ranges(0, pl.col("p").str.len_chars() - 1).alias("i"))
+                .explode("i")
+                .with_columns(pl.col("p").str.slice(pl.col("i"), 2).alias("token"))
+                .select(["row", "token"])
+                .unique()
+                .sort(["row", "token"])
+                .with_columns(
+                    pl.len().over("row").alias("n_tokens").cast(pl.Int64),
+                    (pl.int_range(0, pl.len()).over("row") == 0).alias("is_first"),
+                    pl.lit(attr).alias("attribute"),
+                )
+                .select(["attribute", "token", "n_tokens", "is_first"])
+            )
+            frames.append(g)
+        return pl.concat(frames).to_arrow().cast(
+            pa.schema(
+                [
+                    ("attribute", pa.string()),
+                    ("token", pa.string()),
+                    ("n_tokens", pa.int64()),
+                    ("is_first", pa.bool_()),
+                ]
+            )
         )
 
     rows = cust.map_batches(_tokens, batch_format="pyarrow")
