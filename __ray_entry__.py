@@ -134,7 +134,7 @@ def _explode_words(sf_dir: str, keep=("doc_id",)):
     )
 
 
-def _word_counts(sf_dir: str, keys=(), partitions: int = 64):
+def _word_counts(sf_dir: str, keys=(), partitions: int | None = None):
     """Pre-aggregated word counts: counting happens INSIDE map_batches
     (vectorized polars value_counts per batch), so only (keys..., token,
     partial cnt) rows — deduplicated per batch, ~10-20x fewer than raw word
@@ -142,8 +142,15 @@ def _word_counts(sf_dir: str, keys=(), partitions: int = 64):
     vectorized pattern (hash(token) % partitions -> one pandas groupby-sum
     per partition group): Ray's native aggregates pay ~0.3 ms of per-
     DISTINCT-group Python, which would dominate over an O(vocabulary)
-    group count at corpus scale."""
+    group count at corpus scale. The partition count is derived from the
+    input's free parquet metadata (auto_partitions), never a literal."""
+    from pprl_ray.stages.partitioning import auto_partitions
+
     key_list = list(keys)
+    if partitions is None:
+        partitions = auto_partitions(
+            _docs(sf_dir, columns=list(dict.fromkeys(key_list + ["text"])))
+        )
 
     def _partial(batch: pa.Table) -> pa.Table:
         import polars as pl
@@ -982,8 +989,11 @@ def q_attribute_stats(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Mean
 
+    from pprl_ray.stages.partitioning import auto_partitions
+
     attrs = ("c_name", "c_mktsegment")
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=list(attrs))
+    n_parts = auto_partitions(cust)
 
     def _tokens(batch: pa.Table) -> pa.Table:
         """Vectorised padded-2-gram explode per attribute (reference
@@ -1038,7 +1048,7 @@ def q_attribute_stats(sf_dir: str):
         import polars as pl
 
         h = pl.from_arrow(batch["token"].combine_chunks()).hash(seed=53).to_numpy()
-        return batch.append_column("part", pa.array((h % np.uint64(64)).astype(np.int32)))
+        return batch.append_column("part", pa.array((h % np.uint64(n_parts)).astype(np.int32)))
 
     def _tok_count(group: pd.DataFrame) -> pd.DataFrame:
         out = group.groupby(["attribute", "token"], as_index=False).size()

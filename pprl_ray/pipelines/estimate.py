@@ -25,6 +25,7 @@ def estimate_attribute_weights(
     id_column: str = "id",
     token_size: int = 2,
     padding: str = "_",
+    partitions: int | None = None,
 ) -> list[dict]:
     """Returns the reference's ``WeightedAttributeConfig`` list:
     ``[{attribute_name, weight (= ngram entropy), average_token_count}]``,
@@ -50,9 +51,22 @@ def estimate_attribute_weights(
                 pl.DataFrame({"row": pl.arange(0, len(s), eager=True), "v": s})
                 .with_columns((pl.lit(pad) + pl.col("v") + pl.lit(pad)).alias("p"))
                 .with_columns(
-                    pl.int_ranges(0, pl.col("p").str.len_chars() - (token_size - 1)).alias("i")
+                    # len_chars() is UInt32: cast before subtracting and clamp
+                    # at 0 so a padded value shorter than the q-gram (reachable
+                    # with padding="") yields zero tokens instead of a ~2^32
+                    # underflowed range that panics the polars kernel.
+                    pl.int_ranges(
+                        0,
+                        pl.max_horizontal(
+                            pl.lit(0, dtype=pl.Int64),
+                            pl.col("p").str.len_chars().cast(pl.Int64) - (token_size - 1),
+                        ),
+                    ).alias("i")
                 )
                 .explode("i")
+                # zero-token rows explode to one null slot — drop them here;
+                # the sizes frame re-adds them as n=0 via the all_pairs join
+                .drop_nulls("i")
                 .with_columns(pl.col("p").str.slice(pl.col("i"), token_size).alias("token"))
                 .select(["row", "token"])
                 .unique()
@@ -67,9 +81,18 @@ def estimate_attribute_weights(
         use = cols if cols is not None else [c for c in batch.column_names if c != id_column]
         g = _qgram_frame(batch, use)
         token_counts = g.group_by(["attribute", "token"]).len(name="n")
+        # every (attribute, row) pair — zero-token rows (empty value with
+        # padding="") must still count as size 0 in average_token_count
+        all_pairs = pl.DataFrame({"attribute": pl.Series(use, dtype=pl.String)}).join(
+            pl.DataFrame({"row": pl.int_range(0, batch.num_rows, eager=True)}), how="cross"
+        )
         sizes = (
-            g.group_by(["attribute", "row"])
-            .len(name="n")
+            all_pairs.join(
+                g.group_by(["attribute", "row"]).len(name="n"),
+                on=["attribute", "row"],
+                how="left",
+            )
+            .with_columns(pl.col("n").fill_null(0).cast(pl.UInt32))
             .select(["attribute", "n"])
             .with_columns(pl.lit("").alias("token"))
         )
@@ -91,6 +114,12 @@ def estimate_attribute_weights(
             )
         )
 
+    from pprl_ray.stages.partitioning import auto_partitions
+
+    # size partitions from the INPUT's free metadata (token partials are a
+    # compressed view of it, so this over-provisions safely); never a literal
+    n_parts = partitions if partitions is not None else auto_partitions(ds)
+
     rows = ds.map_batches(_partials, batch_format="pyarrow")
 
     avg = (
@@ -108,7 +137,7 @@ def estimate_attribute_weights(
         if batch.num_rows == 0:
             return batch.append_column("part", pa.array([], pa.int32()))
         h = pl.from_arrow(batch["token"].combine_chunks()).hash(seed=47).to_numpy()
-        return batch.append_column("part", pa.array((h % np.uint64(64)).astype(np.int32)))
+        return batch.append_column("part", pa.array((h % np.uint64(n_parts)).astype(np.int32)))
 
     def _sum(group: pd.DataFrame) -> pd.DataFrame:
         out = group.groupby(["attribute", "token"], as_index=False)["n"].sum()

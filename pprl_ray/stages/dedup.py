@@ -404,7 +404,14 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, text_col: str = "text", id_col: str 
     ``pairs_ds`` may contain duplicate rows per pair (e.g. one per matching
     LSH band): all copies of a pair hash to the same verify bucket, where
     one vectorised drop_duplicates absorbs them — cheaper than a dedicated
-    global pair-dedup shuffle."""
+    global pair-dedup shuffle.
+
+    Pairs referencing a doc id ABSENT from ``docs_ds`` are DROPPED (the
+    blob-delivery join is inner): a pair with no shingle blob has no
+    defined Jaccard here, and in the LSH pipeline candidates are generated
+    from the same shingled corpus so the case cannot arise. Callers feeding
+    externally-sourced pairs who want the old emit-0.0 semantics should
+    pre-filter or union the missing pairs back with ``jaccard=0.0``."""
     import polars as pl
     import pyarrow.compute as pc
 

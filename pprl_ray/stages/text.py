@@ -175,10 +175,10 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     sum_wl = n_chars - t.str.count_matches(r"\s").to_numpy().astype(np.int64)
     punct_re = "[" + re.escape("".join(sorted(_PUNCT))) + "]"
     punct = t.str.count_matches(punct_re).to_numpy().astype(np.int64)
-    digits = t.str.count_matches(r"[0-9]").to_numpy().astype(np.int64)
-    # str.isupper() chars: A-Z plus uppercase Latin-1 (matches Python for
-    # the corpus's character ranges)
-    uppers = t.str.count_matches(r"[A-ZÀ-ÖØ-Þ]").to_numpy().astype(np.int64)
+    # Unicode Nd / Lu classes — semantics shared with quality_row_reference
+    # (which uses unicodedata.category), so parity holds beyond ASCII too
+    digits = t.str.count_matches(r"\d").to_numpy().astype(np.int64)
+    uppers = t.str.count_matches(r"\p{Lu}").to_numpy().astype(np.int64)
     stop_hits = (
         words.list.eval(pl.element().str.to_lowercase().is_in(sorted(_STOPWORDS["en"])))
         .list.sum()
@@ -203,20 +203,29 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def quality_row_reference(text: str) -> dict:
-    """Row-at-a-time reference for :func:`quality_batch` (parity tests)."""
+    """Row-at-a-time reference for :func:`quality_batch` (parity tests).
+
+    Digit/uppercase semantics are the Unicode general categories ``Nd`` /
+    ``Lu`` (regex ``\\d`` / ``\\p{Lu}``) — NOT Python's ``str.isdigit`` /
+    ``str.isupper``, which additionally match No-category digit forms like
+    '²' and non-Lu cased letters; the regex classes are what a vectorised
+    engine can evaluate, so they define the operator."""
+    import unicodedata
+
     t = text or ""
     words = t.split()
     stops = _STOPWORDS["en"]
+    cat = unicodedata.category
     return {
         "n_chars_q": len(t),
         "n_words": len(words),
         "mean_word_len": sum(len(w) for w in words) / len(words) if words else 0.0,
         "punct_ratio": sum(1 for c in t if c in _PUNCT) / len(t) if t else 0.0,
-        "digit_ratio": sum(1 for c in t if c.isdigit()) / len(t) if t else 0.0,
+        "digit_ratio": sum(1 for c in t if cat(c) == "Nd") / len(t) if t else 0.0,
         "stopword_ratio": (
             sum(1 for w in words if w.lower() in stops) / len(words) if words else 0.0
         ),
-        "upper_ratio": sum(1 for c in t if c.isupper()) / len(t) if t else 0.0,
+        "upper_ratio": sum(1 for c in t if cat(c) == "Lu") / len(t) if t else 0.0,
     }
 
 
@@ -225,13 +234,83 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     - ``fp_md5``: md5 hex of the lowercased text (exact-dup key,
       SQL-reproducible via DuckDB ``md5(lower(text))``),
     - ``fp_roll``: 64-bit Karp–Rabin rolling hash over words (order
-      sensitive, cheap streaming fingerprint)."""
+      sensitive, cheap streaming fingerprint) — vectorised
+      (:func:`rolling_fingerprint64_batch`); the md5 half is inherently
+      per-string hashlib."""
     texts = batch[text_col].to_pylist()
     md5s = [hashlib.md5((t or "").lower().encode()).hexdigest() for t in texts]
-    rolls = [rolling_fingerprint64(t or "") for t in texts]
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    rolls = rolling_fingerprint64_batch(col)
     return batch.append_column("fp_md5", pa.array(md5s, pa.string())).append_column(
-        "fp_roll", pa.array(np.array(rolls, dtype=np.uint64).astype(np.int64), pa.int64())
+        "fp_roll", pa.array(rolls.astype(np.int64), pa.int64())
     )
+
+
+def _utf8_flat_view(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Zero-copy (data_bytes, starts, ends) view of an Arrow string array's
+    UTF-8 storage (handles string/large_string and sliced arrays)."""
+    if pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return data, offs[:-1], offs[1:]
+
+
+def rolling_fingerprint64_batch(col: pa.Array, base: int = 1_000_003) -> np.ndarray:
+    """Vectorised :func:`rolling_fingerprint64` over an Arrow string column
+    (byte-identical; parity-tested in tests/test_stages.py).
+
+    Shape: one polars pass extracts every word occurrence; word hashes are
+    a Horner fold over the flat UTF-8 byte buffer (numpy loop over byte
+    POSITIONS — bounded by the longest word, not the corpus); the per-doc
+    combine is ``sum(word_hash[i] * base^(n-1-i)) mod 2^64`` evaluated as
+    wrap-around uint64 products + one ``np.add.reduceat`` per batch. No
+    per-row Python."""
+    import polars as pl
+
+    texts = pl.from_arrow(col).fill_null("")
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    words = texts.str.extract_all(r"\S+")  # == str.split() semantics
+    lengths = words.list.len().to_numpy().astype(np.int64)
+    total = int(lengths.sum())
+    out = np.zeros(n, dtype=np.uint64)
+    if total == 0:
+        return out
+    # explode() emits one null slot per empty list; drop_nulls restores
+    # exact (sum(lengths)) alignment in row order
+    flat = words.explode().drop_nulls().to_arrow()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    data, starts, ends = _utf8_flat_view(flat)
+    wlen = ends - starts
+    wh = np.zeros(total, dtype=np.uint64)
+    B131 = np.uint64(131)
+    with np.errstate(over="ignore"):
+        for j in range(int(wlen.max())):
+            mask = wlen > j
+            wh[mask] = wh[mask] * B131 + data[starts[mask] + j].astype(np.uint64)
+        # doc-level Horner: h = sum_i wh_i * base^(len-1-i)  (mod 2^64)
+        offsets = np.concatenate([[0], np.cumsum(lengths)])
+        row_of = np.repeat(np.arange(n), lengths)
+        pos = np.arange(total) - offsets[row_of]
+        max_exp = int((lengths.max() - 1))
+        powers = np.empty(max_exp + 1, dtype=np.uint64)
+        powers[0] = 1
+        b = np.uint64(base)
+        for k in range(1, max_exp + 1):
+            powers[k] = powers[k - 1] * b
+        terms = wh * powers[lengths[row_of] - 1 - pos]
+        nz = lengths > 0
+        out[nz] = np.add.reduceat(terms, offsets[:-1][nz])
+    return out
 
 
 def rolling_fingerprint64(text: str, base: int = 1_000_003) -> int:

@@ -632,3 +632,63 @@ def test_match_blocked_finds_near_threshold_pairs():
     got = dict(zip(out["range_id"], out["similarity"]))
     assert "n" in got and got["n"] > 0.99
     assert "f" not in got
+
+
+def test_rolling_fingerprint_batch_matches_scalar():
+    """Vectorised fp_roll (flat-byte Horner + reduceat) is byte-identical
+    to the scalar Karp-Rabin reference, incl. empties, long docs, unicode,
+    sliced and large_string arrays."""
+    from pprl_ray.stages.text import rolling_fingerprint64, rolling_fingerprint64_batch
+
+    texts = [
+        "hello world foo",
+        "",
+        "  spaced   out  ",
+        "a",
+        "über straße ©",
+        "x" * 500 + " yz",
+        " ".join(f"w{i}" for i in range(300)),
+        "tab\tand\nnewline separated",
+    ]
+    ref = np.array([rolling_fingerprint64(t) for t in texts], dtype=np.uint64)
+    got = rolling_fingerprint64_batch(pa.array(texts, pa.string()))
+    assert (got == ref).all()
+    # large_string + sliced array storage paths
+    sliced = pa.array(texts, pa.large_string()).slice(2, 4)
+    assert (rolling_fingerprint64_batch(sliced) == ref[2:6]).all()
+    # empty batch
+    assert len(rolling_fingerprint64_batch(pa.array([], pa.string()))) == 0
+
+
+def test_quality_unicode_digit_upper_parity():
+    """digit/upper ratios use Unicode Nd / Lu in BOTH the vectorised kernel
+    and the row reference — incl. chars where str.isdigit()/isupper()
+    diverge ('²' is No, 'Ⅰ' is Nl)."""
+    from pprl_ray.stages.text import quality_batch, quality_row_reference
+
+    texts = ["Ab² Ω ᾈ 12", "ΣΑΛΠΙΓΞ", "Ⅰ Ⅱ ٣٤", "", "Įber ŽOO 42."]
+    out = quality_batch(pa.table({"text": pa.array(texts, pa.string())}))
+    for i, t in enumerate(texts):
+        ref = quality_row_reference(t)
+        for k, v in ref.items():
+            assert out[k][i].as_py() == v, (t, k)
+
+
+def test_estimate_weights_short_padded_values():
+    """padding='' with values shorter than the q-gram must yield ZERO
+    tokens for those rows (not a UInt32-underflow panic), and the zero
+    rows still count toward average_token_count."""
+    from pprl_ray.pipelines.estimate import estimate_attribute_weights
+
+    ds = rd.from_items(
+        [
+            {"id": 1, "a": "x", "b": "hello"},
+            {"id": 2, "a": "", "b": "world"},
+            {"id": 3, "a": "yz", "b": ""},
+        ]
+    )
+    res = estimate_attribute_weights(ds, ["a", "b"], token_size=2, padding="")
+    by = {r["attribute_name"]: r for r in res}
+    assert by["a"]["average_token_count"] == round(1 / 3, 6)
+    assert by["b"]["average_token_count"] == round(8 / 3, 6)
+    assert by["a"]["weight"] == 0.0  # single distinct token
