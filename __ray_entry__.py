@@ -1195,20 +1195,22 @@ def q_stratified_sample(sf_dir: str):
 
 def q_shipping_priority(sf_dir: str):
     """TPC-H Q3-shaped 3-table pipeline: BUILDING customers ⋈ their orders
-    (broadcast) ⋈ lineitem (broadcast of the filtered orders), revenue
-    aggregated in exact integer micro-units, deterministic top-10. Column
-    pruning at every read; the big lineitem table streams and never
-    shuffles raw — only (orderkey, partial revenue) rows aggregate."""
+    ⋈ lineitem, revenue aggregated in exact integer micro-units,
+    deterministic top-10. Column pruning at every read. BOTH joins are
+    co-partitioned bucket joins: the build sides (BUILDING customers,
+    their orders) are ~20% of their tables and grow linearly with the
+    dataset, so neither is broadcastable at scale. Raw lineitem rows shuffle
+    once, pre-slimmed to (orderkey, integer revenue)."""
     import ray.data as rd
 
-    from pprl_ray.stages.join import broadcast_join
+    from pprl_ray.stages.join import bucket_join
 
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
     bld = cust.filter(expr="c_mktsegment == 'BUILDING'").drop_columns(["c_mktsegment"])
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
-    b_orders = broadcast_join(orders, bld, keys="o_custkey", right_keys="c_custkey")
+    b_orders = bucket_join(orders, bld, keys="o_custkey", right_keys="c_custkey")
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
@@ -1224,7 +1226,18 @@ def q_shipping_priority(sf_dir: str):
         )
 
     li_rev = li.map_batches(_rev, batch_format="pyarrow")
-    joined = broadcast_join(
+
+    # lineitem ⋈ building-orders: the order side is ~20% of the orders
+    # table — it grows with the dataset, so it is NOT broadcastable;
+    # bucket_join co-partitions both sides in one union shuffle, and the
+    # per-order revenue sum runs INSIDE each bucket (post hook — exact
+    # because a join key never spans buckets), replacing the separate
+    # partitioned reduce the broadcast version needed
+    def _bucket_sum(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby(["l_orderkey", "o_orderdate"], as_index=False)["rev_u"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = bucket_join(
         li_rev,
         b_orders.map_batches(
             lambda b: pa.table(
@@ -1237,32 +1250,27 @@ def q_shipping_priority(sf_dir: str):
         ),
         keys="l_orderkey",
         right_keys="o_orderkey",
+        post=_bucket_sum,
     )
-    # per-order revenue with the partitioned-vectorized reduce: distinct
-    # groups are O(orders), where a native Sum pays per-group Python
-    def _ord_part(b: pa.Table) -> pa.Table:
-        part = (b["l_orderkey"].to_numpy() % np.int64(64)).astype(np.int32)
-        return b.append_column("part", pa.array(part))
 
-    def _ord_sum(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(["l_orderkey", "o_orderdate"], as_index=False)["rev_u"].sum()
+    # partial top-10 per block (any global-top row is in its block's top),
+    # tiny candidate set finishes on the driver — no global sort all-to-all
+    def _partial_top(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["rev_u", "l_orderkey"], ascending=[False, True]).head(10)
 
-    agg = (
-        joined.map_batches(_ord_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(_ord_sum, batch_format="pandas")
+    cands = agg.map_batches(_partial_top, batch_format="pandas").to_pandas()
+    top = (
+        cands.sort_values(["rev_u", "l_orderkey"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
     )
-    top = agg.map_batches(
-        lambda b: pa.table(
-            {
-                "o_orderkey": b["l_orderkey"],
-                "o_orderdate": b["o_orderdate"],
-                "revenue": pc.divide(pc.cast(b["rev_u"], pa.float64()), 1_000_000.0),
-            }
-        ),
-        batch_format="pyarrow",
-    ).sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
-    return top
+    return pd.DataFrame(
+        {
+            "o_orderkey": top["l_orderkey"],
+            "o_orderdate": top["o_orderdate"],
+            "revenue": top["rev_u"].astype(np.float64) / 1_000_000.0,
+        }
+    )
 
 
 def q_heavy_hitters(sf_dir: str):
@@ -1919,6 +1927,71 @@ def _simhash_oracle() -> str:
     """
 
 
+def _sketch_pin_oracles() -> dict[str, str]:
+    """VALUES oracles for the six deterministic sketch queries, pinned from
+    their sf0.01 outputs (pprl_ray/golden/sketch_pins.py, regenerated by
+    scripts/gen_sketch_pins.py). The sketches are seeded and their merged
+    results are bit-reproducible across runs AND num_cpus (HLL/CMS/Bloom
+    merges are exactly order-invariant; KLL/t-digest topology is fixed by
+    deterministic block boundaries — verified at num_cpus=2 vs 32), so a
+    pin is a genuine reproducibility oracle; semantic validity is guarded
+    by the error-bound tests in tests/test_sketches.py. The per-source
+    oracles join the pins against the LIVE distinct sources so row coverage
+    still derives from the data."""
+    from pprl_ray.golden import sketch_pins as sp
+
+    def _rows(pins, fmt):
+        return ",\n                ".join("(" + fmt(r) + ")" for r in pins)
+
+    hll = _rows(sp.PIN_HLL_DISTINCT_TOKENS, lambda r: f"'{r[0]}', {r[1]!r}")
+    cms = _rows(sp.PIN_CMS_TOKEN_COUNTS, lambda r: f"{r[0]}, {r[1]}")
+    kll = _rows(sp.PIN_KLL_NTOK_QUANTILES, lambda r: f"{r[0]!r}, {r[1]!r}")
+    td = _rows(sp.PIN_TDIGEST_NTOK_QUANTILES, lambda r: f"{r[0]!r}, {r[1]!r}")
+    bloom = _rows(sp.PIN_BLOOM_SOURCES, lambda r: f"'{r[0]}', {r[1]}, {r[2]!r}")
+    prof = _rows(sp.PIN_CORPUS_PROFILE, lambda r: f"'{r[0]}', '{r[1]}', {r[2]!r}")
+    return {
+        "hll_distinct_tokens": f"""
+            SELECT s.source AS source, CAST(v.e AS DOUBLE) AS hll_estimate
+            FROM (SELECT DISTINCT source FROM documents) s
+            JOIN (VALUES
+                {hll}
+            ) AS v(source, e) ON s.source = v.source
+        """,
+        "cms_token_counts": f"""
+            SELECT CAST(t AS BIGINT) AS token, CAST(c AS BIGINT) AS cms_estimate
+            FROM (VALUES
+                {cms}
+            ) AS v(t, c)
+        """,
+        "kll_ntok_quantiles": f"""
+            SELECT CAST(q AS DOUBLE) AS q, CAST(v AS DOUBLE) AS kll_value
+            FROM (VALUES
+                {kll}
+            ) AS t(q, v)
+        """,
+        "tdigest_ntok_quantiles": f"""
+            SELECT CAST(q AS DOUBLE) AS q, CAST(v AS DOUBLE) AS tdigest_value
+            FROM (VALUES
+                {td}
+            ) AS t(q, v)
+        """,
+        "bloom_sources": f"""
+            SELECT s.source AS source, CAST(v.b AS BIGINT) AS bits_set,
+                   CAST(v.c AS DOUBLE) AS est_cardinality
+            FROM (SELECT DISTINCT source FROM documents) s
+            JOIN (VALUES
+                {bloom}
+            ) AS v(source, b, c) ON s.source = v.source
+        """,
+        "corpus_profile": f"""
+            SELECT sk AS sketch, k AS key, CAST(e AS DOUBLE) AS estimate
+            FROM (VALUES
+                {prof}
+            ) AS v(sk, k, e)
+        """,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     phonetic_vals = ",\n                ".join(
         "(%s)" % ", ".join(f"'{v}'" for v in row) for row in _PHONETIC_GOLDEN
@@ -2368,6 +2441,7 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(score AS DOUBLE), 4) AS score, rank
             FROM ranked WHERE rank <= 5
         """,
+        **_sketch_pin_oracles(),
     }
 
 

@@ -67,10 +67,30 @@ def tokenize_words_batch(batch: pa.Table, text_col: str = "text", id_col: str = 
 
 def derive_corpus(sf_dir: str, concurrency: int | None = None):
     """Read ``{sf_dir}/documents.parquet`` and derive the corpus table as a
-    streaming Dataset (columns pruned at the read)."""
+    streaming Dataset (columns pruned at the read).
+
+    The read's block count is pinned from the file's OWN metadata (~32 MiB
+    per block, floor 16) rather than the cluster's default parallelism:
+    topology-sensitive consumers (KLL/t-digest merges) are then
+    bit-reproducible across num_cpus, and the block count still scales with
+    the input, not with a literal."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+    from ..stages.partitioning import auto_partitions, free_size_bytes
+
+    path = f"{sf_dir}/documents.parquet"
+    cols = ["doc_id", "text", "source"]
+    size = free_size_bytes(rd.read_parquet(path, columns=cols))
+    if size is not None:
+        ds = rd.read_parquet(
+            path,
+            columns=cols,
+            override_num_blocks=auto_partitions(
+                size_bytes=size, target_bytes=32 << 20, lo=16
+            ),
+        )
+    else:
+        ds = rd.read_parquet(path, columns=cols)
     return ds.map_batches(tokenize_words_batch, batch_format="pyarrow")
 
 

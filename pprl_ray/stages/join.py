@@ -79,7 +79,7 @@ def _multi_hash_partition(batch: pa.Table, key_cols: list[str], partitions: int)
 
 
 def bucket_join(left_ds, right_ds, keys, right_keys=None, join_type: str = "inner",
-                partitions: int | None = None, suffix: str = "_r"):
+                partitions: int | None = None, suffix: str = "_r", post=None):
     """Co-partitioned hash join of two LARGE datasets (neither broadcast).
 
     Both sides are tagged and hash-bucketed by key in ONE union shuffle;
@@ -93,7 +93,13 @@ def bucket_join(left_ds, right_ds, keys, right_keys=None, join_type: str = "inne
     worker; ``partitions`` defaults to input-size-derived
     (:func:`auto_partitions`) so bucket memory stays flat as inputs grow.
     Skewed hot keys concentrate in one bucket — pre-aggregate or salt
-    upstream if a single key's rows exceed a worker."""
+    upstream if a single key's rows exceed a worker.
+
+    ``post``: optional ``pa.Table -> pa.Table`` applied to each bucket's
+    joined table INSIDE the bucket task. Because every row of a join key
+    lands in exactly one bucket, key-local aggregation in ``post`` (e.g. a
+    groupby-sum over the join key) is exact and saves the separate
+    all-to-all a downstream reduce would need."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     right_keys = keys if right_keys is None else (
         [right_keys] if isinstance(right_keys, str) else list(right_keys)
@@ -153,7 +159,8 @@ def bucket_join(left_ds, right_ds, keys, right_keys=None, join_type: str = "inne
         side = group["__side"]
         left = group.filter(pc.equal(side, 0)).select(left_cols)
         right = group.filter(pc.equal(side, 1)).select(keys + right_cols_u)
-        return left.join(right, keys=keys, join_type=join_type)
+        out = left.join(right, keys=keys, join_type=join_type)
+        return post(out) if post is not None else out
 
     return both.groupby("part").map_groups(_join_bucket, batch_format="pyarrow")
 

@@ -26,3 +26,11 @@ def ray_session():
 @pytest.fixture(scope="session")
 def sf_dir():
     return "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def sf001_dir():
+    p = "/root/testdata/sf0.01"
+    if not os.path.isdir(p):
+        pytest.skip("sf0.01 testdata not available")
+    return p

@@ -261,3 +261,24 @@ class TestMGSketch:
         sk.update(np.array([1, 1, 2, 3, 3, 3], dtype=np.int64))
         rt = MGSketch.from_bytes(sk.to_bytes())
         assert rt.counters == sk.counters and rt.total == sk.total and rt.k == sk.k
+
+
+def test_sketch_pins_match_live_requery(ray_session, sf001_dir):
+    """The pinned sf0.01 VALUES oracles (pprl_ray/golden/sketch_pins.py)
+    must equal a live re-run of each sketch query — keeps the pins honest
+    after any kernel change (regenerate via scripts/gen_sketch_pins.py)."""
+    import __ray_entry__ as e
+    from pprl_ray.golden import sketch_pins as sp
+
+    qs = e.queries()
+    for name in (
+        "hll_distinct_tokens",
+        "cms_token_counts",
+        "kll_ntok_quantiles",
+        "tdigest_ntok_quantiles",
+        "bloom_sources",
+        "corpus_profile",
+    ):
+        pin = getattr(sp, f"PIN_{name.upper()}")
+        live = [tuple(r) for r in qs[name](sf001_dir).itertuples(index=False)]
+        assert live == pin, f"{name}: pins stale — regenerate with scripts/gen_sketch_pins.py"
