@@ -522,6 +522,39 @@ def q_rbf_mask_md5(sf_dir: str):
     return _masked_customers(sf_dir, cfg)
 
 
+def q_clk_mask_sha256(sf_dir: str):
+    """CLK masking with sha256 (reference hash algorithm list,
+    `pprl_model/mask.py:36-40`): byte-oracles the digest-DISPATCH path for
+    a second digest family — the kernel destructures only the first 16
+    digest bytes, so the DuckDB replica is the md5 one with
+    ``sha256(...)`` substituted. sha1 (no DuckDB function) stays pinned by
+    the in-process re-derivation oracle in tests/test_encode.py."""
+    from pprl_ray.config import CLKFilter, HashConfig, HashFunctionConfig, MaskConfig
+
+    cfg = MaskConfig(
+        token_size=2,
+        hash=HashConfig(HashFunctionConfig(("sha256",)), "double_hash"),
+        filter=CLKFilter(1024, 5),
+        padding="_",
+    )
+    return _masked_customers(sf_dir, cfg)
+
+
+def q_clk_mask_hardened_sha256(sf_dir: str):
+    """rule_90 + xor_fold hardener chain on the sha256 CLK kernel — the
+    hardener algebra byte-oracled on the second digest family."""
+    from pprl_ray.config import CLKFilter, HashConfig, HashFunctionConfig, MaskConfig
+
+    cfg = MaskConfig(
+        token_size=2,
+        hash=HashConfig(HashFunctionConfig(("sha256",)), "double_hash"),
+        filter=CLKFilter(1024, 5),
+        padding="_",
+        hardeners=({"name": "rule_90"}, {"name": "xor_fold"}),
+    )
+    return _masked_customers(sf_dir, cfg)
+
+
 def q_clk_mask_hardened_md5(sf_dir: str):
     """Hardened CLK masking with an SQL-expressible hardener chain
     (rule_90 circular-neighbor XOR, then xor_fold to 512 bits) on the md5
@@ -1666,14 +1699,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transform_normalize": q_transform_normalize,
         "date_format": q_date_format,
         "phonetic_codes": q_phonetic_codes,
-        "clk_mask": q_clk_mask,
         "clk_mask_md5": q_clk_mask_md5,
+        "clk_mask_sha256": q_clk_mask_sha256,
         "clkrbf_mask_md5": q_clkrbf_mask_md5,
-        "clk_mask_hardened": q_clk_mask_hardened,
         "clk_mask_hardened_md5": q_clk_mask_hardened_md5,
-        "rbf_mask": q_rbf_mask,
+        "clk_mask_hardened_sha256": q_clk_mask_hardened_sha256,
         "rbf_mask_md5": q_rbf_mask_md5,
-        "clkrbf_mask": q_clkrbf_mask,
         "match_crosswise": q_match_crosswise,
         "match_blocked": q_match_blocked,
         "match_pairwise": q_match_pairwise,
@@ -1710,6 +1741,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_pruned": q_knn_ivf_pruned,
         "embedding_near_dup": q_embedding_near_dup,
         "lang_id": q_lang_id,
+        # rows-only entries (sha1 digests / stubbed codec are not
+        # SQL-expressible) LAST: the driver's correctness window records
+        # the first 50 dict entries, so oracle-backed queries go first
+        "clk_mask": q_clk_mask,
+        "clk_mask_hardened": q_clk_mask_hardened,
+        "rbf_mask": q_rbf_mask,
+        "clkrbf_mask": q_clkrbf_mask,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1777,9 +1815,11 @@ def _lang_id_oracle() -> str:
 
 
 def _mask_oracle(raw_expr: str, nbits: int, k: int, rule90_fold: bool = False,
-                 keep_bits: "list[int] | None" = None) -> str:
-    """DuckDB replica of the full mask edge format for md5-based configs:
-    every kernel stage — padded 2-gram tokenize, attribute prepend, md5,
+                 keep_bits: "list[int] | None" = None, digest: str = "md5") -> str:
+    """DuckDB replica of the full mask edge format for md5/sha256 configs:
+    every kernel stage — padded 2-gram tokenize, attribute prepend, digest
+    (``digest``: any DuckDB hex-digest function; the kernel destructures
+    only the FIRST 16 digest bytes, so md5 and sha256 share the replica),
     little-endian ``<iiii`` destructure, the given index-mixing expression,
     negative-flip fold, MSB bit packing, base64 — reproduced in SQL and the
     output compared byte-for-byte. ``rule90_fold`` appends the hardener
@@ -1801,7 +1841,7 @@ def _mask_oracle(raw_expr: str, nbits: int, k: int, rule90_fold: bool = False,
             SELECT DISTINCT id, substring('_' || v || '_', CAST(i AS INT), 2) AS token
             FROM (SELECT id, v, unnest(range(1, length(v) + 2)) AS i FROM ents)
         ),
-        dig AS (SELECT id, md5('c_mktsegment' || token) AS h FROM toks),
+        dig AS (SELECT id, {digest}('c_mktsegment' || token) AS h FROM toks),
         ints AS (
             SELECT id, {le32(1)} AS i0, {le32(9)} AS i1,
                    {le32(17)} AS i2, {le32(25)} AS i3
@@ -2003,6 +2043,12 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_oracle(),
         "simhash": _simhash_oracle(),
         "clk_mask_md5": _mask_oracle("xor(i0, i1) + s.i * xor(i2, i3)", 1024, 5),
+        "clk_mask_sha256": _mask_oracle(
+            "xor(i0, i1) + s.i * xor(i2, i3)", 1024, 5, digest="sha256"
+        ),
+        "clk_mask_hardened_sha256": _mask_oracle(
+            "xor(i0, i1) + s.i * xor(i2, i3)", 1024, 5, rule90_fold=True, digest="sha256"
+        ),
         # CLKRBF sizing: k=ceil(5*4/4)=5, nbits=optimal_size(0.5, 5*10)=73
         # (non-byte-aligned — exercises the partial-byte packing edge)
         "clkrbf_mask_md5": _mask_oracle(
