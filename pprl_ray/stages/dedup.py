@@ -537,22 +537,54 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, text_col: str = "text", id_col: str 
 
 
 def minhash_dedup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
-                        threshold: float = 0.8, **kwargs):
-    """Candidates -> exact verification, one call. The corpus is shingled
-    exactly ONCE (materialized compact (id, shingles) table feeds both the
-    LSH banding and the verification join). Materialized intermediates are
-    block-compacted: shuffle operators pay per-block scheduling overhead,
-    and the upstream read splits small inputs into hundreds of tiny
-    blocks."""
+                        threshold: float = 0.8, persist: str = "memory",
+                        persist_path: str | None = None, **kwargs):
+    """Candidates -> exact verification, one call. The shingled (id,
+    shingles) table feeds BOTH the LSH banding and the verification join;
+    ``persist`` picks how it is shared — the table is comparable in bytes
+    to the corpus itself, so the right mode is a function of scale:
+
+    - ``"memory"`` (default): shingle once, ``materialize()`` into the
+      object store. Fastest at bench scale; at 100 TB this is an
+      object-store-resident copy of the corpus -> spill pressure.
+    - ``"parquet"``: shingle once, ``write_parquet`` the table (to
+      ``persist_path`` or a fresh temp dir), read it back for both
+      consumers. One extra disk round-trip, zero object-store residency —
+      the 100-TB mode. The directory is the caller's to clean up / reuse
+      as a checkpoint.
+    - ``"recompute"``: no sharing — the lazy shingle pipeline runs once
+      per consumer (twice total). No storage cost at all; right when
+      shingling is cheaper than the I/O of persisting.
+
+    Materialized intermediates are block-compacted: shuffle operators pay
+    per-block scheduling overhead, and the upstream read splits small
+    inputs into hundreds of tiny blocks."""
     from .partitioning import compact_blocks
 
-    shingled = compact_blocks(
-        shingle_docs(ds, text_col, id_col, kwargs.get("shingle_n", 3)).materialize()
-    )
+    shingle_n = kwargs.get("shingle_n", 3)
+    lazy = shingle_docs(ds, text_col, id_col, shingle_n)
+    if persist == "memory":
+        shingled = compact_blocks(lazy.materialize())
+        band_input = verify_input = shingled
+    elif persist == "parquet":
+        import tempfile
+
+        import ray.data as rd
+
+        path = persist_path or tempfile.mkdtemp(prefix="minhash_shingles_")
+        lazy.write_parquet(path)
+        band_input = verify_input = rd.read_parquet(path)
+    elif persist == "recompute":
+        band_input = lazy
+        verify_input = shingle_docs(ds, text_col, id_col, shingle_n)
+    else:
+        raise ValueError(f"persist must be memory|parquet|recompute, got {persist!r}")
     kwargs.setdefault("dedupe_pairs", False)  # verify's buckets absorb band dups
-    cands = compact_blocks(minhash_candidates(shingled, text_col, id_col, **kwargs).materialize())
-    return verify_jaccard_pairs(cands, shingled, text_col, id_col,
-                                kwargs.get("shingle_n", 3), threshold)
+    cands = compact_blocks(
+        minhash_candidates(band_input, text_col, id_col, **kwargs).materialize()
+    )
+    return verify_jaccard_pairs(cands, verify_input, text_col, id_col,
+                                shingle_n, threshold)
 
 
 # --- simhash ---------------------------------------------------------------

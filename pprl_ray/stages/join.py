@@ -54,10 +54,21 @@ def broadcast_join(large_ds, small_ds, keys, right_keys=None, join_type: str = "
             f"(got {join_type!r}); right/full outer joins need bucket_join"
         )
     keys = [keys] if isinstance(keys, str) else list(keys)
-    right = pa.concat_tables(
-        [b for b in small_ds.iter_batches(batch_format="pyarrow", batch_size=65536)]
-    ) if hasattr(small_ds, "iter_batches") else small_ds
-    ref = ray.put(right)
+    if hasattr(small_ds, "to_arrow_refs"):
+        # assemble the broadcast table in a WORKER, not through the driver
+        # heap: the dataset's blocks are already in the object store, a
+        # remote task concatenates them and its return ref is the broadcast
+        # handle — the driver never holds a copy
+        refs = small_ds.to_arrow_refs()
+        if refs:
+            _assemble = ray.remote(num_cpus=1)(
+                lambda *tables: pa.concat_tables(tables).combine_chunks()
+            )
+            ref = _assemble.remote(*refs)
+        else:
+            ref = ray.put(small_ds.schema().base_schema.empty_table())
+    else:
+        ref = ray.put(small_ds)
 
     def _join(batch: pa.Table) -> pa.Table:
         rt = ray.get(ref)  # zero-copy from the local object store

@@ -67,13 +67,33 @@ def _materialize_side(ds) -> tuple[np.ndarray, np.ndarray]:
     return np.asarray(ids, dtype=object), decode_b64_column(vals)
 
 
-def match_crosswise(domain_ds, range_ds, config: MatchConfig | None = None, **map_kwargs):
-    """Broadcast block-nested-loop θ-join. ``domain_ds`` must be the smaller
-    side (it is pinned in the object store once via ``ray.put``)."""
+def _broadcast_side_ref(ds):
+    """Assemble the (ids, bit-matrix) broadcast payload in a WORKER from the
+    dataset's existing object-store blocks (``to_arrow_refs``) — the driver
+    heap never holds the decoded side; its remote return ref IS the
+    broadcast handle. Falls back to driver-side :func:`_materialize_side`
+    for non-Dataset inputs."""
     import ray
 
+    if not hasattr(ds, "to_arrow_refs"):
+        return ray.put(_materialize_side(ds))
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return ray.put((np.asarray([], dtype=object), decode_b64_column([])))
+
+    def _assemble(*tables):
+        t = pa.concat_tables(tables)
+        ids = np.asarray([str(v) for v in t["id"].to_pylist()], dtype=object)
+        return ids, decode_b64_column(t["value"].to_pylist())
+
+    return ray.remote(num_cpus=1)(_assemble).remote(*refs)
+
+
+def match_crosswise(domain_ds, range_ds, config: MatchConfig | None = None, **map_kwargs):
+    """Broadcast block-nested-loop θ-join. ``domain_ds`` must be the smaller
+    side (assembled once in a worker, pinned in the object store)."""
     config = config or MatchConfig()
-    domain_ref = ray.put(_materialize_side(domain_ds))
+    domain_ref = _broadcast_side_ref(domain_ds)
     map_kwargs.setdefault("batch_size", 4096)
     return range_ds.map_batches(
         BroadcastMatcher(domain_ref, config.measure, config.threshold),

@@ -132,6 +132,24 @@ def test_minhash_dedup_finds_planted_near_dups():
         assert (f"d{i:03d}", f"dup{i:03d}") in found, (i, found)
     assert (verified["jaccard"] >= 0.7).all()
 
+    # the shingle-persist modes must be result-identical: parquet (the
+    # 100-TB shape — no object-store copy of the corpus) and recompute
+    import tempfile
+
+    key = lambda df: sorted(zip(df["id_a"], df["id_b"], df["jaccard"]))
+    base = key(verified)
+    with tempfile.TemporaryDirectory() as tmp:
+        pq = minhash_dedup_pairs(
+            ds, threshold=0.7, persist="parquet", persist_path=tmp
+        ).to_pandas()
+        assert key(pq) == base
+    rc = minhash_dedup_pairs(ds, threshold=0.7, persist="recompute").to_pandas()
+    assert key(rc) == base
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        minhash_dedup_pairs(ds, persist="bogus")
+
 
 def test_shingles_of_short_docs_ignore_batch_neighbors():
     """Rows with fewer than n words keep one combined hash of their OWN
