@@ -895,18 +895,64 @@ def q_lang_id(sf_dir: str):
 
 
 def q_multimodal_features(sf_dir: str):
+    """REAL decode pipeline: deterministic synthetic 16x16 BMP containers
+    (pure-numpy encoder) -> actor-pool ImageDecodeStage with the pure-numpy
+    24-bpp BMP decoder -> grayscale pixel statistics. Fully deterministic,
+    so the oracle is pinned VALUES (pprl_ray/golden/sketch_pins.py)."""
     import ray.data as rd
 
     from pprl_ray.stages.multimodal import ImageDecodeStage, synth_media_batch
 
-    ds = rd.range(200).map_batches(synth_media_batch, batch_format="pyarrow")
-    out = ds.map_batches(ImageDecodeStage, batch_format="pyarrow", batch_size=64, concurrency=2)
+    ds = rd.range(200).map_batches(
+        lambda b: synth_media_batch(b, media_type="image/bmp"), batch_format="pyarrow"
+    )
+    out = ds.map_batches(
+        ImageDecodeStage,
+        fn_constructor_kwargs={"backend": "bmp"},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
     return out.map_batches(
         lambda b: pa.table(
             {
                 "media_id": b["media_id"],
                 "img_mean": pc.round(b["img_mean"], ndigits=6),
                 "img_entropy8": pc.round(b["img_entropy8"], ndigits=6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_audio_features(sf_dir: str):
+    """REAL audio decode: deterministic synthetic RIFF/WAVE payloads
+    (per-id tone + seeded noise, 16-bit mono PCM) -> actor-pool
+    AudioFeatureStage with the pure-numpy WAV decoder -> RMS /
+    zero-crossing-rate / decoded sample-rate metadata. Deterministic ->
+    pinned-VALUES oracle."""
+    import ray.data as rd
+
+    from pprl_ray.stages.multimodal import AudioFeatureStage, synth_media_batch
+
+    ds = rd.range(200).map_batches(
+        lambda b: synth_media_batch(b, media_type="audio/wav"), batch_format="pyarrow"
+    )
+    out = ds.map_batches(
+        AudioFeatureStage,
+        fn_constructor_kwargs={"backend": "wav"},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "media_id": b["media_id"],
+                "rms": pc.round(b["rms"], ndigits=4),
+                "zero_crossing_rate": pc.round(b["zero_crossing_rate"], ndigits=6),
+                "sample_rate": pc.cast(b["sample_rate"], pa.int64()),
+                "duration_ms": b["duration_ms"],
             }
         ),
         batch_format="pyarrow",
@@ -1741,14 +1787,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_pruned": q_knn_ivf_pruned,
         "embedding_near_dup": q_embedding_near_dup,
         "lang_id": q_lang_id,
-        # rows-only entries (sha1 digests / stubbed codec are not
-        # SQL-expressible) LAST: the driver's correctness window records
-        # the first 50 dict entries, so oracle-backed queries go first
+        "multimodal_features": q_multimodal_features,
+        "audio_features": q_audio_features,
+        # rows-only entries (sha1 digests are not SQL-expressible) LAST:
+        # the driver's correctness window records the first 50 dict
+        # entries, so oracle-backed queries go first
         "clk_mask": q_clk_mask,
         "clk_mask_hardened": q_clk_mask_hardened,
         "rbf_mask": q_rbf_mask,
         "clkrbf_mask": q_clkrbf_mask,
-        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -1989,7 +2036,28 @@ def _sketch_pin_oracles() -> dict[str, str]:
     td = _rows(sp.PIN_TDIGEST_NTOK_QUANTILES, lambda r: f"{r[0]!r}, {r[1]!r}")
     bloom = _rows(sp.PIN_BLOOM_SOURCES, lambda r: f"'{r[0]}', {r[1]}, {r[2]!r}")
     prof = _rows(sp.PIN_CORPUS_PROFILE, lambda r: f"'{r[0]}', '{r[1]}', {r[2]!r}")
+    mm = _rows(sp.PIN_MULTIMODAL_FEATURES, lambda r: f"'{r[0]}', {r[1]!r}, {r[2]!r}")
+    au = _rows(
+        sp.PIN_AUDIO_FEATURES,
+        lambda r: f"'{r[0]}', {r[1]!r}, {r[2]!r}, {r[3]}, {r[4]!r}",
+    )
     return {
+        "multimodal_features": f"""
+            SELECT media_id, CAST(m AS DOUBLE) AS img_mean,
+                   CAST(e AS DOUBLE) AS img_entropy8
+            FROM (VALUES
+                {mm}
+            ) AS v(media_id, m, e)
+        """,
+        "audio_features": f"""
+            SELECT media_id, CAST(r AS DOUBLE) AS rms,
+                   CAST(z AS DOUBLE) AS zero_crossing_rate,
+                   CAST(sr AS BIGINT) AS sample_rate,
+                   CAST(d AS DOUBLE) AS duration_ms
+            FROM (VALUES
+                {au}
+            ) AS v(media_id, r, z, sr, d)
+        """,
         "hll_distinct_tokens": f"""
             SELECT s.source AS source, CAST(v.e AS DOUBLE) AS hll_estimate
             FROM (SELECT DISTINCT source FROM documents) s

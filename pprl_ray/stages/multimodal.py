@@ -1,16 +1,19 @@
-"""Multimodal (image / audio / video) column plumbing.
+"""Multimodal (image / audio / video) column plumbing + pure-numpy codecs.
 
 Media ride as opaque ``large_binary`` payload columns with typed metadata
-(``media_type``, ``width``/``height``/``sample_rate``/``duration_ms``). The
-Ray-side plumbing — schema, actor-pool stage signatures, batch sizing for
-large binary rows, output layout — is real and tested; the actual codec work
-is STUBBED (the image/audio libraries are not available in this container):
+(``media_type``, ``width``/``height``/``sample_rate``/``duration_ms``).
+Backends per stage:
 
-- ``backend="fake"`` (default): a deterministic decode that derives pixel /
-  sample statistics from the payload bytes — stable outputs for tests.
+- ``backend="bmp"`` (images) / ``backend="wav"`` (audio): REAL decoders for
+  the uncompressed containers, implemented in pure numpy from the public
+  format specs (BMP: 24-bpp bottom-up BGR with 4-byte row padding; WAV:
+  RIFF chunks, 16-bit mono PCM) — decode -> feature-extract is a genuine
+  codec pipeline with no extra dependencies.
+- ``backend="fake"`` (default): a deterministic stand-in that derives
+  statistics straight from the payload bytes — stable outputs for tests.
 - ``backend="pil"`` / ``backend="soundfile"``: raise ``NotImplementedError``
-  with a clear message unless the library import succeeds (the intended
-  production path — swap-in, no pipeline change).
+  with a clear message unless the library import succeeds (the compressed-
+  format production path — swap-in, no pipeline change).
 
 Scale note: binary rows are large; stages default to small ``batch_size``
 (256) and ``batch_format="pyarrow"`` so payloads stay zero-copy in the
@@ -20,29 +23,122 @@ object store rather than being copied into pandas objects.
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["ImageDecodeStage", "AudioFeatureStage", "FrameSampleStage", "synth_media_batch"]
+__all__ = [
+    "ImageDecodeStage",
+    "AudioFeatureStage",
+    "FrameSampleStage",
+    "synth_media_batch",
+    "encode_bmp",
+    "decode_bmp",
+    "encode_wav",
+    "decode_wav",
+]
+
+
+# --- pure-numpy codecs ------------------------------------------------------
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> 24-bpp uncompressed BMP bytes (bottom-up BGR
+    rows, 4-byte-aligned), per the public BITMAPINFOHEADER layout."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    bgr = img[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24-bpp uncompressed BMP bytes -> (H, W, 3) uint8 RGB."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    (off,) = struct.unpack_from("<I", data, 10)
+    _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bpp uncompressed BMP supported (bpp={bpp}, comp={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    arr = np.frombuffer(data, np.uint8, count=row_size * h, offset=off).reshape(h, row_size)
+    img = arr[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return img[::-1] if bottom_up else img
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """int16 mono PCM samples -> RIFF/WAVE bytes."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE bytes -> (int16 mono sample array, sample_rate). Walks the
+    chunk list (fmt may not be adjacent to data in arbitrary writers)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", data, pos + 8)
+            if audio_fmt != 1 or channels != 1:
+                raise ValueError("only mono 16-bit PCM WAV supported")
+        elif cid == b"data":
+            samples = np.frombuffer(data, "<i2", count=size // 2, offset=pos + 8)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("WAV payload missing fmt or data chunk")
+    return samples, rate
 
 
 def synth_media_batch(batch: pa.Table, payload_bytes: int = 4096, media_type: str = "image/png") -> pa.Table:
-    """Attach a deterministic fake binary payload to an (id) batch — the
-    test/bench stand-in for real media files."""
+    """Attach a deterministic binary payload to an (id) batch — the
+    test/bench stand-in for real media files.
+
+    ``media_type="image/bmp"`` / ``"audio/wav"`` emit REAL containers
+    (deterministic 16x16 RGB images / 1024-sample PCM tones derived from
+    the id via sha256) so the bmp/wav decode backends exercise a genuine
+    decode; other media types keep the raw sha256-stream payload."""
     ids = batch["id"].to_numpy()
     payloads = []
+    w = h = 16
     for i in ids:
         seed = hashlib.sha256(f"media-{int(i)}".encode()).digest()
-        reps = payload_bytes // len(seed) + 1
-        payloads.append((seed * reps)[:payload_bytes])
+        if media_type == "image/bmp":
+            reps = (w * h * 3) // len(seed) + 1
+            px = np.frombuffer((seed * reps)[: w * h * 3], np.uint8).reshape(h, w, 3)
+            payloads.append(encode_bmp(px))
+        elif media_type == "audio/wav":
+            n = 1024
+            f0 = 100 + (seed[0] % 32) * 25  # per-id tone frequency
+            t = np.arange(n, dtype=np.float64) / 8000.0
+            noise = (
+                np.frombuffer((seed * (n // len(seed) + 1))[:n], np.uint8).astype(np.float64)
+                - 127.5
+            )
+            pcm = (8000 * np.sin(2 * np.pi * f0 * t) + 16 * noise).astype(np.int16)
+            payloads.append(encode_wav(pcm))
+        else:
+            reps = payload_bytes // len(seed) + 1
+            payloads.append((seed * reps)[:payload_bytes])
     return pa.table(
         {
             "media_id": pa.array([f"m-{int(i):010d}" for i in ids], pa.string()),
             "media_type": pa.array([media_type] * len(ids), pa.string()),
             "payload": pa.array(payloads, pa.large_binary()),
-            "width": pa.array(np.full(len(ids), 64, np.int32), pa.int32()),
-            "height": pa.array(np.full(len(ids), 64, np.int32), pa.int32()),
+            "width": pa.array(np.full(len(ids), w if media_type == "image/bmp" else 64, np.int32), pa.int32()),
+            "height": pa.array(np.full(len(ids), h if media_type == "image/bmp" else 64, np.int32), pa.int32()),
         }
     )
 
@@ -57,9 +153,12 @@ def _require(backend: str, lib: str):
 class ImageDecodeStage:
     """Decode + resize + feature-extract an image payload column.
 
-    Output columns: ``img_mean``, ``img_std``, ``img_entropy8`` (byte-level
-    proxies under the fake backend), plus a ``thumb`` fixed-size binary
-    (resized representation)."""
+    Output columns: ``img_mean``, ``img_std``, ``img_entropy8``, plus a
+    ``thumb`` fixed-size binary (t*t grayscale). ``backend="bmp"`` runs the
+    real :func:`decode_bmp` and computes the features over actual pixels
+    (grayscale = integer channel mean), with a nearest-neighbor t*t
+    resize; ``"fake"`` derives the same statistics from the raw payload
+    bytes (deterministic stand-in for tests)."""
 
     def __init__(self, backend: str = "fake", thumb_size: int = 8, payload_col: str = "payload"):
         self.payload_col = payload_col
@@ -69,9 +168,17 @@ class ImageDecodeStage:
                 from PIL import Image  # noqa: F401
             except ImportError:
                 _require("pil", "Pillow")
-        elif backend != "fake":
+        elif backend not in ("fake", "bmp"):
             raise ValueError(f"unknown backend `{backend}`")
         self.backend = backend
+
+    def _gray(self, payload: bytes) -> np.ndarray:
+        """Decoded 2-D grayscale uint8 array for the configured backend."""
+        if self.backend == "bmp":
+            img = decode_bmp(payload)
+            return (img.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
+        # fake: the raw byte stream as a 1-row "image"
+        return np.frombuffer(payload, dtype=np.uint8).reshape(1, -1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].to_pylist()
@@ -81,15 +188,17 @@ class ImageDecodeStage:
         thumbs = []
         t = self.thumb_size
         for i, p in enumerate(payloads):
-            arr = np.frombuffer(p, dtype=np.uint8)
-            means[i] = arr.mean() if len(arr) else 0.0
-            stds[i] = arr.std() if len(arr) else 0.0
-            counts = np.bincount(arr, minlength=256) / max(len(arr), 1)
+            g = self._gray(p) if len(p) else np.zeros((1, 1), np.uint8)
+            flat = g.ravel()
+            means[i] = flat.mean() if len(p) else 0.0
+            stds[i] = flat.std() if len(p) else 0.0
+            counts = np.bincount(flat, minlength=256) / max(flat.size, 1)
             nz = counts[counts > 0]
             ents[i] = float(-(nz * np.log2(nz)).sum())
-            # "resize": stride-sample the byte stream to a t*t grid
-            idx = np.linspace(0, max(len(arr) - 1, 0), t * t).astype(np.int64)
-            thumbs.append(arr[idx].tobytes() if len(arr) else b"\x00" * (t * t))
+            # nearest-neighbor resize to a t*t grayscale thumb
+            yy = np.linspace(0, g.shape[0] - 1, t).astype(np.int64)
+            xx = np.linspace(0, g.shape[1] - 1, t).astype(np.int64)
+            thumbs.append(g[np.ix_(yy, xx)].tobytes() if len(p) else b"\x00" * (t * t))
         out = {name: batch[name] for name in batch.column_names if name != self.payload_col}
         out["img_mean"] = pa.array(means, pa.float64())
         out["img_std"] = pa.array(stds, pa.float64())
@@ -99,8 +208,10 @@ class ImageDecodeStage:
 
 
 class AudioFeatureStage:
-    """Audio payload -> frame-energy features (fake backend treats the byte
-    stream as int8 PCM)."""
+    """Audio payload -> frame-energy features. ``backend="wav"`` runs the
+    real :func:`decode_wav` (RIFF chunks, 16-bit mono PCM) and adds the
+    decoded ``sample_rate`` / ``duration_ms`` metadata; ``"fake"`` treats
+    the byte stream as int8 PCM (deterministic stand-in)."""
 
     def __init__(self, backend: str = "fake", frame: int = 256, payload_col: str = "payload"):
         self.payload_col = payload_col
@@ -110,20 +221,32 @@ class AudioFeatureStage:
                 import soundfile  # noqa: F401
             except ImportError:
                 _require("soundfile", "soundfile")
-        elif backend != "fake":
+        elif backend not in ("fake", "wav"):
             raise ValueError(f"unknown backend `{backend}`")
+        self.backend = backend
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].to_pylist()
         rms = np.empty(len(payloads), np.float64)
         zcr = np.empty(len(payloads), np.float64)
+        rates = np.zeros(len(payloads), np.int32)
+        dur = np.zeros(len(payloads), np.float64)
         for i, p in enumerate(payloads):
-            pcm = np.frombuffer(p, dtype=np.int8).astype(np.float64)
+            if self.backend == "wav":
+                samples, rate = decode_wav(p)
+                pcm = samples.astype(np.float64)
+                rates[i] = rate
+                dur[i] = 1000.0 * len(samples) / rate
+            else:
+                pcm = np.frombuffer(p, dtype=np.int8).astype(np.float64)
             rms[i] = float(np.sqrt((pcm**2).mean())) if len(pcm) else 0.0
             zcr[i] = float((np.diff(np.signbit(pcm)) != 0).mean()) if len(pcm) > 1 else 0.0
         out = {name: batch[name] for name in batch.column_names if name != self.payload_col}
         out["rms"] = pa.array(rms, pa.float64())
         out["zero_crossing_rate"] = pa.array(zcr, pa.float64())
+        if self.backend == "wav":
+            out["sample_rate"] = pa.array(rates, pa.int32())
+            out["duration_ms"] = pa.array(dur, pa.float64())
         return pa.table(out)
 
 

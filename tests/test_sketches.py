@@ -278,7 +278,13 @@ def test_sketch_pins_match_live_requery(ray_session, sf001_dir):
         "tdigest_ntok_quantiles",
         "bloom_sources",
         "corpus_profile",
+        "multimodal_features",
+        "audio_features",
     ):
         pin = getattr(sp, f"PIN_{name.upper()}")
-        live = [tuple(r) for r in qs[name](sf001_dir).itertuples(index=False)]
+        df = qs[name](sf001_dir)
+        if not hasattr(df, "itertuples"):
+            df = df.to_pandas()
+        df = df.sort_values(list(df.columns)[0]).reset_index(drop=True)
+        live = [tuple(r) for r in df.itertuples(index=False)]
         assert live == pin, f"{name}: pins stale — regenerate with scripts/gen_sketch_pins.py"

@@ -710,3 +710,68 @@ def test_estimate_weights_short_padded_values():
     assert by["a"]["average_token_count"] == round(1 / 3, 6)
     assert by["b"]["average_token_count"] == round(8 / 3, 6)
     assert by["a"]["weight"] == 0.0  # single distinct token
+
+
+def test_bmp_codec_roundtrip_and_decode_stage():
+    """Pure-numpy BMP encode/decode roundtrips (incl. padded odd widths);
+    ImageDecodeStage(backend='bmp') computes features over REAL pixels."""
+    from pprl_ray.stages.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(7)
+    for h, w in [(16, 16), (7, 5), (1, 1), (3, 8)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(img)) == img).all(), (h, w)
+    with pytest.raises(ValueError):
+        decode_bmp(b"nonsense")
+
+    # a decoded flat-gray image must yield mean==value, std==0, entropy==0
+    flat = np.full((8, 8, 3), 200, np.uint8)
+    batch = pa.table(
+        {"media_id": pa.array(["x"], pa.string()),
+         "payload": pa.array([encode_bmp(flat)], pa.large_binary())}
+    )
+    out = ImageDecodeStage(backend="bmp")(batch)
+    assert out["img_mean"][0].as_py() == 200.0
+    assert out["img_std"][0].as_py() == 0.0
+    assert out["img_entropy8"][0].as_py() == 0.0
+    assert out["thumb"][0].as_py() == bytes([200]) * 64
+
+
+def test_wav_codec_roundtrip_and_audio_stage():
+    from pprl_ray.stages.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(11)
+    pcm = rng.integers(-32768, 32767, 999).astype(np.int16)  # odd data chunk
+    s, r = decode_wav(encode_wav(pcm, 44100))
+    assert r == 44100 and (s == pcm).all()
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
+
+    # constant full-scale signal: rms == amplitude, zcr == 0
+    const = np.full(8000, 1000, np.int16)
+    batch = pa.table(
+        {"media_id": pa.array(["a"], pa.string()),
+         "payload": pa.array([encode_wav(const, 8000)], pa.large_binary())}
+    )
+    out = AudioFeatureStage(backend="wav")(batch)
+    assert out["rms"][0].as_py() == 1000.0
+    assert out["zero_crossing_rate"][0].as_py() == 0.0
+    assert out["sample_rate"][0].as_py() == 8000
+    assert out["duration_ms"][0].as_py() == 1000.0
+
+
+def test_synth_media_real_containers_decode():
+    """synth_media_batch(image/bmp | audio/wav) emits REAL containers the
+    pure-numpy decoders accept, deterministically per id."""
+    from pprl_ray.stages.multimodal import decode_bmp, decode_wav, synth_media_batch
+
+    ids = pa.table({"id": pa.array(range(5), pa.int64())})
+    bmp = synth_media_batch(ids, media_type="image/bmp")
+    for p in bmp["payload"].to_pylist():
+        assert decode_bmp(p).shape == (16, 16, 3)
+    wav = synth_media_batch(ids, media_type="audio/wav")
+    for p in wav["payload"].to_pylist():
+        s, r = decode_wav(p)
+        assert len(s) == 1024 and r == 8000
+    again = synth_media_batch(ids, media_type="image/bmp")
+    assert bmp["payload"].to_pylist() == again["payload"].to_pylist()
