@@ -24,10 +24,17 @@ import os
 import time
 import zlib
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-__all__ = ["CheckpointedSketchBuild", "CheckpointedProfileBuild", "CheckpointedMapWrite"]
+__all__ = [
+    "CheckpointedSketchBuild",
+    "CheckpointedProfileBuild",
+    "CheckpointedMapWrite",
+    "CheckpointedMinhashDedup",
+    "CheckpointedBlockedMatch",
+]
 
 
 def _partition_id(path: str) -> str:
@@ -396,3 +403,343 @@ def _build_partition(path, sketch_factory, value_col, key_col, transform_batch, 
             n_values += len(col)
     blobs = {k: zlib.compress(v.to_bytes(), 1) for k, v in acc.items()}
     return rows, n_values, blobs, time.time() - start
+
+
+# --- checkpointed pair pipelines (dedup / blocked match) --------------------
+
+
+class _BandedPairCheckpoint:
+    """Shared machinery for resumable LSH-banded PAIR pipelines
+    (minhash near-dup, blocked bit-vector match).
+
+    Two checkpointed stages, both idempotent Ray tasks with the same
+    manifest-LAST atomic layout as the sketch builds above:
+
+    - stage A, per input parquet fragment: the per-row signature table
+      (payload blob + one band-key column per band), persisted as
+      ``{ckpt_dir}/sigs/part-{pid}.parquet``. Deterministic per file.
+    - stage B, per band: bucket rows sharing that band's key, emit
+      candidate pairs (capped at ``max_bucket`` per bucket, documented
+      truncation), verify each candidate EXACTLY from the persisted
+      payloads, persist ``{ckpt_dir}/pairs/band-{b}.parquet``. Bands are
+      independent, so a killed run resumes at band granularity; a pair
+      found by several bands verifies to the same score and collapses in
+      the final merge.
+
+    The final merge reads only the (tiny) verified pair files. Outputs are
+    sorted, so an interrupted+resumed run is byte-identical to an
+    uninterrupted one (tested). Stage-B tasks read per-band key columns
+    first and then fetch payloads ONLY for candidate ids via parquet
+    filters — at scale, keep sig files sorted by id so row-group pruning
+    makes the fetch sublinear."""
+
+    def __init__(self, ckpt_dir: str, bands: int):
+        self.ckpt_dir = ckpt_dir
+        self.bands = bands
+        for sub in ("sigs", "pairs", "manifests"):
+            os.makedirs(os.path.join(ckpt_dir, sub), exist_ok=True)
+
+    # -- manifest/paths ------------------------------------------------------
+
+    def _mpath(self, name: str) -> str:
+        return os.path.join(self.ckpt_dir, "manifests", f"{name}.json")
+
+    def _sig_path(self, pid: str) -> str:
+        return os.path.join(self.ckpt_dir, "sigs", f"part-{pid}.parquet")
+
+    def _band_path(self, b: int) -> str:
+        return os.path.join(self.ckpt_dir, "pairs", f"band-{b:03d}.parquet")
+
+    @staticmethod
+    def _sha(path: str) -> str:
+        with open(path, "rb") as f:
+            return hashlib.sha256(f.read()).hexdigest()
+
+    def _write_manifest(self, name: str, payload: dict) -> None:
+        tmp = self._mpath(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, self._mpath(name))  # manifest LAST
+
+    def _valid(self, name: str, out_path: str, lineage: dict) -> bool:
+        mpath = self._mpath(name)
+        if not (os.path.exists(mpath) and os.path.exists(out_path)):
+            return False
+        try:
+            m = json.load(open(mpath))
+            return all(m.get(k) == v for k, v in lineage.items()) and (
+                m["output_sha256"] == self._sha(out_path)
+            )
+        except Exception:
+            return False
+
+    # -- driver --------------------------------------------------------------
+
+    def run(self, input_paths, max_stage_a: int | None = None,
+            max_bands: int | None = None):
+        """Build or resume; returns the merged verified-pair pa.Table.
+        ``max_stage_a`` / ``max_bands`` bound how much PENDING work this
+        call does (kill/resume testing); raises while work remains."""
+        import ray
+
+        pend_a = [
+            p for p in input_paths
+            if not self._valid(
+                f"sig-{_partition_id(p)}", self._sig_path(_partition_id(p)),
+                {"input_path": p},
+            )
+        ]
+        if max_stage_a is not None:
+            pend_a = pend_a[:max_stage_a]
+        task_a = ray.remote(type(self)._stage_a)
+        futs = {p: task_a.remote(self, p, self._sig_path(_partition_id(p)) + ".tmp")
+                for p in pend_a}
+        for p, fut in futs.items():
+            rows, wall = ray.get(fut)
+            pid = _partition_id(p)
+            os.replace(self._sig_path(pid) + ".tmp", self._sig_path(pid))
+            self._write_manifest(
+                f"sig-{pid}",
+                {"input_path": p, "rows": rows, "wall_sec": round(wall, 4),
+                 "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
+                 "output_sha256": self._sha(self._sig_path(pid)),
+                 "completed_at": time.time()},
+            )
+        done_a = [
+            p for p in input_paths
+            if self._valid(f"sig-{_partition_id(p)}",
+                           self._sig_path(_partition_id(p)), {"input_path": p})
+        ]
+        if len(done_a) < len(input_paths):
+            raise RuntimeError(
+                f"{len(input_paths) - len(done_a)} signature partitions still "
+                "pending; rerun to resume"
+            )
+
+        sig_paths = sorted(self._sig_path(_partition_id(p)) for p in input_paths)
+        sig_lineage = {"sig_files": [os.path.basename(s) for s in sig_paths]}
+        pend_b = [
+            b for b in range(self.bands)
+            if not self._valid(f"band-{b:03d}", self._band_path(b), sig_lineage)
+        ]
+        if max_bands is not None:
+            pend_b = pend_b[:max_bands]
+        task_b = ray.remote(type(self)._stage_b)
+        futs_b = {b: task_b.remote(self, b, sig_paths, self._band_path(b) + ".tmp")
+                  for b in pend_b}
+        for b, fut in futs_b.items():
+            n_pairs, wall = ray.get(fut)
+            os.replace(self._band_path(b) + ".tmp", self._band_path(b))
+            self._write_manifest(
+                f"band-{b:03d}",
+                {**sig_lineage, "band": b, "n_pairs": n_pairs,
+                 "wall_sec": round(wall, 4),
+                 "output_sha256": self._sha(self._band_path(b)),
+                 "completed_at": time.time()},
+            )
+        done_b = [
+            b for b in range(self.bands)
+            if self._valid(f"band-{b:03d}", self._band_path(b), sig_lineage)
+        ]
+        if len(done_b) < self.bands:
+            raise RuntimeError(
+                f"{self.bands - len(done_b)} band partitions still pending; "
+                "rerun to resume"
+            )
+        return self._merge()
+
+    def _merge(self) -> pa.Table:
+        tables = [pq.read_table(self._band_path(b)) for b in range(self.bands)]
+        df = pa.concat_tables(tables).to_pandas()
+        id_cols = list(df.columns[:2])
+        df = (
+            df.drop_duplicates(subset=id_cols)
+            .sort_values(list(df.columns))
+            .reset_index(drop=True)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+
+class CheckpointedMinhashDedup(_BandedPairCheckpoint):
+    """Resumable MinHash+LSH near-dup over parquet document fragments:
+    per-file (shingles, band-key) signature checkpoints, per-band verified
+    pair checkpoints, exact-Jaccard verification from the persisted shingle
+    blobs. Semantics match ``stages/dedup.py`` minhash_dedup_pairs (same
+    shingle/signature/band kernels, same ``max_bucket`` truncation)."""
+
+    def __init__(self, ckpt_dir: str, threshold: float = 0.8, k: int = 128,
+                 bands: int = 16, shingle_n: int = 3, max_bucket: int = 200,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 batch_size: int = 8192):
+        super().__init__(ckpt_dir, bands)
+        self.threshold = threshold
+        self.k = k
+        self.shingle_n = shingle_n
+        self.max_bucket = max_bucket
+        self.id_col = id_col
+        self.text_col = text_col
+        self.batch_size = batch_size
+
+    def _stage_a(self, path: str, out_tmp: str):
+        from ..sketches.lsh import band_keys, minhash_signatures
+        from ..stages.dedup import shingle_tokens
+
+        start = time.time()
+        pf = pq.ParquetFile(path)
+        parts = []
+        for rb in pf.iter_batches(batch_size=self.batch_size,
+                                  columns=[self.id_col, self.text_col]):
+            batch = pa.Table.from_batches([rb])
+            sh = shingle_tokens(batch, self.text_col, self.shingle_n)
+            sigs = minhash_signatures(sh, self.k)
+            bks = band_keys(sigs, self.bands)  # (rows, bands)
+            cols = {
+                "id": batch[self.id_col],
+                "shingles": pa.array([s.tobytes() for s in sh], pa.large_binary()),
+            }
+            for b in range(self.bands):
+                cols[f"bk{b}"] = pa.array(bks[:, b].astype(np.int64), pa.int64())
+            parts.append(pa.table(cols))
+        out = pa.concat_tables(parts)
+        pq.write_table(out, out_tmp)
+        return out.num_rows, time.time() - start
+
+    def _stage_b(self, b: int, sig_paths, out_tmp: str):
+        import pandas as pd
+
+        start = time.time()
+        key_tbl = pa.concat_tables(
+            [pq.read_table(p, columns=["id", f"bk{b}"]) for p in sig_paths]
+        )
+        df = key_tbl.to_pandas().rename(columns={f"bk{b}": "bk"})
+        df = df.sort_values(["bk", "id"]).reset_index(drop=True)
+        df = df[df.groupby("bk").cumcount() < self.max_bucket]
+        m = df.merge(df, on="bk", suffixes=("_a", "_b"))
+        m = m[m["id_a"] < m["id_b"]][["id_a", "id_b"]].drop_duplicates()
+        if len(m) == 0:
+            out = pa.table({"id_a": pa.array([], key_tbl["id"].type),
+                            "id_b": pa.array([], key_tbl["id"].type),
+                            "jaccard": pa.array([], pa.float64())})
+            pq.write_table(out, out_tmp)
+            return 0, time.time() - start
+        need = sorted(set(m["id_a"]).union(m["id_b"]))
+        blobs = {}
+        for p in sig_paths:  # candidate ids only: parquet-filtered fetch
+            t = pq.read_table(p, columns=["id", "shingles"],
+                              filters=[("id", "in", need)])
+            blobs.update(zip(t["id"].to_pylist(), t["shingles"].to_pylist()))
+        sims = np.empty(len(m), np.float64)
+        for i, (a, c) in enumerate(zip(m["id_a"], m["id_b"])):
+            sa = np.frombuffer(blobs[a], dtype=np.uint64)
+            sb = np.frombuffer(blobs[c], dtype=np.uint64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            sims[i] = inter / union if union else 1.0
+        out_df = m.assign(jaccard=sims)
+        out_df = out_df[out_df["jaccard"] >= self.threshold].sort_values(
+            ["id_a", "id_b"]
+        )
+        pq.write_table(pa.Table.from_pandas(out_df, preserve_index=False), out_tmp)
+        return len(out_df), time.time() - start
+
+
+class CheckpointedBlockedMatch(_BandedPairCheckpoint):
+    """Resumable banded bit-vector matching over parquet (id, value[b64])
+    fragments of BOTH sides: per-file band-key signature checkpoints,
+    per-band exact-similarity-verified pair checkpoints. Semantics match
+    ``stages/match.py`` match_blocked (same byte-band splitmix keys, same
+    per-bucket-per-side ``max_bucket`` cap)."""
+
+    def __init__(self, ckpt_dir: str, measure: str = "dice", threshold: float = 0.8,
+                 bands: int = 16, max_bucket: int = 10_000, batch_size: int = 8192):
+        super().__init__(ckpt_dir, bands)
+        self.measure = measure
+        self.threshold = threshold
+        self.max_bucket = max_bucket
+        self.batch_size = batch_size
+
+    def run(self, domain_paths, range_paths, **kw):
+        """Input fragments of both sides; side is recorded per signature
+        file so band tasks can pair domain x range."""
+        overlap = set(domain_paths) & set(range_paths)
+        if overlap:
+            raise ValueError(
+                f"domain and range share input files {sorted(overlap)[:3]}; "
+                "for self-matching, write the side to two distinct paths "
+                "(partition ids are derived from the path)"
+            )
+        self._side_of = {p: 0 for p in domain_paths}
+        self._side_of.update({p: 1 for p in range_paths})
+        return super().run(list(domain_paths) + list(range_paths), **kw)
+
+    def _stage_a(self, path: str, out_tmp: str):
+        from ..sketches.hashing import splitmix64
+        from ..stages.mask import decode_b64_column
+
+        side = self._side_of[path]
+        start = time.time()
+        pf = pq.ParquetFile(path)
+        parts = []
+        for rb in pf.iter_batches(batch_size=self.batch_size, columns=["id", "value"]):
+            batch = pa.Table.from_batches([rb])
+            ids = [str(v) for v in batch["id"].to_pylist()]
+            mat = decode_b64_column(batch["value"].to_pylist())
+            n, nbytes = mat.shape
+            bands_eff = min(self.bands, max(nbytes, 1))
+            bounds = np.linspace(0, nbytes, bands_eff + 1).astype(int)
+            cols = {
+                "id": pa.array(ids, pa.string()),
+                "value": batch["value"],
+                "side": pa.array(np.full(n, side, np.int8)),
+            }
+            for b in range(self.bands):
+                eb = b % bands_eff  # same band layout as match_blocked
+                sl = mat[:, bounds[eb] : bounds[eb + 1]].astype(np.uint64)
+                h = np.full(n, np.uint64(eb + 1))
+                with np.errstate(over="ignore"):
+                    for c in range(sl.shape[1]):
+                        h = splitmix64(h ^ sl[:, c])
+                cols[f"bk{b}"] = pa.array(h.astype(np.int64), pa.int64())
+            parts.append(pa.table(cols))
+        out = pa.concat_tables(parts)
+        pq.write_table(out, out_tmp)
+        return out.num_rows, time.time() - start
+
+    def _stage_b(self, b: int, sig_paths, out_tmp: str):
+        from ..functions.similarity import pairwise_similarity
+        from ..stages.mask import decode_b64_column
+
+        start = time.time()
+        key_tbl = pa.concat_tables(
+            [pq.read_table(p, columns=["id", "side", f"bk{b}"]) for p in sig_paths]
+        )
+        df = key_tbl.to_pandas().rename(columns={f"bk{b}": "bk"})
+        df = df.sort_values(["bk", "side", "id"]).reset_index(drop=True)
+        df = df[df.groupby(["bk", "side"]).cumcount() < self.max_bucket]
+        dom = df[df["side"] == 0][["id", "bk"]]
+        rng = df[df["side"] == 1][["id", "bk"]]
+        m = dom.merge(rng, on="bk", suffixes=("_d", "_r"))[["id_d", "id_r"]]
+        m = m.drop_duplicates()
+        empty = pa.table({"domain_id": pa.array([], pa.string()),
+                          "range_id": pa.array([], pa.string()),
+                          "similarity": pa.array([], pa.float64())})
+        if len(m) == 0:
+            pq.write_table(empty, out_tmp)
+            return 0, time.time() - start
+        need = sorted(set(m["id_d"]).union(m["id_r"]))
+        vals = {}
+        for p in sig_paths:
+            t = pq.read_table(p, columns=["id", "side", "value"],
+                              filters=[("id", "in", need)])
+            for i, s, v in zip(t["id"].to_pylist(), t["side"].to_pylist(),
+                               t["value"].to_pylist()):
+                vals[(s, i)] = v
+        dmat = decode_b64_column([vals[(0, i)] for i in m["id_d"]])
+        rmat = decode_b64_column([vals[(1, i)] for i in m["id_r"]])
+        sims = pairwise_similarity(dmat, rmat, self.measure)
+        keep = sims >= self.threshold
+        out_df = m[keep].assign(similarity=sims[keep]).rename(
+            columns={"id_d": "domain_id", "id_r": "range_id"}
+        ).sort_values(["domain_id", "range_id"])
+        pq.write_table(pa.Table.from_pandas(out_df, preserve_index=False), out_tmp)
+        return len(out_df), time.time() - start

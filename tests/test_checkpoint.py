@@ -180,3 +180,119 @@ def test_checkpointed_map_write_resumes_byte_identical(ray_session, tmp_path):
     assert digest(str(out_a)) == digest(str(out_b))
     total = pq.read_table(str(out_a))
     assert total.num_rows == 4000 and "v2" in total.column_names
+
+
+@pytest.fixture
+def doc_files(tmp_path):
+    """4 parquet fragments with planted near-duplicates across fragments."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    paths = []
+    docs = []
+    for i in range(40):
+        text = " ".join(rng.choice(words, 60))
+        docs.append({"doc_id": i, "text": text})
+        if i < 6:  # near-dup lands in a LATER fragment than its original
+            mutated = text.split()
+            mutated[7] = "changed"
+            docs.append({"doc_id": i + 1000, "text": " ".join(mutated)})
+    for part in range(4):
+        chunk = docs[part::4]
+        p = str(tmp_path / f"docs-{part:04d}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([d["doc_id"] for d in chunk], pa.int64()),
+                    "text": pa.array([d["text"] for d in chunk], pa.string()),
+                }
+            ),
+            p,
+        )
+        paths.append(p)
+    return paths
+
+
+def test_checkpointed_minhash_dedup_resumes_byte_identical(doc_files, tmp_path):
+    """Kill after 2 signature partitions, resume; kill again after 5 bands,
+    resume — the final pair table is byte-identical to an uninterrupted
+    run, and every planted cross-fragment near-dup is found."""
+    from pprl_ray.state.checkpoint import CheckpointedMinhashDedup
+
+    kw = dict(threshold=0.7, bands=8, k=64)
+    full = CheckpointedMinhashDedup(str(tmp_path / "ck_full"), **kw).run(doc_files)
+
+    resumed_dir = str(tmp_path / "ck_resume")
+    with pytest.raises(RuntimeError, match="signature partitions still pending"):
+        CheckpointedMinhashDedup(resumed_dir, **kw).run(doc_files, max_stage_a=2)
+    with pytest.raises(RuntimeError, match="band partitions still pending"):
+        CheckpointedMinhashDedup(resumed_dir, **kw).run(doc_files, max_bands=5)
+    resumed = CheckpointedMinhashDedup(resumed_dir, **kw).run(doc_files)
+
+    assert full.equals(resumed)  # byte-identical pair table
+    found = set(zip(full["id_a"].to_pylist(), full["id_b"].to_pylist()))
+    for i in range(6):
+        assert (i, i + 1000) in found, (i, found)
+
+    # lineage: band manifests record the signature files they read
+    m = json.load(open(os.path.join(resumed_dir, "manifests", "band-000.json")))
+    assert len(m["sig_files"]) == 4 and m["output_sha256"]
+
+
+def test_checkpointed_blocked_match_resumes_and_matches_live(doc_files, tmp_path):
+    """Blocked-match checkpoints: resume is byte-identical, and the result
+    equals the live match_blocked pipeline on the same masked inputs."""
+    import base64
+
+    import numpy as np
+    import ray.data as rd
+
+    from pprl_ray.config import MatchConfig
+    from pprl_ray.stages.match import match_blocked
+    from pprl_ray.state.checkpoint import CheckpointedBlockedMatch
+
+    rng = np.random.default_rng(13)
+    base_vecs = (rng.random((30, 1024)) < 0.3).astype(np.uint8)
+
+    def b64(bits):
+        return base64.b64encode(np.packbits(bits, bitorder="big").tobytes()).decode()
+
+    dom_rows = [{"id": f"d{i:02d}", "value": b64(base_vecs[i])} for i in range(30)]
+    # range: 10 exact copies + 20 random
+    rng_vecs = base_vecs.copy()
+    rng_vecs[10:] = (rng.random((20, 1024)) < 0.3).astype(np.uint8)
+    rng_rows = [{"id": f"r{i:02d}", "value": b64(rng_vecs[i])} for i in range(30)]
+
+    dpaths, rpaths = [], []
+    for part in range(2):
+        dp = str(tmp_path / f"dom-{part}.parquet")
+        rp = str(tmp_path / f"rng-{part}.parquet")
+        pq.write_table(pa.Table.from_pylist(dom_rows[part::2]), dp)
+        pq.write_table(pa.Table.from_pylist(rng_rows[part::2]), rp)
+        dpaths.append(dp)
+        rpaths.append(rp)
+
+    kw = dict(measure="dice", threshold=0.95, bands=16)
+    full = CheckpointedBlockedMatch(str(tmp_path / "cm_full"), **kw).run(dpaths, rpaths)
+
+    res_dir = str(tmp_path / "cm_res")
+    with pytest.raises(RuntimeError, match="pending"):
+        CheckpointedBlockedMatch(res_dir, **kw).run(dpaths, rpaths, max_stage_a=1)
+    resumed = CheckpointedBlockedMatch(res_dir, **kw).run(dpaths, rpaths)
+    assert full.equals(resumed)
+
+    # parity with the live distributed operator
+    live = match_blocked(
+        rd.from_items(dom_rows), rd.from_items(rng_rows),
+        MatchConfig("dice", 0.95, "crosswise"), bands=16, partitions=4,
+    ).to_pandas()
+    key = lambda t: sorted(zip(t["domain_id"], t["range_id"], np.round(t["similarity"], 12)))
+    ck = full.to_pandas()
+    assert key(ck) == key(live)
+    pairs = set(zip(ck["domain_id"], ck["range_id"]))
+    for i in range(10):
+        assert (f"d{i:02d}", f"r{i:02d}") in pairs
+
+    with pytest.raises(ValueError, match="share input files"):
+        CheckpointedBlockedMatch(str(tmp_path / "cm_x"), **kw).run(dpaths, dpaths)
