@@ -60,13 +60,18 @@ def broadcast_join(large_ds, small_ds, keys, right_keys=None, join_type: str = "
         # remote task concatenates them and its return ref is the broadcast
         # handle — the driver never holds a copy
         refs = small_ds.to_arrow_refs()
+        schema = small_ds.schema().base_schema
+
+        def _assemble(*tables):
+            # empty blocks can surface with a bare zero-column schema —
+            # drop them before concat (they contribute no rows anyway)
+            ts = [t for t in tables if t.num_rows > 0]
+            return pa.concat_tables(ts).combine_chunks() if ts else schema.empty_table()
+
         if refs:
-            _assemble = ray.remote(num_cpus=1)(
-                lambda *tables: pa.concat_tables(tables).combine_chunks()
-            )
-            ref = _assemble.remote(*refs)
+            ref = ray.remote(num_cpus=1)(_assemble).remote(*refs)
         else:
-            ref = ray.put(small_ds.schema().base_schema.empty_table())
+            ref = ray.put(schema.empty_table())
     else:
         ref = ray.put(small_ds)
 

@@ -82,7 +82,12 @@ def _broadcast_side_ref(ds):
         return ray.put((np.asarray([], dtype=object), decode_b64_column([])))
 
     def _assemble(*tables):
-        t = pa.concat_tables(tables)
+        # empty blocks can surface with a bare zero-column schema — drop
+        # them before concat (they contribute no rows anyway)
+        ts = [t for t in tables if t.num_rows > 0]
+        if not ts:
+            return np.asarray([], dtype=object), decode_b64_column([])
+        t = pa.concat_tables(ts)
         ids = np.asarray([str(v) for v in t["id"].to_pylist()], dtype=object)
         return ids, decode_b64_column(t["value"].to_pylist())
 
