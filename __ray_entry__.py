@@ -959,6 +959,38 @@ def q_audio_features(sf_dir: str):
     )
 
 
+def q_video_frames(sf_dir: str):
+    """REAL video decode: deterministic synthetic YUV4MPEG2 (Cmono)
+    containers (8 frames of 16x16, per-id seeded pixels + brightness ramp)
+    -> actor-pool FrameSampleStage with the pure-numpy Y4M decoder ->
+    every-2nd-frame sample rows with mean luminance. Deterministic ->
+    pinned-VALUES oracle."""
+    import ray.data as rd
+
+    from pprl_ray.stages.multimodal import FrameSampleStage, synth_media_batch
+
+    ds = rd.range(60).map_batches(
+        lambda b: synth_media_batch(b, media_type="video/y4m"), batch_format="pyarrow"
+    )
+    out = ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"backend": "y4m", "every": 2},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "media_id": b["media_id"],
+                "frame_idx": pc.cast(b["frame_idx"], pa.int64()),
+                "frame_mean": pc.round(b["frame_mean"], ndigits=6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_broadcast_join(sf_dir: str):
     """orders ⋈ customer (broadcast small side) -> per-segment totals;
     broadcast-join operator from pprl_ray/stages/join.py."""
@@ -1789,6 +1821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "multimodal_features": q_multimodal_features,
         "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
         # rows-only entries (sha1 digests are not SQL-expressible) LAST:
         # the driver's correctness window records the first 50 dict
         # entries, so oracle-backed queries go first
@@ -2041,6 +2074,7 @@ def _sketch_pin_oracles() -> dict[str, str]:
         sp.PIN_AUDIO_FEATURES,
         lambda r: f"'{r[0]}', {r[1]!r}, {r[2]!r}, {r[3]}, {r[4]!r}",
     )
+    vf = _rows(sp.PIN_VIDEO_FRAMES, lambda r: f"'{r[0]}', {r[1]}, {r[2]!r}")
     return {
         "multimodal_features": f"""
             SELECT media_id, CAST(m AS DOUBLE) AS img_mean,
@@ -2057,6 +2091,13 @@ def _sketch_pin_oracles() -> dict[str, str]:
             FROM (VALUES
                 {au}
             ) AS v(media_id, r, z, sr, d)
+        """,
+        "video_frames": f"""
+            SELECT media_id, CAST(f AS BIGINT) AS frame_idx,
+                   CAST(m AS DOUBLE) AS frame_mean
+            FROM (VALUES
+                {vf}
+            ) AS v(media_id, f, m)
         """,
         "hll_distinct_tokens": f"""
             SELECT s.source AS source, CAST(v.e AS DOUBLE) AS hll_estimate
@@ -2097,6 +2138,38 @@ def _sketch_pin_oracles() -> dict[str, str]:
                 {prof}
             ) AS v(sk, k, e)
         """,
+    }
+
+
+def _mask_pin_oracles() -> dict[str, str]:
+    """VALUES oracles for the four sha1 mask queries, pinned from the
+    segment->mask mapping (pprl_ray/golden/mask_pins.py, regenerated by
+    scripts/gen_mask_pins.py). Each query masks exactly ONE attribute
+    (``c_mktsegment``, 5 distinct values) under a fixed seeded config, so
+    the mask is a pure function of the segment string and the pin is that
+    function's complete input->output table — the oracle JOINs it against
+    the LIVE customer table, so row coverage still derives from the data
+    (a new segment value fails the row-count check loudly; the
+    ``phonetic_codes`` technique). sha1 digest semantics stay independently
+    verified by the row-wise re-derivation oracle in tests/test_encode.py,
+    and tests/test_golden_pins.py re-derives every pinned mapping through
+    the live Ray pipeline."""
+    from pprl_ray.golden import mask_pins as mp
+
+    def one(pins) -> str:
+        vals = ",\n                ".join(f"('{s}', '{v}')" for s, v in pins)
+        return f"""
+            WITH pins(seg, value) AS (VALUES
+                {vals})
+            SELECT CAST(c.c_custkey AS VARCHAR) AS id, p.value AS value
+            FROM customer c JOIN pins p ON c.c_mktsegment = p.seg
+        """
+
+    return {
+        "clk_mask": one(mp.PIN_CLK_MASK),
+        "clk_mask_hardened": one(mp.PIN_CLK_MASK_HARDENED),
+        "rbf_mask": one(mp.PIN_RBF_MASK),
+        "clkrbf_mask": one(mp.PIN_CLKRBF_MASK),
     }
 
 
@@ -2556,6 +2629,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         **_sketch_pin_oracles(),
+        **_mask_pin_oracles(),
     }
 
 

@@ -4,11 +4,12 @@ Media ride as opaque ``large_binary`` payload columns with typed metadata
 (``media_type``, ``width``/``height``/``sample_rate``/``duration_ms``).
 Backends per stage:
 
-- ``backend="bmp"`` (images) / ``backend="wav"`` (audio): REAL decoders for
-  the uncompressed containers, implemented in pure numpy from the public
-  format specs (BMP: 24-bpp bottom-up BGR with 4-byte row padding; WAV:
-  RIFF chunks, 16-bit mono PCM) — decode -> feature-extract is a genuine
-  codec pipeline with no extra dependencies.
+- ``backend="bmp"`` (images) / ``backend="wav"`` (audio) / ``backend="y4m"``
+  (video): REAL decoders for the uncompressed containers, implemented in
+  pure numpy from the public format specs (BMP: 24-bpp bottom-up BGR with
+  4-byte row padding; WAV: RIFF chunks, 16-bit mono PCM; Y4M: YUV4MPEG2
+  Cmono frame stream) — decode -> feature-extract / frame-sample is a
+  genuine codec pipeline with no extra dependencies.
 - ``backend="fake"`` (default): a deterministic stand-in that derives
   statistics straight from the payload bytes — stable outputs for tests.
 - ``backend="pil"`` / ``backend="soundfile"``: raise ``NotImplementedError``
@@ -37,6 +38,8 @@ __all__ = [
     "decode_bmp",
     "encode_wav",
     "decode_wav",
+    "encode_y4m",
+    "decode_y4m",
 ]
 
 
@@ -102,6 +105,48 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     return samples, rate
 
 
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """(N, H, W) uint8 grayscale frames -> YUV4MPEG2 (Y4M) bytes with the
+    ``Cmono`` colorspace (Y plane only), per the public yuv4mpeg spec:
+    a space-separated parameter header line, then ``FRAME\\n`` + raw plane
+    bytes per frame."""
+    n, h, w = frames.shape
+    assert frames.dtype == np.uint8
+    head = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 Cmono\n".encode()
+    return head + b"".join(b"FRAME\n" + frames[i].tobytes() for i in range(n))
+
+
+def decode_y4m(data: bytes) -> tuple[np.ndarray, int]:
+    """YUV4MPEG2 (Cmono) bytes -> ((N, H, W) uint8 frames, fps)."""
+    nl = data.index(b"\n")
+    head = data[:nl].split(b" ")
+    if head[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = fps = None
+    for tok in head[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"F":
+            num, den = tok[1:].split(b":")
+            fps = int(num) // int(den)
+        elif tok[:1] == b"C" and tok != b"Cmono":
+            raise ValueError(f"only Cmono Y4M supported (got {tok.decode()})")
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    plane = w * h
+    frames = []
+    pos = nl + 1
+    while pos < len(data):
+        fe = data.index(b"\n", pos)  # FRAME line (may carry parameters)
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad Y4M frame marker")
+        frames.append(np.frombuffer(data, np.uint8, count=plane, offset=fe + 1).reshape(h, w))
+        pos = fe + 1 + plane
+    return np.stack(frames) if frames else np.empty((0, h, w), np.uint8), fps or 0
+
+
 def synth_media_batch(batch: pa.Table, payload_bytes: int = 4096, media_type: str = "image/png") -> pa.Table:
     """Attach a deterministic binary payload to an (id) batch — the
     test/bench stand-in for real media files.
@@ -119,6 +164,13 @@ def synth_media_batch(batch: pa.Table, payload_bytes: int = 4096, media_type: st
             reps = (w * h * 3) // len(seed) + 1
             px = np.frombuffer((seed * reps)[: w * h * 3], np.uint8).reshape(h, w, 3)
             payloads.append(encode_bmp(px))
+        elif media_type == "video/y4m":
+            nf = 8
+            reps = (nf * w * h) // len(seed) + 1
+            base = np.frombuffer((seed * reps)[: nf * w * h], np.uint8).reshape(nf, h, w)
+            # per-frame brightness ramp so sampled frames are distinguishable
+            ramp = (np.arange(nf, dtype=np.uint16) * 7)[:, None, None]
+            payloads.append(encode_y4m(((base + ramp) % 256).astype(np.uint8)))
         elif media_type == "audio/wav":
             n = 1024
             f0 = 100 + (seed[0] % 32) * 25  # per-id tone frequency
@@ -252,7 +304,14 @@ class AudioFeatureStage:
 
 class FrameSampleStage:
     """Video payload -> every-Nth-frame sample rows (flat_map shape: one
-    input row explodes into ``n_frames`` output rows)."""
+    input row explodes into ``n_frames / every`` output rows, each carrying
+    the raw frame bytes and its mean luminance).
+
+    ``backend="y4m"`` runs the real :func:`decode_y4m` (YUV4MPEG2 Cmono)
+    and samples decoded Y planes; ``"fake"`` slices the raw payload into
+    fixed-size pseudo-frames (deterministic stand-in); ``"av"`` is the
+    compressed-container production path and raises until the library is
+    installed."""
 
     def __init__(self, backend: str = "fake", frame_bytes: int = 256, every: int = 4,
                  payload_col: str = "payload", id_col: str = "media_id"):
@@ -260,22 +319,39 @@ class FrameSampleStage:
         self.id_col = id_col
         self.frame_bytes = frame_bytes
         self.every = every
-        if backend != "fake":
+        if backend == "av":
+            try:
+                import av  # noqa: F401
+            except ImportError:
+                _require("av", "PyAV")
+        elif backend not in ("fake", "y4m"):
             _require(backend, "a video codec library")
+        self.backend = backend
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids_out, frame_idx_out, frames_out = [], [], []
+        ids_out, frame_idx_out, frames_out, means_out = [], [], [], []
         ids = batch[self.id_col].to_pylist()
         for rid, p in zip(ids, batch[self.payload_col].to_pylist()):
-            n_frames = len(p) // self.frame_bytes
-            for f in range(0, n_frames, self.every):
-                ids_out.append(rid)
-                frame_idx_out.append(f)
-                frames_out.append(p[f * self.frame_bytes : (f + 1) * self.frame_bytes])
+            if self.backend == "y4m":
+                frames, _ = decode_y4m(p)
+                for f in range(0, len(frames), self.every):
+                    ids_out.append(rid)
+                    frame_idx_out.append(f)
+                    frames_out.append(frames[f].tobytes())
+                    means_out.append(float(frames[f].mean()))
+            else:
+                n_frames = len(p) // self.frame_bytes
+                for f in range(0, n_frames, self.every):
+                    raw = p[f * self.frame_bytes : (f + 1) * self.frame_bytes]
+                    ids_out.append(rid)
+                    frame_idx_out.append(f)
+                    frames_out.append(raw)
+                    means_out.append(float(np.frombuffer(raw, np.uint8).mean()) if raw else 0.0)
         return pa.table(
             {
                 self.id_col: pa.array(ids_out, pa.string()),
                 "frame_idx": pa.array(frame_idx_out, pa.int32()),
                 "frame": pa.array(frames_out, pa.large_binary()),
+                "frame_mean": pa.array(means_out, pa.float64()),
             }
         )

@@ -280,6 +280,7 @@ def test_sketch_pins_match_live_requery(ray_session, sf001_dir):
         "corpus_profile",
         "multimodal_features",
         "audio_features",
+        "video_frames",
     ):
         pin = getattr(sp, f"PIN_{name.upper()}")
         df = qs[name](sf001_dir)

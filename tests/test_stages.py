@@ -760,6 +760,26 @@ def test_wav_codec_roundtrip_and_audio_stage():
     assert out["duration_ms"][0].as_py() == 1000.0
 
 
+def test_y4m_codec_roundtrip_and_frame_stage():
+    from pprl_ray.stages.multimodal import FrameSampleStage, decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(13)
+    frames = rng.integers(0, 256, (7, 12, 16), dtype=np.uint8)
+    back, fps = decode_y4m(encode_y4m(frames, fps=30))
+    assert fps == 30 and (back == frames).all()
+    with pytest.raises(ValueError):
+        decode_y4m(b"MPEG4 nope\n")
+
+    batch = pa.table(
+        {"media_id": pa.array(["v"], pa.string()),
+         "payload": pa.array([encode_y4m(frames)], pa.large_binary())}
+    )
+    out = FrameSampleStage(backend="y4m", every=3)(batch)
+    assert out["frame_idx"].to_pylist() == [0, 3, 6]
+    assert out["frame"][0].as_py() == frames[0].tobytes()
+    assert out["frame_mean"][0].as_py() == frames[0].mean()
+
+
 def test_synth_media_real_containers_decode():
     """synth_media_batch(image/bmp | audio/wav) emits REAL containers the
     pure-numpy decoders accept, deterministically per id."""
