@@ -684,31 +684,97 @@ def simhash_candidates(fp_ds, id_col: str = "doc_id", max_hamming: int = 3, max_
 # --- cluster collapse ------------------------------------------------------
 
 
-def connected_components_collapse(pairs_ds, max_rounds: int = 30, partitions: int | None = None):
-    """Distributed min-label propagation with pointer jumping over a pair
-    table: returns (doc_id, rep_id) where rep_id is the smallest id in each
-    connected component.
+# introspection aid for benchmarks/tests: number of distributed rounds the
+# last connected_components_collapse call executed (including the final
+# converged-verification round)
+last_cc_rounds = 0
 
-    Each round, every node's candidate labels are (a) its own label, (b)
-    its neighbors' labels — looked up through the static edge table — and
-    (c) its label's label (pointer jumping, which collapses long chains in
-    O(log diameter) rounds); the new label is the min. Neighbor propagation
-    makes min labels travel AGAINST pointer direction too (pure pointer
-    jumping is wrong on e.g. a star 1-6, 5-6: node 5 never learns 1).
 
-    Scale shape: per round, ONE co-partitioned hash-bucket lookup join
-    (union shuffle of compact (key, node) / (key, label) rows, vectorized
-    ``pyarrow.Table.join`` per bucket) plus ONE partitioned-vectorized
-    min/max reduce (hash(node) % partitions -> a single pandas groupby per
-    partition group — native aggregates would pay ~0.3 ms of Python per
-    DISTINCT node). Nothing materializes on the driver; per-round cost is
-    O(edges + nodes) shuffled bytes."""
+def _local_cc_batch(batch: pa.Table) -> pa.Table:
+    """Single-task vectorized union-find over a complete (id_a, id_b) edge
+    list: numpy min-label iteration with pointer jumping, O(log n) passes
+    at C speed. Labels compare by node VALUE (dictionary codes are ranked
+    through a sort of the distinct nodes) so rep_id is the smallest id in
+    each component — identical semantics to the distributed rounds."""
+    import pyarrow.compute as pc
+
+    both = pa.chunked_array([batch["id_a"], batch["id_b"]]).combine_chunks()
+    enc = pc.dictionary_encode(both)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = enc.dictionary
+    n = len(uniq)
+    order = pc.array_sort_indices(uniq).to_numpy(zero_copy_only=False).astype(np.int64)
+    rank = np.empty(n, np.int64)
+    rank[order] = np.arange(n, dtype=np.int64)
+    ne = batch.num_rows
+    ea, eb = rank[codes[:ne]], rank[codes[ne:]]
+    sorted_vals = pc.take(uniq, pa.array(order))
+    lbl = np.arange(n, dtype=np.int64)
+    while True:
+        prev = lbl.copy()
+        np.minimum.at(lbl, ea, lbl[eb])
+        np.minimum.at(lbl, eb, lbl[ea])
+        lbl = lbl[lbl]  # pointer jump: collapses chains in O(log n) passes
+        if np.array_equal(lbl, prev):
+            break
+    return pa.table(
+        {"doc_id": sorted_vals, "rep_id": pc.take(sorted_vals, pa.array(lbl))}
+    )
+
+
+def connected_components_collapse(
+    pairs_ds,
+    max_rounds: int = 30,
+    partitions: int | None = None,
+    local_threshold: int = 2_000_000,
+):
+    """Min-label connected components over a pair table: returns
+    (doc_id, rep_id) where rep_id is the smallest id in each component.
+
+    Hybrid execution (the small-side guard pattern, like a broadcast
+    join): the pair table is the CONTRACTED graph — candidate duplicate
+    pairs, not the corpus — so it is normally orders of magnitude smaller
+    than the input. When it holds <= ``local_threshold`` pairs, the
+    compact (id_a, id_b) list is coalesced into ONE worker task and
+    collapsed by a vectorized numpy union-find (``_local_cc_batch``,
+    milliseconds for millions of edges); ~10 all-to-all barriers become a
+    single coalesce. Even at 100 TB, a 0.1 % dup rate yields ~1e8 pairs
+    (a few GB) — one worker's memory — so the default threshold is
+    conservative; pass ``local_threshold=0`` to force the distributed
+    path, which stays the unbounded-scale guarantee.
+
+    Distributed path: each round, every node's candidate labels are (a)
+    its own label, (b) its neighbors' labels — looked up through the
+    static edge table — and (c) its label's label (pointer jumping, which
+    collapses long chains in O(log diameter) rounds); the new label is
+    the min. Neighbor propagation makes min labels travel AGAINST pointer
+    direction too (pure pointer jumping is wrong on e.g. a star 1-6, 5-6:
+    node 5 never learns 1).
+
+    Scale shape of the distributed path: per round, ONE co-partitioned
+    hash-bucket lookup join (union shuffle of compact (key, node) /
+    (key, label) rows, vectorized ``pyarrow.Table.join`` per bucket) plus
+    ONE partitioned-vectorized min/max reduce (hash(node) % partitions ->
+    a single pandas groupby per partition group — native aggregates would
+    pay ~0.3 ms of Python per DISTINCT node). Nothing materializes on the
+    driver; per-round cost is O(edges + nodes) shuffled bytes."""
+    global last_cc_rounds
     import pyarrow.compute as pc
 
     from .partitioning import auto_partitions
 
+    pairs_compact = pairs_ds.map_batches(
+        lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow"
+    ).materialize()
+    n_pairs = pairs_compact.count()
+    if n_pairs <= local_threshold:
+        last_cc_rounds = 0
+        return pairs_compact.repartition(1).map_batches(
+            _local_cc_batch, batch_size=None, batch_format="pyarrow"
+        )
+
     if partitions is None:
-        partitions = auto_partitions(pairs_ds)
+        partitions = auto_partitions(pairs_compact)
 
     from .partitioning import compact_blocks as _compact
 
@@ -719,7 +785,7 @@ def connected_components_collapse(pairs_ds, max_rounds: int = 30, partitions: in
         ).combine_chunks()
 
     # static bidirectional edge table, reused every round
-    edges = _compact(pairs_ds.map_batches(_edges, batch_format="pyarrow").materialize())
+    edges = _compact(pairs_compact.map_batches(_edges, batch_format="pyarrow").materialize())
 
     def _bucket_of(col, parts: int) -> pa.Array:
         import polars as pl
@@ -777,6 +843,7 @@ def connected_components_collapse(pairs_ds, max_rounds: int = 30, partitions: in
         j = req.join(prov, keys="key", join_type="inner")
         return pa.table({"node": j["tgt"], "cand": j["val"]})
 
+    last_cc_rounds = 0
     for _ in range(max_rounds):
         lookups = (
             edges.map_batches(_requests, batch_format="pyarrow")
@@ -829,6 +896,7 @@ def connected_components_collapse(pairs_ds, max_rounds: int = 30, partitions: in
             batch_format="pyarrow",
         ).sum("c")
         labels = new_labels
+        last_cc_rounds += 1
         if not changed:
             break
     return labels.map_batches(

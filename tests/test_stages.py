@@ -403,18 +403,23 @@ def test_ivf_pruned_read_matches_streaming_ivf(ray_session, tmp_path, sf_dir):
     assert list(p["neighbor_id"]) == list(s["neighbor_id"])
 
 
-def test_connected_components_star_and_backward_propagation():
+@pytest.mark.parametrize("local_threshold", [0, 2_000_000])
+def test_connected_components_star_and_backward_propagation(local_threshold):
     """Min labels must travel AGAINST pointer direction: in {1,5,6} with
     edges 5-6 and 1-6, node 5's initial pointer is to itself (min neighbor
-    6 > 5), so pure pointer jumping never finds 1 (r1 latent bug)."""
+    6 > 5), so pure pointer jumping never finds 1 (r1 latent bug).
+    Covers BOTH the single-task union-find fast path (threshold high) and
+    the distributed label-propagation path (threshold 0)."""
     comps = connected_components_collapse(
-        rd.from_items([{"id_a": 5, "id_b": 6}, {"id_a": 1, "id_b": 6}])
+        rd.from_items([{"id_a": 5, "id_b": 6}, {"id_a": 1, "id_b": 6}]),
+        local_threshold=local_threshold,
     ).to_pandas()
     rep = dict(zip(comps["doc_id"], comps["rep_id"]))
     assert rep == {1: 1, 5: 1, 6: 1}
 
 
-def test_connected_components_random_graphs_match_networkx_free_oracle():
+@pytest.mark.parametrize("local_threshold", [0, 2_000_000])
+def test_connected_components_random_graphs_match_networkx_free_oracle(local_threshold):
     """Random sparse graphs vs an in-process union-find oracle."""
     rng = np.random.default_rng(11)
     for trial in range(3):
@@ -436,7 +441,8 @@ def test_connected_components_random_graphs_match_networkx_free_oracle():
         for v in touched:
             expected[v] = find(v)
         got = connected_components_collapse(
-            rd.from_items([{"id_a": a, "id_b": b} for a, b in edges])
+            rd.from_items([{"id_a": a, "id_b": b} for a, b in edges]),
+            local_threshold=local_threshold,
         ).to_pandas()
         assert dict(zip(got["doc_id"], got["rep_id"])) == expected, trial
 
