@@ -24,6 +24,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from pprl_ray.stages.partitioning import read_parquet_sized
+
 SF_DEFAULT = "/root/testdata/sf0.001"
 
 # (token, soundex, metaphone, refined_soundex, fuzzy_soundex, cologne) for the
@@ -110,7 +112,7 @@ _TOKEN_ID_GOLDEN = [
 def _docs(sf_dir: str, columns=None):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_parquet_sized(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def _explode_words(sf_dir: str, keep=("doc_id",)):
@@ -196,7 +198,7 @@ def _customer_entities(sf_dir: str):
     """customer -> (id: string, c_mktsegment) entity table for masking."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    ds = read_parquet_sized(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
     return ds.map_batches(
         lambda b: pa.table(
             {
@@ -348,7 +350,7 @@ def q_events_agg(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Mean, Sum
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
     agg = ds.groupby("event_type").aggregate(
         Count(alias_name="n"),
         Sum("value", alias_name="sum_value"),
@@ -397,7 +399,7 @@ def q_transform_normalize(sf_dir: str):
 
     from pprl_ray.stages.mask import transform_entities
 
-    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    ds = read_parquet_sized(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
     ds = ds.map_batches(
         lambda b: pa.table(
             {"c_custkey": b["c_custkey"], "name_norm": b["c_name"], "name_filtered": b["c_name"]}
@@ -421,7 +423,7 @@ def q_date_format(sf_dir: str):
     from pprl_ray.functions.transform import date_time
 
     fn = date_time("%Y-%m-%d", "%d.%m.%Y")
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
+    ds = read_parquet_sized(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
 
     def _fmt(batch: pa.Table) -> pa.Table:
         iso = pc.strftime(batch["o_orderdate"], format="%Y-%m-%d")
@@ -805,7 +807,7 @@ def q_knn_cosine(sf_dir: str):
     qtbl = tbl.filter(mask)
     qids = qtbl["vec_id"].to_pylist()
     qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qtbl["embedding"].to_pylist()])
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = knn_brute(ds, qids, qmat, k=5)
     return out.map_batches(
         lambda b: pa.table(
@@ -836,7 +838,7 @@ def q_knn_ivf(sf_dir: str):
     qtbl = tbl.filter(pc.less(tbl["vec_id"], 3))
     qids = qtbl["vec_id"].to_pylist()
     qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qtbl["embedding"].to_pylist()])
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     assigned, centroids = build_ivf(ds, n_centroids=8)
     out = knn_ivf(assigned.materialize(), centroids, qids, qmat, k=5, nprobe=8)
     return out.map_batches(
@@ -861,7 +863,7 @@ def q_embedding_near_dup(sf_dir: str):
 
     from pprl_ray.stages.ann import embedding_near_dup_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     copies = ds.filter(expr="vec_id < 5").map_batches(
         lambda b: pa.table(
             {"vec_id": pc.add(b["vec_id"], 900_000), "embedding": b["embedding"]}
@@ -999,10 +1001,10 @@ def q_broadcast_join(sf_dir: str):
 
     from pprl_ray.stages.join import broadcast_join
 
-    orders = rd.read_parquet(
+    orders = read_parquet_sized(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
     )
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    cust = read_parquet_sized(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
     joined = broadcast_join(orders, cust, keys="o_custkey", right_keys="c_custkey")
     # exact money math: sum integer cents, not floats (accumulation order
     # differs between the distributed Sum and DuckDB)
@@ -1032,12 +1034,12 @@ def q_bucket_join(sf_dir: str):
     hash-bucket by order key in one union shuffle and join bucket-wise
     (stages/join.py bucket_join) — the two-large-sides join shape. Revenue
     aggregates per order priority in exact integer micro-units."""
-    import ray.data as rd
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     from pprl_ray.stages.join import bucket_join
+    from pprl_ray.stages.partitioning import read_parquet_sized
 
-    li = rd.read_parquet(
+    li = read_parquet_sized(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
 
@@ -1050,17 +1052,27 @@ def q_bucket_join(sf_dir: str):
             }
         )
 
-    orders = rd.read_parquet(
+    orders = read_parquet_sized(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
-    joined = bucket_join(
+    def _bucket_agg(t: pa.Table) -> pa.Table:
+        # key-local pre-aggregation INSIDE the bucket task (bucket_join's
+        # `post` hook): each bucket's joined rows reduce to <=5 priority
+        # rows, so the downstream all-to-all moves O(partitions * 5) rows
+        # instead of the full joined fact table
+        return t.group_by("o_orderpriority").aggregate(
+            [("rev_u", "sum"), ("rev_u", "count")]
+        )
+
+    partials = bucket_join(
         li.map_batches(_rev, batch_format="pyarrow"),
         orders,
         keys="l_orderkey",
         right_keys="o_orderkey",
+        post=_bucket_agg,
     )
-    agg = joined.groupby("o_orderpriority").aggregate(
-        Count(alias_name="n_items"), Sum("rev_u", alias_name="rev_u")
+    agg = partials.groupby("o_orderpriority").aggregate(
+        Sum("rev_u_count", alias_name="n_items"), Sum("rev_u_sum", alias_name="rev_u")
     )
     return agg.map_batches(
         lambda b: pa.table(
@@ -1080,7 +1092,7 @@ def q_lineitem_pricing(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Mean, Sum
 
-    li = rd.read_parquet(
+    li = read_parquet_sized(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
@@ -1103,7 +1115,7 @@ def q_attribute_stats(sf_dir: str):
     from pprl_ray.stages.partitioning import auto_partitions
 
     attrs = ("c_name", "c_mktsegment")
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=list(attrs))
+    cust = read_parquet_sized(f"{sf_dir}/customer.parquet", columns=list(attrs))
     n_parts = auto_partitions(cust)
 
     def _tokens(batch: pa.Table) -> pa.Table:
@@ -1193,7 +1205,7 @@ def q_event_windows(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
 
     def _window(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -1230,7 +1242,7 @@ def q_transform_chain(sf_dir: str):
 
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment", "c_acctbal"]
     )
     ents = ds.map_batches(
@@ -1316,14 +1328,14 @@ def q_shipping_priority(sf_dir: str):
 
     from pprl_ray.stages.join import bucket_join
 
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    cust = read_parquet_sized(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
     bld = cust.filter(expr="c_mktsegment == 'BUILDING'").drop_columns(["c_mktsegment"])
-    orders = rd.read_parquet(
+    orders = read_parquet_sized(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
     b_orders = bucket_join(orders, bld, keys="o_custkey", right_keys="c_custkey")
 
-    li = rd.read_parquet(
+    li = read_parquet_sized(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
 
@@ -1440,7 +1452,7 @@ def q_asof_join(sf_dir: str):
 
     from pprl_ray.stages.join import asof_join
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type", "value"])
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type", "value"])
     errors = ev.filter(expr="event_type == 'error'").drop_columns(["event_type"])
     purchases = ev.filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
     joined = asof_join(errors, purchases, key_col="user_id", ts_col="ts")
@@ -1479,7 +1491,7 @@ def q_interval_join(sf_dir: str):
     from pprl_ray.stages.join import interval_join
     from pprl_ray.stages.window import sessionize
 
-    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"])
+    events = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"])
     sessions = sessionize(
         events.drop_columns(["event_type"]), key_col="user_id", ts_col="ts", gap_minutes=30
     ).map_batches(
@@ -1535,7 +1547,7 @@ def q_knn_ivf_pruned(sf_dir: str):
     qtbl = tbl.filter(pc.less(tbl["vec_id"], 3))
     qids = qtbl["vec_id"].to_pylist()
     qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qtbl["embedding"].to_pylist()])
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     index_dir = tempfile.mkdtemp(prefix="ivf_index_", dir="/tmp")
     try:
         write_ivf_index(ds, index_dir, n_centroids=8)
@@ -1563,7 +1575,7 @@ def q_sessionize(sf_dir: str):
 
     from pprl_ray.stages.window import sessionize
 
-    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    events = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     sess = sessionize(events, key_col="user_id", ts_col="ts", gap_minutes=30)
     return sess.map_batches(
         lambda b: pa.table(
@@ -1623,7 +1635,7 @@ def q_json_props(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
 
     def _parse(batch: pa.Table) -> pa.Table:
         import polars as pl
@@ -1663,7 +1675,7 @@ def q_connected_components(sf_dir: str):
 
     from pprl_ray.stages.dedup import connected_components_collapse
 
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    cust = read_parquet_sized(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
     n_max = cust.max("c_custkey")
 
     def _edges(batch: pa.Table) -> pa.Table:

@@ -14,7 +14,13 @@ from __future__ import annotations
 
 import math
 
-__all__ = ["auto_partitions", "free_size_bytes", "free_num_rows", "compact_blocks"]
+__all__ = [
+    "auto_partitions",
+    "free_size_bytes",
+    "free_num_rows",
+    "compact_blocks",
+    "read_parquet_sized",
+]
 
 # ~128 MiB of input rows per partition group: large enough that per-group
 # Python overhead (~0.5 ms) is noise, small enough that a group's pandas
@@ -76,3 +82,27 @@ def compact_blocks(mat_ds, target_bytes: int = 64 << 20, min_blocks: int = 8):
     if mat_ds.num_blocks() > 2 * nb:
         return mat_ds.repartition(nb).materialize()
     return mat_ds
+
+
+def read_parquet_sized(
+    path, columns=None, target_bytes: int = 32 << 20, lo: int = 16, **kwargs
+):
+    """``ray.data.read_parquet`` with the block count pinned from the
+    file's OWN metadata (~``target_bytes`` per block, floor ``lo``) instead
+    of the cluster's default parallelism heuristic.
+
+    Ray's default oversplits small files (64 tiny blocks for a 14 MB
+    table); any downstream shuffle then pays per-block dispatch on every
+    one of them — seconds of scheduling for millis of compute. Pinning by
+    size keeps the count input-proportional (so it still grows to
+    thousands of blocks at 100 TB) and makes topology-sensitive merges
+    reproducible across num_cpus."""
+    import ray.data as rd
+
+    size = free_size_bytes(rd.read_parquet(path, columns=columns))
+    if size is not None:
+        kwargs.setdefault(
+            "override_num_blocks",
+            auto_partitions(size_bytes=size, target_bytes=target_bytes, lo=lo),
+        )
+    return rd.read_parquet(path, columns=columns, **kwargs)
