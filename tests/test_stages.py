@@ -539,6 +539,31 @@ def test_auto_partitions_scales_with_input(sf_dir):
     assert time.time() - t0 < 5
 
 
+def test_read_parquet_sized_pins_block_count(sf_dir):
+    """read_parquet_sized derives the block count from the FILE's metadata
+    (input-proportional, floor 16) — not the cluster parallelism heuristic
+    that oversplits small files — and reads identical rows."""
+    import math
+
+    from pprl_ray.stages.partitioning import free_size_bytes, read_parquet_sized
+
+    path = f"{sf_dir}/customer.parquet"
+    plain = rd.read_parquet(path, columns=["c_custkey"])
+    sized = read_parquet_sized(path, columns=["c_custkey"])
+    size = free_size_bytes(plain)
+    expect = max(16, math.ceil(size / (32 << 20)))
+    mat = sized.materialize()
+    assert mat.num_blocks() == expect
+    assert sorted(mat.to_pandas()["c_custkey"]) == sorted(plain.to_pandas()["c_custkey"])
+    # explicit override wins over the derived count
+    assert (
+        read_parquet_sized(path, columns=["c_custkey"], override_num_blocks=3)
+        .materialize()
+        .num_blocks()
+        == 3
+    )
+
+
 def test_auto_partitions_tracks_parquet_input_growth(tmp_path):
     """Behavioral check on real reads: a 10x bigger parquet input derives
     ~10x the partitions at fixed target bytes (per-group memory flat)."""
