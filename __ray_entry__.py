@@ -757,6 +757,60 @@ def q_bloom_sources(sf_dir: str):
     )
 
 
+def q_theta_distinct_parts(sf_dir: str):
+    """Theta/KMV distinct sketch (sketches/theta.py) per group: distinct
+    l_partkey per l_returnflag. k=4096 > the 2 000 distinct parts at sf0.01,
+    so the sketch is provably in exact mode there and COUNT(DISTINCT) is a
+    true SQL oracle; at sf0.1 (20 000 parts) the same query runs the
+    estimation path in bench (error bound 1/sqrt(k-2), tests/test_theta.py)."""
+    from pprl_ray.sketches import ThetaSketch
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_partkey"]
+    )
+    merged = sketch_by_key(li, lambda: ThetaSketch(4096), "l_partkey", "l_returnflag")
+    sketches = finalize_sketches(merged, ThetaSketch)
+    rows = [
+        {"l_returnflag": k, "theta_distinct": round(sk.estimate(), 2)}
+        for k, sk in sketches.items()
+    ]
+    return pd.DataFrame(sorted(rows, key=lambda r: r["l_returnflag"]))
+
+
+def q_theta_source_overlap(sf_dir: str):
+    """Pairwise source-overlap (union / intersection / Jaccard) via theta
+    set algebra — the UNBOUNDED-cardinality scale path next to the exact
+    bitmask pairwise_jaccard (setops.py caps at 63 keys; theta sketches are
+    fixed-size regardless of key count or set cardinality). One corpus scan
+    builds one sketch per source; the pairwise algebra runs driver-side over
+    the tiny sketch table. Exact at sf0.01 (31-word vocabulary << k), so the
+    exact-SQL word-set overlap is the oracle."""
+    from pprl_ray.sketches import ThetaSketch
+    from pprl_ray.sources.corpus import derive_corpus
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    merged = sketch_by_key(
+        derive_corpus(sf_dir), lambda: ThetaSketch(4096), "tokens", "source"
+    )
+    sketches = finalize_sketches(merged, ThetaSketch)
+    rows = []
+    for a in sorted(sketches):
+        for b in sorted(sketches):
+            if a < b:
+                sa, sb = sketches[a], sketches[b]
+                rows.append(
+                    {
+                        "source_a": a,
+                        "source_b": b,
+                        "theta_union": round(sa.union_estimate(sb), 2),
+                        "theta_intersection": round(sa.intersection_estimate(sb), 2),
+                        "theta_jaccard": round(sa.jaccard_estimate(sb), 6),
+                    }
+                )
+    return pd.DataFrame(rows)
+
+
 def q_minhash_dedup(sf_dir: str):
     from pprl_ray.stages.dedup import minhash_dedup_pairs
 
@@ -1796,6 +1850,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tdigest_ntok_quantiles": q_tdigest_ntok_quantiles,
         "bloom_sources": q_bloom_sources,
         "corpus_profile": q_corpus_profile,
+        "theta_distinct_parts": q_theta_distinct_parts,
+        "theta_source_overlap": q_theta_source_overlap,
         "top_tokens": q_top_tokens,
         "knn_cosine": q_knn_cosine,
         "knn_ivf": q_knn_ivf,
@@ -2414,6 +2470,34 @@ def oracle_sql() -> dict[str, str]:
                    strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
                    count(*) AS n_events
             FROM sess GROUP BY user_id, sess_id
+        """,
+        # exact-below-capacity oracles (the heavy_hitters adjudication): at
+        # sf0.01 both theta queries are provably in exact mode (cardinality
+        # << k=4096), so exact SQL is a true oracle; the estimation path is
+        # bound-tested in tests/test_theta.py.
+        "theta_distinct_parts": """
+            SELECT l_returnflag,
+                   round(CAST(count(DISTINCT l_partkey) AS DOUBLE), 2) AS theta_distinct
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "theta_source_overlap": """
+            WITH st AS (
+                SELECT DISTINCT source, w AS token
+                FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+            ), pairs AS (
+                SELECT a.source AS sa, b.source AS sb, count(*) AS inter
+                FROM st a JOIN st b USING (token)
+                WHERE a.source < b.source GROUP BY a.source, b.source
+            ), sizes AS (
+                SELECT source, count(*) AS n FROM st GROUP BY source
+            )
+            SELECT x.source AS source_a, y.source AS source_b,
+                   round(CAST(x.n + y.n - COALESCE(inter, 0) AS DOUBLE), 2) AS theta_union,
+                   round(CAST(COALESCE(inter, 0) AS DOUBLE), 2) AS theta_intersection,
+                   round(COALESCE(inter, 0) * 1.0 /
+                         (x.n + y.n - COALESCE(inter, 0)), 6) AS theta_jaccard
+            FROM sizes x JOIN sizes y ON x.source < y.source
+            LEFT JOIN pairs ON sa = x.source AND sb = y.source
         """,
         "source_jaccard": """
             WITH st AS (

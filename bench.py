@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "cms_token_counts",
     "kll_ntok_quantiles",
     "bloom_sources",
+    "theta_distinct_parts",
     "minhash_dedup",
     "simhash",
     "knn_cosine",

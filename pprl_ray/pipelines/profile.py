@@ -24,7 +24,15 @@ from typing import Any, Callable
 import numpy as np
 import pyarrow as pa
 
-from ..sketches import BloomSketch, CMSSketch, HLLSketch, KLLSketch, MGSketch, TDigestSketch
+from ..sketches import (
+    BloomSketch,
+    CMSSketch,
+    HLLSketch,
+    KLLSketch,
+    MGSketch,
+    TDigestSketch,
+    ThetaSketch,
+)
 from ..state.aggregate import _flatten_list_column
 
 __all__ = [
@@ -43,6 +51,7 @@ SKETCH_CLASSES: dict[str, type] = {
     "tdigest": TDigestSketch,
     "bloom": BloomSketch,
     "mg": MGSketch,
+    "theta": ThetaSketch,
 }
 
 

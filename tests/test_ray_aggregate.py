@@ -141,3 +141,40 @@ def test_profile_wall_time_unaffected_by_extreme_key_skew(ray_session):
     balanced = min(run(False) for _ in range(2))
     skewed = min(run(True) for _ in range(2))
     assert skewed < 3.0 * balanced + 1.0, (balanced, skewed)
+
+
+def test_theta_fused_profile_and_distributed_exactness():
+    """Theta in the fused profile pass: the distributed merged sketch must be
+    BIT-identical to a single-process sketch over the same corpus (theta's
+    exact topology invariance, the strongest form of the UDAF contract), and
+    its estimate within the published 1/sqrt(k-2) bound of the true distinct
+    count."""
+    import pyarrow as pa
+
+    from pprl_ray.pipelines.profile import ProfileSpec, corpus_profile, finalize_profile
+    from pprl_ray.sketches import ThetaSketch
+    from pprl_ray.sources.corpus import synth_corpus
+
+    n = 4000
+    specs = [
+        ProfileSpec("theta_tokens", "theta", lambda: ThetaSketch(512), "tokens", "source"),
+        ProfileSpec("theta_global", "theta", lambda: ThetaSketch(512), "tokens", None),
+    ]
+    profile = finalize_profile(corpus_profile(synth_corpus(n, override_num_blocks=8), specs), specs)
+
+    table = _exact_corpus(n)
+    sources = np.array(table["source"].to_pylist())
+    flat_rows = np.repeat(np.arange(n), table["n_tok"].to_numpy())
+    tokens = table["tokens"].combine_chunks().values.to_numpy(zero_copy_only=False)
+
+    glob = ThetaSketch(512)
+    glob.update(tokens)
+    assert profile[("theta_global", "")].to_bytes() == glob.to_bytes()
+    exact_glob = len(np.unique(tokens))
+    est = profile[("theta_global", "")].estimate()
+    assert abs(est - exact_glob) / exact_glob < 4 * glob.relative_error_bound()
+
+    for src in np.unique(sources):
+        single = ThetaSketch(512)
+        single.update(tokens[sources[flat_rows] == src])
+        assert profile[("theta_tokens", src)].to_bytes() == single.to_bytes(), src

@@ -13,6 +13,7 @@ from pprl_ray.sketches import (
     KLLSketch,
     MinHashSketch,
     TDigestSketch,
+    ThetaSketch,
     band_keys,
     hamming64,
     minhash_signatures,
@@ -137,6 +138,7 @@ def _partitions(vals, n_parts, seed):
     (HLLSketch, {"p": 12}),
     (CMSSketch, {"width": 1 << 12, "depth": 5}),
     (MinHashSketch, {"k": 128}),
+    (ThetaSketch, {"k": 256}),
 ])
 def test_exact_merge_order_invariance(cls, kwargs):
     """Bloom/HLL/CMS/MinHash merges must be bit-exact under any merge order
@@ -195,6 +197,7 @@ def test_quantile_merge_order_invariance_within_bound(cls, kwargs, tol):
     (MinHashSketch, {"k": 64}),
     (TDigestSketch, {"compression": 100}),
     (KLLSketch, {"k": 128}),
+    (ThetaSketch, {"k": 64}),
 ])
 def test_serialization_roundtrip(cls, kwargs):
     sk = cls(**kwargs)
