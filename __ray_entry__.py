@@ -1341,17 +1341,15 @@ def q_stratified_sample(sf_dir: str):
     md5(doc_id) — reproducible under any partitioning (the per-group
     variant of hash sampling); partial top-k per partition then a tiny
     final re-reduce, like q_top_per_group."""
-    import hashlib
+    from pprl_ray.functions.digest import md5_hex
 
     def _prep(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        h = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
         part = (batch["doc_id"].to_numpy() % np.int64(16)).astype(np.int32)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "source": batch["source"],
-                "h": pa.array(h, pa.string()),
+                "h": md5_hex(batch["doc_id"]),
                 "part": pa.array(part),
             }
         )
@@ -1667,13 +1665,10 @@ def q_hash_sample(sf_dir: str):
     split primitive): keep docs where md5(doc_id) lands in a 10% bucket —
     identical sample under ANY partitioning / cluster size, unlike
     random_shuffle-based sampling."""
-    import hashlib
+    from pprl_ray.functions.digest import md5_bucket32
 
     def _sample(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        keep = [
-            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10 == 0 for i in ids
-        ]
+        keep = md5_bucket32(batch["doc_id"], 10) == 0
         return batch.filter(pa.array(keep))
 
     ds = _docs(sf_dir, ["doc_id", "source"]).map_batches(_sample, batch_format="pyarrow")

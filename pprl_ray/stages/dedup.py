@@ -17,8 +17,6 @@ union-find over unbounded pair sets.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -45,10 +43,11 @@ __all__ = [
 
 def add_content_hash(batch: pa.Table, text_col: str = "text", out_col: str = "content_hash") -> pa.Table:
     """md5 hex of the raw text — a stable, SQL-reproducible exact-dup key
-    (DuckDB ``md5(text)``). For the dedup hot path use :func:`content_hash128`
-    (vectorised)."""
-    hashes = [hashlib.md5(t.encode()).hexdigest() for t in batch[text_col].to_pylist()]
-    return batch.append_column(out_col, pa.array(hashes, pa.string()))
+    (DuckDB ``md5(text)``), computed vectorised (functions/digest.py). For
+    the dedup hot path use :func:`content_hash128` (xxhash, another ~5x)."""
+    from ..functions.digest import md5_hex
+
+    return batch.append_column(out_col, md5_hex(batch[text_col]))
 
 
 def content_hash128(batch: pa.Table, text_col: str = "text") -> tuple[np.ndarray, np.ndarray]:
