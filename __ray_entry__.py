@@ -757,6 +757,28 @@ def q_bloom_sources(sf_dir: str):
     )
 
 
+def q_ntok_histogram(sf_dir: str):
+    """Mergeable fixed-bin histogram UDAF (sketches/histogram.py) over
+    document word counts — EXACT per-bin counts (counter-add merge), bin
+    rule replicated in integer SQL so the oracle is a plain GROUP BY.
+    bin -1 = underflow, 16 = overflow."""
+    from pprl_ray.sketches import HistogramSketch
+    from pprl_ray.sources.corpus import derive_corpus
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    lo, hi, bins = 0, 64, 16
+    merged = sketch_by_key(
+        derive_corpus(sf_dir), lambda: HistogramSketch(lo, hi, bins), "n_tok", None
+    )
+    sk = finalize_sketches(merged, HistogramSketch)[""]
+    rows = [
+        {"bin": int(i) - 1, "n_docs": int(c)}
+        for i, c in enumerate(sk.counts)
+        if c > 0
+    ]
+    return pd.DataFrame(rows)
+
+
 def q_theta_distinct_parts(sf_dir: str):
     """Theta/KMV distinct sketch (sketches/theta.py) per group: distinct
     l_partkey per l_returnflag. k=4096 > the 2 000 distinct parts at sf0.01,
@@ -1847,6 +1869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_profile": q_corpus_profile,
         "theta_distinct_parts": q_theta_distinct_parts,
         "theta_source_overlap": q_theta_source_overlap,
+        "ntok_histogram": q_ntok_histogram,
         "top_tokens": q_top_tokens,
         "knn_cosine": q_knn_cosine,
         "knn_ivf": q_knn_ivf,
@@ -2470,6 +2493,16 @@ def oracle_sql() -> dict[str, str]:
         # sf0.01 both theta queries are provably in exact mode (cardinality
         # << k=4096), so exact SQL is a true oracle; the estimation path is
         # bound-tested in tests/test_theta.py.
+        "ntok_histogram": """
+            WITH n AS (
+                SELECT len(string_split(text, ' ')) AS v FROM documents
+            )
+            SELECT CASE WHEN v < 0 THEN -1
+                        WHEN v >= 64 THEN 16
+                        ELSE (v * 16) // 64 END AS bin,
+                   count(*) AS n_docs
+            FROM n GROUP BY 1
+        """,
         "theta_distinct_parts": """
             SELECT l_returnflag,
                    round(CAST(count(DISTINCT l_partkey) AS DOUBLE), 2) AS theta_distinct

@@ -27,6 +27,7 @@ import pyarrow as pa
 from ..sketches import (
     BloomSketch,
     CMSSketch,
+    HistogramSketch,
     HLLSketch,
     KLLSketch,
     MGSketch,
@@ -52,6 +53,7 @@ SKETCH_CLASSES: dict[str, type] = {
     "bloom": BloomSketch,
     "mg": MGSketch,
     "theta": ThetaSketch,
+    "histogram": HistogramSketch,
 }
 
 

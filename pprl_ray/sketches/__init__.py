@@ -2,6 +2,7 @@ from .base import SKETCHES, Sketch, register  # noqa: F401
 from .bloom import BloomSketch  # noqa: F401
 from .cms import CMSSketch  # noqa: F401
 from .heavyhitters import MGSketch  # noqa: F401
+from .histogram import HistogramSketch  # noqa: F401
 from .hashing import hash_ints, hash_strings, splitmix64  # noqa: F401
 from .hll import HLLSketch  # noqa: F401
 from .lsh import MinHashSketch, band_keys, hamming64, minhash_signatures, simhash64  # noqa: F401

@@ -9,6 +9,7 @@ import pytest
 from pprl_ray.sketches import (
     BloomSketch,
     CMSSketch,
+    HistogramSketch,
     HLLSketch,
     KLLSketch,
     MinHashSketch,
@@ -139,6 +140,7 @@ def _partitions(vals, n_parts, seed):
     (CMSSketch, {"width": 1 << 12, "depth": 5}),
     (MinHashSketch, {"k": 128}),
     (ThetaSketch, {"k": 256}),
+    (HistogramSketch, {"lo": 0, "hi": 1000, "bins": 32}),
 ])
 def test_exact_merge_order_invariance(cls, kwargs):
     """Bloom/HLL/CMS/MinHash merges must be bit-exact under any merge order
@@ -198,6 +200,7 @@ def test_quantile_merge_order_invariance_within_bound(cls, kwargs, tol):
     (TDigestSketch, {"compression": 100}),
     (KLLSketch, {"k": 128}),
     (ThetaSketch, {"k": 64}),
+    (HistogramSketch, {"lo": 0, "hi": 1000, "bins": 32}),
 ])
 def test_serialization_roundtrip(cls, kwargs):
     sk = cls(**kwargs)
@@ -292,3 +295,25 @@ def test_sketch_pins_match_live_requery(ray_session, sf001_dir):
         df = df.sort_values(list(df.columns)[0]).reset_index(drop=True)
         live = [tuple(r) for r in df.itertuples(index=False)]
         assert live == pin, f"{name}: pins stale — regenerate with scripts/gen_sketch_pins.py"
+
+
+def test_histogram_exact_counts_and_clamps():
+    from pprl_ray.sketches import HistogramSketch
+
+    sk = HistogramSketch(lo=0, hi=64, bins=16)
+    vals = np.array([-5, 0, 1, 3, 4, 63, 64, 100], dtype=np.int64)
+    sk.update(vals)
+    assert sk.underflow == 1          # -5
+    assert sk.overflow == 2           # 64, 100
+    bc = sk.bin_counts()
+    assert bc[0] == 3                 # values 0,1,3 land in bin 0 (width 4)
+    assert bc[1] == 1                 # 4
+    assert bc[15] == 1                # 63
+    assert sk.total() == len(vals)
+    # exact vs numpy histogram on in-range values
+    rng = np.random.default_rng(3)
+    big = rng.integers(0, 64, 10_000)
+    sk2 = HistogramSketch(0, 64, 16)
+    sk2.update(big)
+    expected, _ = np.histogram(big, bins=16, range=(0, 64))
+    assert np.array_equal(sk2.bin_counts(), expected)
