@@ -757,6 +757,53 @@ def q_bloom_sources(sf_dir: str):
     )
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Corpus-version dedup against a PERSISTED hash index (dedup.py
+    write_hash_index / incremental_exact_dedup): v1 = documents (indexed
+    once, bucket-partitioned parquet), v2 = exact copies of the %3==0 docs
+    (new ids) plus genuinely-new '%3==1 + suffix' docs. Kept = the new docs
+    only; v1 is never re-read or re-hashed, v2's text never shuffles."""
+    import os
+    import shutil
+    import tempfile
+
+    from pprl_ray.stages.dedup import incremental_exact_dedup, write_hash_index
+
+    docs = _docs(sf_dir, ["doc_id", "text", "source"])
+    index_dir = os.path.join(
+        tempfile.gettempdir(), f"hash_index_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(index_dir, ignore_errors=True)
+    write_hash_index(docs, index_dir)
+
+    def _v2(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        dup = batch.filter(pa.array(ids % 3 == 0))
+        new = batch.filter(pa.array(ids % 3 == 1))
+        dup_t = pa.table(
+            {
+                "doc_id": pc.add(dup["doc_id"], 1_000_000),
+                "text": dup["text"],
+                "source": dup["source"],
+            }
+        )
+        new_t = pa.table(
+            {
+                "doc_id": pc.add(new["doc_id"], 2_000_000),
+                "text": pc.binary_join_element_wise(new["text"], " v2-extra", ""),
+                "source": new["source"],
+            }
+        )
+        return pa.concat_tables([dup_t, new_t])
+
+    v2 = _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(_v2, batch_format="pyarrow")
+    kept = incremental_exact_dedup(v2, index_dir)
+    return kept.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "source": b["source"]}),
+        batch_format="pyarrow",
+    )
+
+
 def q_ntok_histogram(sf_dir: str):
     """Mergeable fixed-bin histogram UDAF (sketches/histogram.py) over
     document word counts — EXACT per-bin counts (counter-add merge), bin
@@ -1870,6 +1917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theta_distinct_parts": q_theta_distinct_parts,
         "theta_source_overlap": q_theta_source_overlap,
         "ntok_histogram": q_ntok_histogram,
+        "incremental_dedup": q_incremental_dedup,
         "top_tokens": q_top_tokens,
         "knn_cosine": q_knn_cosine,
         "knn_ivf": q_knn_ivf,
@@ -2493,6 +2541,21 @@ def oracle_sql() -> dict[str, str]:
         # sf0.01 both theta queries are provably in exact mode (cardinality
         # << k=4096), so exact SQL is a true oracle; the estimation path is
         # bound-tested in tests/test_theta.py.
+        "incremental_dedup": """
+            WITH v2 AS (
+                SELECT doc_id + 1000000 AS doc_id, text, source
+                FROM documents WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT doc_id + 2000000 AS doc_id, text || ' v2-extra' AS text, source
+                FROM documents WHERE doc_id % 3 = 1
+            )
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                FROM v2
+                WHERE text NOT IN (SELECT text FROM documents)
+            ) WHERE rn = 1
+        """,
         "ntok_histogram": """
             WITH n AS (
                 SELECT len(string_split(text, ' ')) AS v FROM documents

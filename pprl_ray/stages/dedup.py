@@ -27,6 +27,8 @@ from ..sketches.lsh import band_keys, hamming64, minhash_signatures, simhash64
 __all__ = [
     "add_content_hash",
     "exact_dedup",
+    "write_hash_index",
+    "incremental_exact_dedup",
     "shingle_tokens",
     "shingle_docs",
     "minhash_candidates",
@@ -130,6 +132,153 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     from .join import bucket_join
 
     return bucket_join(ds, losers, keys=id_col, join_type="left anti", partitions=partitions)
+
+
+# --- incremental (corpus-version) dedup --------------------------------------
+#
+# The 100-TB training-data shape: corpus v2 arrives months after v1 was
+# deduped; re-hashing v1 per run is wasted work. Instead v1's 128-bit
+# content hashes persist as a bucket-partitioned parquet index
+# (``index_dir/bucket=<h1 % buckets>/``). A new corpus dedupes against the
+# index by reading ONLY the matching bucket directory per task (the
+# partition-pruned-read trick from ann.py's persisted IVF index) — the new
+# corpus's text never shuffles, only slim (h1, h2, id) rows do, and the
+# index grows by appending the kept rows' hashes (resumable state across
+# corpus versions; no rewrite).
+
+
+def _hash_index_meta_path(index_dir: str) -> str:
+    import os
+
+    return os.path.join(index_dir, "_meta.json")
+
+
+def _slim_hash_batch(batch: pa.Table, id_col: str, text_col: str, buckets: int) -> pa.Table:
+    h1, h2 = content_hash128(batch, text_col)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "h1": pa.array(h1.astype(np.int64), pa.int64()),
+            "h2": pa.array(h2.astype(np.int64), pa.int64()),
+            "bucket": pa.array((h1 % np.uint64(buckets)).astype(np.int32)),
+        }
+    )
+
+
+def write_hash_index(ds, index_dir: str, id_col: str = "doc_id",
+                     text_col: str = "text", buckets: int = 64) -> int:
+    """Create a persistent content-hash index from a (deduped) corpus:
+    distinct (h1, h2) per bucket, written ``partition_cols=["bucket"]`` so
+    later lookups read one bucket directory each. A ``_meta.json`` at the
+    index root pins the bucket count and hash scheme (validated on reuse —
+    a mismatched modulus would silently miss every duplicate). Returns the
+    number of indexed hashes."""
+    import json
+    import os
+
+    import pyarrow.dataset as pads
+
+    meta_path = _hash_index_meta_path(index_dir)
+    if os.path.exists(meta_path):
+        raise FileExistsError(f"hash index already exists at {index_dir}")
+    slim = ds.map_batches(
+        lambda b: _slim_hash_batch(b, id_col, text_col, buckets),
+        batch_format="pyarrow",
+    )
+
+    def _distinct(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(subset=["h1", "h2"])[["h1", "h2", "bucket"]]
+
+    distinct = slim.groupby("bucket").map_groups(_distinct, batch_format="pandas")
+    distinct.write_parquet(index_dir, partition_cols=["bucket"])
+    n = sum(
+        pads.dataset(os.path.join(index_dir, d)).count_rows()
+        for d in os.listdir(index_dir)
+        if d.startswith("bucket=")
+    )
+    with open(meta_path, "w") as f:
+        json.dump({"buckets": buckets, "hash": "xxhash64 seeds 101/211", "n_hashes": n}, f)
+    return n
+
+
+def incremental_exact_dedup(new_ds, index_dir: str, id_col: str = "doc_id",
+                            text_col: str = "text", update_index: bool = True,
+                            loser_broadcast_max: int = 5_000_000):
+    """Dedup a NEW corpus against a persisted hash index (and against
+    itself, min-id-first), without touching the old corpus: per bucket
+    group, read only ``index_dir/bucket=<b>/`` and anti-join the slim hash
+    rows. ``update_index=True`` appends the kept rows' hashes so the next
+    corpus version dedupes against v1 ∪ v2. Returns the kept Dataset
+    (original columns, text never shuffled)."""
+    import json
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray
+
+    with open(_hash_index_meta_path(index_dir)) as f:
+        meta = json.load(f)
+    buckets = int(meta["buckets"])
+
+    from .partitioning import compact_blocks
+
+    slim = compact_blocks(
+        new_ds.map_batches(
+            lambda b: _slim_hash_batch(b, id_col, text_col, buckets),
+            batch_format="pyarrow",
+        ).materialize()
+    )
+
+    def _losers(group: pd.DataFrame) -> pd.DataFrame:
+        b = int(group["bucket"].iloc[0])
+        g = group.sort_values(id_col)
+        internal_dup = g.duplicated(subset=["h1", "h2"], keep="first")
+        bucket_dir = os.path.join(index_dir, f"bucket={b}")
+        if os.path.isdir(bucket_dir):
+            idx = pads.dataset(bucket_dir).to_table(columns=["h1", "h2"]).to_pandas()
+            seen = pd.MultiIndex.from_frame(idx)
+            in_index = pd.MultiIndex.from_frame(g[["h1", "h2"]]).isin(seen)
+        else:
+            in_index = np.zeros(len(g), dtype=bool)
+        return g.loc[internal_dup.to_numpy() | in_index, [id_col]]
+
+    losers = slim.groupby("bucket").map_groups(_losers, batch_format="pandas").materialize()
+    n_losers = losers.count()
+    broadcast = 0 < n_losers <= loser_broadcast_max
+    if broadcast:
+        loser_tbl = pa.concat_tables(
+            [t for t in losers.iter_batches(batch_format="pyarrow", batch_size=1 << 20)]
+        )
+        ref = ray.put(loser_tbl[id_col].combine_chunks())
+
+        def _anti(batch: pa.Table) -> pa.Table:
+            bad = ray.get(ref)
+            return batch.filter(pc.invert(pc.is_in(batch[id_col], value_set=bad)))
+
+    if n_losers == 0:
+        kept = new_ds
+        kept_slim = slim
+    elif broadcast:
+        kept = new_ds.map_batches(_anti, batch_format="pyarrow")
+        kept_slim = slim.map_batches(_anti, batch_format="pyarrow")
+    else:
+        from .join import bucket_join
+
+        kept = bucket_join(new_ds, losers, keys=id_col, join_type="left anti")
+        kept_slim = bucket_join(slim, losers, keys=id_col, join_type="left anti")
+
+    if update_index:
+        # the append reuses the slim hash table (already materialized), NOT
+        # the kept corpus — the text column is never re-scanned or copied
+        appended = kept_slim.map_batches(
+            lambda b: b.select(["h1", "h2", "bucket"]), batch_format="pyarrow"
+        ).materialize()
+        appended.write_parquet(index_dir, partition_cols=["bucket"])  # append-only
+        meta["n_hashes"] = int(meta.get("n_hashes", 0)) + appended.count()
+        with open(_hash_index_meta_path(index_dir), "w") as f:
+            json.dump(meta, f)
+    return kept
 
 
 def _dedupe_pair_rows(pairs_ds, value_col: str | None, partitions: int,

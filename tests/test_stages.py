@@ -826,3 +826,70 @@ def test_synth_media_real_containers_decode():
         assert len(s) == 1024 and r == 8000
     again = synth_media_batch(ids, media_type="image/bmp")
     assert bmp["payload"].to_pylist() == again["payload"].to_pylist()
+
+
+def test_incremental_dedup_across_corpus_versions(tmp_path):
+    """v2 dedupes against v1's persisted index; v3 dedupes against v1 ∪
+    v2-kept (the index-append path); internal v2 dups collapse min-id-first;
+    the index never re-reads old corpora."""
+    import json
+
+    from pprl_ray.stages.dedup import incremental_exact_dedup, write_hash_index
+
+    def corpus(rows):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            )
+        ).repartition(4)
+
+    idx = str(tmp_path / "idx")
+    v1 = corpus([(1, "alpha"), (2, "beta"), (3, "gamma")])
+    n = write_hash_index(v1, idx, buckets=8)
+    assert n == 3
+    with pytest.raises(FileExistsError):
+        write_hash_index(v1, idx, buckets=8)
+
+    # v2: one v1 dup, one internal dup pair, one new doc
+    v2 = corpus([(10, "alpha"), (11, "delta"), (12, "delta"), (13, "epsilon")])
+    kept = incremental_exact_dedup(v2, idx)
+    assert sorted(r["doc_id"] for r in kept.take_all()) == [11, 13]
+    meta = json.loads((tmp_path / "idx" / "_meta.json").read_text())
+    assert meta["n_hashes"] == 5  # 3 from v1 + delta + epsilon
+
+    # v3: dups against v1 AND against v2's kept docs, plus one new
+    v3 = corpus([(20, "beta"), (21, "delta"), (22, "zeta")])
+    kept3 = incremental_exact_dedup(v3, idx)
+    assert sorted(r["doc_id"] for r in kept3.take_all()) == [22]
+
+    # update_index=False leaves the index untouched
+    v4 = corpus([(30, "zeta"), (31, "eta")])
+    kept4 = incremental_exact_dedup(v4, idx, update_index=False)
+    assert sorted(r["doc_id"] for r in kept4.take_all()) == [31]
+    kept4b = incremental_exact_dedup(v4, idx, update_index=False)
+    assert sorted(r["doc_id"] for r in kept4b.take_all()) == [31]
+
+
+def test_incremental_dedup_bucket_join_fallback(tmp_path):
+    """loser_broadcast_max=0 forces the co-partitioned anti-join path."""
+    from pprl_ray.stages.dedup import incremental_exact_dedup, write_hash_index
+
+    idx = str(tmp_path / "idx2")
+    texts = [f"doc number {i}" for i in range(200)]
+    v1 = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(200), pa.int64()), "text": pa.array(texts)})
+    ).repartition(4)
+    write_hash_index(v1, idx, buckets=8)
+    v2 = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(1000, 1200), pa.int64()),
+                "text": pa.array(texts[:100] + [f"new doc {i}" for i in range(100)]),
+            }
+        )
+    ).repartition(4)
+    kept = incremental_exact_dedup(v2, idx, loser_broadcast_max=0)
+    assert sorted(r["doc_id"] for r in kept.take_all()) == list(range(1100, 1200))
