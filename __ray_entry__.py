@@ -757,6 +757,17 @@ def q_bloom_sources(sf_dir: str):
     )
 
 
+def q_tfidf_top_term(sf_dir: str):
+    """Per-document top TF-IDF term (stages/text.py tfidf_top_terms):
+    global document-frequency table via partitioned-vectorized reduce,
+    broadcast df map, per-batch vectorized scoring (a document lives in
+    exactly one row, so tf/n_tok never shuffle)."""
+    from pprl_ray.stages.text import tfidf_top_terms
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return tfidf_top_terms(docs, n_docs=docs.count())
+
+
 def q_incremental_dedup(sf_dir: str):
     """Corpus-version dedup against a PERSISTED hash index (dedup.py
     write_hash_index / incremental_exact_dedup): v1 = documents (indexed
@@ -1918,6 +1929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theta_source_overlap": q_theta_source_overlap,
         "ntok_histogram": q_ntok_histogram,
         "incremental_dedup": q_incremental_dedup,
+        "tfidf_top_term": q_tfidf_top_term,
         "top_tokens": q_top_tokens,
         "knn_cosine": q_knn_cosine,
         "knn_ivf": q_knn_ivf,
@@ -2541,6 +2553,29 @@ def oracle_sql() -> dict[str, str]:
         # sf0.01 both theta queries are provably in exact mode (cardinality
         # << k=4096), so exact SQL is a true oracle; the estimation path is
         # bound-tested in tests/test_theta.py.
+        "tfidf_top_term": """
+            WITH words AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+            ), tf AS (
+                SELECT doc_id, token, count(*) AS c FROM words GROUP BY 1, 2
+            ), ntok AS (
+                SELECT doc_id, count(*) AS n FROM words GROUP BY 1
+            ), df AS (
+                SELECT token, count(DISTINCT doc_id) AS df FROM words GROUP BY 1
+            ), nd AS (
+                SELECT count(*) AS nd FROM documents
+            ), scored AS (
+                SELECT tf.doc_id, tf.token,
+                       (tf.c * 1.0 / ntok.n) * ln((nd.nd + 1.0) / (df.df + 1.0)) AS s
+                FROM tf JOIN ntok USING (doc_id) JOIN df USING (token) CROSS JOIN nd
+            )
+            SELECT doc_id, token AS top_term, round(s, 4) AS tfidf
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY s DESC, token
+                ) AS rn FROM scored
+            ) WHERE rn = 1
+        """,
         "incremental_dedup": """
             WITH v2 AS (
                 SELECT doc_id + 1000000 AS doc_id, text, source

@@ -13,7 +13,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["LangIdStage", "quality_batch", "token_count_batch", "fingerprint_batch", "rolling_fingerprint64"]
+__all__ = ["LangIdStage", "quality_batch", "token_count_batch", "fingerprint_batch", "rolling_fingerprint64", "document_frequency", "tfidf_top_terms"]
 
 _STOPWORDS = {
     "en": {"the", "a", "of", "and", "to", "in", "is", "it", "that", "was", "for", "on", "with"},
@@ -322,3 +322,101 @@ def rolling_fingerprint64(text: str, base: int = 1_000_003) -> int:
             wh = (wh * 131 + b) & 0xFFFFFFFFFFFFFFFF
         h = (h * base + wh) & 0xFFFFFFFFFFFFFFFF
     return h
+
+
+def document_frequency(ds, text_col: str = "text", id_col: str = "doc_id",
+                       partitions: int | None = None):
+    """(token, df) — number of documents containing each token, as a
+    Dataset. Per-batch polars explode+unique-per-doc partials (only
+    deduplicated (token, partial-df) rows enter the reduce), then the
+    partitioned-vectorized sum (hash(token) % partitions -> one pandas
+    groupby per group) — never a native per-distinct-group aggregate."""
+    import pandas as pd
+    import polars as pl
+
+    from .partitioning import auto_partitions
+
+    if partitions is None:
+        partitions = auto_partitions(ds)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pl.DataFrame(
+            {
+                "token": pl.from_arrow(batch[text_col].combine_chunks()).str.split(" "),
+                "_rid": np.arange(batch.num_rows, dtype=np.int64),
+            }
+        )
+        counts = (
+            df.explode("token").unique(["_rid", "token"]).group_by("token").len(name="df")
+        )
+        h = counts["token"].hash(seed=47).to_numpy()
+        counts = counts.with_columns(
+            pl.Series("part", (h % np.uint64(partitions)).astype(np.int32))
+        )
+        return counts.to_arrow()
+
+    def _sum(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby("token", as_index=False, sort=False)["df"].sum()
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_sum, batch_format="pandas")
+    )
+
+
+def tfidf_top_terms(ds, n_docs: int, text_col: str = "text", id_col: str = "doc_id",
+                    partitions: int | None = None):
+    """Per-document top TF-IDF term: score = (tf / n_tok) * ln((N+1)/(df+1)),
+    ties broken by token ascending. Two corpus passes: one for the global
+    document-frequency table, one per-batch scoring pass against the
+    broadcast df map (tf and n_tok never leave their batch — a document
+    lives in exactly one row).
+
+    Scale note: the df table is O(vocabulary) and is broadcast via
+    ``ray.put`` (16-24 B/term; fine to ~100 M terms). For open-vocabulary
+    corpora beyond that, swap the broadcast for a token-keyed bucket join
+    of the per-batch (doc, token, tf) partials against the df table — same
+    partitioned reduce, one extra shuffle of slim rows."""
+    import polars as pl
+    import ray
+
+    df_ds = document_frequency(ds, text_col=text_col, partitions=partitions)
+    df_tbl = pa.concat_tables(
+        [t for t in df_ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20)]
+    ).select(["token", "df"])
+    ref = ray.put(df_tbl)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        df_map = pl.from_arrow(ray.get(ref))
+        d = pl.DataFrame(
+            {
+                id_col: pl.from_arrow(batch[id_col].combine_chunks()),
+                "token": pl.from_arrow(batch[text_col].combine_chunks()).str.split(" "),
+            }
+        )
+        words = d.explode("token")
+        tf = words.group_by([id_col, "token"]).len(name="c")
+        ntok = words.group_by(id_col).len(name="n")
+        scored = (
+            tf.join(ntok, on=id_col)
+            .join(df_map, on="token")
+            .with_columns(
+                (
+                    (pl.col("c") * 1.0 / pl.col("n"))
+                    * ((n_docs + 1.0) / (pl.col("df") + 1.0)).log()
+                ).alias("s")
+            )
+            .sort([id_col, "s", "token"], descending=[False, True, False])
+            .group_by(id_col, maintain_order=True)
+            .first()
+        )
+        return scored.select(
+            [
+                pl.col(id_col),
+                pl.col("token").alias("top_term"),
+                pl.col("s").round(4).alias("tfidf"),
+            ]
+        ).to_arrow()
+
+    return ds.map_batches(_score, batch_format="pyarrow")

@@ -893,3 +893,25 @@ def test_incremental_dedup_bucket_join_fallback(tmp_path):
     ).repartition(4)
     kept = incremental_exact_dedup(v2, idx, loser_broadcast_max=0)
     assert sorted(r["doc_id"] for r in kept.take_all()) == list(range(1100, 1200))
+
+
+def test_tfidf_top_terms_known_values():
+    import math
+
+    from pprl_ray.stages.text import document_frequency, tfidf_top_terms
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["a b b", "a c"]),
+            }
+        )
+    ).repartition(2)
+    df = {r["token"]: r["df"] for r in document_frequency(docs, partitions=4).take_all()}
+    assert df == {"a": 2, "b": 1, "c": 1}
+    out = {r["doc_id"]: r for r in tfidf_top_terms(docs, n_docs=2, partitions=4).take_all()}
+    assert out[1]["top_term"] == "b"
+    assert out[1]["tfidf"] == round((2 / 3) * math.log(3 / 2), 4)
+    assert out[2]["top_term"] == "c"
+    assert out[2]["tfidf"] == round((1 / 2) * math.log(3 / 2), 4)
