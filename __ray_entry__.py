@@ -757,6 +757,30 @@ def q_bloom_sources(sf_dir: str):
     )
 
 
+def q_bloom_semi_join(sf_dir: str):
+    """Sketch-driven semi-join (join.py bloom_semi_join): orders of
+    BUILDING-segment customers. The Bloom pre-filter drops ~80 % of orders
+    before any shuffle (no false negatives); the exact phase bucket-joins
+    only the survivors. The key side is NEVER broadcast raw — only its
+    fixed-size Bloom bytes."""
+    from pprl_ray.stages.join import bloom_semi_join
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    kept = bloom_semi_join(orders, cust, keys="o_custkey", right_keys="c_custkey")
+    return kept.map_batches(
+        lambda b: pa.table({"o_orderkey": b["o_orderkey"], "o_custkey": b["o_custkey"]}),
+        batch_format="pyarrow",
+    )
+
+
 def q_tfidf_top_term(sf_dir: str):
     """Per-document top TF-IDF term (stages/text.py tfidf_top_terms):
     global document-frequency table via partitioned-vectorized reduce,
@@ -1930,6 +1954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntok_histogram": q_ntok_histogram,
         "incremental_dedup": q_incremental_dedup,
         "tfidf_top_term": q_tfidf_top_term,
+        "bloom_semi_join": q_bloom_semi_join,
         "top_tokens": q_top_tokens,
         "knn_cosine": q_knn_cosine,
         "knn_ivf": q_knn_ivf,
@@ -2553,6 +2578,12 @@ def oracle_sql() -> dict[str, str]:
         # sf0.01 both theta queries are provably in exact mode (cardinality
         # << k=4096), so exact SQL is a true oracle; the estimation path is
         # bound-tested in tests/test_theta.py.
+        "bloom_semi_join": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey IN (
+                SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            )
+        """,
         "tfidf_top_term": """
             WITH words AS (
                 SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents

@@ -29,7 +29,7 @@ import pyarrow as pa
 
 from .partitioning import auto_partitions
 
-__all__ = ["broadcast_join", "bucket_join", "asof_join", "interval_join"]
+__all__ = ["broadcast_join", "bucket_join", "asof_join", "interval_join", "bloom_semi_join"]
 
 # join types that are correct when executed independently per large-side
 # batch against the full small side (unmatched SMALL-side rows are never
@@ -313,3 +313,56 @@ def interval_join(points_ds, intervals_ds, key_col: str, ts_col: str,
         return pa.table(cols)
 
     return out.map_batches(_contain, batch_format="pyarrow")
+
+
+def bloom_semi_join(left_ds, keys_ds, keys, right_keys=None,
+                    bloom_bits: int = 1 << 24, bloom_k: int = 4,
+                    partitions: int | None = None, exact: bool = True):
+    """Semi-join ``left_ds`` to the key set of ``keys_ds`` with a Bloom
+    pre-filter: the sketch-driven join optimization for when the key side
+    is too large to broadcast EXACTLY but its Bloom filter fits anywhere
+    (10 bits/key ≈ 1.2 GB per 10^9 keys vs 8+ GB of raw 64-bit keys).
+
+    Phases: (1) build the Bloom over the key column distributively (tiny
+    merge of per-block partials — bytes-OR, exactly order-invariant);
+    (2) stream ``left_ds`` through a vectorized ``contains`` filter — NO
+    false negatives, ~``fpr`` false positives, so typically >90 % of a
+    non-matching corpus never reaches the shuffle; (3) ``exact=True``
+    removes the false positives with a co-partitioned semi bucket_join of
+    just the SURVIVORS (matches + ~fpr stragglers). ``exact=False`` skips
+    phase 3 for pure-filter use (e.g. candidate pruning feeding a verifier
+    that re-checks anyway).
+
+    Key typing: values are hashed via the same int64 pipeline on both
+    sides (int keys only; hash string keys to int64 upstream)."""
+    import ray
+
+    from ..sketches import BloomSketch
+    from ..state.aggregate import finalize_sketches, sketch_by_key
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    right_keys = keys if right_keys is None else (
+        [right_keys] if isinstance(right_keys, str) else list(right_keys)
+    )
+    if len(keys) != 1 or len(right_keys) != 1:
+        raise NotImplementedError("bloom_semi_join supports a single key column")
+    lkey, rkey = keys[0], right_keys[0]
+
+    merged = sketch_by_key(
+        keys_ds, lambda: BloomSketch(bloom_bits, bloom_k), rkey, None
+    )
+    bloom = finalize_sketches(merged, BloomSketch)[""]
+    ref = ray.put(bloom.to_bytes())
+
+    def _prefilter(batch: pa.Table) -> pa.Table:
+        sk = BloomSketch.from_bytes(ray.get(ref))
+        vals = batch[lkey].combine_chunks().to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(sk.contains(vals)))
+
+    survivors = left_ds.map_batches(_prefilter, batch_format="pyarrow")
+    if not exact:
+        return survivors
+    return bucket_join(
+        survivors, keys_ds.select_columns([rkey]), keys=lkey, right_keys=rkey,
+        join_type="left semi", partitions=partitions,
+    )

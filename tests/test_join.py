@@ -198,3 +198,33 @@ def test_asof_join_int64_keys_above_2_53(ray_session):
     # float64 would collapse base+1..base+6 to the same key and mismatch
     assert got[base + 2] == "r1" and got[base + 5] == "r2"
     assert out["t"].dtype == "int64"
+
+
+def test_bloom_semi_join_exact_and_prefilter_only():
+    """A deliberately tiny Bloom forces false positives: exact=True must
+    remove every one (equals the true semi-join); exact=False must be a
+    superset with NO false negatives."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pprl_ray.stages.join import bloom_semi_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array(np.arange(5000), pa.int64()),
+                  "v": pa.array(np.arange(5000) * 2, pa.int64())})
+    ).repartition(4)
+    keys = rd.from_arrow(
+        pa.table({"k": pa.array(np.arange(0, 5000, 50), pa.int64())})
+    ).repartition(2)
+    true_keys = set(range(0, 5000, 50))
+
+    exact = bloom_semi_join(left, keys, keys="k", bloom_bits=1 << 10, bloom_k=2)
+    got = sorted(r["k"] for r in exact.take_all())
+    assert got == sorted(true_keys)
+
+    approx = bloom_semi_join(left, keys, keys="k", bloom_bits=1 << 10, bloom_k=2,
+                             exact=False)
+    approx_keys = {r["k"] for r in approx.take_all()}
+    assert true_keys <= approx_keys          # no false negatives, ever
+    assert len(approx_keys) > len(true_keys)  # tiny bloom must false-positive
