@@ -757,6 +757,34 @@ def q_bloom_sources(sf_dir: str):
     )
 
 
+def q_range_sort_rank(sf_dir: str):
+    """Sketch-driven distributed sort (stages/sort.py): KLL boundaries ->
+    one range shuffle -> per-bucket sorts, with exact global ranks
+    (bucket-offset + local position) so the sort verifies row-for-row
+    against row_number() OVER (ORDER BY n_tok, doc_id)."""
+    from pprl_ray.stages.sort import range_sorted_rank
+
+    def _with_ntok(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        n = pl.from_arrow(batch["text"].combine_chunks()).str.split(" ").list.len()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tok": pa.array(n.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(_with_ntok, batch_format="pyarrow")
+    ranked = range_sorted_rank(ds, "n_tok", "doc_id", partitions=8)
+    return ranked.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["doc_id"], "n_tok": b["n_tok"], "rank": b["rank"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_bloom_semi_join(sf_dir: str):
     """Sketch-driven semi-join (join.py bloom_semi_join): orders of
     BUILDING-segment customers. The Bloom pre-filter drops ~80 % of orders
@@ -1955,6 +1983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": q_incremental_dedup,
         "tfidf_top_term": q_tfidf_top_term,
         "bloom_semi_join": q_bloom_semi_join,
+        "range_sort_rank": q_range_sort_rank,
         "top_tokens": q_top_tokens,
         "knn_cosine": q_knn_cosine,
         "knn_ivf": q_knn_ivf,
@@ -2578,6 +2607,14 @@ def oracle_sql() -> dict[str, str]:
         # sf0.01 both theta queries are provably in exact mode (cardinality
         # << k=4096), so exact SQL is a true oracle; the estimation path is
         # bound-tested in tests/test_theta.py.
+        "range_sort_rank": """
+            WITH n AS (
+                SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+            )
+            SELECT doc_id, n_tok,
+                   row_number() OVER (ORDER BY n_tok, doc_id) AS rank
+            FROM n
+        """,
         "bloom_semi_join": """
             SELECT o_orderkey, o_custkey FROM orders
             WHERE o_custkey IN (

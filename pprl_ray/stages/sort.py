@@ -1,0 +1,147 @@
+"""Sketch-driven range partitioning / distributed sort.
+
+The classic external-sort shape at cluster scale (TeraSort / Spark
+RangePartitioner, both public designs): ONE streaming pass builds a KLL
+quantile sketch of the sort column (tiny mergeable state instead of the
+sample-collect step); its 1/P..(P-1)/P quantiles become P-1 range
+boundaries; every row then shuffles ONCE to its range bucket and each
+bucket sorts independently. Bucket order = global order, so
+
+- reading ``bucket=000.., bucket=001..`` parquet dirs in name order yields
+  a fully globally-sorted dataset (the resumable-sink layout: a crashed
+  run re-sorts only missing buckets);
+- per-bucket row counts are balanced within the KLL rank-error bound
+  (ε ≈ 2/k per side), so no sort task sees more than ~(1/P + 2ε) of the
+  data — the skew guarantee ``ds.sort``'s sampled boundaries only give
+  probabilistically.
+
+Reference parity: the reference has no sort at all (everything in-memory
+row lists); this is the scale-path primitive its pipelines would need
+first at 10^12 rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["range_boundaries", "range_bucket", "range_partitioned_sort", "bucket_summaries", "range_sorted_rank"]
+
+
+def range_boundaries(ds, col: str, partitions: int, k: int = 200) -> np.ndarray:
+    """P-1 ascending range boundaries from a one-pass KLL sketch of ``col``
+    (duplicates collapsed — heavy single values can't split across buckets,
+    they just make one bucket larger)."""
+    from ..sketches import KLLSketch
+    from ..state.aggregate import finalize_sketches, sketch_by_key
+
+    merged = sketch_by_key(ds, lambda: KLLSketch(k), col, None)
+    sk = finalize_sketches(merged, KLLSketch)[""]
+    bounds = np.array([sk.quantile(i / partitions) for i in range(1, partitions)])
+    return np.unique(bounds)
+
+
+def range_bucket(ds, col: str, boundaries: np.ndarray, bucket_col: str = "bucket"):
+    """Tag every row with its range-bucket id (vectorised searchsorted);
+    bucket i holds values in (boundaries[i-1], boundaries[i]]."""
+    bounds = np.asarray(boundaries)
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        v = batch[col].combine_chunks().to_numpy(zero_copy_only=False)
+        b = np.searchsorted(bounds, v, side="left").astype(np.int32)
+        return batch.append_column(bucket_col, pa.array(b))
+
+    return ds.map_batches(_tag, batch_format="pyarrow")
+
+
+def range_partitioned_sort(ds, col: str, partitions: int | None = None,
+                           out_dir: str | None = None, k: int = 200):
+    """Globally sort ``ds`` by ``col`` via sketch boundaries: one KLL pass,
+    one shuffle, per-bucket vectorised sorts. Returns the bucket-tagged,
+    per-bucket-sorted Dataset; with ``out_dir`` also writes
+    ``bucket=<i>/`` parquet dirs whose name order is global order."""
+    from .partitioning import auto_partitions
+
+    if partitions is None:
+        partitions = auto_partitions(ds)
+    bounds = range_boundaries(ds, col, partitions, k=k)
+
+    def _sort(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(col, kind="mergesort")
+
+    tagged = range_bucket(ds, col, bounds)
+    out = tagged.groupby("bucket").map_groups(_sort, batch_format="pandas")
+    if out_dir is not None:
+        out.write_parquet(out_dir, partition_cols=["bucket"])
+    return out
+
+
+def bucket_summaries(sorted_ds, col: str) -> pd.DataFrame:
+    """(bucket, n_rows, min_v, max_v) per range bucket — the cheap global
+    proof is in the invariants: buckets are value-disjoint and their union
+    is the input (asserted in tests; totals/extremes SQL-oracle-able)."""
+
+    def _summary(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame(
+            {
+                "bucket": pl.from_arrow(batch["bucket"].combine_chunks()),
+                "v": pl.from_arrow(batch[col].combine_chunks()),
+            }
+        )
+        g = df.group_by("bucket").agg(
+            pl.len().alias("n_rows"), pl.col("v").min().alias("min_v"),
+            pl.col("v").max().alias("max_v"),
+        )
+        return g.to_arrow()
+
+    parts = sorted_ds.map_batches(_summary, batch_format="pyarrow")
+    rows = parts.take_all()
+    df = pd.DataFrame(rows)
+    agg = df.groupby("bucket", as_index=False).agg(
+        n_rows=("n_rows", "sum"), min_v=("min_v", "min"), max_v=("max_v", "max")
+    )
+    return agg.sort_values("bucket").reset_index(drop=True)
+
+
+def range_sorted_rank(ds, col: str, tiebreak: str, partitions: int | None = None,
+                      k: int = 200):
+    """Distributed sort that PROVES itself: every row gets its exact global
+    rank (1-based, ordered by ``(col, tiebreak)``) computed as
+    ``bucket_offset + within-bucket position`` — bucket offsets are the
+    cumulative counts of the (tiny) per-bucket histogram, within-bucket
+    positions come from the per-bucket vectorised sort. Equal ``col``
+    values always share a bucket (searchsorted side='left'), so ranks are
+    exact, making the whole distributed sort verifiable row-for-row
+    against ``row_number() OVER (ORDER BY col, tiebreak)``."""
+    from .partitioning import auto_partitions
+
+    if partitions is None:
+        partitions = auto_partitions(ds)
+    bounds = range_boundaries(ds, col, partitions, k=k)
+    tagged = range_bucket(ds, col, bounds)
+
+    # tiny per-bucket histogram -> exclusive prefix offsets
+    def _counts(batch: pa.Table) -> pa.Table:
+        b = batch["bucket"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = np.bincount(b, minlength=len(bounds) + 1)
+        return pa.table(
+            {"bucket": pa.array(np.arange(len(n), dtype=np.int32)),
+             "n": pa.array(n, pa.int64())}
+        )
+
+    hist = tagged.map_batches(_counts, batch_format="pyarrow").take_all()
+    counts = np.zeros(len(bounds) + 1, dtype=np.int64)
+    for r in hist:
+        counts[r["bucket"]] += r["n"]
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    def _rank(group: pd.DataFrame) -> pd.DataFrame:
+        b = int(group["bucket"].iloc[0])
+        g = group.sort_values([col, tiebreak], kind="mergesort").drop(columns=["bucket"])
+        g["rank"] = offsets[b] + np.arange(1, len(g) + 1)
+        return g
+
+    return tagged.groupby("bucket").map_groups(_rank, batch_format="pandas")

@@ -915,3 +915,61 @@ def test_tfidf_top_terms_known_values():
     assert out[1]["tfidf"] == round((2 / 3) * math.log(3 / 2), 4)
     assert out[2]["top_term"] == "c"
     assert out[2]["tfidf"] == round((1 / 2) * math.log(3 / 2), 4)
+
+
+def test_range_partitioned_sort_invariants(tmp_path):
+    """Buckets value-disjoint, union = input, balance within KLL bound;
+    parquet bucket dirs in name order are globally sorted."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from pprl_ray.stages.sort import bucket_summaries, range_partitioned_sort
+
+    rng = np.random.default_rng(5)
+    vals = rng.lognormal(3, 1, 20_000)
+    ds = rd.from_arrow(
+        pa.table({"id": pa.array(np.arange(len(vals)), pa.int64()),
+                  "v": pa.array(vals, pa.float64())})
+    ).repartition(8)
+    out_dir = str(tmp_path / "sorted")
+    P = 8
+    result = range_partitioned_sort(ds, "v", partitions=P, out_dir=out_dir)
+    summ = bucket_summaries(result, "v")
+    assert summ["n_rows"].sum() == len(vals)
+    # disjoint ascending ranges
+    for i in range(1, len(summ)):
+        assert summ["min_v"].iloc[i] >= summ["max_v"].iloc[i - 1]
+    # balance: no bucket beyond ~(1/P + 2*eps) of the rows (eps ~ 2.5/k, k=200)
+    assert summ["n_rows"].max() <= len(vals) * (1 / P + 2 * 2.5 / 200) * 1.5
+    # name-ordered parquet dirs concatenate to a globally sorted column
+    dirs = sorted(d for d in os.listdir(out_dir) if d.startswith("bucket="))
+    concat = np.concatenate(
+        [
+            pads.dataset(os.path.join(out_dir, d)).to_table(columns=["v"])["v"].to_numpy()
+            for d in dirs
+        ]
+    )
+    assert (np.diff(concat) >= 0).all()
+
+
+def test_range_sorted_rank_exact():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pprl_ray.stages.sort import range_sorted_rank
+
+    rng = np.random.default_rng(9)
+    v = rng.integers(0, 50, 5000)  # heavy duplicates across bucket boundaries
+    ds = rd.from_arrow(
+        pa.table({"id": pa.array(np.arange(5000), pa.int64()),
+                  "v": pa.array(v, pa.int64())})
+    ).repartition(8)
+    ranked = {r["id"]: r["rank"] for r in range_sorted_rank(ds, "v", "id", partitions=8).take_all()}
+    order = np.lexsort((np.arange(5000), v))
+    for pos, rid in enumerate(order, start=1):
+        assert ranked[rid] == pos
