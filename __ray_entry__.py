@@ -757,6 +757,64 @@ def q_bloom_sources(sf_dir: str):
     )
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd's k-means (stages/cluster.py): deterministic
+    bottom-k-hash init, broadcast centroids, per-batch matmul assignment,
+    tiny (cluster, sum, count) partial reduce — the corpus never shuffles.
+    Deterministic across num_cpus (pinned read topology + block-ordered
+    driver reduce), so the sf0.01 output is a pinned-VALUES oracle; Lloyd
+    convergence properties are covered by tests."""
+    from pprl_ray.stages.cluster import kmeans_assign, kmeans_fit
+
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cents = kmeans_fit(emb, k=10, iters=10)
+    assign = kmeans_assign(emb, cents)
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        c = batch["cluster"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = np.bincount(c, minlength=10)
+        return pa.table(
+            {"cluster": pa.array(np.arange(10, dtype=np.int32)), "n": pa.array(n, pa.int64())}
+        )
+
+    counts = np.zeros(10, dtype=np.int64)
+    for r in assign.map_batches(_counts, batch_format="pyarrow").take_all():
+        counts[r["cluster"]] += r["n"]
+    return pd.DataFrame(
+        {"cluster": np.arange(10, dtype=np.int32), "n_points": counts}
+    )
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic near-dup pairs (cluster.py): k-means
+    bucketing, within-cluster exact cosine >= 0.999. Same planted-copy
+    oracle as embedding_near_dup — identical vectors always co-cluster, so
+    recall is 1 at cosine == 1 and no organic pair reaches the threshold
+    (verified in both testdata scales)."""
+    from pprl_ray.stages.cluster import kmeans_fit, semantic_dedup_pairs
+
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    copies = ds.filter(expr="vec_id < 5").map_batches(
+        lambda b: pa.table(
+            {"vec_id": pc.add(b["vec_id"], 900_000), "embedding": b["embedding"]}
+        ),
+        batch_format="pyarrow",
+    )
+    planted = ds.union(copies)
+    cents = kmeans_fit(planted, k=10, iters=5)
+    pairs = semantic_dedup_pairs(planted, cents, threshold=0.999)
+    return pairs.map_batches(
+        lambda b: pa.table(
+            {
+                "id_a": pc.cast(b["id_a"], pa.int64()),
+                "id_b": pc.cast(b["id_b"], pa.int64()),
+                "cosine": pc.cast(b["cosine"], pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_range_sort_rank(sf_dir: str):
     """Sketch-driven distributed sort (stages/sort.py): KLL boundaries ->
     one range shuffle -> per-bucket sorts, with exact global ranks
@@ -1984,6 +2042,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_term": q_tfidf_top_term,
         "bloom_semi_join": q_bloom_semi_join,
         "range_sort_rank": q_range_sort_rank,
+        "kmeans_clusters": q_kmeans_clusters,
+        "semantic_dedup": q_semantic_dedup,
         "top_tokens": q_top_tokens,
         "knn_cosine": q_knn_cosine,
         "knn_ivf": q_knn_ivf,
@@ -2279,7 +2339,14 @@ def _sketch_pin_oracles() -> dict[str, str]:
         lambda r: f"'{r[0]}', {r[1]!r}, {r[2]!r}, {r[3]}, {r[4]!r}",
     )
     vf = _rows(sp.PIN_VIDEO_FRAMES, lambda r: f"'{r[0]}', {r[1]}, {r[2]!r}")
+    km = _rows(sp.PIN_KMEANS_CLUSTERS, lambda r: f"{r[0]}, {r[1]}")
     return {
+        "kmeans_clusters": f"""
+            SELECT CAST(c AS INT) AS cluster, CAST(n AS BIGINT) AS n_points
+            FROM (VALUES
+                {km}
+            ) AS v(c, n)
+        """,
         "multimodal_features": f"""
             SELECT media_id, CAST(m AS DOUBLE) AS img_mean,
                    CAST(e AS DOUBLE) AS img_entropy8
@@ -2607,6 +2674,19 @@ def oracle_sql() -> dict[str, str]:
         # sf0.01 both theta queries are provably in exact mode (cardinality
         # << k=4096), so exact SQL is a true oracle; the estimation path is
         # bound-tested in tests/test_theta.py.
+        "semantic_dedup": """
+            WITH planted AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 900000 AS vec_id, embedding FROM embeddings
+                WHERE vec_id < 5
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                              AS DOUBLE), 4) AS cosine
+            FROM planted a JOIN planted b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999
+        """,
         "range_sort_rank": """
             WITH n AS (
                 SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents

@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "bloom_sources",
     "theta_distinct_parts",
     "minhash_dedup",
+    "incremental_dedup",
+    "tfidf_top_term",
+    "bloom_semi_join",
+    "range_sort_rank",
     "simhash",
     "knn_cosine",
     "lang_id",

@@ -1,0 +1,159 @@
+"""Distributed k-means over an embedding column + semantic dedup.
+
+Lloyd's algorithm (public classic; MacQueen 1967) in the broadcast-
+centroids shape: centroids live in the object store (``ray.put`` once per
+iteration), every batch computes assignments with one numpy matmul and
+emits tiny per-cluster (sum_vec, count) partials; the driver reduces a
+k x dim matrix — the corpus itself never shuffles and never materializes.
+
+Initialization is DETERMINISTIC and partitioning-invariant: the k rows
+with the smallest 64-bit hash of their id (a distributed bottom-k, the
+same primitive as the theta sketch) — so runs are reproducible at any
+``num_cpus``, unlike random inits.
+
+Semantic dedup (the SemDeDup recipe, Abbas et al. 2023, public):
+cluster the embeddings, then search for near-duplicate pairs ONLY within
+each cluster (cosine >= threshold, keep min id) — an O(n^2/k) candidate
+space instead of all-pairs. Like every banded/bucketed dedup here, the
+within-cluster pass is exact; misses are only cross-cluster pairs (the
+documented approximation; raise k_clusters to trade recall for cost).
+
+Reference parity: none (the reference has no vector ops); scale shape
+mirrors stages/ann.py (broadcast small side, streamed corpus).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..sketches.hashing import hash_ints
+from .ann import _embedding_matrix, _normalize
+
+__all__ = ["kmeans_fit", "kmeans_assign", "semantic_dedup_pairs"]
+
+
+def _bottomk_rows(ds, id_col: str, vec_col: str, k: int, seed: int) -> np.ndarray:
+    """Deterministic init: embeddings of the k ids with smallest hash —
+    per-batch partial bottom-k, tiny driver merge (exact, topology-free)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        h = hash_ints(ids.astype(np.int64), seed)
+        take = np.argsort(h, kind="stable")[:k]
+        mat = _embedding_matrix(batch, vec_col)[take]
+        return pa.table(
+            {
+                "h": pa.array(h[take].astype(np.uint64), pa.uint64()),
+                "vec": pa.array(list(mat), pa.list_(pa.float64())),
+            }
+        )
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").take_all()
+    parts.sort(key=lambda r: r["h"])
+    return np.array([r["vec"] for r in parts[:k]], dtype=np.float64)
+
+
+def kmeans_fit(ds, k: int = 8, vec_col: str = "embedding", id_col: str = "vec_id",
+               iters: int = 10, seed: int = 0) -> np.ndarray:
+    """Fit k centroids; returns the (k, dim) centroid matrix. Each Lloyd
+    iteration is one streaming pass emitting (cluster, sum_vec, count)
+    partials per batch; empty clusters keep their previous centroid."""
+    import ray
+
+    centroids = _bottomk_rows(ds, id_col, vec_col, k, seed)
+
+    for _ in range(iters):
+        ref = ray.put(centroids)
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            cents = ray.get(ref)  # zero-copy local read
+            mat = _embedding_matrix(batch, vec_col)
+            # matmul form: argmin_c |x-c|^2 = argmin_c (-2 x.c + |c|^2)
+            d2 = -2.0 * (mat @ cents.T) + (cents**2).sum(axis=1)[None, :]
+            assign = d2.argmin(axis=1)
+            sums = np.zeros_like(cents)
+            np.add.at(sums, assign, mat)
+            counts = np.bincount(assign, minlength=len(cents)).astype(np.int64)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(len(cents), dtype=np.int32)),
+                    "sum_vec": pa.array(list(sums), pa.list_(pa.float64())),
+                    "count": pa.array(counts, pa.int64()),
+                }
+            )
+
+        rows = ds.map_batches(_partial, batch_format="pyarrow").take_all()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            sums[r["cluster"]] += np.asarray(r["sum_vec"])
+            counts[r["cluster"]] += r["count"]
+        nonempty = counts > 0
+        centroids = centroids.copy()
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return centroids
+
+
+def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding",
+                  id_col: str = "vec_id"):
+    """(id, cluster) Dataset — one matmul per batch vs broadcast centroids."""
+    import ray
+
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(ref)
+        mat = _embedding_matrix(batch, vec_col)
+        d2 = -2.0 * (mat @ cents.T) + (cents**2).sum(axis=1)[None, :]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster": pa.array(d2.argmin(axis=1).astype(np.int32)),
+            }
+        )
+
+    return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def semantic_dedup_pairs(ds, centroids: np.ndarray, threshold: float,
+                         vec_col: str = "embedding", id_col: str = "vec_id",
+                         round_to: int = 4):
+    """Within-cluster near-duplicate pairs (cosine >= threshold, id_a <
+    id_b) as a Dataset — the SemDeDup candidate pass. Each cluster's rows
+    co-locate via one groupby shuffle of (id, cluster, vec); the per-
+    cluster all-pairs is vectorised (n_c x n_c matmul, n_c ~ n/k)."""
+    import ray
+
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        cents = ray.get(ref)
+        mat = _embedding_matrix(batch, vec_col)
+        d2 = -2.0 * (mat @ cents.T) + (cents**2).sum(axis=1)[None, :]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster": pa.array(d2.argmin(axis=1).astype(np.int32)),
+                "vec": pa.array(list(_normalize(mat)), pa.list_(pa.float64())),
+            }
+        )
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        mat = np.stack(g["vec"].to_numpy())
+        sims = mat @ mat.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        hit = sims[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[hit]],
+                "id_b": ids[ib[hit]],
+                "cosine": np.round(sims[ia[hit], ib[hit]], round_to),
+            }
+        )
+
+    tagged = ds.map_batches(_tag, batch_format="pyarrow")
+    return tagged.groupby("cluster").map_groups(_pairs, batch_format="pandas")

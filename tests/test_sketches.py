@@ -287,6 +287,7 @@ def test_sketch_pins_match_live_requery(ray_session, sf001_dir):
         "multimodal_features",
         "audio_features",
         "video_frames",
+        "kmeans_clusters",
     ):
         pin = getattr(sp, f"PIN_{name.upper()}")
         df = qs[name](sf001_dir)

@@ -973,3 +973,69 @@ def test_range_sorted_rank_exact():
     order = np.lexsort((np.arange(5000), v))
     for pos, rid in enumerate(order, start=1):
         assert ranked[rid] == pos
+
+
+def test_kmeans_recovers_separated_clusters():
+    """On genuinely separated blobs Lloyd's must recover the exact
+    partition; assignment is deterministic and matches a single-process
+    replica of the same algorithm."""
+    from pprl_ray.stages.cluster import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(0)
+    k, per, dim = 5, 200, 8
+    centers = rng.normal(0, 50, (k, dim))
+    pts = np.concatenate([c + rng.normal(0, 0.5, (per, dim)) for c in centers])
+    truth = np.repeat(np.arange(k), per)
+    ids = rng.permutation(k * per)  # shuffle so init picks across blobs
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(list(pts), pa.list_(pa.float64())),
+            }
+        )
+    ).repartition(6)
+    cents = kmeans_fit(ds, k=k, iters=8)
+    assign = {r["vec_id"]: r["cluster"] for r in kmeans_assign(ds, cents).take_all()}
+    got = np.array([assign[i] for i in ids])
+    # same-blob points share a cluster, different blobs never do
+    for b in range(k):
+        blob = got[truth == b]
+        assert (blob == blob[0]).all(), b
+    assert len({got[truth == b][0] for b in range(k)}) == k
+
+
+def test_semantic_dedup_within_cluster_exactness():
+    """Pairs reported = EXACTLY the >=threshold pairs among co-clustered
+    rows (subset of all exact pairs; within-cluster recall 1)."""
+    from pprl_ray.stages.cluster import kmeans_assign, kmeans_fit, semantic_dedup_pairs
+
+    rng = np.random.default_rng(1)
+    base = rng.normal(0, 1, (300, 16))
+    # plant near-dups: rows 300..309 are tiny perturbations of rows 0..9
+    near = base[:10] + rng.normal(0, 1e-4, (10, 16))
+    pts = np.concatenate([base, near])
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(pts)), pa.int64()),
+                "embedding": pa.array(list(pts), pa.list_(pa.float64())),
+            }
+        )
+    ).repartition(4)
+    cents = kmeans_fit(ds, k=6, iters=5)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(ds, cents, threshold=0.999).take_all()
+    }
+    # exact all-pairs truth
+    norm = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    ia, ib = np.triu_indices(len(pts), k=1)
+    exact = {(int(a), int(b)) for a, b in zip(ia[sims[ia, ib] >= 0.999], ib[sims[ia, ib] >= 0.999])}
+    assert got <= exact
+    # the planted pairs are co-clustered (identical direction) -> all found
+    assign = {r["vec_id"]: r["cluster"] for r in kmeans_assign(ds, cents).take_all()}
+    within = {(a, b) for a, b in exact if assign[a] == assign[b]}
+    assert got == within
+    assert {(i, 300 + i) for i in range(10)} <= got
