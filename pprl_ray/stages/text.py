@@ -13,7 +13,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["LangIdStage", "quality_batch", "token_count_batch", "fingerprint_batch", "rolling_fingerprint64", "document_frequency", "tfidf_top_terms"]
+__all__ = ["LangIdStage", "quality_batch", "token_count_batch", "fingerprint_batch", "rolling_fingerprint64", "document_frequency", "tfidf_top_terms", "PiiScrubStage"]
 
 _STOPWORDS = {
     "en": {"the", "a", "of", "and", "to", "in", "is", "it", "that", "was", "for", "on", "with"},
@@ -420,3 +420,39 @@ def tfidf_top_terms(ds, n_docs: int, text_col: str = "text", id_col: str = "doc_
         ).to_arrow()
 
     return ds.map_batches(_score, batch_format="pyarrow")
+
+
+class PiiScrubStage:
+    """Actor-pool PII redaction: patterns compile ONCE per actor
+    (``__init__``), each batch is scrubbed vectorised via polars'
+    RE2-compatible replace_all. Emits the scrubbed text plus a redaction
+    count per row (the audit column a compliance pipeline needs).
+
+    Default patterns cover emails, E.164-ish phone numbers and IPv4 —
+    deliberately RE2-safe (no backrefs/lookaround) so the same pattern
+    runs identically in polars, Python re and DuckDB regexp_replace
+    (which is how the oracle replicates this stage exactly)."""
+
+    EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    PHONE = r"\+[0-9]{7,15}"
+    IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+    def __init__(self, patterns: "dict[str, str] | None" = None,
+                 text_col: str = "text"):
+        self.text_col = text_col
+        self.patterns = patterns or {
+            "<EMAIL>": self.EMAIL, "<PHONE>": self.PHONE, "<IP>": self.IPV4
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        s = pl.from_arrow(batch[self.text_col].combine_chunks()).fill_null("")
+        redactions = np.zeros(len(s), dtype=np.int64)
+        for token, pattern in self.patterns.items():
+            redactions += s.str.count_matches(pattern).to_numpy().astype(np.int64)
+            s = s.str.replace_all(pattern, token)
+        out = batch.set_column(
+            batch.column_names.index(self.text_col), self.text_col, s.to_arrow()
+        )
+        return out.append_column("n_redactions", pa.array(redactions, pa.int64()))

@@ -107,7 +107,12 @@ class SketchPartials:
 def _merge_group(df, sketch_cls) -> "Any":
     import pandas as pd
 
-    blobs = df["blob"].tolist()
+    # canonical merge order: a distributed groupby delivers within-key rows
+    # in SCHEDULING-dependent order (sort ties break by block arrival), and
+    # KLL/t-digest merges are only order-invariant within their error bound
+    # — sorting the blobs first makes the merged result bit-reproducible
+    # under any scheduling/load (order-invariant sketches are unaffected)
+    blobs = sorted(df["blob"].tolist())
     sk = sketch_cls.from_bytes(zlib.decompress(blobs[0]))
     for b in blobs[1:]:
         sk = sk.merge(sketch_cls.from_bytes(zlib.decompress(b)))

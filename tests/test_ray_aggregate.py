@@ -178,3 +178,31 @@ def test_theta_fused_profile_and_distributed_exactness():
         single = ThetaSketch(512)
         single.update(tokens[sources[flat_rows] == src])
         assert profile[("theta_tokens", src)].to_bytes() == single.to_bytes(), src
+
+
+def test_merge_group_is_row_order_independent():
+    """The final groupby delivers within-key rows in scheduling-dependent
+    order; _merge_group must produce identical bytes for ANY row order
+    (regression for a load-dependent t-digest pin flake)."""
+    import zlib
+
+    import pandas as pd
+
+    from pprl_ray.sketches import KLLSketch, TDigestSketch
+    from pprl_ray.state.aggregate import _merge_group
+
+    rng = np.random.default_rng(2)
+    for cls, kwargs in ((TDigestSketch, {}), (KLLSketch, {"k": 64})):
+        blobs = []
+        for i in range(7):
+            sk = cls(**kwargs)
+            sk.update(rng.lognormal(2, 1, 500))
+            blobs.append(zlib.compress(sk.to_bytes(), 1))
+        outs = set()
+        for seed in range(5):
+            order = np.random.default_rng(seed).permutation(len(blobs))
+            df = pd.DataFrame(
+                {"key": "k", "blob": [blobs[i] for i in order], "rows": 500}
+            )
+            outs.add(bytes(_merge_group(df, cls)["blob"].iloc[0]))
+        assert len(outs) == 1, cls.__name__
