@@ -757,6 +757,61 @@ def q_bloom_sources(sf_dir: str):
     )
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII redaction as an actor-pool stage (text.py PiiScrubStage:
+    patterns compile once per actor, RE2-safe so polars / Python re /
+    DuckDB regexp_replace agree exactly). PII is planted deterministically
+    (doc_id%5==0 gets an email + E.164 phone, %5==1 an IPv4) and the
+    oracle replays the same plant + sequential scrub in SQL."""
+    from pprl_ray.stages.text import PiiScrubStage
+
+    def _plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        sid = pc.cast(batch["doc_id"], pa.string())
+        email = pc.binary_join_element_wise(
+            " contact user", sid, "@example.com or +491234567890", ""
+        )
+        suffix = np.where(
+            ids % 5 == 0, email.to_numpy(zero_copy_only=False),
+            np.where(ids % 5 == 1, " ip 10.0.0.1", ""),
+        )
+        text = pc.binary_join_element_wise(
+            batch["text"], pa.array(suffix, pa.string()), ""
+        )
+        return pa.table({"doc_id": batch["doc_id"], "text": text})
+
+    planted = _docs(sf_dir, ["doc_id", "text"]).map_batches(_plant, batch_format="pyarrow")
+    scrubbed = planted.map_batches(PiiScrubStage, concurrency=2, batch_format="pyarrow")
+    return scrubbed.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_redactions": b["n_redactions"],
+                "scrubbed_len": pc.cast(pc.utf8_length(b["text"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_source_mix(sf_dir: str):
+    """Deterministic data mixing: per-source sampling rates (25/50/75/100 %
+    by source index % 4) applied via content-hash buckets — the same mix
+    under ANY partitioning or cluster size, the reproducible alternative to
+    random sampling for training-data recipes."""
+    from pprl_ray.functions.digest import md5_bucket32
+
+    def _mix(batch: pa.Table) -> pa.Table:
+        bucket = md5_bucket32(batch["doc_id"], 100)
+        idx = pc.cast(pc.utf8_slice_codeunits(batch["source"], 3, 32), pa.int64())
+        rate = 25 * (idx.to_numpy(zero_copy_only=False) % 4 + 1)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "source": batch["source"]}
+        ).filter(pa.array(bucket < rate))
+
+    return _docs(sf_dir, ["doc_id", "source"]).map_batches(_mix, batch_format="pyarrow")
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd's k-means (stages/cluster.py): deterministic
     bottom-k-hash init, broadcast centroids, per-batch matmul assignment,
@@ -2044,6 +2099,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_sort_rank": q_range_sort_rank,
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
+        "pii_scrub": q_pii_scrub,
+        "source_mix": q_source_mix,
         "top_tokens": q_top_tokens,
         "knn_cosine": q_knn_cosine,
         "knn_ivf": q_knn_ivf,
@@ -2674,6 +2731,40 @@ def oracle_sql() -> dict[str, str]:
         # sf0.01 both theta queries are provably in exact mode (cardinality
         # << k=4096), so exact SQL is a true oracle; the estimation path is
         # bound-tested in tests/test_theta.py.
+        "pii_scrub": """
+            WITH planted AS (
+                SELECT doc_id,
+                       text || CASE
+                           WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                                    || '@example.com or +491234567890'
+                           WHEN doc_id % 5 = 1 THEN ' ip 10.0.0.1'
+                           ELSE '' END AS t
+                FROM documents
+            ), s1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS c1,
+                       regexp_replace(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS t
+                FROM planted
+            ), s2 AS (
+                SELECT doc_id, c1,
+                       len(regexp_extract_all(t, '\\+[0-9]{7,15}')) AS c2,
+                       regexp_replace(t, '\\+[0-9]{7,15}', '<PHONE>', 'g') AS t
+                FROM s1
+            ), s3 AS (
+                SELECT doc_id, c1, c2,
+                       len(regexp_extract_all(t, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS c3,
+                       regexp_replace(t, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g') AS t
+                FROM s2
+            )
+            SELECT doc_id, CAST(c1 + c2 + c3 AS BIGINT) AS n_redactions,
+                   CAST(length(t) AS BIGINT) AS scrubbed_len
+            FROM s3
+        """,
+        "source_mix": """
+            SELECT doc_id, source FROM documents
+            WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+                  < 25 * (CAST(substring(source, 4) AS INT) % 4 + 1)
+        """,
         "semantic_dedup": """
             WITH planted AS (
                 SELECT vec_id, embedding FROM embeddings

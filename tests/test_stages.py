@@ -1039,3 +1039,29 @@ def test_semantic_dedup_within_cluster_exactness():
     within = {(a, b) for a, b in exact if assign[a] == assign[b]}
     assert got == within
     assert {(i, 300 + i) for i in range(10)} <= got
+
+
+def test_pii_scrub_stage_patterns():
+    from pprl_ray.stages.text import PiiScrubStage
+
+    stage = PiiScrubStage()
+    batch = pa.table(
+        {
+            "text": pa.array(
+                [
+                    "mail a.b+c@foo-bar.org now",
+                    "call +4915123456789 or ping 192.168.0.1",
+                    "clean text",
+                    None,
+                ]
+            )
+        }
+    )
+    out = stage(batch)
+    assert out["text"].to_pylist() == [
+        "mail <EMAIL> now",
+        "call <PHONE> or ping <IP>",
+        "clean text",
+        "",
+    ]
+    assert out["n_redactions"].to_pylist() == [1, 2, 0, 0]
