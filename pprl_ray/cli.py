@@ -284,6 +284,22 @@ def cmd_dedup(args) -> None:
     ds = _read(args.input)
     if args.method == "exact":
         out = exact_dedup(ds, id_col=args.id_column, text_col=args.text_column)
+    elif args.method == "incremental":
+        import os
+
+        from .stages.dedup import incremental_exact_dedup, write_hash_index
+
+        if not args.index_dir:
+            raise SystemExit("--method incremental requires --index-dir")
+        if not os.path.exists(os.path.join(args.index_dir, "_meta.json")):
+            n = write_hash_index(ds, args.index_dir, id_col=args.id_column,
+                                 text_col=args.text_column)
+            print(json.dumps({"command": "dedup", "index_created": args.index_dir,
+                              "n_hashes": n}))
+            out = ds
+        else:
+            out = incremental_exact_dedup(ds, args.index_dir, id_col=args.id_column,
+                                          text_col=args.text_column)
     elif args.method == "minhash":
         out = minhash_dedup_pairs(
             ds, text_col=args.text_column, id_col=args.id_column, threshold=args.threshold
@@ -295,6 +311,40 @@ def cmd_dedup(args) -> None:
         raise ValueError(args.method)
     n = _write(out, args.output, args.format)
     print(json.dumps({"command": "dedup", "method": args.method, "rows": n, "output": args.output}))
+
+
+def cmd_sort(args) -> None:
+    from .stages.sort import range_partitioned_sort
+
+    ds = _read(args.input)
+    out = range_partitioned_sort(ds, args.by, partitions=args.partitions).materialize()
+    out.write_parquet(args.output, partition_cols=["bucket"])
+    print(json.dumps({"command": "sort", "by": args.by, "rows": out.count(),
+                      "output": args.output}))
+
+
+def cmd_scrub(args) -> None:
+    from .stages.text import PiiScrubStage
+
+    ds = _read(args.input)
+    out = ds.map_batches(
+        PiiScrubStage(text_col=args.text_column), batch_format="pyarrow"
+    )
+    n = _write(out, args.output, args.format)
+    print(json.dumps({"command": "scrub", "rows": n, "output": args.output}))
+
+
+def cmd_semantic_dedup(args) -> None:
+    from .stages.cluster import kmeans_fit, semantic_dedup_pairs
+
+    ds = _read(args.input)
+    cents = kmeans_fit(ds, k=args.clusters, vec_col=args.vector_column,
+                       id_col=args.id_column, iters=args.iters)
+    pairs = semantic_dedup_pairs(ds, cents, threshold=args.threshold,
+                                 vec_col=args.vector_column, id_col=args.id_column)
+    n = _write(pairs, args.output, args.format)
+    print(json.dumps({"command": "semantic-dedup", "clusters": args.clusters,
+                      "pairs": n, "output": args.output}))
 
 
 def cmd_generate(args) -> None:
@@ -423,11 +473,34 @@ def main(argv: list[str] | None = None) -> None:
 
     sp = sub.add_parser("dedup", help="exact / minhash / simhash deduplication")
     common(sp)
-    sp.add_argument("--method", choices=("exact", "minhash", "simhash"), default="exact")
+    sp.add_argument("--method", choices=("exact", "minhash", "simhash", "incremental"),
+                    default="exact")
     sp.add_argument("--text-column", default="text")
     sp.add_argument("--threshold", type=float, default=0.8)
     sp.add_argument("--max-hamming", type=int, default=3)
+    sp.add_argument("--index-dir", default=None,
+                    help="incremental: persistent hash index (created on first run)")
     sp.set_defaults(fn=cmd_dedup)
+
+    sp = sub.add_parser("sort", help="KLL range-partitioned global sort to bucketed parquet")
+    common(sp)
+    sp.add_argument("--by", required=True, help="sort column")
+    sp.add_argument("--partitions", type=int, default=None)
+    sp.set_defaults(fn=cmd_sort)
+
+    sp = sub.add_parser("scrub", help="PII redaction (emails/phones/IPv4) over a text column")
+    common(sp)
+    sp.add_argument("--text-column", default="text")
+    sp.set_defaults(fn=cmd_scrub)
+
+    sp = sub.add_parser("semantic-dedup",
+                        help="k-means cluster + within-cluster cosine near-dup pairs")
+    common(sp)
+    sp.add_argument("--vector-column", default="embedding")
+    sp.add_argument("--clusters", type=int, default=64)
+    sp.add_argument("--iters", type=int, default=10)
+    sp.add_argument("--threshold", type=float, default=0.95)
+    sp.set_defaults(fn=cmd_semantic_dedup)
 
     sp = sub.add_parser("generate", help="deterministic synthetic entities")
     sp.add_argument("-n", type=int, default=1000)

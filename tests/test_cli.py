@@ -256,3 +256,77 @@ def test_generator_config_invalid_function_name():
     with _pytest.raises(ValueError, match="invalid faker function: `?shoe_size"):
         generated_entities({"seed": 1, "count": 5, "generators": [
             {"function_name": "shoe_size", "attribute_name": "x"}]})
+
+
+def test_cli_sort_scrub_semantic_incremental(ray_session, tmp_path, capsys):
+    import numpy as np
+
+    # corpus with plantable PII + sortable lengths
+    docs = tmp_path / "docs.parquet"
+    n = 200
+    rng = np.random.default_rng(3)
+    texts = [
+        ("word " * int(rng.integers(1, 30))).strip()
+        + (" mail me@x.org" if i % 4 == 0 else "")
+        for i in range(n)
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()), "text": pa.array(texts)}),
+        str(docs),
+    )
+
+    main(["sort", "--input", str(docs), "--by", "doc_id",
+          "--output", str(tmp_path / "sorted"), "--partitions", "4"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == n
+    assert (tmp_path / "sorted").is_dir()
+
+    main(["scrub", "--input", str(docs), "--text-column", "text",
+          "--output", str(tmp_path / "scrubbed")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == n
+    scrubbed = pq.read_table(str(tmp_path / "scrubbed"))
+    assert sum(1 for t in scrubbed["text"].to_pylist() if "<EMAIL>" in t) == n // 4
+
+    # incremental dedup: first run creates the index, second dedupes
+    main(["dedup", "--method", "incremental", "--input", str(docs),
+          "--id-column", "doc_id", "--index-dir", str(tmp_path / "idx"),
+          "--output", str(tmp_path / "v1")])
+    capsys.readouterr()
+    v2 = tmp_path / "v2.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(1000, 1000 + n), pa.int64()),
+                "text": pa.array(texts[: n // 2] + [f"fresh {i}" for i in range(n // 2)]),
+            }
+        ),
+        str(v2),
+    )
+    main(["dedup", "--method", "incremental", "--input", str(v2),
+          "--id-column", "doc_id", "--index-dir", str(tmp_path / "idx"),
+          "--output", str(tmp_path / "v2_kept")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == n // 2  # only the fresh docs survive
+
+    # semantic dedup over a small embedding table with planted duplicates
+    emb = tmp_path / "emb.parquet"
+    base = rng.normal(0, 1, (100, 8))
+    pts = np.concatenate([base, base[:5] + 1e-9])
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(pts)), pa.int64()),
+                "embedding": pa.array(list(pts), pa.list_(pa.float64())),
+            }
+        ),
+        str(emb),
+    )
+    main(["semantic-dedup", "--input", str(emb), "--id-column", "vec_id",
+          "--clusters", "4", "--threshold", "0.9999",
+          "--output", str(tmp_path / "pairs")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["pairs"] >= 5
+    pairs = pq.read_table(str(tmp_path / "pairs"))
+    got = set(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
+    assert {(i, 100 + i) for i in range(5)} <= got
