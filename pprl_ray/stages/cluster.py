@@ -31,7 +31,7 @@ import pyarrow as pa
 from ..sketches.hashing import hash_ints
 from .ann import _embedding_matrix, _normalize
 
-__all__ = ["kmeans_fit", "kmeans_assign", "semantic_dedup_pairs"]
+__all__ = ["kmeans_fit", "kmeans_assign", "semantic_dedup_pairs", "lloyd_step"]
 
 
 def _bottomk_rows(ds, id_col: str, vec_col: str, k: int, seed: int) -> np.ndarray:
@@ -55,44 +55,51 @@ def _bottomk_rows(ds, id_col: str, vec_col: str, k: int, seed: int) -> np.ndarra
     return np.array([r["vec"] for r in parts[:k]], dtype=np.float64)
 
 
-def kmeans_fit(ds, k: int = 8, vec_col: str = "embedding", id_col: str = "vec_id",
-               iters: int = 10, seed: int = 0) -> np.ndarray:
-    """Fit k centroids; returns the (k, dim) centroid matrix. Each Lloyd
-    iteration is one streaming pass emitting (cluster, sum_vec, count)
-    partials per batch; empty clusters keep their previous centroid."""
+def lloyd_step(ds, centroids: np.ndarray, vec_col: str = "embedding") -> np.ndarray:
+    """One Lloyd iteration: streaming pass emitting (cluster, sum_vec,
+    count) partials per batch against the broadcast centroids, tiny
+    block-ordered driver reduce; empty clusters keep their previous
+    centroid. Deterministic given the input block topology."""
     import ray
 
+    ref = ray.put(centroids)
+    k = len(centroids)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cents = ray.get(ref)  # zero-copy local read
+        mat = _embedding_matrix(batch, vec_col)
+        # matmul form: argmin_c |x-c|^2 = argmin_c (-2 x.c + |c|^2)
+        d2 = -2.0 * (mat @ cents.T) + (cents**2).sum(axis=1)[None, :]
+        assign = d2.argmin(axis=1)
+        sums = np.zeros_like(cents)
+        np.add.at(sums, assign, mat)
+        counts = np.bincount(assign, minlength=len(cents)).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(np.arange(len(cents), dtype=np.int32)),
+                "sum_vec": pa.array(list(sums), pa.list_(pa.float64())),
+                "count": pa.array(counts, pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(_partial, batch_format="pyarrow").take_all()
+    sums = np.zeros_like(centroids)
+    counts = np.zeros(k, dtype=np.int64)
+    for r in rows:
+        sums[r["cluster"]] += np.asarray(r["sum_vec"])
+        counts[r["cluster"]] += r["count"]
+    nonempty = counts > 0
+    out = centroids.copy()
+    out[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return out
+
+
+def kmeans_fit(ds, k: int = 8, vec_col: str = "embedding", id_col: str = "vec_id",
+               iters: int = 10, seed: int = 0) -> np.ndarray:
+    """Fit k centroids; returns the (k, dim) centroid matrix."""
     centroids = _bottomk_rows(ds, id_col, vec_col, k, seed)
-
     for _ in range(iters):
-        ref = ray.put(centroids)
-
-        def _partial(batch: pa.Table) -> pa.Table:
-            cents = ray.get(ref)  # zero-copy local read
-            mat = _embedding_matrix(batch, vec_col)
-            # matmul form: argmin_c |x-c|^2 = argmin_c (-2 x.c + |c|^2)
-            d2 = -2.0 * (mat @ cents.T) + (cents**2).sum(axis=1)[None, :]
-            assign = d2.argmin(axis=1)
-            sums = np.zeros_like(cents)
-            np.add.at(sums, assign, mat)
-            counts = np.bincount(assign, minlength=len(cents)).astype(np.int64)
-            return pa.table(
-                {
-                    "cluster": pa.array(np.arange(len(cents), dtype=np.int32)),
-                    "sum_vec": pa.array(list(sums), pa.list_(pa.float64())),
-                    "count": pa.array(counts, pa.int64()),
-                }
-            )
-
-        rows = ds.map_batches(_partial, batch_format="pyarrow").take_all()
-        sums = np.zeros_like(centroids)
-        counts = np.zeros(k, dtype=np.int64)
-        for r in rows:
-            sums[r["cluster"]] += np.asarray(r["sum_vec"])
-            counts[r["cluster"]] += r["count"]
-        nonempty = counts > 0
-        centroids = centroids.copy()
-        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+        centroids = lloyd_step(ds, centroids, vec_col)
     return centroids
 
 

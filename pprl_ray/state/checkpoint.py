@@ -34,6 +34,7 @@ __all__ = [
     "CheckpointedMapWrite",
     "CheckpointedMinhashDedup",
     "CheckpointedBlockedMatch",
+    "CheckpointedKMeans",
 ]
 
 
@@ -743,3 +744,86 @@ class CheckpointedBlockedMatch(_BandedPairCheckpoint):
         ).sort_values(["domain_id", "range_id"])
         pq.write_table(pa.Table.from_pandas(out_df, preserve_index=False), out_tmp)
         return len(out_df), time.time() - start
+
+
+class CheckpointedKMeans:
+    """Resumable iterative k-means: after every Lloyd iteration the
+    centroid matrix is persisted (write-last atomic rename) with lineage
+    (input dir, k, seed, iteration, centroid sha256) and the iteration's
+    wall time. A resumed run loads the last valid iteration and continues
+    from there — the final centroids are byte-identical to an
+    uninterrupted run because each iteration is a deterministic function
+    of (input, previous centroids) (same argument as the sketch builds;
+    regression-tested). This extends per-partition checkpointing to the
+    ITERATIVE-operator case the north rule's lineage requirement implies.
+    """
+
+    def __init__(self, ckpt_dir: str, k: int = 8, vec_col: str = "embedding",
+                 id_col: str = "vec_id", iters: int = 10, seed: int = 0):
+        self.ckpt_dir = ckpt_dir
+        self.k, self.vec_col, self.id_col = k, vec_col, id_col
+        self.iters, self.seed = iters, seed
+        os.makedirs(os.path.join(ckpt_dir, "iters"), exist_ok=True)
+
+    def _iter_path(self, i: int) -> str:
+        return os.path.join(self.ckpt_dir, "iters", f"iter-{i:04d}.npy")
+
+    def _manifest_path(self, i: int) -> str:
+        return os.path.join(self.ckpt_dir, "iters", f"iter-{i:04d}.json")
+
+    def _lineage(self, input_tag: str) -> dict:
+        return {"input": input_tag, "k": self.k, "seed": self.seed,
+                "vec_col": self.vec_col}
+
+    def _valid(self, i: int, input_tag: str) -> bool:
+        mp = self._manifest_path(i)
+        if not (os.path.exists(mp) and os.path.exists(self._iter_path(i))):
+            return False
+        with open(mp) as f:
+            m = json.load(f)
+        if any(m.get(kk) != vv for kk, vv in self._lineage(input_tag).items()):
+            return False
+        with open(self._iter_path(i), "rb") as f:
+            return hashlib.sha256(f.read()).hexdigest() == m.get("sha256")
+
+    def _save(self, i: int, cents: np.ndarray, input_tag: str, wall: float) -> None:
+        path = self._iter_path(i)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.save(f, cents)
+        os.replace(tmp, path)
+        with open(path, "rb") as f:
+            sha = hashlib.sha256(f.read()).hexdigest()
+        mtmp = self._manifest_path(i) + ".tmp"
+        with open(mtmp, "w") as f:
+            json.dump({**self._lineage(input_tag), "iteration": i, "sha256": sha,
+                       "wall_sec": round(wall, 4)}, f)
+        os.replace(mtmp, self._manifest_path(i))
+
+    def fit(self, ds, input_tag: str = "") -> np.ndarray:
+        """Run/resume to ``iters`` completed iterations; returns centroids.
+        ``ds`` must re-derive identically across runs (e.g. a fresh
+        read_parquet of the same files); ``input_tag`` labels the lineage
+        (pass the input path)."""
+        from ..stages.cluster import _bottomk_rows
+
+        # find last valid completed iteration (0 = init)
+        last = -1
+        for i in range(self.iters, -1, -1):
+            if self._valid(i, input_tag):
+                last = i
+                break
+        if last == -1:
+            t0 = time.perf_counter()
+            cents = _bottomk_rows(ds, self.id_col, self.vec_col, self.k, self.seed)
+            self._save(0, cents, input_tag, time.perf_counter() - t0)
+            last = 0
+        with open(self._iter_path(last), "rb") as f:
+            cents = np.load(f)
+        from ..stages.cluster import lloyd_step
+
+        for i in range(last + 1, self.iters + 1):
+            t0 = time.perf_counter()
+            cents = lloyd_step(ds, cents, self.vec_col)
+            self._save(i, cents, input_tag, time.perf_counter() - t0)
+        return cents

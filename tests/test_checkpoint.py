@@ -296,3 +296,54 @@ def test_checkpointed_blocked_match_resumes_and_matches_live(doc_files, tmp_path
 
     with pytest.raises(ValueError, match="share input files"):
         CheckpointedBlockedMatch(str(tmp_path / "cm_x"), **kw).run(dpaths, dpaths)
+
+
+def test_checkpointed_kmeans_resume_byte_identical(ray_session, tmp_path):
+    """Kill-and-resume mid-fit: the resumed centroids must equal an
+    uninterrupted run byte-for-byte; lineage mismatch invalidates."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pprl_ray.state.checkpoint import CheckpointedKMeans
+
+    rng = np.random.default_rng(7)
+    pts = rng.normal(0, 10, (400, 6))
+    src = tmp_path / "emb.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(pts)), pa.int64()),
+                "embedding": pa.array(list(pts), pa.list_(pa.float64())),
+            }
+        ),
+        str(src),
+    )
+
+    def ds():
+        return rd.read_parquet(str(src), override_num_blocks=4)
+
+    straight = CheckpointedKMeans(str(tmp_path / "a"), k=4, iters=6).fit(ds(), "emb")
+
+    # interrupted: run only 2 iterations, then resume to 6
+    interrupted = CheckpointedKMeans(str(tmp_path / "b"), k=4, iters=2)
+    interrupted.fit(ds(), "emb")
+    resumed = CheckpointedKMeans(str(tmp_path / "b"), k=4, iters=6).fit(ds(), "emb")
+    assert resumed.tobytes() == straight.tobytes()
+
+    # manifests carry lineage + wall metrics
+    m = json.loads((tmp_path / "b" / "iters" / "iter-0003.json").read_text())
+    assert m["input"] == "emb" and m["k"] == 4 and m["wall_sec"] >= 0
+
+    # corrupting a payload invalidates that iteration -> recomputed, same bytes
+    p = tmp_path / "b" / "iters" / "iter-0006.npy"
+    p.write_bytes(b"junk")
+    again = CheckpointedKMeans(str(tmp_path / "b"), k=4, iters=6).fit(ds(), "emb")
+    assert again.tobytes() == straight.tobytes()
+
+    # different lineage tag -> nothing reused (fresh init saved at iter 0)
+    fresh = CheckpointedKMeans(str(tmp_path / "b"), k=4, iters=6).fit(ds(), "other")
+    assert fresh.tobytes() == straight.tobytes()  # same data, same result
