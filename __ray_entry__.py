@@ -709,6 +709,22 @@ def q_cms_token_counts(sf_dir: str):
     return pd.DataFrame({"token": probe, "cms_estimate": est.astype(np.int64)})
 
 
+def q_countsketch_token_counts(sf_dir: str):
+    """Count-Sketch (signed CMS, unbiased median estimator) global token
+    frequencies at the same probe points as cms_token_counts — the
+    heavy-tail-tight counterpart (variance ||f||2^2/width vs CMS's eps*N
+    overestimate). Deterministic/merge-invariant -> pinned-VALUES oracle."""
+    from pprl_ray.sketches import CountSketch
+    from pprl_ray.sources.corpus import derive_corpus
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    merged = sketch_by_key(derive_corpus(sf_dir), lambda: CountSketch(1 << 15, 5), "tokens", None)
+    sk = finalize_sketches(merged, CountSketch)[""]
+    probe = np.arange(0, 2**31 - 1, 2**31 // 64, dtype=np.int64)[:64]
+    est = sk.query(probe)
+    return pd.DataFrame({"token": probe, "cs_estimate": est.astype(np.int64)})
+
+
 def q_kll_ntok_quantiles(sf_dir: str):
     from pprl_ray.sketches import KLLSketch
     from pprl_ray.sources.corpus import derive_corpus
@@ -2096,6 +2112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_profile": q_corpus_profile,
         "theta_distinct_parts": q_theta_distinct_parts,
         "theta_source_overlap": q_theta_source_overlap,
+        "countsketch_token_counts": q_countsketch_token_counts,
         "ntok_histogram": q_ntok_histogram,
         "incremental_dedup": q_incremental_dedup,
         "tfidf_top_term": q_tfidf_top_term,
@@ -2401,7 +2418,14 @@ def _sketch_pin_oracles() -> dict[str, str]:
     )
     vf = _rows(sp.PIN_VIDEO_FRAMES, lambda r: f"'{r[0]}', {r[1]}, {r[2]!r}")
     km = _rows(sp.PIN_KMEANS_CLUSTERS, lambda r: f"{r[0]}, {r[1]}")
+    cs = _rows(sp.PIN_COUNTSKETCH_TOKEN_COUNTS, lambda r: f"{r[0]}, {r[1]}")
     return {
+        "countsketch_token_counts": f"""
+            SELECT CAST(t AS BIGINT) AS token, CAST(c AS BIGINT) AS cs_estimate
+            FROM (VALUES
+                {cs}
+            ) AS v(t, c)
+        """,
         "kmeans_clusters": f"""
             SELECT CAST(c AS INT) AS cluster, CAST(n AS BIGINT) AS n_points
             FROM (VALUES

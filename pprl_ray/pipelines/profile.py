@@ -27,6 +27,7 @@ import pyarrow as pa
 from ..sketches import (
     BloomSketch,
     CMSSketch,
+    CountSketch,
     HistogramSketch,
     HLLSketch,
     KLLSketch,
@@ -54,6 +55,7 @@ SKETCH_CLASSES: dict[str, type] = {
     "mg": MGSketch,
     "theta": ThetaSketch,
     "histogram": HistogramSketch,
+    "countsketch": CountSketch,
 }
 
 

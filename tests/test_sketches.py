@@ -9,6 +9,7 @@ import pytest
 from pprl_ray.sketches import (
     BloomSketch,
     CMSSketch,
+    CountSketch,
     HistogramSketch,
     HLLSketch,
     KLLSketch,
@@ -138,6 +139,7 @@ def _partitions(vals, n_parts, seed):
     (BloomSketch, {"m_bits": 1 << 16, "k": 4}),
     (HLLSketch, {"p": 12}),
     (CMSSketch, {"width": 1 << 12, "depth": 5}),
+    (CountSketch, {"width": 1 << 12, "depth": 5}),
     (MinHashSketch, {"k": 128}),
     (ThetaSketch, {"k": 256}),
     (HistogramSketch, {"lo": 0, "hi": 1000, "bins": 32}),
@@ -196,6 +198,7 @@ def test_quantile_merge_order_invariance_within_bound(cls, kwargs, tol):
     (BloomSketch, {"m_bits": 1 << 14, "k": 3}),
     (HLLSketch, {"p": 10}),
     (CMSSketch, {"width": 256, "depth": 3}),
+    (CountSketch, {"width": 256, "depth": 3}),
     (MinHashSketch, {"k": 64}),
     (TDigestSketch, {"compression": 100}),
     (KLLSketch, {"k": 128}),
@@ -288,6 +291,7 @@ def test_sketch_pins_match_live_requery(ray_session, sf001_dir):
         "audio_features",
         "video_frames",
         "kmeans_clusters",
+        "countsketch_token_counts",
     ):
         pin = getattr(sp, f"PIN_{name.upper()}")
         df = qs[name](sf001_dir)
@@ -318,3 +322,22 @@ def test_histogram_exact_counts_and_clamps():
     sk2.update(big)
     expected, _ = np.histogram(big, bins=16, range=(0, 64))
     assert np.array_equal(sk2.bin_counts(), expected)
+
+
+def test_countsketch_unbiased_and_l2_bound():
+    from pprl_ray.sketches import CountSketch
+
+    vals = _zipf_stream(300_000)
+    sk = CountSketch(1 << 14, 5)
+    for chunk in np.array_split(vals, 9):
+        sk.update(chunk)
+    uq, cnt = np.unique(vals, return_counts=True)
+    l2 = float(np.sqrt((cnt.astype(np.float64) ** 2).sum()))
+    heavy = uq[np.argsort(-cnt)[:50]]
+    est = sk.query(heavy)
+    true = cnt[np.argsort(-cnt)[:50]]
+    # published bound: |est - f| <= 3*l2/sqrt(width) w.h.p.
+    assert (np.abs(est - true) <= sk.l2_error_bound(l2)).all()
+    # signed estimates can under- AND over-estimate (unlike CMS)
+    errs = est - true
+    assert (errs <= 0).any() or (np.abs(errs).max() < 2)
