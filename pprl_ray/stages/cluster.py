@@ -51,7 +51,10 @@ def _bottomk_rows(ds, id_col: str, vec_col: str, k: int, seed: int) -> np.ndarra
         )
 
     parts = ds.map_batches(_partial, batch_format="pyarrow").take_all()
-    parts.sort(key=lambda r: r["h"])
+    # canonical total order (hash, then vector bytes): take_all() block
+    # arrival order is scheduling-dependent, so a bare stable sort on h
+    # could break hash ties differently run-to-run
+    parts.sort(key=lambda r: (r["h"], np.asarray(r["vec"], dtype=np.float64).tobytes()))
     return np.array([r["vec"] for r in parts[:k]], dtype=np.float64)
 
 
@@ -83,6 +86,18 @@ def lloyd_step(ds, centroids: np.ndarray, vec_col: str = "embedding") -> np.ndar
         )
 
     rows = ds.map_batches(_partial, batch_format="pyarrow").take_all()
+    # canonical partial order before the float reduce: take_all() returns
+    # blocks in completion order (preserve_order is off), and float += is
+    # not associative — sorting by (cluster, payload bytes) makes the
+    # summation order, hence the centroid bytes, load-independent (same
+    # fix as the canonical blob order in sketch group merges)
+    rows.sort(
+        key=lambda r: (
+            r["cluster"],
+            r["count"],
+            np.asarray(r["sum_vec"], dtype=np.float64).tobytes(),
+        )
+    )
     sums = np.zeros_like(centroids)
     counts = np.zeros(k, dtype=np.int64)
     for r in rows:
