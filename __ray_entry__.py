@@ -1911,6 +1911,166 @@ def q_sessionize(sf_dir: str):
     )
 
 
+def q_running_totals(sf_dir: str):
+    """Per-user running aggregate over the event stream (stages/window.py
+    running_aggregate): ONE hash-by-user shuffle, vectorized per-partition
+    sort + cumsum — the SUM() OVER (PARTITION BY ... ORDER BY ...) window
+    operator. Fixed-point micro-units make the distributed prefix sums
+    exact, so the oracle is row-for-row."""
+    from pprl_ray.stages.window import running_aggregate
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def _units(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "ts": batch["ts"],
+                "user_id": batch["user_id"],
+                "value_u": pc.cast(pc.round(pc.multiply(batch["value"], 1_000_000)), pa.int64()),
+            }
+        )
+
+    run = running_aggregate(
+        ds.map_batches(_units, batch_format="pyarrow"),
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        val_col="value_u",
+    )
+    return run.map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "running_sum": pc.divide(pc.cast(b["running_sum"], pa.float64()), 1_000_000.0),
+                "row_in_key": pc.cast(b["row_in_key"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_hopping_windows(sf_dir: str):
+    """Hopping (sliding) windowed aggregate: 2-hour windows every hour
+    (stages/window.py hop_windows) — each event lands in exactly 2 windows
+    via a vectorized flat-map, then the same (type, window) partial+final
+    aggregate as the tumbling q_event_windows."""
+    from ray.data.aggregate import Count, Sum
+
+    from pprl_ray.stages.window import hop_windows
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def _units(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ts": batch["ts"],
+                "event_type": batch["event_type"],
+                "value_u": pc.cast(pc.round(pc.multiply(batch["value"], 1_000_000)), pa.int64()),
+            }
+        )
+
+    hopped = hop_windows(
+        ds.map_batches(_units, batch_format="pyarrow"),
+        ts_col="ts",
+        length_s=7200,
+        step_s=3600,
+        cols=["event_type", "value_u"],
+    )
+    agg = hopped.groupby(["event_type", "window_start"]).aggregate(
+        Count(alias_name="n_events"), Sum("value_u", alias_name="sum_u")
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b["event_type"],
+                "window_start": pc.cast(b["window_start"], pa.int64()),
+                "n_events": pc.cast(b["n_events"], pa.int64()),
+                "sum_value": pc.divide(pc.cast(b["sum_u"], pa.float64()), 1_000_000.0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement (stages/
+    sample.py, Efraimidis–Spirakis A-ES keys from md5 content hashes):
+    200 documents drawn with probability proportional to n_chars — one
+    streaming pass, per-batch partial top-k, no shuffle. The md5-derived
+    keys make the exact selected set replicable in stock SQL."""
+    from pprl_ray.stages.sample import weighted_sample_es
+
+    ds = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+    df = weighted_sample_es(ds, id_col="doc_id", weight_col="n_chars", k=200)
+    return df[["doc_id", "source", "n_chars"]]
+
+
+def q_token_postings(sf_dir: str):
+    """Persisted inverted token index (stages/textindex.py): build the
+    md5-bucket-partitioned posting table in scratch, then answer a
+    4-token lookup reading ONLY the buckets those tokens hash to
+    (partition pruning at the read — the text-search sibling of
+    knn_ivf_pruned)."""
+    import shutil
+    import tempfile
+
+    from pprl_ray.stages.textindex import lookup_postings, write_token_index
+
+    index_dir = tempfile.mkdtemp(prefix="tok_index_", dir="/tmp")
+    shutil.rmtree(index_dir)  # write_parquet appends into existing dirs
+    try:
+        write_token_index(
+            _docs(sf_dir, ["doc_id", "text"]), index_dir, partitions=32
+        )
+        toks = ["join", "window", "spark", "checkpoint"]
+        out = lookup_postings(index_dir, toks, partitions=32)
+        return out.map_batches(
+            lambda b: pa.table(
+                {"token": b["token"], "doc_id": pc.cast(b["doc_id"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
+def q_anti_join(sf_dir: str):
+    """Distributed anti join via the co-partitioned bucket join
+    (stages/join.py, join_type='left anti'): customers with NO urgent
+    order — neither side broadcast, exact because equal keys share a
+    bucket."""
+    from pprl_ray.stages.join import bucket_join
+
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    urgent = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT")).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    out = bucket_join(
+        cust, urgent, keys="c_custkey", right_keys="o_custkey", join_type="left anti"
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": pc.cast(b["c_custkey"], pa.int64()),
+                "c_mktsegment": b["c_mktsegment"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_source_jaccard(sf_dir: str):
     """Exact pairwise Jaccard between sources' word sets (corpus-overlap
     matrix) — distributed bitmask set-op, stages/setops.py."""
@@ -2094,6 +2254,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # first; the tail queries were all hash-green in CORRECTNESS_r02 (all
     # 74 remain oracled and runnable via scripts/check_oracles.py).
     return {
+        "running_totals": q_running_totals,
+        "hopping_windows": q_hopping_windows,
+        "weighted_sample": q_weighted_sample,
+        "token_postings": q_token_postings,
+        "anti_join": q_anti_join,
         "clk_mask_md5": q_clk_mask_md5,
         "clk_mask_sha256": q_clk_mask_sha256,
         "clkrbf_mask_md5": q_clkrbf_mask_md5,
@@ -2933,6 +3098,50 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.b, r.rep FROM reach r JOIN bidir e ON e.a = r.node
             )
             SELECT node AS doc_id, min(rep) AS rep_id FROM reach GROUP BY node
+        """,
+        "running_totals": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        AS DOUBLE) / 1000000.0 AS running_sum,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS row_in_key
+            FROM events
+        """,
+        "hopping_windows": """
+            WITH e AS (
+                SELECT event_type,
+                       epoch_us(ts) // 1000000 AS t,
+                       CAST(round(value * 1000000, 0) AS BIGINT) AS v
+                FROM events
+            )
+            SELECT event_type,
+                   (t // 3600 - i) * 3600 AS window_start,
+                   count(*) AS n_events,
+                   CAST(sum(v) AS DOUBLE) / 1000000.0 AS sum_value
+            FROM e CROSS JOIN (SELECT unnest([0, 1]) AS i)
+            GROUP BY event_type, (t // 3600 - i) * 3600
+        """,
+        "weighted_sample": """
+            SELECT doc_id, source, n_chars FROM (
+                SELECT doc_id, source, n_chars,
+                       ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                AS BIGINT) + 1) / 4294967296.0) / n_chars AS es_key
+                FROM documents
+            ) ORDER BY es_key DESC LIMIT 200
+        """,
+        "token_postings": """
+            SELECT DISTINCT token, doc_id FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ) WHERE token IN ('join', 'window', 'spark', 'checkpoint')
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+            )
         """,
         "event_windows": """
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS window_start,

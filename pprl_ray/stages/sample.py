@@ -1,0 +1,73 @@
+"""Deterministic distributed sampling operators.
+
+``weighted_sample_es``: weighted random sampling without replacement via
+the Efraimidis–Spirakis A-ES scheme (public: Efraimidis & Spirakis 2006,
+"Weighted random sampling with a reservoir"): each row gets key
+``u^(1/w)`` for uniform ``u`` and weight ``w``; the sample is the k rows
+with the LARGEST keys. The keys of a top-k set form a mergeable sketch —
+partial top-k per batch, tiny associative reduce — so the sample is exact,
+single-pass, and needs no shuffle of the data itself.
+
+Determinism: ``u`` is derived from the row id's md5 (the same
+content-hash primitive as ``hash_sample``/``source_mix``), not an RNG —
+the sample is reproducible across runs, partitionings and engines, and
+each selection is replicable in stock SQL (``ln(u)/w`` is the monotone
+log form of ``u^(1/w)``, computed identically in numpy and DuckDB libm).
+
+Scale shape: per-batch partial top-k (k rows each) -> driver merge of
+O(num_blocks * k) candidate rows. For k small (samples, spot-checks,
+eval splits) this is the cheapest possible plan: one streaming pass,
+nothing materializes. For sample sizes that are a FRACTION of the corpus
+use the Bernoulli ``hash_sample`` / per-source ``source_mix`` rate
+samplers instead — top-k selection is the wrong tool there.
+
+Reference parity: none (the reference's only sampling is seeded-RNG bit
+sampling inside RBF, SURVEY.md §2.7); this is part of the training-data
+pipeline extension surface (deterministic data mixing / subset selection).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.digest import md5_bucket32
+
+__all__ = ["weighted_sample_es"]
+
+_U_DENOM = float(1 << 32)
+
+
+def _es_keys(ids, weights: np.ndarray) -> np.ndarray:
+    """ln(u)/w for u = (md5_32(id)+1)/2^32 in (0,1] — monotone in u^(1/w)."""
+    h = md5_bucket32(ids, 1 << 32).astype(np.float64)
+    u = (h + 1.0) / _U_DENOM
+    if np.any(weights <= 0):
+        raise ValueError("weights must be positive")
+    return np.log(u) / weights
+
+
+def weighted_sample_es(ds, id_col: str, weight_col: str, k: int):
+    """k-row weighted sample without replacement (probability ∝ weight).
+
+    Returns a pandas DataFrame of the selected input rows (all columns,
+    sorted by ``id_col``) — k is expected small; the candidate set the
+    driver merges is ``O(num_blocks * k)`` rows regardless of input size.
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        w = batch[weight_col].combine_chunks().to_numpy(zero_copy_only=False)
+        key = _es_keys(batch[id_col].combine_chunks(), w.astype(np.float64))
+        take = np.argsort(key, kind="stable")[::-1][:k]
+        out = batch.take(pa.array(take))
+        return out.append_column("_es_key", pa.array(key[take]))
+
+    cand = ds.map_batches(_partial, batch_format="pyarrow").take_all()
+    # canonical order (key desc, id asc) -> deterministic regardless of
+    # block arrival order; ids are unique so the order is total
+    cand.sort(key=lambda r: (-r["_es_key"], r[id_col]))
+    top = cand[:k]
+    top.sort(key=lambda r: r[id_col])
+    df = pd.DataFrame(top)
+    return df.drop(columns=["_es_key"])

@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["sessionize"]
+__all__ = ["sessionize", "running_aggregate", "hop_windows"]
 
 
 def _hash_partition(col: "pa.ChunkedArray | pa.Array", partitions: int) -> "np.ndarray":
@@ -71,3 +71,87 @@ def sessionize(ds, key_col: str = "user_id", ts_col: str = "ts",
         return out.reset_index(drop=True)
 
     return parted.groupby("part").map_groups(_sessions, batch_format="pandas")
+
+
+def running_aggregate(ds, key_col: str, order_cols, val_col: str,
+                      partitions: int | None = None):
+    """Per-key running aggregate (cumulative sum + 1-based row number) —
+    the ``SUM(...) OVER (PARTITION BY key ORDER BY ...)`` window operator.
+
+    Scale shape: identical to :func:`sessionize` — ONE hash-by-key shuffle
+    co-locates each key's rows (exact: a key never spans partitions), then
+    each partition group does a single vectorised pandas pass
+    (sort + groupby.cumsum/cumcount), so per-group Python overhead is
+    O(partitions), not O(keys). The input never materializes; skewed hot
+    keys concentrate in one bucket — salt upstream if one key's rows
+    exceed a worker.
+
+    ``order_cols`` must totally order rows within a key (include a unique
+    tie-break column) or the running prefix is not well-defined. For an
+    exact distributed sum use an integer ``val_col`` (the callers convert
+    floats to fixed-point micro-units first).
+
+    Output: all input columns + ``running_sum`` (cumulative ``val_col``)
+    + ``row_in_key`` (1-based rank within the key).
+
+    Reference parity: none (the reference has no windowed/ordered
+    semantics, SURVEY.md §2.8) — this is part of the windowed-aggregate
+    extension surface."""
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    if partitions is None:
+        from .partitioning import auto_partitions
+
+        partitions = auto_partitions(ds)
+
+    def _part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part", pa.array(_hash_partition(batch[key_col], partitions))
+        )
+
+    parted = ds.map_batches(_part, batch_format="pyarrow")
+
+    def _running(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, *order_cols], kind="mergesort").reset_index(drop=True)
+        grp = g.groupby(key_col, sort=False)
+        g["running_sum"] = grp[val_col].cumsum()
+        g["row_in_key"] = grp.cumcount() + 1
+        return g.drop(columns=["part"])
+
+    return parted.groupby("part").map_groups(_running, batch_format="pandas")
+
+
+def hop_windows(ds, ts_col: str, length_s: int, step_s: int, cols=None):
+    """Assign every row to ALL hopping (sliding) windows covering it:
+    windows start at multiples of ``step_s`` and span ``length_s`` seconds,
+    so each row lands in ``length_s // step_s`` windows (``step_s`` must
+    divide ``length_s``). Emits one output row per (input row, window) with
+    a ``window_start`` epoch-seconds column — a vectorised flat-map (numpy
+    repeat), no shuffle; the caller aggregates by (window_start, ...) the
+    same way as a tumbling window.
+
+    Scale note: output is a constant ``length_s/step_s``× the input —
+    choose the ratio, not the data, to bound the blow-up. Tumbling windows
+    are the ``length_s == step_s`` special case (factor 1)."""
+    if length_s % step_s != 0 or length_s <= 0 or step_s <= 0:
+        raise ValueError("step_s must divide length_s and both must be positive")
+    nwin = length_s // step_s
+    cols = list(cols) if cols is not None else None
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = batch.select(cols) if cols is not None else batch
+        # epoch seconds (timestamp[us] -> int64 us -> s, floor for >=1970)
+        t = pc.cast(pc.cast(batch[ts_col], pa.int64()), pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // 1_000_000
+        # window m covers t iff m*step <= t < m*step + length; with
+        # step | length every m in [t//step - nwin + 1, t//step] qualifies
+        m_max = t // step_s
+        idx = np.repeat(np.arange(len(t)), nwin)
+        offs = np.tile(np.arange(nwin, dtype=np.int64), len(t))
+        starts = (m_max[idx] - offs) * step_s
+        out = keep.take(pa.array(idx))
+        return out.append_column("window_start", pa.array(starts, pa.int64()))
+
+    return ds.map_batches(_expand, batch_format="pyarrow")

@@ -72,3 +72,165 @@ def test_pairwise_jaccard_rejects_too_many_keys(ray_session):
     )
     with pytest.raises(NotImplementedError, match="63"):
         pairwise_jaccard(ds, "k", "e")
+
+
+def test_running_aggregate_matches_pandas_reference(ray_session):
+    import ray.data as rd
+
+    from pprl_ray.stages.window import running_aggregate
+
+    rng = np.random.default_rng(11)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 7, n).astype(np.int64),
+            "ts": rng.permutation(n).astype(np.int64),  # unique -> total order
+            "v": rng.integers(-100, 100, n).astype(np.int64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(5)
+    out = (
+        running_aggregate(ds, "k", ["ts"], "v", partitions=3)
+        .to_pandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["k", "ts"]).reset_index(drop=True)
+    ref["running_sum"] = ref.groupby("k")["v"].cumsum()
+    ref["row_in_key"] = ref.groupby("k").cumcount() + 1
+    pd.testing.assert_frame_equal(
+        out[["k", "ts", "v", "running_sum", "row_in_key"]].astype("int64"),
+        ref.astype("int64"),
+    )
+
+
+def test_running_aggregate_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from pprl_ray.stages.window import running_aggregate
+
+    df = pd.DataFrame(
+        {"k": [1, 1, 2, 2, 1], "ts": [3, 1, 5, 2, 2], "v": [10, 20, 30, 40, 50]}
+    )
+
+    def run(parts):
+        ds = rd.from_pandas(df).repartition(parts)
+        return (
+            running_aggregate(ds, "k", ["ts"], "v", partitions=parts)
+            .to_pandas()
+            .sort_values(["k", "ts"])
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run(1), run(4))
+
+
+def test_hop_windows_expansion_and_tumbling_special_case(ray_session):
+    import ray.data as rd
+
+    from pprl_ray.stages.window import hop_windows
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:01", "2024-01-01 00:59:59", "2024-01-01 01:00:00"]
+    )
+    ds = rd.from_arrow(
+        pa.table({"ts": pa.array(ts, pa.timestamp("us")), "x": pa.array([1, 2, 3])})
+    )
+    out = hop_windows(ds, "ts", length_s=7200, step_s=3600, cols=["x"]).to_pandas()
+    # every row lands in exactly length/step = 2 windows
+    assert len(out) == 6
+    base = int(pd.Timestamp("2024-01-01").timestamp())
+    got = set(zip(out["x"], out["window_start"]))
+    assert got == {
+        (1, base), (1, base - 3600),
+        (2, base), (2, base - 3600),
+        (3, base + 3600), (3, base),
+    }
+    # tumbling special case: one window per row, start = floor(t/len)*len
+    tum = hop_windows(ds, "ts", length_s=3600, step_s=3600, cols=["x"]).to_pandas()
+    assert len(tum) == 3
+    assert set(zip(tum["x"], tum["window_start"])) == {
+        (1, base), (2, base), (3, base + 3600)
+    }
+    with pytest.raises(ValueError):
+        hop_windows(ds, "ts", length_s=7200, step_s=3500)
+
+
+def test_weighted_sample_es_deterministic_and_weight_biased(ray_session):
+    import ray.data as rd
+
+    from pprl_ray.stages.sample import weighted_sample_es
+
+    n = 2000
+    # half the ids carry 50x the weight of the other half
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "w": np.where(np.arange(n) < n // 2, 50.0, 1.0),
+        }
+    )
+
+    def run(parts):
+        return weighted_sample_es(
+            rd.from_pandas(df).repartition(parts), "doc_id", "w", k=100
+        )
+
+    a, b = run(2), run(9)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+    assert len(a) == 100 and a["doc_id"].is_unique
+    # heavy ids dominate the sample (P[light sampled this often] ~ 0)
+    assert (a["doc_id"] < n // 2).mean() > 0.8
+
+    # non-positive weights fail the task (surfaces as a wrapped RayTaskError)
+    with pytest.raises(Exception, match="weights must be positive"):
+        weighted_sample_es(
+            rd.from_pandas(pd.DataFrame({"doc_id": [1], "w": [0.0]})), "doc_id", "w", 1
+        )
+
+
+def test_token_index_pruned_lookup_equals_full_scan(ray_session, tmp_path):
+    import ray.data as rd
+
+    from pprl_ray.stages.textindex import lookup_postings, write_token_index
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "the quick brown fox",
+                "quick quick slow",
+                "fox and hound",
+                "nothing here",
+                "the the the",
+                "brown fox quick",
+            ],
+        }
+    )
+    idx = str(tmp_path / "tok_index")
+    write_token_index(rd.from_pandas(docs).repartition(3), idx, partitions=8)
+    out = (
+        lookup_postings(idx, ["quick", "fox"], partitions=8)
+        .to_pandas()
+        .sort_values(["token", "doc_id"])
+        .reset_index(drop=True)
+    )
+    # full-scan reference: distinct (token, doc) containment
+    ref = []
+    for _, r in docs.iterrows():
+        for t in ("quick", "fox"):
+            if t in r["text"].split(" "):
+                ref.append((t, r["doc_id"]))
+    ref = pd.DataFrame(sorted(ref), columns=["token", "doc_id"])
+    pd.testing.assert_frame_equal(out, ref.astype({"doc_id": "int64"}))
+
+    # postings are distinct even when a token repeats within a doc
+    assert ((out["token"] == "quick") & (out["doc_id"] == 1)).sum() == 1
+
+    # pruning: the queried buckets are a strict subset of the index dirs
+    import glob
+
+    from pprl_ray.functions.digest import md5_bucket32
+
+    all_buckets = {b.split("=")[-1] for b in glob.glob(f"{idx}/bucket=*")}
+    query_buckets = {str(b) for b in md5_bucket32(["quick", "fox"], 8)}
+    assert query_buckets < all_buckets or len(all_buckets) <= len(query_buckets)
