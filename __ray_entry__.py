@@ -2071,6 +2071,41 @@ def q_anti_join(sf_dir: str):
     )
 
 
+def q_full_outer_join(sf_dir: str):
+    """Full outer bucket join (stages/join.py) with unmatched rows on BOTH
+    sides: every-3rd customer x orders of every-2nd customer — exercises
+    key coalescing and both null-padding paths of the co-partitioned
+    join."""
+    from pprl_ray.stages.join import bucket_join
+
+    def _mod_filter(col, m):
+        def _f(b: pa.Table) -> pa.Table:
+            keys = b[col].combine_chunks().to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(keys % m == 0))
+
+        return _f
+
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(_mod_filter("c_custkey", 3), batch_format="pyarrow")
+    ords = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(_mod_filter("o_custkey", 2), batch_format="pyarrow")
+    out = bucket_join(
+        cust, ords, keys="c_custkey", right_keys="o_custkey", join_type="full outer"
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "custkey": pc.cast(b["c_custkey"], pa.int64()),
+                "c_mktsegment": b["c_mktsegment"],
+                "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_source_jaccard(sf_dir: str):
     """Exact pairwise Jaccard between sources' word sets (corpus-overlap
     matrix) — distributed bitmask set-op, stages/setops.py."""
@@ -2259,6 +2294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "token_postings": q_token_postings,
         "anti_join": q_anti_join,
+        "full_outer_join": q_full_outer_join,
         "clk_mask_md5": q_clk_mask_md5,
         "clk_mask_sha256": q_clk_mask_sha256,
         "clkrbf_mask_md5": q_clkrbf_mask_md5,
@@ -3135,6 +3171,16 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, unnest(string_split(text, ' ')) AS token
                 FROM documents
             ) WHERE token IN ('join', 'window', 'spark', 'checkpoint')
+        """,
+        "full_outer_join": """
+            WITH l AS (
+                SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0
+            ), r AS (
+                SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey % 2 = 0
+            )
+            SELECT COALESCE(l.c_custkey, r.o_custkey) AS custkey,
+                   l.c_mktsegment, r.o_orderkey
+            FROM l FULL OUTER JOIN r ON l.c_custkey = r.o_custkey
         """,
         "anti_join": """
             SELECT c_custkey, c_mktsegment FROM customer

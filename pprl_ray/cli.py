@@ -347,6 +347,45 @@ def cmd_semantic_dedup(args) -> None:
                       "pairs": n, "output": args.output}))
 
 
+def cmd_index(args) -> None:
+    """Build a persisted inverted token index, or query one (the lookup
+    reads only the md5-bucket partitions the query tokens hash to)."""
+    from .stages.textindex import lookup_postings, write_token_index
+
+    if args.lookup:
+        if not args.output:
+            raise SystemExit("index --lookup requires --output")
+        out = lookup_postings(args.index_dir, args.lookup,
+                              id_col=args.id_column, partitions=args.partitions)
+        n = _write(out, args.output, args.format)
+        print(json.dumps({"command": "index", "mode": "lookup",
+                          "tokens": args.lookup, "postings": n,
+                          "output": args.output}))
+    else:
+        if not args.input:
+            raise SystemExit("index build mode requires --input")
+        ds = _read(args.input, columns=[args.id_column, args.text_column])
+        write_token_index(ds, args.index_dir, text_col=args.text_column,
+                          id_col=args.id_column, partitions=args.partitions)
+        print(json.dumps({"command": "index", "mode": "build",
+                          "index_dir": args.index_dir,
+                          "partitions": args.partitions}))
+
+
+def cmd_sample(args) -> None:
+    """Deterministic weighted sample (Efraimidis–Spirakis, md5-keyed)."""
+    import ray.data as rd
+
+    from .stages.sample import weighted_sample_es
+
+    ds = _read(args.input)
+    df = weighted_sample_es(ds, id_col=args.id_column,
+                            weight_col=args.weight_column, k=args.k)
+    n = _write(rd.from_pandas(df), args.output, args.format)
+    print(json.dumps({"command": "sample", "k": args.k, "rows": n,
+                      "output": args.output}))
+
+
 def cmd_generate(args) -> None:
     """Deterministic synthetic entities -> Parquet. With --generator-config,
     a reference-style FakerGeneratorConfig JSON (`pprl_client/model.py:6-20`)
@@ -501,6 +540,28 @@ def main(argv: list[str] | None = None) -> None:
     sp.add_argument("--iters", type=int, default=10)
     sp.add_argument("--threshold", type=float, default=0.95)
     sp.set_defaults(fn=cmd_semantic_dedup)
+
+    sp = sub.add_parser("index",
+                        help="build / query a persisted inverted token index")
+    sp.add_argument("--input", default=None,
+                    help="documents table (build mode)")
+    sp.add_argument("--index-dir", required=True)
+    sp.add_argument("--lookup", nargs="+", default=None,
+                    help="tokens to look up (omit to build)")
+    sp.add_argument("--output", default=None,
+                    help="postings output (lookup mode)")
+    sp.add_argument("--format", choices=("parquet", "csv"), default="parquet")
+    sp.add_argument("--id-column", default="doc_id")
+    sp.add_argument("--text-column", default="text")
+    sp.add_argument("--partitions", type=int, default=32)
+    sp.set_defaults(fn=cmd_index)
+
+    sp = sub.add_parser("sample",
+                        help="deterministic weighted sample without replacement")
+    common(sp)
+    sp.add_argument("--weight-column", required=True)
+    sp.add_argument("-k", type=int, default=100)
+    sp.set_defaults(fn=cmd_sample)
 
     sp = sub.add_parser("generate", help="deterministic synthetic entities")
     sp.add_argument("-n", type=int, default=1000)

@@ -330,3 +330,39 @@ def test_cli_sort_scrub_semantic_incremental(ray_session, tmp_path, capsys):
     pairs = pq.read_table(str(tmp_path / "pairs"))
     got = set(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
     assert {(i, 100 + i) for i in range(5)} <= got
+
+
+def test_cli_index_and_sample(ray_session, tmp_path, capsys):
+    import numpy as np
+
+    n = 60
+    docs = tmp_path / "docs.parquet"
+    texts = [f"alpha beta gamma{' delta' if i % 3 == 0 else ''}" for i in range(n)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts),
+                "weight": pa.array(np.linspace(1.0, 60.0, n)),
+            }
+        ),
+        str(docs),
+    )
+
+    idx = tmp_path / "tok_index"
+    main(["index", "--input", str(docs), "--index-dir", str(idx),
+          "--partitions", "8"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "build" and idx.is_dir()
+
+    main(["index", "--index-dir", str(idx), "--lookup", "delta", "gamma",
+          "--output", str(tmp_path / "postings"), "--partitions", "8"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # gamma in all docs, delta in every 3rd
+    assert out["postings"] == n + n // 3
+
+    main(["sample", "--input", str(docs), "--id-column", "doc_id",
+          "--weight-column", "weight", "-k", "10",
+          "--output", str(tmp_path / "sampled")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 10
