@@ -2071,6 +2071,51 @@ def q_anti_join(sf_dir: str):
     )
 
 
+def q_rollup_stats(sf_dir: str):
+    """Multi-level ROLLUP aggregate — (source, lang), (source), () — in ONE
+    corpus pass: per-batch polars combine to (source, lang) partials, one
+    native groupby over the BOUNDED domain (|sources| x |langs| groups),
+    coarser levels derived from the finest on the driver (a tiny frame).
+    The scale-right rollup shape: the data is touched once; no per-level
+    re-scan, no unbounded-key native aggregate."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["source", "lang", "n_chars"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(batch)
+            .group_by(["source", "lang"])
+            .agg(pl.len().alias("n"), pl.col("n_chars").sum().alias("s"))
+            .to_arrow()
+        )
+
+    fine = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n", alias_name="n_docs"), Sum("s", alias_name="sum_chars"))
+        .to_pandas()
+    )
+    by_source = (
+        fine.groupby("source", as_index=False)[["n_docs", "sum_chars"]].sum()
+    )
+    by_source["lang"] = None
+    total = pd.DataFrame(
+        {
+            "source": [None],
+            "lang": [None],
+            "n_docs": [fine["n_docs"].sum()],
+            "sum_chars": [fine["sum_chars"].sum()],
+        }
+    )
+    out = pd.concat([fine, by_source, total], ignore_index=True)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    return out[["source", "lang", "n_docs", "sum_chars"]]
+
+
 def q_full_outer_join(sf_dir: str):
     """Full outer bucket join (stages/join.py) with unmatched rows on BOTH
     sides: every-3rd customer x orders of every-2nd customer — exercises
@@ -2295,6 +2340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_postings": q_token_postings,
         "anti_join": q_anti_join,
         "full_outer_join": q_full_outer_join,
+        "rollup_stats": q_rollup_stats,
         "clk_mask_md5": q_clk_mask_md5,
         "clk_mask_sha256": q_clk_mask_sha256,
         "clkrbf_mask_md5": q_clkrbf_mask_md5,
@@ -3171,6 +3217,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, unnest(string_split(text, ' ')) AS token
                 FROM documents
             ) WHERE token IN ('join', 'window', 'spark', 'checkpoint')
+        """,
+        "rollup_stats": """
+            SELECT source, lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY ROLLUP (source, lang)
         """,
         "full_outer_join": """
             WITH l AS (

@@ -56,6 +56,10 @@ BENCH_QUERIES = [
     "connected_components",
     "lineitem_pricing",
     "event_windows",
+    "running_totals",
+    "hopping_windows",
+    "weighted_sample",
+    "token_postings",
     "json_props",
     "top_tokens",
     "corpus_profile",
