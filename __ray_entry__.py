@@ -2071,6 +2071,70 @@ def q_anti_join(sf_dir: str):
     )
 
 
+def q_skew_join(sf_dir: str):
+    """Sketch-driven skew-mitigated join (stages/join.py skew_join): 30% of
+    orders deterministically remapped onto ONE customer key — a Misra-Gries
+    pass detects the hot key, its rows broadcast-join (never shuffle), the
+    cold rest takes the co-partitioned bucket join. Per-segment aggregate in
+    exact micro-units; result is path-independent, so plain SQL oracles the
+    whole split/merge."""
+    from ray.data.aggregate import Sum
+
+    from pprl_ray.stages.join import skew_join
+
+    ords = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def _skew(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        ck = b["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_custkey": pa.array(np.where(ok % 10 < 3, 1, ck), pa.int64()),
+                "price_u": pc.cast(pc.round(pc.multiply(b["o_totalprice"], 1_000_000)), pa.int64()),
+            }
+        )
+
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = skew_join(
+        ords.map_batches(_skew, batch_format="pyarrow"),
+        cust,
+        keys="o_custkey",
+        right_keys="c_custkey",
+        join_type="inner",
+        hot_threshold=0.05,
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(batch.select(["c_mktsegment", "price_u"]))
+            .group_by("c_mktsegment")
+            .agg(pl.len().alias("n"), pl.col("price_u").sum().alias("s"))
+            .to_arrow()
+        )
+
+    agg = (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n", alias_name="n_orders"), Sum("s", alias_name="sum_u"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "c_mktsegment": b["c_mktsegment"],
+                "n_orders": pc.cast(b["n_orders"], pa.int64()),
+                "total_price": pc.divide(pc.cast(b["sum_u"], pa.float64()), 1_000_000.0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_rollup_stats(sf_dir: str):
     """Multi-level ROLLUP aggregate — (source, lang), (source), () — in ONE
     corpus pass: per-batch polars combine to (source, lang) partials, one
@@ -2341,6 +2405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": q_anti_join,
         "full_outer_join": q_full_outer_join,
         "rollup_stats": q_rollup_stats,
+        "skew_join": q_skew_join,
         "clk_mask_md5": q_clk_mask_md5,
         "clk_mask_sha256": q_clk_mask_sha256,
         "clkrbf_mask_md5": q_clkrbf_mask_md5,
@@ -3217,6 +3282,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, unnest(string_split(text, ' ')) AS token
                 FROM documents
             ) WHERE token IN ('join', 'window', 'spark', 'checkpoint')
+        """,
+        "skew_join": """
+            WITH skewed AS (
+                SELECT CASE WHEN o_orderkey % 10 < 3 THEN 1 ELSE o_custkey END
+                           AS o_custkey,
+                       CAST(round(o_totalprice * 1000000, 0) AS BIGINT) AS price_u
+                FROM orders
+            )
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   CAST(sum(price_u) AS DOUBLE) / 1000000.0 AS total_price
+            FROM skewed JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
         """,
         "rollup_stats": """
             SELECT source, lang,

@@ -29,7 +29,14 @@ import pyarrow as pa
 
 from .partitioning import auto_partitions
 
-__all__ = ["broadcast_join", "bucket_join", "asof_join", "interval_join", "bloom_semi_join"]
+__all__ = [
+    "broadcast_join",
+    "bucket_join",
+    "asof_join",
+    "interval_join",
+    "bloom_semi_join",
+    "skew_join",
+]
 
 # join types that are correct when executed independently per large-side
 # batch against the full small side (unmatched SMALL-side rows are never
@@ -366,3 +373,120 @@ def bloom_semi_join(left_ds, keys_ds, keys, right_keys=None,
         survivors, keys_ds.select_columns([rkey]), keys=lkey, right_keys=rkey,
         join_type="left semi", partitions=partitions,
     )
+
+
+def detect_hot_keys(ds, key_col: str, threshold: float = 0.01,
+                    capacity: int = 256) -> set:
+    """One streaming Misra-Gries pass over ``key_col``: keys whose
+    frequency exceeds ``threshold`` of the rows (MG guarantees every key
+    above n/capacity survives, so choose capacity > 1/threshold). Integer
+    key columns only (the MG kernel is int64-vectorised)."""
+    if capacity < int(1.0 / max(threshold, 1e-9)):
+        raise ValueError("capacity must exceed 1/threshold or hot keys can be evicted")
+    from ..sketches.heavyhitters import MGSketch
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        vals = batch[key_col].combine_chunks()
+        vc = pl.from_arrow(vals).value_counts()
+        ks = vc[:, 0].to_numpy().astype(np.int64)
+        cs = vc[:, 1].to_numpy().astype(np.int64)
+        sk = MGSketch(capacity)
+        sk.update(ks, cs)
+        return pa.table(
+            {"blob": pa.array([sk.to_bytes()], pa.binary()),
+             "n": pa.array([int(cs.sum())], pa.int64())}
+        )
+
+    rows = ds.map_batches(_partial, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r["blob"])  # canonical merge order
+    merged, total = None, 0
+    from ..sketches.heavyhitters import MGSketch as _MG
+
+    for r in rows:
+        sk = _MG.from_bytes(r["blob"])
+        merged = sk if merged is None else merged.merge(sk)
+        total += r["n"]
+    if merged is None or total == 0:
+        return set()
+    return set(merged.heavy_hitters(threshold).keys())
+
+
+def skew_join(left_ds, right_ds, keys, right_keys=None, join_type: str = "inner",
+              hot_keys=None, hot_threshold: float = 0.01, hot_capacity: int = 256,
+              partitions: int | None = None, suffix: str = "_r"):
+    """Sketch-driven skew-mitigated equi-join (single integer key).
+
+    A plain hash-bucket join concentrates every row of a hot key in ONE
+    bucket — with zipfian keys a single straggler task holds a constant
+    fraction of the table while the rest of the cluster idles. This
+    operator routes around it:
+
+    1. hot-key detection: a Misra-Gries streaming pass over the LEFT key
+       column (:func:`detect_hot_keys`; skipped when ``hot_keys`` is given
+       — pass the known-skewed ids at no extra scan),
+    2. hot path: left rows with hot keys join against the BROADCAST
+       right-side subset for those keys — the heavy rows never shuffle at
+       all (the right subset is ≤|hot| keys' worth of rows; for a dim-table
+       right side that is ≤|hot| rows),
+    3. cold path: everything else takes the ordinary co-partitioned
+       :func:`bucket_join`, now free of stragglers.
+
+    Exact for ``inner`` and ``left outer`` (the hot/cold split partitions
+    the key space, so no pair is lost or duplicated); other join types
+    would emit unmatched right rows from the wrong path — rejected.
+
+    This is the join-side twin of the salted groupby the sketch merges
+    use: detect skew with a sketch, then move the SMALL side to the data
+    instead of shuffling the hot data to one place."""
+    if join_type not in ("inner", "left outer"):
+        raise ValueError(
+            f"skew_join supports 'inner' and 'left outer' (got {join_type!r}); "
+            "unmatched-right-emitting types cannot be split across paths"
+        )
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    right_keys = keys if right_keys is None else (
+        [right_keys] if isinstance(right_keys, str) else list(right_keys)
+    )
+    if len(keys) != 1:
+        raise ValueError("skew_join handles a single join key")
+    lkey, rkey = keys[0], right_keys[0]
+
+    if hot_keys is None:
+        hot_keys = detect_hot_keys(left_ds, lkey, hot_threshold, hot_capacity)
+    hot_keys = sorted(int(k) for k in hot_keys)
+    if not hot_keys:
+        return bucket_join(left_ds, right_ds, keys=lkey, right_keys=rkey,
+                           join_type=join_type, partitions=partitions,
+                           suffix=suffix)
+    hot_arr = pa.array(hot_keys, pa.int64())
+
+    def _split(col):
+        def _f(flag):
+            def _g(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                m = pc.is_in(pc.cast(batch[col], pa.int64()), value_set=hot_arr)
+                return batch.filter(m if flag else pc.invert(m))
+
+            return _g
+
+        return _f
+
+    left_hot = left_ds.map_batches(_split(lkey)(True), batch_format="pyarrow")
+    left_cold = left_ds.map_batches(_split(lkey)(False), batch_format="pyarrow")
+    right_hot = right_ds.map_batches(_split(rkey)(True), batch_format="pyarrow")
+    right_cold = right_ds.map_batches(_split(rkey)(False), batch_format="pyarrow")
+
+    hot_joined = broadcast_join(left_hot, right_hot, keys=lkey,
+                                right_keys=rkey, join_type=join_type)
+    cold_joined = bucket_join(left_cold, right_cold, keys=lkey,
+                              right_keys=rkey, join_type=join_type,
+                              partitions=partitions, suffix=suffix)
+    cold_cols = cold_joined.schema().base_schema.names
+
+    def _align(batch: pa.Table) -> pa.Table:
+        return batch.select(cold_cols)
+
+    return cold_joined.union(hot_joined.map_batches(_align, batch_format="pyarrow"))

@@ -228,3 +228,66 @@ def test_bloom_semi_join_exact_and_prefilter_only():
     approx_keys = {r["k"] for r in approx.take_all()}
     assert true_keys <= approx_keys          # no false negatives, ever
     assert len(approx_keys) > len(true_keys)  # tiny bloom must false-positive
+
+
+def test_skew_join_matches_bucket_join_and_detects_hot_keys(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from pprl_ray.stages.join import bucket_join, detect_hot_keys, skew_join
+
+    def from_df(df, parts=1):
+        return rd.from_arrow(pa.Table.from_pandas(df)).repartition(parts)
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    # zipf-ish: 40% of left rows hit key 7, rest uniform over 1..500
+    keys = np.where(rng.random(n) < 0.4, 7, rng.integers(1, 501, n)).astype(np.int64)
+    left = pd.DataFrame({"k": keys, "lv": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame(
+        {"rk": np.arange(0, 600, dtype=np.int64), "rv": np.arange(0, 600) * 10}
+    )
+
+    hot = detect_hot_keys(from_df(left, 6), "k", threshold=0.05)
+    assert 7 in hot and len(hot) < 20
+
+    for jt in ("inner", "left outer"):
+        got = (
+            skew_join(
+                from_df(left, 6),
+                from_df(right, 3),
+                keys="k", right_keys="rk", join_type=jt, hot_threshold=0.05,
+                partitions=4,
+            )
+            .to_pandas()
+            .sort_values(["k", "lv"])
+            .reset_index(drop=True)
+        )
+        ref = (
+            bucket_join(
+                from_df(left, 6),
+                from_df(right, 3),
+                keys="k", right_keys="rk", join_type=jt, partitions=4,
+            )
+            .to_pandas()
+            .sort_values(["k", "lv"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[ref.columns], ref)
+
+    # no hot keys -> pure bucket_join fallback, same result
+    uni = pd.DataFrame({"k": np.arange(100, dtype=np.int64), "lv": np.arange(100)})
+    got = skew_join(
+        from_df(uni), from_df(right), keys="k", right_keys="rk",
+        hot_threshold=0.2, partitions=2,
+    ).to_pandas()
+    assert len(got) == 100
+
+    with pytest.raises(ValueError, match="skew_join supports"):
+        skew_join(from_df(uni), from_df(right), keys="k",
+                  right_keys="rk", join_type="full outer")
+    with pytest.raises(ValueError, match="capacity"):
+        detect_hot_keys(from_df(uni), "k", threshold=0.001, capacity=10)
