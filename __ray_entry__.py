@@ -2071,6 +2071,54 @@ def q_anti_join(sf_dir: str):
     )
 
 
+def q_contamination(sf_dir: str):
+    """Train/eval decontamination (stages/dedup.py contamination_pairs):
+    the eval set is the first 20 words of every doc_id < 50 (planted
+    contamination); the check finds every (eval, train) pair sharing a
+    word 5-gram with the count of distinct shared shingles. Only slim
+    (shingle-hash, id) rows shuffle; the SQL oracle replicates the 5-gram
+    set intersection exactly."""
+    from pprl_ray.stages.dedup import contamination_pairs
+
+    train = _docs(sf_dir, ["doc_id", "text"])
+
+    def _mk_eval(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        t = batch.filter(pc.less(batch["doc_id"], 50))
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+            )
+        txt = (
+            pl.from_arrow(t["text"].combine_chunks())
+            .str.split(" ")
+            .list.slice(0, 20)
+            .list.join(" ")
+        )
+        return pa.table(
+            {
+                "doc_id": pc.add(t["doc_id"], 700_000),
+                "text": txt.to_arrow().cast(pa.string()),
+            }
+        )
+
+    eval_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _mk_eval, batch_format="pyarrow"
+    )
+    pairs = contamination_pairs(train, eval_ds, shingle_n=5)
+    return pairs.map_batches(
+        lambda b: pa.table(
+            {
+                "eval_id": pc.cast(b["eval_id"], pa.int64()),
+                "train_id": pc.cast(b["train_id"], pa.int64()),
+                "n_shared": pc.cast(b["n_shared"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_skew_join(sf_dir: str):
     """Sketch-driven skew-mitigated join (stages/join.py skew_join): 30% of
     orders deterministically remapped onto ONE customer key — a Misra-Gries
@@ -2406,6 +2454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_join": q_full_outer_join,
         "rollup_stats": q_rollup_stats,
         "skew_join": q_skew_join,
+        "contamination": q_contamination,
         "clk_mask_md5": q_clk_mask_md5,
         "clk_mask_sha256": q_clk_mask_sha256,
         "clkrbf_mask_md5": q_clkrbf_mask_md5,
@@ -3282,6 +3331,32 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, unnest(string_split(text, ' ')) AS token
                 FROM documents
             ) WHERE token IN ('join', 'window', 'spark', 'checkpoint')
+        """,
+        "contamination": """
+            WITH ev AS (
+                SELECT doc_id + 700000 AS doc_id,
+                       array_to_string(list_slice(string_split(text, ' '), 1, 20), ' ')
+                           AS text
+                FROM documents WHERE doc_id < 50
+            ), tg AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                            || ' ' || w[i+4] AS g
+                FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+                     LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i)
+            ), eg AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                            || ' ' || w[i+4] AS g
+                FROM (SELECT doc_id, string_split(text, ' ') AS w FROM ev),
+                     LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i)
+            ), ok AS (
+                SELECT g FROM tg GROUP BY g HAVING count(*) <= 1024
+            )
+            SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+                   count(*) AS n_shared
+            FROM eg e JOIN tg t ON e.g = t.g JOIN ok o ON o.g = e.g
+            GROUP BY e.doc_id, t.doc_id
         """,
         "skew_join": """
             WITH skewed AS (

@@ -37,6 +37,7 @@ __all__ = [
     "simhash_fingerprints",
     "simhash_candidates",
     "connected_components_collapse",
+    "contamination_pairs",
 ]
 
 
@@ -1049,4 +1050,109 @@ def connected_components_collapse(
             break
     return labels.map_batches(
         lambda b: pa.table({"doc_id": b["node"], "rep_id": b["rep"]}), batch_format="pyarrow"
+    )
+
+
+# --- train/eval decontamination ---------------------------------------------
+
+
+def contamination_pairs(train_ds, eval_ds, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_n: int = 5,
+                        partitions: int | None = None, max_bucket: int = 1024):
+    """Train/eval overlap detection (decontamination): every
+    ``(eval_id, train_id)`` pair sharing at least one word ``shingle_n``-gram,
+    with the count of distinct shared shingles — the standard n-gram
+    contamination check run before training on a corpus that might contain
+    benchmark text (public recipe; e.g. the GPT-3/C4 appendix
+    decontamination procedure).
+
+    Scale shape: both sides shingle ONCE (the vectorised
+    :func:`shingle_tokens` kernel); only slim ``(shingle_hash, id, side)``
+    rows shuffle — the text never moves. Shingles co-locate by hash, each
+    partition does one vectorised pandas merge (eval x train per shingle),
+    and per-pair counts reduce in a second slim partitioned pass. Shingles
+    present in more than ``max_bucket`` train docs are dropped (a boiler-
+    plate n-gram shared by thousands of documents is not a contamination
+    signal, and the cap bounds the per-shingle cross product) — raise
+    ``shingle_n`` rather than ``max_bucket`` if that triggers.
+
+    Returns a Dataset ``(eval_id, train_id, n_shared)``. Exact modulo
+    64-bit shingle-hash collisions (same caveat as minhash verification).
+    """
+    from .partitioning import auto_partitions
+
+    if partitions is None:
+        partitions = max(auto_partitions(train_ds), auto_partitions(eval_ds))
+
+    def _emit(side: int):
+        def _f(batch: pa.Table) -> pa.Table:
+            shingles = shingle_tokens(batch, text_col, shingle_n)
+            ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+            lens = np.array([len(s) for s in shingles], dtype=np.int64)
+            h = (np.concatenate(shingles) if len(shingles) else
+                 np.empty(0, dtype=np.uint64))
+            return pa.table(
+                {
+                    "h": pa.array(h, pa.uint64()),
+                    "id": pa.array(np.repeat(ids, lens), pa.int64()),
+                    "side": pa.array(
+                        np.full(int(lens.sum()), side, dtype=np.int8), pa.int8()
+                    ),
+                    "part": pa.array(
+                        (h % np.uint64(partitions)).astype(np.int32), pa.int32()
+                    ),
+                }
+            )
+
+        return _f
+
+    both = train_ds.map_batches(_emit(0), batch_format="pyarrow").union(
+        eval_ds.map_batches(_emit(1), batch_format="pyarrow")
+    )
+
+    def _match(group: pd.DataFrame) -> pd.DataFrame:
+        ev = group[group["side"] == 1]
+        tr = group[group["side"] == 0]
+        if ev.empty or tr.empty:
+            return pd.DataFrame({"eval_id": [], "train_id": [], "n": []}).astype(
+                {"eval_id": "int64", "train_id": "int64", "n": "int64"}
+            )
+        # drop ubiquitous shingles before the per-shingle cross product
+        counts = tr.groupby("h")["id"].size()
+        tr = tr[tr["h"].map(counts) <= max_bucket]
+        m = ev.merge(tr, on="h", suffixes=("_e", "_t"))
+        out = (
+            m.groupby(["id_e", "id_t"], sort=False).size().reset_index(name="n")
+        )
+        return out.rename(columns={"id_e": "eval_id", "id_t": "train_id"}).astype(
+            {"eval_id": "int64", "train_id": "int64", "n": "int64"}
+        )
+
+    partials = both.groupby("part").map_groups(_match, batch_format="pandas")
+
+    # a pair's shingles span partitions -> one more slim reduce keyed by pair
+    def _pair_part(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame(
+            {
+                "eval_id": pl.from_arrow(batch["eval_id"].combine_chunks()),
+                "train_id": pl.from_arrow(batch["train_id"].combine_chunks()),
+            }
+        )
+        hp = (df.hash_rows(seed=83).to_numpy() % np.uint64(partitions)).astype(np.int32)
+        return batch.append_column("ppart", pa.array(hp))
+
+    def _sum(group: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            group.groupby(["eval_id", "train_id"], sort=False)["n"]
+            .sum()
+            .reset_index(name="n_shared")
+        )
+        return out.astype({"eval_id": "int64", "train_id": "int64", "n_shared": "int64"})
+
+    return (
+        partials.map_batches(_pair_part, batch_format="pyarrow")
+        .groupby("ppart")
+        .map_groups(_sum, batch_format="pandas")
     )

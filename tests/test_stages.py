@@ -1065,3 +1065,65 @@ def test_pii_scrub_stage_patterns():
         "",
     ]
     assert out["n_redactions"].to_pylist() == [1, 2, 0, 0]
+
+
+def test_contamination_pairs_finds_planted_overlap():
+    from pprl_ray.stages.dedup import contamination_pairs
+
+    train = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "a b c d e f g h",          # 4 distinct 5-grams
+                        "z y x w v u t s",
+                        "one two three four five six",
+                    ]
+                ),
+            }
+        )
+    ).repartition(2)
+    evals = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([100, 101], pa.int64()),
+                "text": pa.array(
+                    [
+                        "c d e f g h junk junk2",   # shares 2 train 5-grams w/ doc 1
+                        "completely different words here now ok",
+                    ]
+                ),
+            }
+        )
+    )
+    out = (
+        contamination_pairs(train, evals, shingle_n=5, partitions=4)
+        .to_pandas()
+        .sort_values(["eval_id", "train_id"])
+        .reset_index(drop=True)
+    )
+    assert out.to_dict("records") == [
+        {"eval_id": 100, "train_id": 1, "n_shared": 2}
+    ]
+
+    # max_bucket drops ubiquitous shingles: every train doc repeats one gram
+    common = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["p q r s t"] * 3),
+            }
+        )
+    )
+    ev = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([9], pa.int64()), "text": pa.array(["p q r s t"])}
+        )
+    )
+    capped = contamination_pairs(common, ev, shingle_n=5, partitions=2,
+                                 max_bucket=2).to_pandas()
+    assert capped.empty  # the only shared gram appears in 3 > 2 train docs
+    full = contamination_pairs(common, ev, shingle_n=5, partitions=2,
+                               max_bucket=3).to_pandas()
+    assert len(full) == 3 and set(full["n_shared"]) == {1}
