@@ -2071,6 +2071,19 @@ def q_anti_join(sf_dir: str):
     )
 
 
+def q_table_profile(sf_dir: str):
+    """One-pass column profiler (pipelines/table_profile.py): row/null
+    counts, numeric + lexicographic extrema, and theta-sketch distinct
+    counts for every documents column in a single scan. k=65536 exceeds
+    every column's sf0.01 cardinality (doc_id: 50 000), so the distinct
+    counts are provably exact there and COUNT(DISTINCT) is a true oracle;
+    at larger scales the same query rides the 1/sqrt(k-2) estimator."""
+    from pprl_ray.pipelines.table_profile import table_profile
+
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    return table_profile(_docs(sf_dir, cols), cols)
+
+
 def q_contamination(sf_dir: str):
     """Train/eval decontamination (stages/dedup.py contamination_pairs):
     the eval set is the first 20 words of every doc_id < 50 (planted
@@ -2455,6 +2468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_stats": q_rollup_stats,
         "skew_join": q_skew_join,
         "contamination": q_contamination,
+        "table_profile": q_table_profile,
         "clk_mask_md5": q_clk_mask_md5,
         "clk_mask_sha256": q_clk_mask_sha256,
         "clkrbf_mask_md5": q_clkrbf_mask_md5,
@@ -3331,6 +3345,30 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, unnest(string_split(text, ' ')) AS token
                 FROM documents
             ) WHERE token IN ('join', 'window', 'spark', 'checkpoint')
+        """,
+        "table_profile": """
+            SELECT 'doc_id' AS "column", count(*) AS n_rows,
+                   count(*) - count(doc_id) AS n_nulls,
+                   count(DISTINCT doc_id) AS n_distinct,
+                   CAST(min(doc_id) AS DOUBLE) AS min_num,
+                   CAST(max(doc_id) AS DOUBLE) AS max_num,
+                   CAST(NULL AS VARCHAR) AS min_str,
+                   CAST(NULL AS VARCHAR) AS max_str
+            FROM documents
+            UNION ALL
+            SELECT 'lang', count(*), count(*) - count(lang),
+                   count(DISTINCT lang), NULL, NULL, min(lang), max(lang)
+            FROM documents
+            UNION ALL
+            SELECT 'source', count(*), count(*) - count(source),
+                   count(DISTINCT source), NULL, NULL, min(source), max(source)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(*), count(*) - count(n_chars),
+                   count(DISTINCT n_chars),
+                   CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE),
+                   NULL, NULL
+            FROM documents
         """,
         "contamination": """
             WITH ev AS (

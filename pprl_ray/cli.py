@@ -386,6 +386,19 @@ def cmd_sample(args) -> None:
                       "output": args.output}))
 
 
+def cmd_table_profile(args) -> None:
+    """One-pass column profiler: counts, nulls, extrema, theta-distinct."""
+    ds = _read(args.input, columns=args.columns)
+    from .pipelines.table_profile import table_profile
+
+    df = table_profile(ds, args.columns, theta_k=args.theta_k)
+    df.to_parquet(args.output) if args.format == "parquet" else df.to_csv(
+        args.output, index=False
+    )
+    print(json.dumps({"command": "table-profile", "columns": args.columns,
+                      "rows": len(df), "output": args.output}))
+
+
 def cmd_generate(args) -> None:
     """Deterministic synthetic entities -> Parquet. With --generator-config,
     a reference-style FakerGeneratorConfig JSON (`pprl_client/model.py:6-20`)
@@ -562,6 +575,15 @@ def main(argv: list[str] | None = None) -> None:
     sp.add_argument("--weight-column", required=True)
     sp.add_argument("-k", type=int, default=100)
     sp.set_defaults(fn=cmd_sample)
+
+    sp = sub.add_parser("table-profile",
+                        help="one-pass per-column stats (nulls/extrema/distinct)")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--format", choices=("parquet", "csv"), default="parquet")
+    sp.add_argument("--columns", nargs="+", required=True)
+    sp.add_argument("--theta-k", type=int, default=65536)
+    sp.set_defaults(fn=cmd_table_profile)
 
     sp = sub.add_parser("generate", help="deterministic synthetic entities")
     sp.add_argument("-n", type=int, default=1000)

@@ -366,3 +366,25 @@ def test_cli_index_and_sample(ray_session, tmp_path, capsys):
           "--output", str(tmp_path / "sampled")])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rows"] == 10
+
+
+def test_cli_table_profile(ray_session, tmp_path, capsys):
+    docs = tmp_path / "d.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(50), pa.int64()),
+                "source": pa.array([f"s{i % 4}" for i in range(50)]),
+            }
+        ),
+        str(docs),
+    )
+    main(["table-profile", "--input", str(docs), "--columns", "doc_id", "source",
+          "--output", str(tmp_path / "prof.csv"), "--format", "csv"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 2
+    import pandas as pd
+
+    prof = pd.read_csv(tmp_path / "prof.csv").set_index("column")
+    assert prof.loc["doc_id"]["n_distinct"] == 50
+    assert prof.loc["source"]["n_distinct"] == 4

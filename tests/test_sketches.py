@@ -341,3 +341,39 @@ def test_countsketch_unbiased_and_l2_bound():
     # signed estimates can under- AND over-estimate (unlike CMS)
     errs = est - true
     assert (errs <= 0).any() or (np.abs(errs).max() < 2)
+
+
+def test_table_profile_stats_and_distinct_modes(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pprl_ray.pipelines.table_profile import table_profile
+
+    n = 3000
+    tbl = pa.table(
+        {
+            "a": pa.array(
+                [None if i % 10 == 0 else i % 257 for i in range(n)], pa.int64()
+            ),
+            "s": pa.array([f"v{i % 41:03d}" if i % 7 else None for i in range(n)]),
+        }
+    )
+    for parts in (1, 6):
+        out = table_profile(
+            rd.from_arrow(tbl).repartition(parts), ["a", "s"], theta_k=1024
+        ).set_index("column")
+        a, s = out.loc["a"], out.loc["s"]
+        assert a["n_rows"] == n and a["n_nulls"] == n // 10
+        assert a["min_num"] == 0.0 and a["max_num"] == 256.0
+        assert a["n_distinct"] == 257  # exact: 257 < k
+        assert a["min_str"] is None or pd.isna(a["min_str"])
+        assert s["n_nulls"] == len([i for i in range(n) if i % 7 == 0])
+        assert s["min_str"] == "v000" and s["max_str"] == "v040"
+        assert s["n_distinct"] == 41
+
+    # above capacity the estimator takes over within its published bound
+    big = pa.table({"x": pa.array(np.arange(20000, dtype=np.int64))})
+    est = table_profile(rd.from_arrow(big), ["x"], theta_k=512).iloc[0]["n_distinct"]
+    assert abs(est - 20000) / 20000 < 5 / np.sqrt(510)
