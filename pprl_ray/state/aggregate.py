@@ -132,9 +132,16 @@ def _combine_batch(batch: pa.Table, sketch_cls) -> pa.Table:
     the number of combiner tasks."""
     merged: dict[str, Any] = {}
     rowsum: dict[str, int] = {}
-    for key, blob, r in zip(
-        batch["key"].to_pylist(), batch["blob"].to_pylist(), batch["rows"].to_pylist()
-    ):
+    # canonical (key, blob) order before merging: the bundled batch is
+    # assembled from partial blocks in ARRIVAL order (load-dependent), and
+    # KLL/t-digest merges are only order-invariant within their error bound
+    # — same rule as _merge_group / the k-means driver reduce
+    rows = sorted(
+        zip(
+            batch["key"].to_pylist(), batch["blob"].to_pylist(), batch["rows"].to_pylist()
+        )
+    )
+    for key, blob, r in rows:
         sk = sketch_cls.from_bytes(zlib.decompress(blob))
         if key in merged:
             merged[key] = merged[key].merge(sk)
@@ -209,7 +216,16 @@ def sketch_by_key(
     concentrates on a single reducer. ``merge="groupby"`` produces exactly
     one row per key via a groupby shuffle (``salt`` adds a two-level salted
     reduce) — use when the sketch table itself is the output (e.g. written
-    to Parquet). ``merge=None`` returns raw per-block partials."""
+    to Parquet). ``merge=None`` returns raw per-block partials.
+
+    Determinism: every combiner/reducer sorts its (key, blob) inputs into
+    canonical order before merging, so results are bit-reproducible under
+    any scheduling/load while the partial rows fit one combiner bundle
+    (every pinned sf0.01 oracle does). Once the tree-reduce loop engages,
+    bundle BOUNDARIES follow block arrival, so order-sensitive sketches
+    (KLL/t-digest) are then reproducible only within their published error
+    bound — exactly-mergeable sketches (HLL/CMS/Bloom/theta/...) stay
+    bit-identical under every topology (property-tested)."""
     sketch_cls = type(sketch_factory())
     partials = ds.map_batches(
         SketchPartials(sketch_factory, value_col, key_col),
@@ -242,7 +258,10 @@ def finalize_sketches(merged_ds, sketch_cls) -> dict[str, Any]:
     """Driver-side final merge of a (small) sketch-row Dataset into
     {key: sketch}; per-key duplicates (combiner partials) are merged."""
     out: dict[str, Any] = {}
-    for row in merged_ds.take_all():
+    rows = merged_ds.take_all()
+    # canonical order: take_all returns blocks in completion order
+    rows.sort(key=lambda r: (r["key"], r["blob"]))
+    for row in rows:
         sk = sketch_cls.from_bytes(zlib.decompress(row["blob"]))
         k = row["key"]
         out[k] = out[k].merge(sk) if k in out else sk
