@@ -2071,6 +2071,28 @@ def q_anti_join(sf_dir: str):
     )
 
 
+def q_label_centroids(sf_dir: str):
+    """Vector-valued grouped aggregate (stages/cluster.py group_centroids):
+    exact per-label mean embedding — vectors never shuffle, one fixed-point
+    int64 (k x dim) partial per batch, canonical driver reduce. Fixed-point
+    sums make the distributed result EXACTLY the single-machine result, so
+    plain SQL oracles it dim-by-dim."""
+    from pprl_ray.stages.cluster import group_centroids
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    df = group_centroids(ds, key_col="label", vec_col="embedding")
+    recs = []
+    for _, r in df.iterrows():
+        for d, v in enumerate(r["mean_vec"]):
+            recs.append(
+                {"label": int(r["key"]), "dim": d + 1, "n": int(r["n"]), "mean_v": v}
+            )
+    out = pd.DataFrame(recs)
+    return out.astype({"label": "int64", "dim": "int64", "n": "int64"})
+
+
 def q_table_profile(sf_dir: str):
     """One-pass column profiler (pipelines/table_profile.py): row/null
     counts, numeric + lexicographic extrema, and theta-sketch distinct
@@ -2469,6 +2491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_join": q_skew_join,
         "contamination": q_contamination,
         "table_profile": q_table_profile,
+        "label_centroids": q_label_centroids,
         "clk_mask_md5": q_clk_mask_md5,
         "clk_mask_sha256": q_clk_mask_sha256,
         "clkrbf_mask_md5": q_clkrbf_mask_md5,
@@ -3345,6 +3368,19 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, unnest(string_split(text, ' ')) AS token
                 FROM documents
             ) WHERE token IN ('join', 'window', 'spark', 'checkpoint')
+        """,
+        "label_centroids": """
+            WITH f AS (
+                SELECT label, i,
+                       CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000000, 0)
+                            AS BIGINT) AS v
+                FROM embeddings,
+                     LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+            )
+            SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+                   count(*) AS n,
+                   CAST(sum(v) AS DOUBLE) / 1000000000.0 / count(*) AS mean_v
+            FROM f GROUP BY label, i
         """,
         "table_profile": """
             SELECT 'doc_id' AS "column", count(*) AS n_rows,

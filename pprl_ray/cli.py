@@ -386,6 +386,21 @@ def cmd_sample(args) -> None:
                       "output": args.output}))
 
 
+def cmd_decontaminate(args) -> None:
+    """Train/eval n-gram overlap pairs (benchmark-contamination check)."""
+    from .stages.dedup import contamination_pairs
+
+    train = _read(args.input, columns=[args.id_column, args.text_column])
+    evals = _read(args.eval_input, columns=[args.id_column, args.text_column])
+    pairs = contamination_pairs(
+        train, evals, text_col=args.text_column, id_col=args.id_column,
+        shingle_n=args.shingle_n,
+    )
+    n = _write(pairs, args.output, args.format)
+    print(json.dumps({"command": "decontaminate", "shingle_n": args.shingle_n,
+                      "pairs": n, "output": args.output}))
+
+
 def cmd_table_profile(args) -> None:
     """One-pass column profiler: counts, nulls, extrema, theta-distinct."""
     ds = _read(args.input, columns=args.columns)
@@ -575,6 +590,17 @@ def main(argv: list[str] | None = None) -> None:
     sp.add_argument("--weight-column", required=True)
     sp.add_argument("-k", type=int, default=100)
     sp.set_defaults(fn=cmd_sample)
+
+    sp = sub.add_parser("decontaminate",
+                        help="train/eval word n-gram overlap pairs")
+    sp.add_argument("--input", required=True, help="train corpus")
+    sp.add_argument("--eval-input", required=True, help="eval/benchmark corpus")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--format", choices=("parquet", "csv"), default="parquet")
+    sp.add_argument("--id-column", default="doc_id")
+    sp.add_argument("--text-column", default="text")
+    sp.add_argument("--shingle-n", type=int, default=8)
+    sp.set_defaults(fn=cmd_decontaminate)
 
     sp = sub.add_parser("table-profile",
                         help="one-pass per-column stats (nulls/extrema/distinct)")

@@ -31,7 +31,13 @@ import pyarrow as pa
 from ..sketches.hashing import hash_ints
 from .ann import _embedding_matrix, _normalize
 
-__all__ = ["kmeans_fit", "kmeans_assign", "semantic_dedup_pairs", "lloyd_step"]
+__all__ = [
+    "kmeans_fit",
+    "kmeans_assign",
+    "semantic_dedup_pairs",
+    "lloyd_step",
+    "group_centroids",
+]
 
 
 def _bottomk_rows(ds, id_col: str, vec_col: str, k: int, seed: int) -> np.ndarray:
@@ -179,3 +185,64 @@ def semantic_dedup_pairs(ds, centroids: np.ndarray, threshold: float,
 
     tagged = ds.map_batches(_tag, batch_format="pyarrow")
     return tagged.groupby("cluster").map_groups(_pairs, batch_format="pandas")
+
+
+def group_centroids(ds, key_col: str, vec_col: str = "embedding",
+                    scale: int = 1_000_000_000):
+    """Exact per-key mean vector (vector-valued grouped aggregate).
+
+    Each batch folds its rows into one (key, sum_vec, count) partial per
+    key — the raw vectors never shuffle, only k x dim partials move — and
+    the driver reduces in canonical order. Sums run in FIXED-POINT int64
+    (``round(v * scale)``), so the distributed result is exactly the
+    single-machine result regardless of partial arrival order or merge
+    topology, and is replicable in stock SQL — the same exactness trick
+    as the micro-unit revenue aggregates. int64 headroom: |v| * scale *
+    rows_per_key must stay < 2^63 (~9.2e18); the default scale leaves
+    room for ~9e9 unit-norm rows per key.
+
+    Returns a pandas frame ``(key, n, mean_vec: list<float64>)`` — keys
+    are assumed LOW-cardinality (label/cluster/source); for unbounded
+    keys write the partials through a groupby instead."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keys_arr = batch[key_col]
+        if isinstance(keys_arr, pa.ChunkedArray):
+            keys_arr = keys_arr.combine_chunks()
+        codes_arr = keys_arr.dictionary_encode()
+        codes = codes_arr.indices.to_numpy(zero_copy_only=False)
+        uniques = codes_arr.dictionary.to_pylist()
+        mat = _embedding_matrix(batch, vec_col)
+        fixed = np.round(mat.astype(np.float64) * scale).astype(np.int64)
+        k = len(uniques)
+        sums = np.zeros((k, fixed.shape[1]), dtype=np.int64)
+        np.add.at(sums, codes, fixed)
+        counts = np.bincount(codes, minlength=k).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array([str(u) for u in uniques], pa.string()),
+                "sum_vec": pa.array(list(sums), pa.list_(pa.int64())),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(_partial, batch_format="pyarrow").take_all()
+    # integer sums are order-invariant, but sort anyway for a stable
+    # output row order
+    rows.sort(key=lambda r: r["key"])
+    acc: dict[str, list] = {}
+    for r in rows:
+        a = acc.setdefault(r["key"], [None, 0])
+        v = np.asarray(r["sum_vec"], dtype=np.int64)
+        a[0] = v if a[0] is None else a[0] + v
+        a[1] += r["n"]
+    return pd.DataFrame(
+        [
+            {
+                "key": k,
+                "n": n,
+                "mean_vec": (s.astype(np.float64) / scale / n).tolist(),
+            }
+            for k, (s, n) in acc.items()
+        ]
+    )

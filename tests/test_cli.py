@@ -388,3 +388,35 @@ def test_cli_table_profile(ray_session, tmp_path, capsys):
     prof = pd.read_csv(tmp_path / "prof.csv").set_index("column")
     assert prof.loc["doc_id"]["n_distinct"] == 50
     assert prof.loc["source"]["n_distinct"] == 4
+
+
+def test_cli_decontaminate(ray_session, tmp_path, capsys):
+    train = tmp_path / "train.parquet"
+    evals = tmp_path / "eval.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(
+                    ["one two three four five six seven eight nine ten",
+                     "totally unrelated content in this training row here ok"]
+                ),
+            }
+        ),
+        str(train),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([9], pa.int64()),
+                "text": pa.array(
+                    ["one two three four five six seven eight plus tail"]
+                ),
+            }
+        ),
+        str(evals),
+    )
+    main(["decontaminate", "--input", str(train), "--eval-input", str(evals),
+          "--shingle-n", "8", "--output", str(tmp_path / "pairs")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["pairs"] == 1  # the single shared 8-gram pair

@@ -1127,3 +1127,34 @@ def test_contamination_pairs_finds_planted_overlap():
     full = contamination_pairs(common, ev, shingle_n=5, partitions=2,
                                max_bucket=3).to_pandas()
     assert len(full) == 3 and set(full["n_shared"]) == {1}
+
+
+def test_group_centroids_exact_and_partition_invariant():
+    from pprl_ray.stages.cluster import group_centroids
+
+    rng = np.random.default_rng(4)
+    n, dim = 600, 8
+    mat = rng.normal(0, 1, (n, dim)).astype(np.float32)
+    labels = (np.arange(n) % 3).astype(np.int32)
+    tbl = pa.table(
+        {
+            "label": pa.array(labels),
+            "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+        }
+    )
+
+    def run(parts):
+        return group_centroids(
+            rd.from_arrow(tbl).repartition(parts), "label"
+        ).sort_values("key").reset_index(drop=True)
+
+    a, b = run(1), run(7)
+    # distributed == single-partition, bit for bit (fixed-point sums)
+    for (_, ra), (_, rb) in zip(a.iterrows(), b.iterrows()):
+        assert ra["key"] == rb["key"] and ra["n"] == rb["n"]
+        assert ra["mean_vec"] == rb["mean_vec"]
+    # matches the numpy mean within fixed-point resolution
+    for lbl in range(3):
+        ref = mat[labels == lbl].astype(np.float64).mean(axis=0)
+        got = np.array(a[a["key"] == str(lbl)].iloc[0]["mean_vec"])
+        assert np.abs(got - ref).max() < 1e-8
