@@ -2071,6 +2071,40 @@ def q_anti_join(sf_dir: str):
     )
 
 
+def q_window_distinct_users(sf_dir: str):
+    """Sketch x window composition: per-day distinct active users via the
+    Theta/KMV sketch keyed by the tumbling window (sketch_by_key over a
+    derived window column). k=4096 far exceeds the 150-user population, so
+    the sketch is provably exact and COUNT(DISTINCT) oracles it; at real
+    scale the same query rides the estimator — the windowed-cardinality
+    shape (DAU counting) every event pipeline needs."""
+    from pprl_ray.sketches import ThetaSketch
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def _win(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.strftime(batch["ts"], format="%Y-%m-%d"),
+                "user_id": batch["user_id"],
+            }
+        )
+
+    merged = sketch_by_key(
+        ds.map_batches(_win, batch_format="pyarrow"),
+        lambda: ThetaSketch(4096),
+        "user_id",
+        "day",
+    )
+    sketches = finalize_sketches(merged, ThetaSketch)
+    rows = [
+        {"day": k, "distinct_users": int(round(sk.estimate()))}
+        for k, sk in sketches.items()
+    ]
+    return pd.DataFrame(sorted(rows, key=lambda r: r["day"]))
+
+
 def q_label_centroids(sf_dir: str):
     """Vector-valued grouped aggregate (stages/cluster.py group_centroids):
     exact per-label mean embedding — vectors never shuffle, one fixed-point
@@ -2492,6 +2526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": q_contamination,
         "table_profile": q_table_profile,
         "label_centroids": q_label_centroids,
+        "window_distinct_users": q_window_distinct_users,
         "clk_mask_md5": q_clk_mask_md5,
         "clk_mask_sha256": q_clk_mask_sha256,
         "clkrbf_mask_md5": q_clkrbf_mask_md5,
@@ -3368,6 +3403,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, unnest(string_split(text, ' ')) AS token
                 FROM documents
             ) WHERE token IN ('join', 'window', 'spark', 'checkpoint')
+        """,
+        "window_distinct_users": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   count(DISTINCT user_id) AS distinct_users
+            FROM events GROUP BY strftime(ts, '%Y-%m-%d')
         """,
         "label_centroids": """
             WITH f AS (
