@@ -63,7 +63,19 @@ def weighted_sample_es(ds, id_col: str, weight_col: str, k: int):
         out = batch.take(pa.array(take))
         return out.append_column("_es_key", pa.array(key[take]))
 
-    cand = ds.map_batches(_partial, batch_format="pyarrow").take_all()
+    def _rereduce(batch: pa.Table) -> pa.Table:
+        key = batch["_es_key"].combine_chunks().to_numpy(zero_copy_only=False)
+        take = np.argsort(key, kind="stable")[::-1][:k]
+        return batch.take(pa.array(take))
+
+    # combiner pass over the bundled per-block partials: the driver then
+    # merges O(bundles * k), not O(num_blocks * k), candidates — at 100 TB
+    # the per-block partials alone would be millions of rows
+    cand = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .map_batches(_rereduce, batch_format="pyarrow", batch_size=8192)
+        .take_all()
+    )
     # canonical order (key desc, id asc) -> deterministic regardless of
     # block arrival order; ids are unique so the order is total
     cand.sort(key=lambda r: (-r["_es_key"], r[id_col]))
