@@ -2071,6 +2071,70 @@ def q_anti_join(sf_dir: str):
     )
 
 
+def q_quantile_filter(sf_dir: str):
+    """EXACT distributed quantile filter: keep the top decile of documents
+    by length — global ranks from the KLL range-partitioned sort
+    (stages/sort.py range_sorted_rank: approximate boundaries, exact
+    bucket-offset ranks), threshold floor(0.9 * N). The sketch only drives
+    the PARTITIONING; the cut itself is exact, so row_number() oracles it
+    row-for-row."""
+    from pprl_ray.stages.sort import range_sorted_rank
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+    n_total = ds.count()  # parquet metadata — no execution
+    cut = int(0.9 * n_total)
+    ranked = range_sorted_rank(ds, col="n_chars", tiebreak="doc_id")
+    return ranked.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "n_chars": pc.cast(b["n_chars"], pa.int64()),
+                "rank": pc.cast(b["rank"], pa.int64()),
+            }
+        ).filter(pc.greater(pc.cast(b["rank"], pa.int64()), cut)),
+        batch_format="pyarrow",
+    )
+
+
+def q_pivot_lang_counts(sf_dir: str):
+    """Pivot (wide aggregate): per-source doc counts spread across one
+    column per language — map-side (source, lang) combine (the
+    rollup_stats partial), tiny bounded-domain groupby, driver pivot of
+    the |sources| x |langs| frame. The wide step never touches the data;
+    it reshapes the already-reduced aggregate."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["source", "lang"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(batch)
+            .group_by(["source", "lang"])
+            .agg(pl.len().alias("n"))
+            .to_arrow()
+        )
+
+    fine = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .to_pandas()
+    )
+    wide = (
+        fine.pivot_table(index="source", columns="lang", values="n_docs",
+                         aggfunc="sum", fill_value=0)
+        .reset_index()
+    )
+    langs = sorted(c for c in wide.columns if c != "source")
+    out = wide[["source"] + langs].rename(columns={c: f"n_{c}" for c in langs})
+    for c in out.columns:
+        if c != "source":
+            out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def q_window_distinct_users(sf_dir: str):
     """Sketch x window composition: per-day distinct active users via the
     Theta/KMV sketch keyed by the tumbling window (sketch_by_key over a
@@ -2527,6 +2591,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": q_table_profile,
         "label_centroids": q_label_centroids,
         "window_distinct_users": q_window_distinct_users,
+        "pivot_lang_counts": q_pivot_lang_counts,
+        "quantile_filter": q_quantile_filter,
         "clk_mask_md5": q_clk_mask_md5,
         "clk_mask_sha256": q_clk_mask_sha256,
         "clkrbf_mask_md5": q_clkrbf_mask_md5,
@@ -3403,6 +3469,25 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, unnest(string_split(text, ' ')) AS token
                 FROM documents
             ) WHERE token IN ('join', 'window', 'spark', 'checkpoint')
+        """,
+        "quantile_filter": """
+            WITH r AS (
+                SELECT doc_id, n_chars,
+                       row_number() OVER (ORDER BY n_chars, doc_id) AS rank,
+                       count(*) OVER () AS n
+                FROM documents
+            )
+            SELECT doc_id, n_chars, rank FROM r
+            WHERE rank > CAST(floor(0.9 * n) AS BIGINT)
+        """,
+        "pivot_lang_counts": """
+            SELECT source,
+                   count(*) FILTER (WHERE lang = 'de') AS n_de,
+                   count(*) FILTER (WHERE lang = 'en') AS n_en,
+                   count(*) FILTER (WHERE lang = 'es') AS n_es,
+                   count(*) FILTER (WHERE lang = 'fr') AS n_fr,
+                   count(*) FILTER (WHERE lang = 'zh') AS n_zh
+            FROM documents GROUP BY source
         """,
         "window_distinct_users": """
             SELECT strftime(ts, '%Y-%m-%d') AS day,

@@ -67,7 +67,14 @@ def broadcast_join(large_ds, small_ds, keys, right_keys=None, join_type: str = "
         # remote task concatenates them and its return ref is the broadcast
         # handle — the driver never holds a copy
         refs = small_ds.to_arrow_refs()
-        schema = small_ds.schema().base_schema
+        ds_schema = small_ds.schema()
+        if ds_schema is None:
+            raise ValueError(
+                "broadcast_join small side has no inferable schema (every "
+                "block is empty); anchor it with a zero-row schema-carrying "
+                "block (see skew_join._with_schema) or pass a non-empty side"
+            )
+        schema = ds_schema.base_schema
 
         def _assemble(*tables):
             # empty blocks can surface with a bare zero-column schema —
@@ -474,10 +481,29 @@ def skew_join(left_ds, right_ds, keys, right_keys=None, join_type: str = "inner"
 
         return _f
 
-    left_hot = left_ds.map_batches(_split(lkey)(True), batch_format="pyarrow")
-    left_cold = left_ds.map_batches(_split(lkey)(False), batch_format="pyarrow")
-    right_hot = right_ds.map_batches(_split(rkey)(True), batch_format="pyarrow")
-    right_cold = right_ds.map_batches(_split(rkey)(False), batch_format="pyarrow")
+    left_schema = left_ds.schema().base_schema
+    right_schema = right_ds.schema().base_schema
+
+    def _with_schema(filtered, schema):
+        # a fully-filtered-out side yields only bare empty blocks and loses
+        # its schema (Dataset.schema() -> None), which the downstream joins
+        # need — anchor every split with one zero-row schema-carrying block
+        import ray.data as rd
+
+        return rd.from_arrow(schema.empty_table()).union(filtered)
+
+    left_hot = _with_schema(
+        left_ds.map_batches(_split(lkey)(True), batch_format="pyarrow"), left_schema
+    )
+    left_cold = _with_schema(
+        left_ds.map_batches(_split(lkey)(False), batch_format="pyarrow"), left_schema
+    )
+    right_hot = _with_schema(
+        right_ds.map_batches(_split(rkey)(True), batch_format="pyarrow"), right_schema
+    )
+    right_cold = _with_schema(
+        right_ds.map_batches(_split(rkey)(False), batch_format="pyarrow"), right_schema
+    )
 
     hot_joined = broadcast_join(left_hot, right_hot, keys=lkey,
                                 right_keys=rkey, join_type=join_type)

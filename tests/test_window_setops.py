@@ -234,3 +234,47 @@ def test_token_index_pruned_lookup_equals_full_scan(ray_session, tmp_path):
     all_buckets = {b.split("=")[-1] for b in glob.glob(f"{idx}/bucket=*")}
     query_buckets = {str(b) for b in md5_bucket32(["quick", "fox"], 8)}
     assert query_buckets < all_buckets or len(all_buckets) <= len(query_buckets)
+
+
+def test_new_operators_handle_empty_and_degenerate_inputs(ray_session):
+    import ray.data as rd
+
+    from pprl_ray.stages.dedup import contamination_pairs
+    from pprl_ray.stages.join import skew_join
+    from pprl_ray.stages.window import hop_windows, running_aggregate
+
+    empty_events = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "v": pa.array([], pa.int64()),
+            }
+        )
+    )
+    assert running_aggregate(empty_events, "k", ["ts"], "v", partitions=2).count() == 0
+    assert hop_windows(empty_events, "ts", 7200, 3600).count() == 0
+
+    # skew_join with an empty right side: inner -> empty, left outer -> all
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 1, 2], pa.int64()), "lv": pa.array([1, 2, 3], pa.int64())})
+    )
+    right = rd.from_arrow(
+        pa.table({"rk": pa.array([], pa.int64()), "rv": pa.array([], pa.int64())})
+    )
+    assert skew_join(left, right, keys="k", right_keys="rk",
+                     hot_keys={1}, partitions=2).count() == 0
+    lo = skew_join(left, right, keys="k", right_keys="rk", join_type="left outer",
+                   hot_keys={1}, partitions=2).to_pandas()
+    assert len(lo) == 3 and lo["rv"].isna().all()
+
+    # contamination with zero overlap -> empty pair table
+    t = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array(["a b c d e f"])})
+    )
+    e = rd.from_arrow(
+        pa.table({"doc_id": pa.array([2], pa.int64()),
+                  "text": pa.array(["q r s t u v"])})
+    )
+    assert contamination_pairs(t, e, shingle_n=5, partitions=2).count() == 0
