@@ -2071,6 +2071,32 @@ def q_anti_join(sf_dir: str):
     )
 
 
+def q_token_pack(sf_dir: str):
+    """Sequence packing (stages/sort.py token_budget_pack): shard the
+    corpus into ~100k-char bins in global doc_id order via the exact
+    distributed scan (KLL range partitioning + bucket-offset prefix sums)
+    — the fixed-token-budget batch-sharding shape. Bin boundaries are
+    exact, so plain window SQL oracles every row's bin."""
+    from pprl_ray.stages.sort import token_budget_pack
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+    packed = token_budget_pack(
+        ds, value_col="n_chars", order_col="doc_id", tiebreak="doc_id",
+        budget=100_000,
+    )
+    return packed.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "rank": pc.cast(b["rank"], pa.int64()),
+                "cum_chars": pc.cast(b["running_sum"], pa.int64()),
+                "bin_id": pc.cast(b["bin_id"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_quantile_filter(sf_dir: str):
     """EXACT distributed quantile filter: keep the top decile of documents
     by length — global ranks from the KLL range-partitioned sort
@@ -2593,6 +2619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_distinct_users": q_window_distinct_users,
         "pivot_lang_counts": q_pivot_lang_counts,
         "quantile_filter": q_quantile_filter,
+        "token_pack": q_token_pack,
         "clk_mask_md5": q_clk_mask_md5,
         "clk_mask_sha256": q_clk_mask_sha256,
         "clkrbf_mask_md5": q_clkrbf_mask_md5,
@@ -3469,6 +3496,19 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, unnest(string_split(text, ' ')) AS token
                 FROM documents
             ) WHERE token IN ('join', 'window', 'spark', 'checkpoint')
+        """,
+        "token_pack": """
+            WITH s AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY doc_id) AS rank,
+                       sum(n_chars) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum_chars,
+                       n_chars
+                FROM documents
+            )
+            SELECT doc_id, rank, CAST(cum_chars AS BIGINT) AS cum_chars,
+                   CAST((cum_chars - n_chars) // 100000 AS BIGINT) AS bin_id
+            FROM s
         """,
         "quantile_filter": """
             WITH r AS (

@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["range_boundaries", "range_bucket", "range_partitioned_sort", "bucket_summaries", "range_sorted_rank"]
+__all__ = ["range_boundaries", "range_bucket", "range_partitioned_sort", "bucket_summaries", "range_sorted_rank", "global_running_sum", "token_budget_pack"]
 
 
 def range_boundaries(ds, col: str, partitions: int, k: int = 200) -> np.ndarray:
@@ -145,3 +145,82 @@ def range_sorted_rank(ds, col: str, tiebreak: str, partitions: int | None = None
         return g
 
     return tagged.groupby("bucket").map_groups(_rank, batch_format="pandas")
+
+
+def global_running_sum(ds, col: str, tiebreak: str, value_col: str,
+                       partitions: int | None = None, k: int = 200):
+    """Distributed SCAN: exact global rank AND exact running sum of
+    ``value_col`` in ``(col, tiebreak)`` order — the ordered-prefix-sum
+    primitive (``SUM(v) OVER (ORDER BY col, tiebreak)``).
+
+    Same shape as :func:`range_sorted_rank`: KLL boundaries drive the
+    range partitioning, then ONE tiny per-bucket (count, sum) histogram
+    gives each bucket its exclusive rank/value offsets, and each bucket's
+    vectorised sort + cumsum finishes locally. Two streaming passes over
+    the data, one range shuffle; the scan itself is exact (use an integer
+    ``value_col`` — fixed-point upstream — for cross-engine bit equality).
+
+    Output: all input columns + ``rank`` (1-based) + ``running_sum``
+    (inclusive prefix sum of ``value_col``)."""
+    from .partitioning import auto_partitions
+
+    if partitions is None:
+        partitions = auto_partitions(ds)
+    bounds = range_boundaries(ds, col, partitions, k=k)
+    tagged = range_bucket(ds, col, bounds)
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        b = batch["bucket"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = batch[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        nb = len(bounds) + 1
+        n = np.bincount(b, minlength=nb)
+        s = np.zeros(nb, dtype=np.int64)
+        np.add.at(s, b, v.astype(np.int64))
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(nb, dtype=np.int32)),
+                "n": pa.array(n, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+            }
+        )
+
+    counts = np.zeros(len(bounds) + 1, dtype=np.int64)
+    vsums = np.zeros(len(bounds) + 1, dtype=np.int64)
+    for r in tagged.map_batches(_hist, batch_format="pyarrow").take_all():
+        counts[r["bucket"]] += r["n"]
+        vsums[r["bucket"]] += r["s"]
+    rank_off = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    val_off = np.concatenate([[0], np.cumsum(vsums)[:-1]])
+
+    def _scan(group: pd.DataFrame) -> pd.DataFrame:
+        b = int(group["bucket"].iloc[0])
+        g = group.sort_values([col, tiebreak], kind="mergesort").drop(columns=["bucket"])
+        g["rank"] = rank_off[b] + np.arange(1, len(g) + 1)
+        g["running_sum"] = val_off[b] + g[value_col].to_numpy(dtype=np.int64).cumsum()
+        return g
+
+    return tagged.groupby("bucket").map_groups(_scan, batch_format="pandas")
+
+
+def token_budget_pack(ds, value_col: str, order_col: str, tiebreak: str,
+                      budget: int, partitions: int | None = None):
+    """Pack rows into fixed-budget bins in a deterministic global order —
+    the training-batch sequence-packing shape (shard a corpus into
+    ~``budget``-token chunks). A row's bin is
+    ``(running_sum - value) // budget`` over the exact global scan, so
+    every bin holds consecutive rows and ends at the first row crossing
+    the budget; bins are reproducible on any engine (plain window SQL),
+    any partitioning, any load. Rows with ``value > budget`` still get a
+    bin (they overflow it alone — split upstream if that matters)."""
+    scanned = global_running_sum(ds, order_col, tiebreak, value_col, partitions)
+
+    def _bins(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        run = batch["running_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        val = batch[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bin_id", pa.array((run - val) // budget, pa.int64())
+        )
+
+    return scanned.map_batches(_bins, batch_format="pyarrow")

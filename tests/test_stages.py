@@ -1158,3 +1158,53 @@ def test_group_centroids_exact_and_partition_invariant():
         ref = mat[labels == lbl].astype(np.float64).mean(axis=0)
         got = np.array(a[a["key"] == str(lbl)].iloc[0]["mean_vec"])
         assert np.abs(got - ref).max() < 1e-8
+
+
+def test_global_running_sum_and_token_pack_exact():
+    import pandas as pd
+
+    from pprl_ray.stages.sort import global_running_sum, token_budget_pack
+
+    rng = np.random.default_rng(6)
+    n = 1000
+    vals = rng.integers(1, 50, n).astype(np.int64)
+    ids = rng.permutation(n).astype(np.int64)  # unordered on disk
+    tbl = pa.table({"doc_id": ids, "v": vals})
+
+    for parts in (1, 5):
+        out = (
+            global_running_sum(
+                rd.from_arrow(tbl).repartition(max(parts, 1)),
+                col="doc_id", tiebreak="doc_id", value_col="v",
+                partitions=parts,
+            )
+            .to_pandas()
+            .sort_values("rank")
+            .reset_index(drop=True)
+        )
+        ref = (
+            pd.DataFrame({"doc_id": ids, "v": vals})
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert (out["doc_id"].to_numpy() == ref["doc_id"].to_numpy()).all()
+        assert (out["rank"].to_numpy() == np.arange(1, n + 1)).all()
+        assert (out["running_sum"].to_numpy() == ref["v"].cumsum().to_numpy()).all()
+
+    packed = (
+        token_budget_pack(
+            rd.from_arrow(tbl), value_col="v", order_col="doc_id",
+            tiebreak="doc_id", budget=100, partitions=4,
+        )
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    # bins are consecutive, start at 0, and no bin's pre-row total >= budget
+    assert packed["bin_id"].iloc[0] == 0
+    assert (np.diff(packed["bin_id"].to_numpy()) >= 0).all()
+    start_of_row = packed["running_sum"].to_numpy() - packed["v"].to_numpy()
+    assert ((start_of_row // 100) == packed["bin_id"].to_numpy()).all()
+    # every bin except possibly the last crosses the budget with its last row
+    last_per_bin = packed.groupby("bin_id")["running_sum"].max()
+    assert (last_per_bin.iloc[:-1].to_numpy() >= 100 * (last_per_bin.index[:-1] + 1)).all()
