@@ -2071,6 +2071,39 @@ def q_anti_join(sf_dir: str):
     )
 
 
+def q_join_size_estimate(sf_dir: str):
+    """Sketch-driven join planning: estimate |lineitem ⋈ orders| on
+    orderkey WITHOUT running the join — the count-min inner-product
+    estimator (Cormode & Muthukrishnan 2005 §4.2: min over rows of the
+    per-row dot products; never underestimates, overestimate <=
+    eps*N_a*N_b w.p. 1-delta). Two one-pass CMS builds through the
+    order-invariant counter-add merge -> bit-reproducible under any
+    topology, so the estimate is a pinned-VALUES oracle; the true size is
+    in the output for the bound to be visible."""
+    from pprl_ray.sketches import CMSSketch
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    li = read_parquet_sized(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    ords = read_parquet_sized(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    factory = lambda: CMSSketch(1 << 16, 5)  # noqa: E731
+    sk_li = finalize_sketches(
+        sketch_by_key(li, factory, "l_orderkey", None), CMSSketch
+    )[""]
+    sk_or = finalize_sketches(
+        sketch_by_key(ords, factory, "o_orderkey", None), CMSSketch
+    )[""]
+    return pd.DataFrame(
+        [
+            {
+                "estimated_join_rows": int(sk_li.inner_product(sk_or)),
+                "true_join_rows": int(sk_li.total),  # every lineitem has an order
+                "n_lineitem": int(sk_li.total),
+                "n_orders": int(sk_or.total),
+            }
+        ]
+    )
+
+
 def q_token_pack(sf_dir: str):
     """Sequence packing (stages/sort.py token_budget_pack): shard the
     corpus into ~100k-char bins in global doc_id order via the exact
@@ -2620,6 +2653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_lang_counts": q_pivot_lang_counts,
         "quantile_filter": q_quantile_filter,
         "token_pack": q_token_pack,
+        "join_size_estimate": q_join_size_estimate,
         "clk_mask_md5": q_clk_mask_md5,
         "clk_mask_sha256": q_clk_mask_sha256,
         "clkrbf_mask_md5": q_clkrbf_mask_md5,
@@ -2945,7 +2979,19 @@ def _sketch_pin_oracles() -> dict[str, str]:
     vf = _rows(sp.PIN_VIDEO_FRAMES, lambda r: f"'{r[0]}', {r[1]}, {r[2]!r}")
     km = _rows(sp.PIN_KMEANS_CLUSTERS, lambda r: f"{r[0]}, {r[1]}")
     cs = _rows(sp.PIN_COUNTSKETCH_TOKEN_COUNTS, lambda r: f"{r[0]}, {r[1]}")
+    jse = _rows(
+        sp.PIN_JOIN_SIZE_ESTIMATE, lambda r: f"{r[0]}, {r[1]}, {r[2]}, {r[3]}"
+    )
     return {
+        "join_size_estimate": f"""
+            SELECT CAST(e AS BIGINT) AS estimated_join_rows,
+                   CAST(t AS BIGINT) AS true_join_rows,
+                   CAST(nl AS BIGINT) AS n_lineitem,
+                   CAST(no AS BIGINT) AS n_orders
+            FROM (VALUES
+                {jse}
+            ) AS v(e, t, nl, no)
+        """,
         "countsketch_token_counts": f"""
             SELECT CAST(t AS BIGINT) AS token, CAST(c AS BIGINT) AS cs_estimate
             FROM (VALUES

@@ -53,6 +53,15 @@ class CMSSketch:
         self.total += other.total
         return self
 
+    def inner_product(self, other: "CMSSketch") -> int:
+        """Join-size estimate |A ⋈ B| = Σ_k f_A(k)·f_B(k): min over rows of
+        the row dot products (Cormode & Muthukrishnan 2005 §4.2). Never
+        underestimates; overestimate ≤ ε·N_A·N_B with probability 1-δ.
+        Both sketches must share (width, depth, seed)."""
+        assert (self.width, self.depth, self.seed) == (other.width, other.depth, other.seed)
+        dots = np.einsum("dw,dw->d", self.table, other.table)
+        return int(dots.min())
+
     @property
     def epsilon(self) -> float:
         return float(np.e) / self.width

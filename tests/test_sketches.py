@@ -377,3 +377,22 @@ def test_table_profile_stats_and_distinct_modes(ray_session):
     big = pa.table({"x": pa.array(np.arange(20000, dtype=np.int64))})
     est = table_profile(rd.from_arrow(big), ["x"], theta_k=512).iloc[0]["n_distinct"]
     assert abs(est - 20000) / 20000 < 5 / np.sqrt(510)
+
+
+def test_cms_inner_product_join_size_bound():
+    rng = np.random.default_rng(13)
+    a = rng.zipf(1.5, 30_000).clip(1, 5000).astype(np.int64)
+    b = rng.integers(1, 5001, 20_000).astype(np.int64)
+    sa, sb = CMSSketch(1 << 14, 5), CMSSketch(1 << 14, 5)
+    sa.update(a)
+    sb.update(b)
+    ca = np.bincount(a, minlength=5001).astype(np.int64)
+    cb = np.bincount(b, minlength=5001).astype(np.int64)
+    exact = int((ca * cb).sum())
+    est = sa.inner_product(sb)
+    assert est >= exact  # never underestimates
+    assert est - exact <= sa.epsilon * sa.total * sb.total  # published bound
+    # symmetric and merge-compatible
+    assert sb.inner_product(sa) == est
+    with pytest.raises(AssertionError):
+        sa.inner_product(CMSSketch(1 << 10, 5))
