@@ -361,6 +361,23 @@ def cmd_index(args) -> None:
         print(json.dumps({"command": "index", "mode": "lookup",
                           "tokens": args.lookup, "postings": n,
                           "output": args.output}))
+    elif args.checkpoint_dir:
+        # resumable build: one idempotent task per input fragment, manifest-
+        # last lineage; a rerun skips completed fragments
+        import glob
+        import os
+
+        from .state.checkpoint import CheckpointedIndexBuild
+
+        if not args.input:
+            raise SystemExit("index build mode requires --input")
+        paths = sorted(glob.glob(os.path.join(args.input, "*.parquet"))) or [args.input]
+        ck = CheckpointedIndexBuild(args.checkpoint_dir,
+                                    text_col=args.text_column,
+                                    id_col=args.id_column,
+                                    partitions=args.partitions)
+        res = ck.run(paths)
+        print(json.dumps({"command": "index", "mode": "checkpointed-build", **res}))
     else:
         if not args.input:
             raise SystemExit("index build mode requires --input")
@@ -582,6 +599,9 @@ def main(argv: list[str] | None = None) -> None:
     sp.add_argument("--id-column", default="doc_id")
     sp.add_argument("--text-column", default="text")
     sp.add_argument("--partitions", type=int, default=32)
+    sp.add_argument("--checkpoint-dir", default=None,
+                    help="resumable build: per-fragment manifests; the index "
+                         "lands in <checkpoint-dir>/index")
     sp.set_defaults(fn=cmd_index)
 
     sp = sub.add_parser("sample",

@@ -827,3 +827,136 @@ class CheckpointedKMeans:
             cents = lloyd_step(ds, cents, self.vec_col)
             self._save(i, cents, input_tag, time.perf_counter() - t0)
         return cents
+
+
+def _index_build_partition(input_path: str, out_dir: str, pid: str,
+                           text_col: str, id_col: str, partitions: int,
+                           batch_size: int) -> dict:
+    """Idempotent per-fragment index-build task: read one parquet fragment,
+    emit distinct (token, id) postings per md5 token bucket, write ONE file
+    per non-empty bucket as ``bucket=<b>/<pid>.parquet`` via atomic rename.
+    Returns the manifest payload (written by the caller, manifest-last)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.digest import md5_bucket32
+
+    t0 = time.perf_counter()
+    pf = pq.ParquetFile(input_path)
+    acc: dict[int, list] = {}
+    n_rows = 0
+    for batch in pf.iter_batches(batch_size=batch_size, columns=[id_col, text_col]):
+        import polars as pl
+
+        tbl = pa.Table.from_batches([batch])
+        n_rows += tbl.num_rows
+        posts = (
+            pl.from_arrow(tbl)
+            .with_columns(pl.col(text_col).str.split(" ").alias("token"))
+            .explode("token")
+            .filter(pl.col("token").str.len_chars() > 0)
+            .select([pl.col("token"), pl.col(id_col)])
+            .unique()
+            .to_arrow()
+        )
+        bucket = md5_bucket32(posts["token"], partitions)
+        for b in np.unique(bucket):
+            acc.setdefault(int(b), []).append(posts.filter(pa.array(bucket == b)))
+    shas = {}
+    for b, tables in sorted(acc.items()):
+        merged = pa.concat_tables(tables)
+        import polars as pl
+
+        dedup = (
+            pl.from_arrow(merged).unique().sort(["token", id_col]).to_arrow()
+        )
+        bdir = os.path.join(out_dir, f"bucket={b}")
+        os.makedirs(bdir, exist_ok=True)
+        path = os.path.join(bdir, f"{pid}.parquet")
+        tmp = path + f".tmp-{os.getpid()}"
+        pq.write_table(dedup.cast(pa.schema([("token", pa.string()),
+                                             (id_col, dedup[id_col].type)])), tmp)
+        os.replace(tmp, path)
+        with open(path, "rb") as f:
+            shas[str(b)] = hashlib.sha256(f.read()).hexdigest()
+    return {
+        "input_path": input_path,
+        "rows": n_rows,
+        "buckets": shas,
+        "wall_sec": round(time.perf_counter() - t0, 4),
+    }
+
+
+class CheckpointedIndexBuild:
+    """Resumable inverted-token-index build (stages/textindex.py layout):
+    one idempotent Ray task per input fragment writes its postings into the
+    md5-bucket-partitioned directory tree as ``bucket=<b>/<pid>.parquet``
+    (atomic renames, all files before the manifest), then a per-fragment
+    manifest records lineage (input path, row count, per-bucket sha256,
+    wall seconds) LAST — a crash never leaves a valid-looking partial, and
+    a resumed run skips every fragment with a valid manifest. The finished
+    tree serves ``lookup_postings`` partition-pruned reads unchanged."""
+
+    def __init__(self, ckpt_dir: str, text_col: str = "text",
+                 id_col: str = "doc_id", partitions: int = 32,
+                 batch_size: int = 65536):
+        self.ckpt_dir = ckpt_dir
+        self.text_col, self.id_col = text_col, id_col
+        self.partitions = partitions
+        self.batch_size = batch_size
+        os.makedirs(os.path.join(ckpt_dir, "manifests"), exist_ok=True)
+        os.makedirs(os.path.join(ckpt_dir, "index"), exist_ok=True)
+
+    @property
+    def index_dir(self) -> str:
+        return os.path.join(self.ckpt_dir, "index")
+
+    def _manifest_path(self, pid: str) -> str:
+        return os.path.join(self.ckpt_dir, "manifests", f"{pid}.json")
+
+    def _manifest_valid(self, pid: str, input_path: str) -> bool:
+        mp = self._manifest_path(pid)
+        if not os.path.exists(mp):
+            return False
+        try:
+            m = json.load(open(mp))
+            if m["input_path"] != input_path or m.get("partitions") != self.partitions:
+                return False
+            for b, sha in m["buckets"].items():
+                path = os.path.join(self.index_dir, f"bucket={b}", f"{pid}.parquet")
+                with open(path, "rb") as f:
+                    if hashlib.sha256(f.read()).hexdigest() != sha:
+                        return False
+            return True
+        except Exception:
+            return False
+
+    def completed_partitions(self, input_paths: list[str]) -> list[str]:
+        return [p for p in input_paths if self._manifest_valid(_partition_id(p), p)]
+
+    def run(self, input_paths: list[str], max_partitions: int | None = None) -> dict:
+        import ray
+
+        pending = [
+            p for p in input_paths if not self._manifest_valid(_partition_id(p), p)
+        ]
+        skipped = len(input_paths) - len(pending)
+        if max_partitions is not None:
+            pending = pending[:max_partitions]
+        task = ray.remote(_index_build_partition)
+        futures = {
+            p: task.remote(p, self.index_dir, _partition_id(p), self.text_col,
+                           self.id_col, self.partitions, self.batch_size)
+            for p in pending
+        }
+        for p, fut in futures.items():
+            payload = ray.get(fut)
+            payload["partitions"] = self.partitions
+            mp = self._manifest_path(_partition_id(p))
+            tmp = mp + f".tmp-{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(payload, f)
+            os.replace(tmp, mp)
+        return {"built": len(pending), "skipped": skipped,
+                "index_dir": self.index_dir}

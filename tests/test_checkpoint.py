@@ -347,3 +347,71 @@ def test_checkpointed_kmeans_resume_byte_identical(ray_session, tmp_path):
     # different lineage tag -> nothing reused (fresh init saved at iter 0)
     fresh = CheckpointedKMeans(str(tmp_path / "b"), k=4, iters=6).fit(ds(), "other")
     assert fresh.tobytes() == straight.tobytes()  # same data, same result
+
+
+def test_checkpointed_index_build_resume_and_invalidation(ray_session, tmp_path):
+    """Partial build -> resume -> identical postings to the live one-shot
+    index; corrupted bucket file invalidates only its fragment."""
+    import glob
+    import json
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pprl_ray.stages.textindex import lookup_postings, write_token_index
+    from pprl_ray.state.checkpoint import CheckpointedIndexBuild
+
+    rng = np.random.default_rng(8)
+    words = [f"w{i:02d}" for i in range(40)]
+    frags = []
+    n = 0
+    for f in range(3):
+        texts = [
+            " ".join(rng.choice(words, rng.integers(3, 9)))
+            for _ in range(50)
+        ]
+        path = tmp_path / f"frag{f}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(n, n + 50), pa.int64()),
+                    "text": pa.array(texts),
+                }
+            ),
+            str(path),
+        )
+        frags.append(str(path))
+        n += 50
+
+    ck = CheckpointedIndexBuild(str(tmp_path / "ck"), partitions=8)
+    r1 = ck.run(frags, max_partitions=1)
+    assert r1["built"] == 1 and len(ck.completed_partitions(frags)) == 1
+    r2 = ck.run(frags)
+    assert r2["built"] == 2 and r2["skipped"] == 1
+
+    # postings equal the live single-shot index for a few tokens
+    live_dir = str(tmp_path / "live_idx")
+    docs = rd.read_parquet(frags)
+    write_token_index(docs, live_dir, partitions=8)
+    for toks in (["w00", "w13"], ["w39"]):
+        a = (
+            lookup_postings(ck.index_dir, toks, partitions=8)
+            .to_pandas().sort_values(["token", "doc_id"]).reset_index(drop=True)
+        )
+        b = (
+            lookup_postings(live_dir, toks, partitions=8)
+            .to_pandas().sort_values(["token", "doc_id"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    # corrupt one bucket file of one fragment -> only that fragment rebuilds
+    frag_pid_files = glob.glob(f"{ck.index_dir}/bucket=*/*.parquet")
+    victim = frag_pid_files[0]
+    open(victim, "wb").write(b"junk")
+    assert len(ck.completed_partitions(frags)) == 2
+    r3 = ck.run(frags)
+    assert r3["built"] == 1 and r3["skipped"] == 2
+    assert len(ck.completed_partitions(frags)) == 3

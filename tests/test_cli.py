@@ -420,3 +420,35 @@ def test_cli_decontaminate(ray_session, tmp_path, capsys):
           "--shingle-n", "8", "--output", str(tmp_path / "pairs")])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["pairs"] == 1  # the single shared 8-gram pair
+
+
+def test_cli_index_checkpointed_build(ray_session, tmp_path, capsys):
+    frag_dir = tmp_path / "frags"
+    frag_dir.mkdir()
+    for f in range(2):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(f * 10, f * 10 + 10), pa.int64()),
+                    "text": pa.array(["alpha beta"] * 10),
+                }
+            ),
+            str(frag_dir / f"part{f}.parquet"),
+        )
+    ck = tmp_path / "ck"
+    main(["index", "--input", str(frag_dir), "--index-dir", str(ck / "index"),
+          "--checkpoint-dir", str(ck), "--partitions", "4"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "checkpointed-build" and out["built"] == 2
+
+    # rerun: everything skips
+    main(["index", "--input", str(frag_dir), "--index-dir", str(ck / "index"),
+          "--checkpoint-dir", str(ck), "--partitions", "4"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["built"] == 0 and out["skipped"] == 2
+
+    # the checkpointed tree serves lookups
+    main(["index", "--index-dir", out["index_dir"], "--lookup", "alpha",
+          "--output", str(tmp_path / "hits"), "--partitions", "4"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["postings"] == 20
