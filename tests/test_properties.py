@@ -102,3 +102,38 @@ def test_bitvec_base64_roundtrip(data):
     import base64
 
     assert base64.b64decode(base64.b64encode(data)) == data
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=5, max_size=60,
+             unique=True),
+    st.lists(st.floats(min_value=0.1, max_value=1e6, allow_nan=False),
+             min_size=5, max_size=60),
+    st.floats(min_value=0.01, max_value=100.0),
+)
+def test_es_sample_keys_invariant_under_weight_scaling(ids, weights, c):
+    """Efraimidis-Spirakis keys ln(u)/w: multiplying every weight by a
+    constant rescales all keys by 1/c, so the top-k ORDER (hence the
+    selected sample) is invariant — the property that makes weighted
+    sampling well-defined up to weight normalization."""
+    from pprl_ray.stages.sample import _es_keys
+
+    n = min(len(ids), len(weights))
+    ids_a = np.asarray(ids[:n], dtype=np.int64)
+    w = np.asarray(weights[:n], dtype=np.float64)
+    k1 = _es_keys(ids_a, w)
+    k2 = _es_keys(ids_a, w * c)
+    assert (np.argsort(k1, kind="stable") == np.argsort(k2, kind="stable")).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(values_arrays, st.randoms(use_true_random=False))
+def test_theta_merge_order_invariant_bitexact(parts, rnd):
+    from pprl_ray.sketches import ThetaSketch
+
+    order = list(range(len(parts)))
+    rnd.shuffle(order)
+    a = _merge_in_order(lambda: ThetaSketch(64), parts, list(range(len(parts))))
+    b = _merge_in_order(lambda: ThetaSketch(64), parts, order)
+    assert a.to_bytes() == b.to_bytes()
