@@ -109,6 +109,15 @@ _TOKEN_ID_GOLDEN = [
 # shared helpers
 
 
+def _i64_to_f64(col):
+    """int64 -> float64 with IEEE round-to-nearest for ANY magnitude —
+    exactly DuckDB's CAST(BIGINT AS DOUBLE). pyarrow's default safe cast
+    refuses values beyond 2^53, a scale cliff the fixed-point aggregate
+    queries would hit as per-group sums grow (seen live: skew_join's
+    per-segment cent sum at sf0.1 with 1e6-unit scaling)."""
+    return pc.cast(col, pa.float64(), safe=False)
+
+
 def _docs(sf_dir: str, columns=None):
     import ray.data as rd
 
@@ -1337,7 +1346,7 @@ def q_broadcast_join(sf_dir: str):
             {
                 "c_mktsegment": b["c_mktsegment"],
                 "n_orders": b["n_orders"],
-                "total_price": pc.divide(pc.cast(b["total_cents"], pa.float64()), 100.0),
+                "total_price": pc.divide(_i64_to_f64(b["total_cents"]), 100.0),
             }
         ),
         batch_format="pyarrow",
@@ -1394,7 +1403,7 @@ def q_bucket_join(sf_dir: str):
             {
                 "o_orderpriority": b["o_orderpriority"],
                 "n_items": b["n_items"],
-                "revenue": pc.divide(pc.cast(b["rev_u"], pa.float64()), 1_000_000.0),
+                "revenue": pc.divide(_i64_to_f64(b["rev_u"]), 1_000_000.0),
             }
         ),
         batch_format="pyarrow",
@@ -1541,7 +1550,7 @@ def q_event_windows(sf_dir: str):
                 "event_type": b["event_type"],
                 "window_start": b["window_start"],
                 "n_events": b["n_events"],
-                "sum_value": pc.divide(pc.cast(b["sum_u"], pa.float64()), 1_000_000.0),
+                "sum_value": pc.divide(_i64_to_f64(b["sum_u"]), 1_000_000.0),
             }
         ),
         batch_format="pyarrow",
@@ -1944,7 +1953,7 @@ def q_running_totals(sf_dir: str):
             {
                 "event_id": pc.cast(b["event_id"], pa.int64()),
                 "user_id": pc.cast(b["user_id"], pa.int64()),
-                "running_sum": pc.divide(pc.cast(b["running_sum"], pa.float64()), 1_000_000.0),
+                "running_sum": pc.divide(_i64_to_f64(b["running_sum"]), 1_000_000.0),
                 "row_in_key": pc.cast(b["row_in_key"], pa.int64()),
             }
         ),
@@ -1990,7 +1999,7 @@ def q_hopping_windows(sf_dir: str):
                 "event_type": b["event_type"],
                 "window_start": pc.cast(b["window_start"], pa.int64()),
                 "n_events": pc.cast(b["n_events"], pa.int64()),
-                "sum_value": pc.divide(pc.cast(b["sum_u"], pa.float64()), 1_000_000.0),
+                "sum_value": pc.divide(_i64_to_f64(b["sum_u"]), 1_000_000.0),
             }
         ),
         batch_format="pyarrow",
@@ -2332,7 +2341,10 @@ def q_skew_join(sf_dir: str):
         return pa.table(
             {
                 "o_custkey": pa.array(np.where(ok % 10 < 3, 1, ck), pa.int64()),
-                "price_u": pc.cast(pc.round(pc.multiply(b["o_totalprice"], 1_000_000)), pa.int64()),
+                # cent units: prices carry 2 decimals, and the smaller scale
+                # keeps the per-segment int64 sum inside float64's 2^53 safe-
+                # cast range at large SF (1e6 units overflowed it at sf0.1)
+                "price_u": pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100)), pa.int64()),
             }
         )
 
@@ -2368,7 +2380,7 @@ def q_skew_join(sf_dir: str):
             {
                 "c_mktsegment": b["c_mktsegment"],
                 "n_orders": pc.cast(b["n_orders"], pa.int64()),
-                "total_price": pc.divide(pc.cast(b["sum_u"], pa.float64()), 1_000_000.0),
+                "total_price": pc.divide(_i64_to_f64(b["sum_u"]), 100.0),
             }
         ),
         batch_format="pyarrow",
@@ -3647,11 +3659,11 @@ def oracle_sql() -> dict[str, str]:
             WITH skewed AS (
                 SELECT CASE WHEN o_orderkey % 10 < 3 THEN 1 ELSE o_custkey END
                            AS o_custkey,
-                       CAST(round(o_totalprice * 1000000, 0) AS BIGINT) AS price_u
+                       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_u
                 FROM orders
             )
             SELECT c_mktsegment, count(*) AS n_orders,
-                   CAST(sum(price_u) AS DOUBLE) / 1000000.0 AS total_price
+                   CAST(sum(price_u) AS DOUBLE) / 100.0 AS total_price
             FROM skewed JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
