@@ -653,7 +653,11 @@ def q_match_blocked(sf_dir: str):
         lambda b: b.append_column("key_int", pc.cast(b["id"], pa.int64())), batch_format="pyarrow"
     )
     domain = ids_int.filter(expr="key_int < 100").drop_columns(["key_int"])
-    return match_blocked(domain, masked, MatchConfig("dice", 1.0, "crosswise"))
+    # verify_salt=8: the masked customers contain large identical-vector
+    # classes whose verification would otherwise serialize in one group
+    return match_blocked(
+        domain, masked, MatchConfig("dice", 1.0, "crosswise"), verify_salt=8
+    )
 
 
 def q_match_pairwise(sf_dir: str):

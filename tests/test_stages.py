@@ -660,6 +660,12 @@ def test_match_blocked_equals_crosswise_at_threshold_one():
     blocked = match_blocked(ds, ds, MatchConfig("dice", 1.0, "crosswise"), partitions=4).to_pandas()
     key = lambda df: sorted(zip(df["domain_id"], df["range_id"], df["similarity"]))
     assert key(cross) == key(blocked)
+    # the verify-salt split (parallel verification of hot equality classes)
+    # must produce the identical pair set
+    salted = match_blocked(
+        ds, ds, MatchConfig("dice", 1.0, "crosswise"), partitions=4, verify_salt=4
+    ).to_pandas()
+    assert key(cross) == key(salted)
 
 
 def test_match_blocked_finds_near_threshold_pairs():
