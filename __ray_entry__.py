@@ -2675,7 +2675,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clkrbf_mask_md5": q_clkrbf_mask_md5,
         "clk_mask_hardened_md5": q_clk_mask_hardened_md5,
         "clk_mask_hardened_sha256": q_clk_mask_hardened_sha256,
-        "rbf_mask_md5": q_rbf_mask_md5,
         "clk_mask": q_clk_mask,
         "clk_mask_hardened": q_clk_mask_hardened,
         "rbf_mask": q_rbf_mask,
@@ -2708,6 +2707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "knn_ivf_pruned": q_knn_ivf_pruned,
         "embedding_near_dup": q_embedding_near_dup,
+        "rbf_mask_md5": q_rbf_mask_md5,
         "top_tokens": q_top_tokens,
         "knn_cosine": q_knn_cosine,
         "lineitem_pricing": q_lineitem_pricing,
