@@ -38,6 +38,7 @@ __all__ = [
     "simhash_candidates",
     "connected_components_collapse",
     "contamination_pairs",
+    "near_dedup_corpus",
 ]
 
 
@@ -1156,3 +1157,63 @@ def contamination_pairs(train_ds, eval_ds, text_col: str = "text",
         .groupby("ppart")
         .map_groups(_sum, batch_format="pandas")
     )
+
+
+# --- end-to-end near-dup corpus dedup ----------------------------------------
+
+
+def near_dedup_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
+                      threshold: float = 0.8, persist: str = "memory",
+                      partitions: int | None = None,
+                      loser_broadcast_max: int = 5_000_000, **kwargs):
+    """The full near-duplicate REMOVAL pipeline in one call: MinHash+LSH
+    candidates -> exact Jaccard verification (:func:`minhash_dedup_pairs`)
+    -> connected-component collapse (:func:`connected_components_collapse`)
+    -> keep the smallest id per component, everything else filtered out of
+    the ORIGINAL dataset.
+
+    Scale shape is the union of its parts: text shuffles only inside the
+    shingle/verify machinery (per ``persist`` mode), the component collapse
+    touches only the pair table, and survivors are selected by streaming
+    the original corpus through a loser anti-filter (losers are the
+    minority; above ``loser_broadcast_max`` the filter falls back to the
+    co-partitioned left-anti bucket join, same as :func:`exact_dedup`).
+
+    Returns the deduplicated Dataset (all original columns)."""
+    import pyarrow.compute as pc
+
+    from .partitioning import auto_partitions
+
+    if partitions is None:
+        partitions = auto_partitions(ds)
+    pairs = minhash_dedup_pairs(ds, text_col, id_col, threshold,
+                                persist=persist, **kwargs)
+    labels = connected_components_collapse(pairs, partitions=partitions)
+    losers = labels.map_batches(
+        lambda b: pa.table(
+            {id_col: b["doc_id"].filter(pc.not_equal(b["doc_id"], b["rep_id"]))}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    n_losers = losers.count()
+    if n_losers == 0:
+        return ds
+    if n_losers <= loser_broadcast_max:
+        import ray
+
+        loser_tbl = pa.concat_tables(
+            [b for b in losers.iter_batches(batch_format="pyarrow", batch_size=1 << 20)]
+        )
+        ref = ray.put(loser_tbl[id_col].combine_chunks())
+
+        def _anti(batch: pa.Table) -> pa.Table:
+            bad = ray.get(ref)
+            return batch.filter(
+                pc.invert(pc.is_in(pc.cast(batch[id_col], bad.type), value_set=bad))
+            )
+
+        return ds.map_batches(_anti, batch_format="pyarrow")
+    from .join import bucket_join
+
+    return bucket_join(ds, losers, keys=id_col, join_type="left anti",
+                       partitions=partitions)
