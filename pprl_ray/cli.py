@@ -292,11 +292,16 @@ def cmd_dedup(args) -> None:
         if not args.index_dir:
             raise SystemExit("--method incremental requires --index-dir")
         if not os.path.exists(os.path.join(args.index_dir, "_meta.json")):
-            n = write_hash_index(ds, args.index_dir, id_col=args.id_column,
+            # founding run: SELF-dedup the corpus before indexing/writing —
+            # otherwise internal duplicates survive in the output even
+            # though their hashes are collapsed in the index
+            kept = exact_dedup(ds, id_col=args.id_column,
+                               text_col=args.text_column).materialize()
+            n = write_hash_index(kept, args.index_dir, id_col=args.id_column,
                                  text_col=args.text_column)
             print(json.dumps({"command": "dedup", "index_created": args.index_dir,
                               "n_hashes": n}))
-            out = ds
+            out = kept
         else:
             out = incremental_exact_dedup(ds, args.index_dir, id_col=args.id_column,
                                           text_col=args.text_column)
@@ -375,7 +380,8 @@ def cmd_index(args) -> None:
         ck = CheckpointedIndexBuild(args.checkpoint_dir,
                                     text_col=args.text_column,
                                     id_col=args.id_column,
-                                    partitions=args.partitions)
+                                    partitions=args.partitions,
+                                    index_dir=args.index_dir)
         res = ck.run(paths)
         print(json.dumps({"command": "index", "mode": "checkpointed-build", **res}))
     else:

@@ -319,7 +319,8 @@ def _dedupe_pair_rows(pairs_ds, value_col: str | None, partitions: int,
 # --- minhash / LSH ---------------------------------------------------------
 
 
-def shingle_tokens(batch: pa.Table, text_col: str = "text", n: int = 3) -> list[np.ndarray]:
+def shingle_tokens(batch: pa.Table, text_col: str = "text", n: int = 3,
+                   drop_short: bool = False) -> list[np.ndarray]:
     """Word n-gram shingle hashes per row — fully vectorised.
 
     One polars pass hashes every word occurrence; shingle hashes are a
@@ -327,7 +328,14 @@ def shingle_tokens(batch: pa.Table, text_col: str = "text", n: int = 3) -> list[
     row-boundary masking, deduplicated per row via one lexsort. No Python
     loop over rows or words; equality of shingle hash <=> equality of the
     underlying word n-gram (modulo 64-bit collisions), which is all
-    Jaccard/minhash need."""
+    Jaccard/minhash need.
+
+    Rows with fewer than ``n`` words normally emit ONE pseudo-shingle (the
+    combined hash of all their words) so short docs still participate in
+    near-dup detection. ``drop_short=True`` emits NOTHING for such rows —
+    the standard n-gram semantics (a doc under ``n`` words has no n-grams),
+    required by decontamination where a shared pseudo-shingle between two
+    short docs is not a contamination signal."""
     import polars as pl
 
     from ..sketches.hashing import splitmix64
@@ -343,6 +351,8 @@ def shingle_tokens(batch: pa.Table, text_col: str = "text", n: int = 3) -> list[
     offsets = np.concatenate([[0], np.cumsum(lengths)])
     total = int(offsets[-1])
     if total == 0:
+        if drop_short and n > 1:
+            return [np.empty(0, dtype=np.uint64)] * n_rows
         return [np.unique(hash_strings([""]))] * n_rows
 
     # polars explode of an empty list yields one null row — lengths==0 rows
@@ -373,7 +383,7 @@ def shingle_tokens(batch: pa.Table, text_col: str = "text", n: int = 3) -> list[
     # hash of all their words (+ zero padding) stands in for the joined text
     first_pos = pos_in_row == 0
     short = lengths[row_of] < n
-    keep = valid | (short & first_pos)
+    keep = valid if drop_short else (valid | (short & first_pos))
 
     rows_kept = row_of[keep]
     hashes_kept = sh[keep]
@@ -442,11 +452,14 @@ class _MinHashStage:
         sigs = minhash_signatures(shingles, self.k)
         bkeys = band_keys(sigs, self.bands)  # (rows, bands)
         n = len(shingles)
-        ids = batch[self.id_col].to_pylist()
+        ids = batch[self.id_col].combine_chunks() if isinstance(
+            batch[self.id_col], pa.ChunkedArray) else batch[self.id_col]
         rep_ids = np.repeat(np.arange(n), self.bands)
         band_idx = np.tile(np.arange(self.bands), n)
+        import pyarrow.compute as pc
+
         cols = {
-            self.id_col: pa.array([ids[i] for i in rep_ids]),
+            self.id_col: pc.take(ids, pa.array(rep_ids, pa.int64())),
             "band": pa.array(band_idx, pa.int32()),
             "band_key": pa.array(bkeys[rep_ids, band_idx].astype(np.int64), pa.int64()),
         }
@@ -779,15 +792,18 @@ def simhash_candidates(fp_ds, id_col: str = "doc_id", max_hamming: int = 3, max_
         partitions = max(8, auto_partitions(fp_ds) // bands)
 
     def _explode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         fp = batch["simhash"].to_numpy().astype(np.uint64)
         n = len(fp)
-        ids = batch[id_col].to_pylist()
+        ids = batch[id_col].combine_chunks() if isinstance(
+            batch[id_col], pa.ChunkedArray) else batch[id_col]
         rep = np.repeat(np.arange(n), bands)
         band = np.tile(np.arange(bands), n)
         keys = (fp[rep] >> (band.astype(np.uint64) * np.uint64(width))) & key_mask
         return pa.table(
             {
-                id_col: pa.array([ids[i] for i in rep]),
+                id_col: pc.take(ids, pa.array(rep, pa.int64())),
                 "band": pa.array(band, pa.int32()),
                 "band_key": pa.array(keys.astype(np.int64), pa.int64()),
                 "simhash": pa.array(fp[rep].astype(np.int64), pa.int64()),
@@ -1087,7 +1103,10 @@ def contamination_pairs(train_ds, eval_ds, text_col: str = "text",
 
     def _emit(side: int):
         def _f(batch: pa.Table) -> pa.Table:
-            shingles = shingle_tokens(batch, text_col, shingle_n)
+            # drop_short: docs under shingle_n words have NO n-grams — the
+            # pseudo-shingle used by near-dup would report two short docs as
+            # "sharing an n-gram", which is not a contamination signal
+            shingles = shingle_tokens(batch, text_col, shingle_n, drop_short=True)
             ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
             lens = np.array([len(s) for s in shingles], dtype=np.int64)
             h = (np.concatenate(shingles) if len(shingles) else

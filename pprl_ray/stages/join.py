@@ -505,8 +505,33 @@ def skew_join(left_ds, right_ds, keys, right_keys=None, join_type: str = "inner"
         right_ds.map_batches(_split(rkey)(False), batch_format="pyarrow"), right_schema
     )
 
+    # align the hot (broadcast) path with bucket_join's output contract:
+    # right key renamed to the left key name, colliding right payload
+    # columns renamed with ``suffix`` — otherwise schemas whose non-key
+    # columns collide would fail in pyarrow's join as soon as a hot key is
+    # detected, making skew_join not a drop-in for bucket_join
+    left_names = set(left_schema.names)
+    hot_rename = {rkey: lkey}
+    for c in right_schema.names:
+        if c != rkey:
+            hot_rename[c] = c + suffix if c in left_names else c
+    lkey_type = left_schema.field(lkey).type
+
+    def _prep_right(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cols, names = [], []
+        for c in batch.column_names:
+            src = batch[c]
+            if c == rkey and src.type != lkey_type:
+                src = pc.cast(src, lkey_type)
+            cols.append(src)
+            names.append(hot_rename.get(c, c))
+        return pa.table(dict(zip(names, cols)))
+
+    right_hot = right_hot.map_batches(_prep_right, batch_format="pyarrow")
     hot_joined = broadcast_join(left_hot, right_hot, keys=lkey,
-                                right_keys=rkey, join_type=join_type)
+                                join_type=join_type)
     cold_joined = bucket_join(left_cold, right_cold, keys=lkey,
                               right_keys=rkey, join_type=join_type,
                               partitions=partitions, suffix=suffix)

@@ -48,6 +48,15 @@ def _es_keys(ids, weights: np.ndarray) -> np.ndarray:
     return np.log(u) / weights
 
 
+def _canon_top(key: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-k candidates in the SAME canonical
+    (key desc, id asc) order the driver merge uses — a reversed stable
+    argsort would order equal keys by descending position, dropping the
+    canonically-kept row at a batch's k-boundary and making the sample
+    partitioning-dependent despite the determinism contract."""
+    return np.lexsort((ids, -key))[:k]
+
+
 def weighted_sample_es(ds, id_col: str, weight_col: str, k: int):
     """k-row weighted sample without replacement (probability ∝ weight).
 
@@ -58,14 +67,16 @@ def weighted_sample_es(ds, id_col: str, weight_col: str, k: int):
 
     def _partial(batch: pa.Table) -> pa.Table:
         w = batch[weight_col].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
         key = _es_keys(batch[id_col].combine_chunks(), w.astype(np.float64))
-        take = np.argsort(key, kind="stable")[::-1][:k]
+        take = _canon_top(key, ids, k)
         out = batch.take(pa.array(take))
         return out.append_column("_es_key", pa.array(key[take]))
 
     def _rereduce(batch: pa.Table) -> pa.Table:
         key = batch["_es_key"].combine_chunks().to_numpy(zero_copy_only=False)
-        take = np.argsort(key, kind="stable")[::-1][:k]
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        take = _canon_top(key, ids, k)
         return batch.take(pa.array(take))
 
     # combiner pass over the bundled per-block partials: the driver then

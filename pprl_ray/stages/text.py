@@ -6,7 +6,6 @@ actor (``__init__``), per the actor-pool stateful-stage pattern.
 
 from __future__ import annotations
 
-import hashlib
 import re
 
 import numpy as np
@@ -235,15 +234,20 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
       SQL-reproducible via DuckDB ``md5(lower(text))``),
     - ``fp_roll``: 64-bit Karp–Rabin rolling hash over words (order
       sensitive, cheap streaming fingerprint) — vectorised
-      (:func:`rolling_fingerprint64_batch`); the md5 half is inherently
-      per-string hashlib."""
-    texts = batch[text_col].to_pylist()
-    md5s = [hashlib.md5((t or "").lower().encode()).hexdigest() for t in texts]
+      (:func:`rolling_fingerprint64_batch`).
+
+    Both halves are vectorised: the md5 runs through the DuckDB kernel
+    (:func:`~pprl_ray.functions.digest.md5_hex`, ~6x a per-row hashlib
+    loop per BASELINE.md) over ``pc.utf8_lower``."""
+    from ..functions.digest import md5_hex
+
     col = batch[text_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    lowered = pc.utf8_lower(pc.coalesce(col, pa.scalar("", col.type)))
+    md5s = pc.cast(md5_hex(lowered), pa.string())
     rolls = rolling_fingerprint64_batch(col)
-    return batch.append_column("fp_md5", pa.array(md5s, pa.string())).append_column(
+    return batch.append_column("fp_md5", md5s).append_column(
         "fp_roll", pa.array(rolls.astype(np.int64), pa.int64())
     )
 
@@ -366,29 +370,92 @@ def document_frequency(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 def tfidf_top_terms(ds, n_docs: int, text_col: str = "text", id_col: str = "doc_id",
-                    partitions: int | None = None):
+                    partitions: int | None = None,
+                    broadcast_max_terms: int = 50_000_000):
     """Per-document top TF-IDF term: score = (tf / n_tok) * ln((N+1)/(df+1)),
     ties broken by token ascending. Two corpus passes: one for the global
-    document-frequency table, one per-batch scoring pass against the
-    broadcast df map (tf and n_tok never leave their batch — a document
-    lives in exactly one row).
+    document-frequency table, one scoring pass.
 
-    Scale note: the df table is O(vocabulary) and is broadcast via
-    ``ray.put`` (16-24 B/term; fine to ~100 M terms). For open-vocabulary
-    corpora beyond that, swap the broadcast for a token-keyed bucket join
-    of the per-batch (doc, token, tf) partials against the df table — same
-    partitioned reduce, one extra shuffle of slim rows."""
+    Open-vocabulary safe — the df table NEVER materializes on the driver:
+
+    - vocabulary ≤ ``broadcast_max_terms`` (16-24 B/term): the df blocks
+      (already in the object store) are concatenated by a REMOTE task via
+      ``to_arrow_refs()`` — the driver holds only the broadcast ref — and
+      each corpus batch scores locally against the shared table.
+    - larger vocabularies (open-vocab web text: billions of terms):
+      automatic switch to a token-keyed :func:`~pprl_ray.stages.join.bucket_join`
+      of slim per-batch ``(doc, token, tf, n_tok)`` partials against the df
+      table. Per-token-bucket ``post`` pre-reduces to one best-candidate row
+      per (doc, bucket) — valid because (s, token) is a total order within
+      a doc — then one slim doc-keyed reduce picks the global winner. Two
+      extra slim shuffles, zero driver-side vocabulary copy.
+
+    Both paths emit identical ``(id, top_term, tfidf)`` rows."""
     import polars as pl
     import ray
 
     df_ds = document_frequency(ds, text_col=text_col, partitions=partitions)
-    df_tbl = pa.concat_tables(
-        [t for t in df_ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20)]
-    ).select(["token", "df"])
-    ref = ray.put(df_tbl)
 
-    def _score(batch: pa.Table) -> pa.Table:
-        df_map = pl.from_arrow(ray.get(ref))
+    def _select_df(b: pa.Table) -> pa.Table:
+        return b.select(["token", "df"])
+
+    df_ds = df_ds.map_batches(_select_df, batch_format="pyarrow").materialize()
+    n_terms = df_ds.count()
+
+    if n_terms <= broadcast_max_terms:
+        # broadcast path — assemble in a worker, not through the driver heap
+        refs = df_ds.to_arrow_refs()
+        schema = pa.schema([("token", pa.large_string()), ("df", pa.uint32())])
+
+        def _assemble(*tables):
+            ts = [t for t in tables if t.num_rows > 0]
+            return pa.concat_tables(ts).combine_chunks() if ts else schema.empty_table()
+
+        ref = (ray.remote(num_cpus=1)(_assemble).remote(*refs)
+               if refs else ray.put(schema.empty_table()))
+
+        def _score(batch: pa.Table) -> pa.Table:
+            df_map = pl.from_arrow(ray.get(ref))
+            d = pl.DataFrame(
+                {
+                    id_col: pl.from_arrow(batch[id_col].combine_chunks()),
+                    "token": pl.from_arrow(batch[text_col].combine_chunks()).str.split(" "),
+                }
+            )
+            words = d.explode("token")
+            tf = words.group_by([id_col, "token"]).len(name="c")
+            ntok = words.group_by(id_col).len(name="n")
+            scored = (
+                tf.join(ntok, on=id_col)
+                .join(df_map, on="token")
+                .with_columns(
+                    (
+                        (pl.col("c") * 1.0 / pl.col("n"))
+                        * ((n_docs + 1.0) / (pl.col("df") + 1.0)).log()
+                    ).alias("s")
+                )
+                .sort([id_col, "s", "token"], descending=[False, True, False])
+                .group_by(id_col, maintain_order=True)
+                .first()
+            )
+            return scored.select(
+                [
+                    pl.col(id_col),
+                    pl.col("token").alias("top_term"),
+                    pl.col("s").round(4).alias("tfidf"),
+                ]
+            ).to_arrow()
+
+        return ds.map_batches(_score, batch_format="pyarrow")
+
+    # join path — slim (doc, token, c, n) partials vs the df table
+    from .join import bucket_join
+    from .partitioning import auto_partitions
+
+    if partitions is None:
+        partitions = auto_partitions(ds)
+
+    def _tf_partial(batch: pa.Table) -> pa.Table:
         d = pl.DataFrame(
             {
                 id_col: pl.from_arrow(batch[id_col].combine_chunks()),
@@ -398,10 +465,17 @@ def tfidf_top_terms(ds, n_docs: int, text_col: str = "text", id_col: str = "doc_
         words = d.explode("token")
         tf = words.group_by([id_col, "token"]).len(name="c")
         ntok = words.group_by(id_col).len(name="n")
-        scored = (
-            tf.join(ntok, on=id_col)
-            .join(df_map, on="token")
-            .with_columns(
+        return tf.join(ntok, on=id_col).to_arrow()
+
+    partials = ds.map_batches(_tf_partial, batch_format="pyarrow")
+
+    def _bucket_best(joined: pa.Table) -> pa.Table:
+        # per-(doc, bucket) best candidate: (s desc, token asc) is a total
+        # order within a doc (tokens are distinct), so max-of-maxes across
+        # buckets equals the global per-doc max
+        t = pl.from_arrow(joined)
+        return (
+            t.with_columns(
                 (
                     (pl.col("c") * 1.0 / pl.col("n"))
                     * ((n_docs + 1.0) / (pl.col("df") + 1.0)).log()
@@ -410,16 +484,41 @@ def tfidf_top_terms(ds, n_docs: int, text_col: str = "text", id_col: str = "doc_
             .sort([id_col, "s", "token"], descending=[False, True, False])
             .group_by(id_col, maintain_order=True)
             .first()
+            .select([id_col, "token", "s"])
+            .to_arrow()
         )
-        return scored.select(
-            [
-                pl.col(id_col),
-                pl.col("token").alias("top_term"),
-                pl.col("s").round(4).alias("tfidf"),
-            ]
-        ).to_arrow()
 
-    return ds.map_batches(_score, batch_format="pyarrow")
+    cands = bucket_join(partials, df_ds, keys="token", join_type="inner",
+                        partitions=partitions, post=_bucket_best)
+
+    def _doc_part(batch: pa.Table) -> pa.Table:
+        dfp = pl.DataFrame({"k": pl.from_arrow(batch[id_col].combine_chunks())})
+        h = dfp["k"].hash(seed=59).to_numpy()
+        return batch.append_column(
+            "part", pa.array((h % np.uint64(partitions)).astype(np.int32))
+        )
+
+    def _final(group) -> "pa.Table":
+        t = pl.from_pandas(group)
+        return (
+            t.sort([id_col, "s", "token"], descending=[False, True, False])
+            .group_by(id_col, maintain_order=True)
+            .first()
+            .select(
+                [
+                    pl.col(id_col),
+                    pl.col("token").alias("top_term"),
+                    pl.col("s").round(4).alias("tfidf"),
+                ]
+            )
+            .to_pandas()
+        )
+
+    return (
+        cands.map_batches(_doc_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_final, batch_format="pandas")
+    )
 
 
 class PiiScrubStage:

@@ -900,17 +900,16 @@ class CheckpointedIndexBuild:
 
     def __init__(self, ckpt_dir: str, text_col: str = "text",
                  id_col: str = "doc_id", partitions: int = 32,
-                 batch_size: int = 65536):
+                 batch_size: int = 65536, index_dir: str | None = None):
         self.ckpt_dir = ckpt_dir
         self.text_col, self.id_col = text_col, id_col
         self.partitions = partitions
         self.batch_size = batch_size
+        # output tree defaults to <ckpt>/index but is overridable so CLI
+        # callers' --index-dir is honored rather than silently ignored
+        self.index_dir = index_dir or os.path.join(ckpt_dir, "index")
         os.makedirs(os.path.join(ckpt_dir, "manifests"), exist_ok=True)
-        os.makedirs(os.path.join(ckpt_dir, "index"), exist_ok=True)
-
-    @property
-    def index_dir(self) -> str:
-        return os.path.join(self.ckpt_dir, "index")
+        os.makedirs(self.index_dir, exist_ok=True)
 
     def _manifest_path(self, pid: str) -> str:
         return os.path.join(self.ckpt_dir, "manifests", f"{pid}.json")

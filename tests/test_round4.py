@@ -1,0 +1,214 @@
+"""Round-4 regression tests: advisor findings + judge asks.
+
+Covers: contamination short-doc n-gram semantics, skew_join suffix parity
+with bucket_join on colliding schemas, weighted-sample canonical tie-break,
+CLI index --index-dir honoring, CLI incremental-dedup founding-run
+self-dedup, open-vocab TF-IDF join path, vectorised fp_md5 parity.
+"""
+
+import hashlib
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+# --- contamination / shingle drop_short -------------------------------------
+
+
+def test_shingle_tokens_drop_short():
+    from pprl_ray.stages.dedup import shingle_tokens
+
+    batch = pa.table({"text": ["one two", "a b c d e f", "", "x y z"]})
+    default = shingle_tokens(batch, "text", 5)
+    dropped = shingle_tokens(batch, "text", 5, drop_short=True)
+    # default: short rows emit ONE pseudo-shingle
+    assert [len(s) for s in default] == [1, 2, 1, 1]
+    # drop_short: docs under n words have NO n-grams
+    assert [len(s) for s in dropped] == [0, 2, 0, 0]
+    # long rows identical in both modes
+    assert np.array_equal(default[1], dropped[1])
+
+
+def test_contamination_short_docs_emit_nothing(ray_session):
+    import ray.data as rd
+
+    from pprl_ray.stages.dedup import contamination_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    train = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["tiny doc", shared + " trailer", "unrelated words entirely here now"],
+    }))
+    ev = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11], pa.int64()),
+        "text": ["tiny doc", "prefix " + shared],
+    }))
+    got = contamination_pairs(train, ev, shingle_n=5, partitions=4).take_all()
+    pairs = {(r["eval_id"], r["train_id"]) for r in got}
+    # the identical 2-word docs share NO 5-gram -> no (10, 1) pair
+    assert (10, 1) not in pairs
+    # the genuine 5-gram overlap is still found
+    assert (11, 2) in pairs
+
+
+# --- skew_join suffix parity -------------------------------------------------
+
+
+def test_skew_join_colliding_schema_matches_bucket_join(ray_session):
+    import ray.data as rd
+
+    from pprl_ray.stages.join import bucket_join, skew_join
+
+    n = 400
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([7] * (n // 2) + list(range(n // 2)), pa.int64()),
+        "payload": pa.array([f"L{i}" for i in range(n)]),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(list(range(0, n // 2)) + [7], pa.int64()),
+        "payload": pa.array([f"R{i}" for i in range(n // 2 + 1)]),
+    }))
+
+    def _norm(rows):
+        return sorted((r["k"], r["payload"], r["payload_r"]) for r in rows)
+
+    want = _norm(bucket_join(left, right, keys="k", partitions=4).take_all())
+    got = _norm(
+        skew_join(left, right, keys="k", hot_keys={7}, partitions=4).take_all()
+    )
+    assert got == want
+    # and via detection (key 7 is half the table)
+    got2 = _norm(
+        skew_join(left, right, keys="k", hot_threshold=0.2, partitions=4).take_all()
+    )
+    assert got2 == want
+
+
+# --- weighted sample canonical tie-break -------------------------------------
+
+
+def test_canon_top_tie_break_id_asc():
+    from pprl_ray.stages.sample import _canon_top
+
+    key = np.array([1.0, 5.0, 5.0, 3.0])
+    ids = np.array([40, 30, 10, 20], dtype=np.int64)
+    take = _canon_top(key, ids, 2)
+    # ties on key=5.0 resolve id ASC: id 10 (idx 2) before id 30 (idx 1)
+    assert list(take) == [2, 1]
+    # a reversed stable argsort would have returned [1, 2]
+
+
+def test_weighted_sample_partitioning_invariant(ray_session):
+    import ray.data as rd
+
+    from pprl_ray.stages.sample import weighted_sample_es
+
+    t = pa.table({
+        "id": pa.array([f"d{i}" for i in range(300)]),
+        "w": pa.array(np.linspace(1.0, 3.0, 300)),
+    })
+    a = weighted_sample_es(rd.from_arrow(t), "id", "w", 17)
+    b = weighted_sample_es(rd.from_arrow(t).repartition(13), "id", "w", 17)
+    assert a["id"].tolist() == b["id"].tolist()
+
+
+# --- CLI fixes ----------------------------------------------------------------
+
+
+def test_cli_incremental_founding_run_self_dedups(ray_session, tmp_path, capsys):
+    from pprl_ray.cli import main
+
+    docs = tmp_path / "docs.parquet"
+    texts = ["dup text"] * 5 + [f"unique {i}" for i in range(10)]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }),
+        str(docs),
+    )
+    main(["dedup", "--method", "incremental", "--input", str(docs),
+          "--id-column", "doc_id", "--index-dir", str(tmp_path / "idx"),
+          "--output", str(tmp_path / "v1")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 11  # 10 unique + ONE survivor of the 5 dups
+    kept = pq.read_table(str(tmp_path / "v1"))
+    kept_texts = kept["text"].to_pylist()
+    assert kept_texts.count("dup text") == 1
+    # min-id winner kept
+    ids_of_dup = [i for i, t in zip(kept["doc_id"].to_pylist(), kept_texts)
+                  if t == "dup text"]
+    assert ids_of_dup == [0]
+
+
+def test_cli_index_checkpoint_honors_index_dir(ray_session, tmp_path, capsys):
+    from pprl_ray.cli import main
+
+    docs = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(20), pa.int64()),
+            "text": pa.array([f"alpha token{i % 3}" for i in range(20)]),
+        }),
+        str(docs),
+    )
+    idx = tmp_path / "myindex"
+    main(["index", "--input", str(docs), "--index-dir", str(idx),
+          "--checkpoint-dir", str(tmp_path / "ckpt"), "--partitions", "4"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["index_dir"] == str(idx)
+    assert any(p.name.startswith("bucket=") for p in idx.iterdir())
+    # lookup against the SAME --index-dir the user specified finds postings
+    main(["index", "--index-dir", str(idx), "--lookup", "alpha",
+          "--partitions", "4", "--output", str(tmp_path / "hits")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["postings"] == 20
+
+
+# --- open-vocab TF-IDF join path ----------------------------------------------
+
+
+def test_tfidf_join_path_matches_broadcast(ray_session):
+    import ray.data as rd
+
+    from pprl_ray.stages.text import tfidf_top_terms
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 12)))
+        for _ in range(120)
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    n_docs = len(texts)
+
+    def _norm(rows):
+        return sorted((r["doc_id"], r["top_term"], r["tfidf"]) for r in rows)
+
+    broad = _norm(tfidf_top_terms(rd.from_arrow(t), n_docs).take_all())
+    joined = _norm(
+        tfidf_top_terms(rd.from_arrow(t), n_docs, partitions=4,
+                        broadcast_max_terms=0).take_all()
+    )
+    assert joined == broad
+    assert len(broad) == n_docs
+
+
+# --- vectorised fp_md5 ---------------------------------------------------------
+
+
+def test_fingerprint_md5_parity_with_hashlib():
+    from pprl_ray.stages.text import fingerprint_batch
+
+    texts = ["Hello World", "", "Ünïcødé TEXT", "a b c", None]
+    batch = pa.table({"text": pa.array(texts, pa.string())})
+    out = fingerprint_batch(batch)
+    got = out["fp_md5"].to_pylist()
+    want = [hashlib.md5((t or "").lower().encode()).hexdigest() for t in texts]
+    assert got == want
