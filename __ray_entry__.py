@@ -566,6 +566,42 @@ def q_clk_mask_hardened_sha256(sf_dir: str):
     return _masked_customers(sf_dir, cfg)
 
 
+def q_clk_mask_sha512(sf_dir: str):
+    """CLK masking with sha512 (the last reference hash algorithm,
+    `pprl_model/mask.py:36-40`, whose mask branch lacked a driver oracle):
+    DuckDB has no sha512, so the oracle is the pinned segment->mask VALUES
+    table (pprl_ray/golden/mask_pins.py — complete input->output function
+    of the single masked attribute, JOINed against the live customer
+    table). sha512 digest semantics stay independently verified by the
+    row-wise re-derivation oracle in tests/test_encode.py."""
+    from pprl_ray.config import CLKFilter, HashConfig, HashFunctionConfig, MaskConfig
+
+    cfg = MaskConfig(
+        token_size=2,
+        hash=HashConfig(HashFunctionConfig(("sha512",)), "double_hash"),
+        filter=CLKFilter(1024, 5),
+        padding="_",
+    )
+    return _masked_customers(sf_dir, cfg)
+
+
+def q_clk_mask_hmac(sf_dir: str):
+    """CLK masking through the keyed HMAC chain (`routers/mask.py:29-75`:
+    ``hmac.digest(key, b, alg)`` chained digest-of-digest): a two-algorithm
+    keyed chain (sha256 -> md5) so both the HMAC branch and the chain fold
+    carry a driver oracle. Pinned segment->mask VALUES oracle (no HMAC in
+    DuckDB); independent row-wise re-derivation in tests/test_encode.py."""
+    from pprl_ray.config import CLKFilter, HashConfig, HashFunctionConfig, MaskConfig
+
+    cfg = MaskConfig(
+        token_size=2,
+        hash=HashConfig(HashFunctionConfig(("sha256", "md5"), key="s3cr3t"), "double_hash"),
+        filter=CLKFilter(1024, 5),
+        padding="_",
+    )
+    return _masked_customers(sf_dir, cfg)
+
+
 def q_clk_mask_hardened_md5(sf_dir: str):
     """Hardened CLK masking with an SQL-expressible hardener chain
     (rule_90 circular-neighbor XOR, then xor_fold to 512 bits) on the md5
@@ -2649,64 +2685,15 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering note: the driver's correctness harness records the FIRST 50
-    # dict entries, so queries whose oracles have never appeared in a
-    # CORRECTNESS_r*.json (new this round, or tail-listed last round) come
-    # first; the tail queries were all hash-green in CORRECTNESS_r02 (all
-    # 74 remain oracled and runnable via scripts/check_oracles.py).
+    # dict entries. Round-4 rotation (VERDICT.md ask #5): every query NOT
+    # re-verified in CORRECTNESS_r03 comes first (incl. the new sha512/HMAC
+    # mask pins), then the r3-verified queries whose code paths changed this
+    # round (contamination, skew_join, weighted_sample, tfidf_top_term, ...).
+    # The tail is all r3-driver-green and re-runnable via
+    # scripts/check_oracles.py.
     return {
-        "running_totals": q_running_totals,
-        "hopping_windows": q_hopping_windows,
-        "weighted_sample": q_weighted_sample,
-        "token_postings": q_token_postings,
-        "anti_join": q_anti_join,
-        "full_outer_join": q_full_outer_join,
-        "rollup_stats": q_rollup_stats,
-        "skew_join": q_skew_join,
-        "contamination": q_contamination,
-        "table_profile": q_table_profile,
-        "label_centroids": q_label_centroids,
-        "window_distinct_users": q_window_distinct_users,
-        "pivot_lang_counts": q_pivot_lang_counts,
-        "quantile_filter": q_quantile_filter,
-        "token_pack": q_token_pack,
-        "join_size_estimate": q_join_size_estimate,
-        "clk_mask_md5": q_clk_mask_md5,
-        "clk_mask_sha256": q_clk_mask_sha256,
-        "clkrbf_mask_md5": q_clkrbf_mask_md5,
-        "clk_mask_hardened_md5": q_clk_mask_hardened_md5,
-        "clk_mask_hardened_sha256": q_clk_mask_hardened_sha256,
-        "clk_mask": q_clk_mask,
-        "clk_mask_hardened": q_clk_mask_hardened,
-        "rbf_mask": q_rbf_mask,
-        "clkrbf_mask": q_clkrbf_mask,
-        "hll_distinct_tokens": q_hll_distinct_tokens,
-        "cms_token_counts": q_cms_token_counts,
-        "kll_ntok_quantiles": q_kll_ntok_quantiles,
-        "tdigest_ntok_quantiles": q_tdigest_ntok_quantiles,
-        "bloom_sources": q_bloom_sources,
-        "corpus_profile": q_corpus_profile,
-        "theta_distinct_parts": q_theta_distinct_parts,
-        "theta_source_overlap": q_theta_source_overlap,
-        "countsketch_token_counts": q_countsketch_token_counts,
-        "ntok_histogram": q_ntok_histogram,
-        "incremental_dedup": q_incremental_dedup,
-        "tfidf_top_term": q_tfidf_top_term,
-        "bloom_semi_join": q_bloom_semi_join,
-        "range_sort_rank": q_range_sort_rank,
-        "kmeans_clusters": q_kmeans_clusters,
-        "semantic_dedup": q_semantic_dedup,
-        "pii_scrub": q_pii_scrub,
-        "source_mix": q_source_mix,
-        # the multimodal trio's pinned oracles post-date CORRECTNESS_r02
-        # (codec was a stub then) — keep them inside the driver's 50-entry
-        # window ahead of queries that were already hash-green there
-        "multimodal_features": q_multimodal_features,
-        "audio_features": q_audio_features,
-        "video_frames": q_video_frames,
-        "lang_id": q_lang_id,
-        "knn_ivf": q_knn_ivf,
-        "knn_ivf_pruned": q_knn_ivf_pruned,
-        "embedding_near_dup": q_embedding_near_dup,
+        "clk_mask_sha512": q_clk_mask_sha512,
+        "clk_mask_hmac": q_clk_mask_hmac,
         "rbf_mask_md5": q_rbf_mask_md5,
         "top_tokens": q_top_tokens,
         "knn_cosine": q_knn_cosine,
@@ -2735,8 +2722,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join": q_broadcast_join,
         "bucket_join": q_bucket_join,
         "fingerprint": q_fingerprint,
-        # --- tail: hash-green in CORRECTNESS_r02, trivially-SQL, cheap
-        # for the judge to re-verify with scripts/check_oracles.py ---
         "tokenize_qgrams": q_tokenize_qgrams,
         "token_count": q_token_count,
         "token_freq": q_token_freq,
@@ -2750,6 +2735,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_format": q_date_format,
         "transform_chain": q_transform_chain,
         "json_props": q_json_props,
+        "contamination": q_contamination,
+        "skew_join": q_skew_join,
+        "weighted_sample": q_weighted_sample,
+        "tfidf_top_term": q_tfidf_top_term,
+        "incremental_dedup": q_incremental_dedup,
+        "bloom_semi_join": q_bloom_semi_join,
+        "semantic_dedup": q_semantic_dedup,
+        # --- tail: hash-green in CORRECTNESS_r03 ---
+        "running_totals": q_running_totals,
+        "hopping_windows": q_hopping_windows,
+        "token_postings": q_token_postings,
+        "anti_join": q_anti_join,
+        "full_outer_join": q_full_outer_join,
+        "rollup_stats": q_rollup_stats,
+        "table_profile": q_table_profile,
+        "label_centroids": q_label_centroids,
+        "window_distinct_users": q_window_distinct_users,
+        "pivot_lang_counts": q_pivot_lang_counts,
+        "quantile_filter": q_quantile_filter,
+        "token_pack": q_token_pack,
+        "join_size_estimate": q_join_size_estimate,
+        "clk_mask_md5": q_clk_mask_md5,
+        "clk_mask_sha256": q_clk_mask_sha256,
+        "clkrbf_mask_md5": q_clkrbf_mask_md5,
+        "clk_mask_hardened_md5": q_clk_mask_hardened_md5,
+        "clk_mask_hardened_sha256": q_clk_mask_hardened_sha256,
+        "clk_mask": q_clk_mask,
+        "clk_mask_hardened": q_clk_mask_hardened,
+        "rbf_mask": q_rbf_mask,
+        "clkrbf_mask": q_clkrbf_mask,
+        "hll_distinct_tokens": q_hll_distinct_tokens,
+        "cms_token_counts": q_cms_token_counts,
+        "kll_ntok_quantiles": q_kll_ntok_quantiles,
+        "tdigest_ntok_quantiles": q_tdigest_ntok_quantiles,
+        "bloom_sources": q_bloom_sources,
+        "corpus_profile": q_corpus_profile,
+        "theta_distinct_parts": q_theta_distinct_parts,
+        "theta_source_overlap": q_theta_source_overlap,
+        "countsketch_token_counts": q_countsketch_token_counts,
+        "ntok_histogram": q_ntok_histogram,
+        "range_sort_rank": q_range_sort_rank,
+        "kmeans_clusters": q_kmeans_clusters,
+        "pii_scrub": q_pii_scrub,
+        "source_mix": q_source_mix,
+        "multimodal_features": q_multimodal_features,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
+        "lang_id": q_lang_id,
+        "knn_ivf": q_knn_ivf,
+        "knn_ivf_pruned": q_knn_ivf_pruned,
+        "embedding_near_dup": q_embedding_near_dup,
     }
 
 
@@ -3089,7 +3125,7 @@ def _sketch_pin_oracles() -> dict[str, str]:
 
 
 def _mask_pin_oracles() -> dict[str, str]:
-    """VALUES oracles for the four sha1 mask queries, pinned from the
+    """VALUES oracles for the sha1/sha512/HMAC mask queries, pinned from the
     segment->mask mapping (pprl_ray/golden/mask_pins.py, regenerated by
     scripts/gen_mask_pins.py). Each query masks exactly ONE attribute
     (``c_mktsegment``, 5 distinct values) under a fixed seeded config, so
@@ -3117,6 +3153,8 @@ def _mask_pin_oracles() -> dict[str, str]:
         "clk_mask_hardened": one(mp.PIN_CLK_MASK_HARDENED),
         "rbf_mask": one(mp.PIN_RBF_MASK),
         "clkrbf_mask": one(mp.PIN_CLKRBF_MASK),
+        "clk_mask_sha512": one(mp.PIN_CLK_MASK_SHA512),
+        "clk_mask_hmac": one(mp.PIN_CLK_MASK_HMAC),
     }
 
 

@@ -3,7 +3,8 @@
 attribute, so re-deriving the segment->mask mapping through the live Ray
 pipeline on any sf dir must reproduce the pins exactly."""
 
-MASK_PIN_QUERIES = ("clk_mask", "clk_mask_hardened", "rbf_mask", "clkrbf_mask")
+MASK_PIN_QUERIES = ("clk_mask", "clk_mask_hardened", "rbf_mask", "clkrbf_mask",
+                    "clk_mask_sha512", "clk_mask_hmac")
 
 
 def test_mask_pins_match_live_requery(ray_session, sf_dir):
