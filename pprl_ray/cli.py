@@ -440,13 +440,15 @@ def cmd_table_profile(args) -> None:
 def cmd_generate(args) -> None:
     """Deterministic synthetic entities -> Parquet. With --generator-config,
     a reference-style FakerGeneratorConfig JSON (`pprl_client/model.py:6-20`)
-    drives the function-name-by-string registry (sources/generate.py);
-    otherwise the fixed person schema (sources/corpus.py synth_entities)."""
+    or GeckoGeneratorConfig JSON (`pprl_client/model.py:23-31`, detected by
+    per-generator ``attribute_names`` lists) drives the
+    function-name-by-string registry (sources/generate.py); otherwise the
+    fixed person schema (sources/corpus.py synth_entities)."""
     if args.generator_config:
-        from .sources.generate import generated_entities
+        from .sources.generate import gecko_generated_entities, generated_entities, is_gecko_config
 
         config = json.load(open(args.generator_config))
-        ds = generated_entities(config)
+        ds = gecko_generated_entities(config) if is_gecko_config(config) else generated_entities(config)
     else:
         from .sources.corpus import synth_entities
 
@@ -464,11 +466,13 @@ def cmd_estimate(args) -> None:
     from .stages.mask import transform_entities
 
     if args.generator_config:
-        # reference `pprl estimate faker CONFIG OUT` flow: generate the
-        # estimation corpus from the config instead of reading a table
-        from .sources.generate import generated_entities
+        # reference `pprl estimate faker|gecko CONFIG OUT` flow: generate
+        # the estimation corpus from the config instead of reading a table
+        # (gecko = frequency-table-driven, reference cli.py:428-495)
+        from .sources.generate import gecko_generated_entities, generated_entities, is_gecko_config
 
-        ds = generated_entities(json.load(open(args.generator_config)))
+        config = json.load(open(args.generator_config))
+        ds = gecko_generated_entities(config) if is_gecko_config(config) else generated_entities(config)
     elif args.input:
         ds = _read(args.input)
     else:

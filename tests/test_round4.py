@@ -212,3 +212,108 @@ def test_fingerprint_md5_parity_with_hashlib():
     got = out["fp_md5"].to_pylist()
     want = [hashlib.md5((t or "").lower().encode()).hexdigest() for t in texts]
     assert got == want
+
+
+# --- gecko-parity generator ----------------------------------------------------
+
+
+def _gecko_fixture_csvs(tmp_path):
+    import csv
+
+    fn_gender = tmp_path / "given-name-gender.csv"
+    with open(fn_gender, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["given_name", "gender", "count"])
+        w.writerows([["anna", "f", 700], ["jonas", "m", 200], ["kim", "x", 100]])
+    ln = tmp_path / "last-name.csv"
+    with open(ln, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["last_name", "count"])
+        w.writerows([["mueller", 500], ["schmidt", 300], ["weber", 200]])
+    return str(fn_gender), str(ln)
+
+
+def _gecko_config(tmp_path, count=2000, seed=727):
+    fn_gender, ln = _gecko_fixture_csvs(tmp_path)
+    return {
+        "seed": seed,
+        "count": count,
+        "generators": [
+            {
+                "attribute_names": ["given_name", "gender"],
+                "function_name": "from_multicolumn_frequency_table",
+                "args": {"csv_file_path": fn_gender,
+                         "value_columns": ["given_name", "gender"],
+                         "freq_column": "count"},
+            },
+            {
+                "attribute_names": ["last_name"],
+                "function_name": "from_frequency_table",
+                "args": {"csv_file_path": ln, "value_column": "last_name",
+                         "freq_column": "count"},
+            },
+            {
+                "attribute_names": ["age"],
+                "function_name": "from_uniform_distribution",
+                "args": {"low": 18, "high": 90, "precision": 0},
+            },
+        ],
+    }
+
+
+def test_gecko_generator_deterministic_and_weighted(ray_session, tmp_path):
+    from pprl_ray.sources.generate import gecko_generated_entities, is_gecko_config
+
+    cfg = _gecko_config(tmp_path)
+    assert is_gecko_config(cfg)
+    a = gecko_generated_entities(cfg).to_pandas().sort_values("id").reset_index(drop=True)
+    b = gecko_generated_entities(cfg).to_pandas().sort_values("id").reset_index(drop=True)
+    assert a.equals(b)  # bit-identical across runs
+    assert list(a.columns) == ["id", "given_name", "gender", "last_name", "age"]
+    assert len(a) == 2000
+    # joint draw preserves cross-column correlation exactly
+    pairs = set(zip(a["given_name"], a["gender"]))
+    assert pairs <= {("anna", "f"), ("jonas", "m"), ("kim", "x")}
+    # weighted marginals: anna ~70% of draws (binomial 3-sigma ~ 3%)
+    frac = (a["given_name"] == "anna").mean()
+    assert 0.64 < frac < 0.76
+    # distribution args respected
+    ages = a["age"].astype(int)
+    assert ages.min() >= 18 and ages.max() <= 90
+    # different seed -> different table
+    c = gecko_generated_entities(_gecko_config(tmp_path, seed=1)).to_pandas()
+    assert not a["last_name"].equals(c.sort_values("id")["last_name"].reset_index(drop=True))
+
+
+def test_gecko_generator_invalid_function(tmp_path):
+    from pprl_ray.sources.generate import gecko_generated_entities
+
+    cfg = _gecko_config(tmp_path)
+    cfg["generators"][0]["function_name"] = "from_nowhere"
+    with pytest.raises(ValueError, match="invalid gecko function"):
+        gecko_generated_entities(cfg)
+
+
+def test_cli_estimate_gecko_workflow(ray_session, tmp_path, capsys):
+    """Reference test_cli.py:423-480 workflow shape: gecko config ->
+    generated corpus -> estimate -> WeightedAttributeConfig JSON."""
+    from pprl_ray.cli import main
+
+    cfg = _gecko_config(tmp_path, count=500)
+    cfg_path = tmp_path / "gecko-config.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    out = tmp_path / "gen.parquet"
+    main(["generate", "--generator-config", str(cfg_path), "--output", str(out)])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows"] == 500
+
+    weights = tmp_path / "weights.json"
+    main(["estimate", "--generator-config", str(cfg_path), "--output", str(weights)])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["attributes"] == 4
+    cfgs = json.loads(weights.read_text())
+    names = {c["attribute_name"] for c in cfgs}
+    assert names == {"given_name", "gender", "last_name", "age"}
+    for c in cfgs:
+        assert c["weight"] > 0 and c["average_token_count"] > 0
