@@ -893,6 +893,7 @@ def connected_components_collapse(
     max_rounds: int = 30,
     partitions: int | None = None,
     local_threshold: int = 2_000_000,
+    checkpoint_dir: str | None = None,
 ):
     """Min-label connected components over a pair table: returns
     (doc_id, rep_id) where rep_id is the smallest id in each component.

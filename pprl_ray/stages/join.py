@@ -529,7 +529,19 @@ def skew_join(left_ds, right_ds, keys, right_keys=None, join_type: str = "inner"
             names.append(hot_rename.get(c, c))
         return pa.table(dict(zip(names, cols)))
 
-    right_hot = right_hot.map_batches(_prep_right, batch_format="pyarrow")
+    # re-anchor after the rename map: an all-filtered-out hot side yields
+    # only empty blocks whose schema Ray cannot infer, and the post-rename
+    # schema is fully known here anyway
+    hot_schema = pa.schema(
+        [
+            pa.field(hot_rename.get(f.name, f.name),
+                     lkey_type if f.name == rkey else f.type)
+            for f in right_schema
+        ]
+    )
+    right_hot = _with_schema(
+        right_hot.map_batches(_prep_right, batch_format="pyarrow"), hot_schema
+    )
     hot_joined = broadcast_join(left_hot, right_hot, keys=lkey,
                                 join_type=join_type)
     cold_joined = bucket_join(left_cold, right_cold, keys=lkey,

@@ -6,16 +6,24 @@ with wiki?"). Not in the reference (its Jaccard is bit-vector based,
 `pprl_core/similarity.py:67-80`); this is the set-theoretic counterpart a
 training-data pipeline needs for source-overlap audits.
 
-Scale shape (for key cardinality <= 63): each distinct (key, element) row
-becomes a single bit ``1 << key_index``; elements hash-partition
-(``hash(element) % P``) and ONE vectorised pandas groupby-sum per partition
-group ORs the bits (rows are distinct, so sum == or) AND counts the
-resulting key-set patterns — Ray-native aggregates would pay ~0.3 ms of
-per-DISTINCT-group Python over O(vocabulary) element groups. Only tiny
-(mask, n) partials — P × distinct-key-set rows — reach the driver, where
-the full pairwise intersection matrix falls out of one
-``bits.T @ (bits * count)`` matmul. Elements never pairwise-join; the only
-all-to-all is the partition groupby of pre-deduplicated rows.
+Scale shape: each distinct (key, element) row becomes a single bit in a
+``ceil(k/63)``-word bitmask (63 usable bits per int64 word keeps every
+word non-negative); elements hash-partition (``hash(element) % P``) and
+ONE vectorised pandas groupby-sum per partition group ORs the bits (rows
+are distinct, so sum == or) AND counts the resulting key-set patterns —
+Ray-native aggregates would pay ~0.3 ms of per-DISTINCT-group Python over
+O(vocabulary) element groups. Only tiny (mask words, n) partials —
+P × distinct-key-set rows — reach the driver, where the full pairwise
+intersection matrix falls out of one ``bits.T @ (bits * count)`` matmul.
+Elements never pairwise-join; the only all-to-all is the partition groupby
+of pre-deduplicated rows.
+
+Key-cardinality note: the partials are one row per DISTINCT key-set
+pattern per partition — bounded by the element vocabulary, not by k, so
+the exact path stays cheap while patterns are sparse (the realistic
+source-overlap case). For thousands of keys with dense overlap patterns,
+the theta-sketch path (``theta_source_overlap``) is the approximate
+scale alternative.
 """
 
 from __future__ import annotations
@@ -26,6 +34,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["pairwise_jaccard"]
+
+_BITS_PER_WORD = 63  # keep int64 words non-negative
 
 
 def pairwise_jaccard(
@@ -45,12 +55,10 @@ def pairwise_jaccard(
         lambda b: pa.table({key_col: pc.unique(b[key_col])}), batch_format="pyarrow"
     ).take_all()
     keys = sorted({r[key_col] for r in uniq})
-    if len(keys) > 63:
-        raise NotImplementedError(
-            f"{len(keys)} keys > 63: bitmask encoding needs one bit per key; "
-            "partition the key space and merge the per-partition matrices"
-        )
-    key_idx = {k: i for i, k in enumerate(keys)}
+    k = len(keys)
+    n_words = max(1, -(-k // _BITS_PER_WORD))
+    word_cols = [f"mask_{w}" for w in range(n_words)]
+    key_idx = {key: i for i, key in enumerate(keys)}
 
     def _mask(batch: pa.Table) -> pa.Table:
         import polars as pl
@@ -60,22 +68,24 @@ def pairwise_jaccard(
         if isinstance(el, pa.ChunkedArray):
             el = el.combine_chunks()
         h = pl.from_arrow(el).hash(seed=59).to_numpy()
-        return pa.table(
-            {
-                element_col: batch[element_col],
-                "mask": pa.array(np.left_shift(np.int64(1), idx)),
-                "part": pa.array((h % np.uint64(partitions)).astype(np.int32)),
-            }
-        )
+        cols = {element_col: batch[element_col]}
+        word_of = idx // _BITS_PER_WORD
+        bit_of = idx % _BITS_PER_WORD
+        for w in range(n_words):
+            cols[f"mask_{w}"] = pa.array(
+                np.where(word_of == w, np.left_shift(np.int64(1), bit_of), np.int64(0))
+            )
+        cols["part"] = pa.array((h % np.uint64(partitions)).astype(np.int32))
+        return pa.table(cols)
 
     # per partition group: one C groupby-sum ORs the bits per element
-    # (distinct rows => sum == or), then a value_counts collapses to
-    # (key-set mask, n) partials — tiny, so the driver-side merge is free
+    # (distinct rows => sum == or per word), then a pattern groupby
+    # collapses to (key-set words, n) partials — tiny, so the driver-side
+    # merge is free
     def _fold(group: pd.DataFrame) -> pd.DataFrame:
-        per_element = group.groupby(element_col)["mask"].sum()
-        vc = per_element.value_counts()
-        return pd.DataFrame(
-            {"mask": vc.index.to_numpy(np.int64), "n": vc.to_numpy(np.int64)}
+        per_element = group.groupby(element_col)[word_cols].sum()
+        return per_element.groupby(word_cols, as_index=False).size().rename(
+            columns={"size": "n"}
         )
 
     partials = (
@@ -84,17 +94,22 @@ def pairwise_jaccard(
         .map_groups(_fold, batch_format="pandas")
         .take_all()
     )
-    merged = pd.DataFrame(partials).groupby("mask", as_index=False)["n"].sum()
+    merged = pd.DataFrame(partials).groupby(word_cols, as_index=False)["n"].sum()
 
-    masks = merged["mask"].to_numpy(dtype=np.int64)
     counts = merged["n"].to_numpy(dtype=np.int64)
-    bits = ((masks[:, None] >> np.arange(len(keys))[None, :]) & 1).astype(np.int64)
+    # (patterns, k) bit matrix assembled word by word
+    bit_chunks = []
+    for w in range(n_words):
+        words = merged[f"mask_{w}"].to_numpy(dtype=np.int64)
+        width = min(_BITS_PER_WORD, k - w * _BITS_PER_WORD)
+        bit_chunks.append(((words[:, None] >> np.arange(width)[None, :]) & 1).astype(np.int64))
+    bits = np.concatenate(bit_chunks, axis=1) if bit_chunks else np.zeros((0, k), np.int64)
     inter = bits.T @ (bits * counts[:, None])  # (k, k) intersection sizes
     sizes = np.diag(inter)
 
     rows = []
-    for i in range(len(keys)):
-        for j in range(i + 1, len(keys)):
+    for i in range(k):
+        for j in range(i + 1, k):
             union = sizes[i] + sizes[j] - inter[i, j]
             rows.append(
                 {

@@ -35,6 +35,7 @@ __all__ = [
     "CheckpointedMinhashDedup",
     "CheckpointedBlockedMatch",
     "CheckpointedKMeans",
+    "CCRoundCheckpoint",
 ]
 
 
@@ -827,6 +828,83 @@ class CheckpointedKMeans:
             cents = lloyd_step(ds, cents, self.vec_col)
             self._save(i, cents, input_tag, time.perf_counter() - t0)
         return cents
+
+
+class CCRoundCheckpoint:
+    """Per-round label-table persistence for the DISTRIBUTED
+    connected-components path (``connected_components_collapse``): after
+    every min-label round the (node, rep) table is written as parquet under
+    ``{ckpt_dir}/rounds/round-XXXX/`` with a write-last atomically-renamed
+    manifest recording lineage (pair-table fingerprint, partitions), the
+    round's changed-count and row count. A killed collapse resumes from the
+    last valid round instead of round 0 — final labels identical to an
+    uninterrupted run because each round is a deterministic function of
+    (static edge table, previous labels), both re-derived from the same
+    pair table (kill/resume regression-tested). Extends the kmeans-style
+    iterative checkpointing to the pair-graph operator the near-dup
+    pipeline ends with; the LOCAL (single-task union-find) path finishes in
+    one task and never checkpoints.
+    """
+
+    def __init__(self, ckpt_dir: str):
+        self.ckpt_dir = ckpt_dir
+        os.makedirs(os.path.join(ckpt_dir, "rounds"), exist_ok=True)
+
+    def _round_dir(self, i: int) -> str:
+        return os.path.join(self.ckpt_dir, "rounds", f"round-{i:04d}")
+
+    def _manifest_path(self, i: int) -> str:
+        return os.path.join(self.ckpt_dir, "rounds", f"round-{i:04d}.json")
+
+    def _valid(self, i: int, lineage: dict) -> dict | None:
+        """The stored manifest when round ``i`` is valid, else None."""
+        mp, rd = self._manifest_path(i), self._round_dir(i)
+        if not (os.path.exists(mp) and os.path.isdir(rd)):
+            return None
+        with open(mp) as f:
+            m = json.load(f)
+        if any(m.get(k) != v for k, v in lineage.items()):
+            return None
+        try:  # metadata-only row count — no data read
+            import pyarrow.dataset as pads
+
+            rows = pads.dataset(rd, format="parquet").count_rows()
+        except Exception:
+            return None
+        return m if rows == m.get("rows") else None
+
+    def last_valid_round(self, lineage: dict, max_rounds: int) -> dict | None:
+        """Manifest of the highest valid persisted round (None if none)."""
+        for i in range(max_rounds, -1, -1):
+            m = self._valid(i, lineage)
+            if m is not None:
+                return m
+        return None
+
+    def load_round(self, i: int):
+        import ray.data as rd
+
+        return rd.read_parquet(self._round_dir(i)).materialize()
+
+    def save_round(self, i: int, labels_ds, lineage: dict, changed: int,
+                   wall: float) -> None:
+        """Persist a MATERIALIZED label dataset as this round's table."""
+        final = self._round_dir(i)
+        tmp = final + f".tmp-{os.getpid()}"
+        labels_ds.map_batches(
+            lambda b: b.select(["node", "rep"]), batch_format="pyarrow"
+        ).write_parquet(tmp)
+        if os.path.isdir(final):  # stale partial from a killed run
+            import shutil
+
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        mtmp = self._manifest_path(i) + f".tmp-{os.getpid()}"
+        with open(mtmp, "w") as f:
+            json.dump({**lineage, "round": i, "changed": int(changed),
+                       "rows": labels_ds.count(),
+                       "wall_sec": round(wall, 4)}, f)
+        os.replace(mtmp, self._manifest_path(i))
 
 
 def _index_build_partition(input_path: str, out_dir: str, pid: str,

@@ -317,3 +317,38 @@ def test_cli_estimate_gecko_workflow(ray_session, tmp_path, capsys):
     assert names == {"given_name", "gender", "last_name", "age"}
     for c in cfgs:
         assert c["weight"] > 0 and c["average_token_count"] > 0
+
+
+# --- >63-key pairwise_jaccard --------------------------------------------------
+
+
+def test_pairwise_jaccard_beyond_63_keys(ray_session):
+    """The multi-word bitmask path: 80 keys, ground truth via brute force."""
+    import itertools
+
+    import ray.data as rd
+
+    from pprl_ray.stages.setops import pairwise_jaccard
+
+    rng = np.random.default_rng(5)
+    n_keys = 80
+    sets = {f"s{i:02d}": set(rng.choice(200, size=rng.integers(5, 40),
+                                        replace=False).tolist())
+            for i in range(n_keys)}
+    rows_k, rows_e = [], []
+    for key, els in sets.items():
+        for e in els:
+            rows_k.append(key)
+            rows_e.append(int(e))
+    ds = rd.from_arrow(pa.table({
+        "source": pa.array(rows_k), "element": pa.array(rows_e, pa.int64())
+    }))
+    got = pairwise_jaccard(ds, "source", "element", partitions=4)
+    got_map = {(a, b): j for a, b, j in
+               zip(got["key_a"], got["key_b"], got["jaccard"])}
+    names = sorted(sets)
+    assert len(got_map) == n_keys * (n_keys - 1) // 2
+    for a, b in itertools.islice(itertools.combinations(names, 2), 0, None, 37):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        assert got_map[(a, b)] == round(inter / union, 6), (a, b)

@@ -57,7 +57,9 @@ def test_pairwise_jaccard_exact(ray_session):
     assert got[("B", "C")] == 0.0
 
 
-def test_pairwise_jaccard_rejects_too_many_keys(ray_session):
+def test_pairwise_jaccard_beyond_63_keys_disjoint(ray_session):
+    """70 disjoint singleton sets exercise the multi-word bitmask path:
+    every pairwise Jaccard is exactly 0."""
     import ray.data as rd
 
     from pprl_ray.stages.setops import pairwise_jaccard
@@ -70,8 +72,9 @@ def test_pairwise_jaccard_rejects_too_many_keys(ray_session):
             }
         )
     )
-    with pytest.raises(NotImplementedError, match="63"):
-        pairwise_jaccard(ds, "k", "e")
+    out = pairwise_jaccard(ds, "k", "e")
+    assert len(out["jaccard"]) == 70 * 69 // 2
+    assert all(j == 0.0 for j in out["jaccard"])
 
 
 def test_running_aggregate_matches_pandas_reference(ray_session):
