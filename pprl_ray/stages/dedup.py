@@ -924,8 +924,19 @@ def connected_components_collapse(
     ONE partitioned-vectorized min/max reduce (hash(node) % partitions ->
     a single pandas groupby per partition group — native aggregates would
     pay ~0.3 ms of Python per DISTINCT node). Nothing materializes on the
-    driver; per-round cost is O(edges + nodes) shuffled bytes."""
+    driver; per-round cost is O(edges + nodes) shuffled bytes.
+
+    ``checkpoint_dir``: persist the label table after every distributed
+    round (``state.checkpoint.CCRoundCheckpoint``); a killed collapse
+    re-run with the same pair table and checkpoint_dir resumes from the
+    last completed round instead of round 0. Lineage is an
+    order/partitioning-invariant fingerprint of the pair table (xor of
+    64-bit row hashes + row count + partitions), so a changed input
+    invalidates stale rounds. The local path finishes in one task and
+    ignores ``checkpoint_dir``."""
     global last_cc_rounds
+    import time as _time
+
     import pyarrow.compute as pc
 
     from .partitioning import auto_partitions
@@ -942,6 +953,33 @@ def connected_components_collapse(
 
     if partitions is None:
         partitions = auto_partitions(pairs_compact)
+
+    ckpt, lineage, resume_manifest = None, None, None
+    if checkpoint_dir is not None:
+        from ..state.checkpoint import CCRoundCheckpoint
+
+        def _fp_block(batch: pa.Table) -> pa.Table:
+            import polars as pl
+
+            h = pl.from_arrow(
+                pa.table(
+                    {
+                        "a": batch["id_a"].combine_chunks(),
+                        "b": batch["id_b"].combine_chunks(),
+                    }
+                )
+            ).hash_rows(seed=31).to_numpy()
+            x = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
+            return pa.table(
+                {"fp": pa.array([int(np.uint64(x)) & ((1 << 63) - 1)], pa.int64())}
+            )
+
+        fp = 0
+        for r in pairs_compact.map_batches(_fp_block, batch_format="pyarrow").take_all():
+            fp ^= r["fp"]
+        lineage = {"pairs_fp": fp, "n_pairs": n_pairs, "partitions": partitions}
+        ckpt = CCRoundCheckpoint(checkpoint_dir)
+        resume_manifest = ckpt.last_valid_round(lineage, max_rounds)
 
     from .partitioning import compact_blocks as _compact
 
@@ -967,15 +1005,33 @@ def connected_components_collapse(
         g["rep"] = np.minimum(g["peer"], g["node"])
         return g[["node", "rep"]]
 
-    labels = _compact(
-        edges.map_batches(
-            lambda b: b.append_column("part", _bucket_of(b["node"], partitions)),
+    def _final(lbl_ds):
+        return lbl_ds.map_batches(
+            lambda b: pa.table({"doc_id": b["node"], "rep_id": b["rep"]}),
             batch_format="pyarrow",
         )
-        .groupby("part")
-        .map_groups(_init_min, batch_format="pandas")
-        .materialize()
-    )
+
+    if resume_manifest is not None:
+        labels = _compact(ckpt.load_round(resume_manifest["round"]))
+        if resume_manifest.get("changed") == 0:
+            last_cc_rounds = 0  # already converged — nothing executed here
+            return _final(labels)
+        start_round = resume_manifest["round"] + 1
+    else:
+        t0 = _time.perf_counter()
+        labels = _compact(
+            edges.map_batches(
+                lambda b: b.append_column("part", _bucket_of(b["node"], partitions)),
+                batch_format="pyarrow",
+            )
+            .groupby("part")
+            .map_groups(_init_min, batch_format="pandas")
+            .materialize()
+        )
+        if ckpt is not None:
+            ckpt.save_round(0, labels, lineage, changed=-1,
+                            wall=_time.perf_counter() - t0)
+        start_round = 1
 
     def _requests(batch: pa.Table) -> pa.Table:
         # lookup requests: key -> deliver label(key) to tgt.
@@ -1011,7 +1067,8 @@ def connected_components_collapse(
         return pa.table({"node": j["tgt"], "cand": j["val"]})
 
     last_cc_rounds = 0
-    for _ in range(max_rounds):
+    for rnd in range(start_round, max_rounds + 1):
+        t0 = _time.perf_counter()
         lookups = (
             edges.map_batches(_requests, batch_format="pyarrow")
             .union(labels.map_batches(_requests, batch_format="pyarrow"))
@@ -1064,11 +1121,12 @@ def connected_components_collapse(
         ).sum("c")
         labels = new_labels
         last_cc_rounds += 1
+        if ckpt is not None:
+            ckpt.save_round(rnd, labels, lineage, changed=int(changed),
+                            wall=_time.perf_counter() - t0)
         if not changed:
             break
-    return labels.map_batches(
-        lambda b: pa.table({"doc_id": b["node"], "rep_id": b["rep"]}), batch_format="pyarrow"
-    )
+    return _final(labels)
 
 
 # --- train/eval decontamination ---------------------------------------------
@@ -1185,7 +1243,8 @@ def contamination_pairs(train_ds, eval_ds, text_col: str = "text",
 def near_dedup_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
                       threshold: float = 0.8, persist: str = "memory",
                       partitions: int | None = None,
-                      loser_broadcast_max: int = 5_000_000, **kwargs):
+                      loser_broadcast_max: int = 5_000_000,
+                      cc_checkpoint_dir: str | None = None, **kwargs):
     """The full near-duplicate REMOVAL pipeline in one call: MinHash+LSH
     candidates -> exact Jaccard verification (:func:`minhash_dedup_pairs`)
     -> connected-component collapse (:func:`connected_components_collapse`)
@@ -1208,7 +1267,8 @@ def near_dedup_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
         partitions = auto_partitions(ds)
     pairs = minhash_dedup_pairs(ds, text_col, id_col, threshold,
                                 persist=persist, **kwargs)
-    labels = connected_components_collapse(pairs, partitions=partitions)
+    labels = connected_components_collapse(pairs, partitions=partitions,
+                                           checkpoint_dir=cc_checkpoint_dir)
     losers = labels.map_batches(
         lambda b: pa.table(
             {id_col: b["doc_id"].filter(pc.not_equal(b["doc_id"], b["rep_id"]))}

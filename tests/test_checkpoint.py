@@ -415,3 +415,59 @@ def test_checkpointed_index_build_resume_and_invalidation(ray_session, tmp_path)
     r3 = ck.run(frags)
     assert r3["built"] == 1 and r3["skipped"] == 2
     assert len(ck.completed_partitions(frags)) == 3
+
+
+def test_cc_round_checkpoint_resume_identical(ray_session, tmp_path):
+    """Distributed connected-components: kill after round 1, resume from
+    the persisted round (not round 0), final labels identical to an
+    uninterrupted run; stale lineage never pollutes a changed input."""
+    import numpy as np
+    import ray.data as rd
+
+    from pprl_ray.stages import dedup as dd
+    from pprl_ray.stages.dedup import connected_components_collapse
+
+    # chain graph (0-1, 1-2, ..., 39-40) needs several min-label rounds
+    n = 40
+    a = np.arange(n, dtype=np.int64)
+    pairs_tbl = pa.table({"id_a": pa.array(a), "id_b": pa.array(a + 1)})
+
+    def _mk():
+        return rd.from_arrow(pairs_tbl)
+
+    def _sorted(ds):
+        return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    full = _sorted(connected_components_collapse(_mk(), local_threshold=0, partitions=4))
+    full_rounds = dd.last_cc_rounds
+    assert full_rounds > 2  # the chain actually exercises multiple rounds
+    assert (full["rep_id"] == 0).all()
+
+    ck = str(tmp_path / "cc_ckpt")
+    # "killed" run: only one distributed round executes, rounds 0-1 persist
+    connected_components_collapse(_mk(), local_threshold=0, partitions=4,
+                                  max_rounds=1, checkpoint_dir=ck)
+    manifests = sorted(glob.glob(os.path.join(ck, "rounds", "*.json")))
+    assert [os.path.basename(m) for m in manifests] == [
+        "round-0000.json", "round-0001.json"]
+
+    resumed = _sorted(connected_components_collapse(
+        _mk(), local_threshold=0, partitions=4, checkpoint_dir=ck))
+    assert dd.last_cc_rounds == full_rounds - 1  # round 1 was NOT re-run
+    assert resumed.equals(full)
+
+    # resuming a CONVERGED checkpoint executes zero rounds
+    again = _sorted(connected_components_collapse(
+        _mk(), local_threshold=0, partitions=4, checkpoint_dir=ck))
+    assert dd.last_cc_rounds == 0
+    assert again.equals(full)
+    with open(sorted(glob.glob(os.path.join(ck, "rounds", "*.json")))[-1]) as f:
+        m = json.load(f)
+    assert m["changed"] == 0 and {"pairs_fp", "n_pairs", "wall_sec"} <= set(m)
+
+    # a different pair table with the same checkpoint dir must NOT resume
+    other = pa.table({"id_a": pa.array(a + 500), "id_b": pa.array(a + 501)})
+    fresh = _sorted(connected_components_collapse(
+        rd.from_arrow(other), local_threshold=0, partitions=4, checkpoint_dir=ck))
+    assert dd.last_cc_rounds > 0
+    assert (fresh["rep_id"] == 500).all()
