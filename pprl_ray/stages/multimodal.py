@@ -195,10 +195,12 @@ def synth_media_batch(batch: pa.Table, payload_bytes: int = 4096, media_type: st
     )
 
 
-def _require(backend: str, lib: str):
+def _require(backend: str, lib: str, codec: str = "fake"):
     raise NotImplementedError(
         f"backend `{backend}` needs `{lib}`, which is not installed in this "
-        f"environment; use backend='fake' (deterministic stub) or install {lib}"
+        f"environment; use the dependency-free backend='{codec}' numpy codec "
+        f"(real container parsing) or backend='fake' (deterministic stub), "
+        f"or install {lib}"
     )
 
 
@@ -219,7 +221,7 @@ class ImageDecodeStage:
             try:
                 from PIL import Image  # noqa: F401
             except ImportError:
-                _require("pil", "Pillow")
+                _require("pil", "Pillow", codec="bmp")
         elif backend not in ("fake", "bmp"):
             raise ValueError(f"unknown backend `{backend}`")
         self.backend = backend
@@ -272,7 +274,7 @@ class AudioFeatureStage:
             try:
                 import soundfile  # noqa: F401
             except ImportError:
-                _require("soundfile", "soundfile")
+                _require("soundfile", "soundfile", codec="wav")
         elif backend not in ("fake", "wav"):
             raise ValueError(f"unknown backend `{backend}`")
         self.backend = backend
@@ -323,9 +325,9 @@ class FrameSampleStage:
             try:
                 import av  # noqa: F401
             except ImportError:
-                _require("av", "PyAV")
+                _require("av", "PyAV", codec="y4m")
         elif backend not in ("fake", "y4m"):
-            _require(backend, "a video codec library")
+            _require(backend, "a video codec library", codec="y4m")
         self.backend = backend
 
     def __call__(self, batch: pa.Table) -> pa.Table:

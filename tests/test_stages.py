@@ -319,10 +319,28 @@ def test_multimodal_plumbing():
     assert (frames["frame_idx"] % 4 == 0).all()
     assert frames.groupby("media_id").size().iloc[0] == 4  # 4096/256/4
 
-    with pytest.raises(NotImplementedError, match="not installed"):
-        ImageDecodeStage(backend="pil") if not _has_pil() else (_ for _ in ()).throw(
-            NotImplementedError("not installed")
-        )
+
+def test_gated_media_backends_steer_to_numpy_codecs():
+    """Contract: each compressed-format backend gate names BOTH escape
+    hatches — the dependency-free numpy codec for that modality and the
+    'fake' stub — so a user hitting the gate knows the working path."""
+    import importlib.util
+
+    from pprl_ray.stages.multimodal import FrameSampleStage
+
+    for cls, backend, codec, lib in (
+        (ImageDecodeStage, "pil", "bmp", "PIL"),
+        (AudioFeatureStage, "soundfile", "wav", "soundfile"),
+        (FrameSampleStage, "av", "y4m", "av"),
+    ):
+        if importlib.util.find_spec(lib) is not None:
+            continue  # library installed — this gate is inactive
+        with pytest.raises(NotImplementedError) as ei:
+            cls(backend=backend)
+        msg = str(ei.value)
+        assert "not installed" in msg
+        assert f"backend='{codec}'" in msg, msg
+        assert "backend='fake'" in msg, msg
 
 
 def _has_pil():
