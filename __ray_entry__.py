@@ -2517,6 +2517,49 @@ def q_source_jaccard(sf_dir: str):
     return df.rename(columns={"key_a": "source_a", "key_b": "source_b"})
 
 
+def q_source_jaccard_wide(sf_dir: str):
+    """>63-key exact pairwise Jaccard — drives the multi-word bitmask path
+    of stages/setops.py (80 keys > one int64's 63 usable bits): 80
+    doc_id-derived buckets play the role of sources, overlap measured over
+    their word sets. Same scale shape as source_jaccard: only distinct
+    (bucket, token) rows shuffle; the driver sees one row per distinct
+    bucket-set PATTERN per partition."""
+    from pprl_ray.stages.partitioning import auto_partitions
+    from pprl_ray.stages.setops import pairwise_jaccard
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    partitions = auto_partitions(docs)
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame(
+            {
+                "bucket": pl.from_arrow(batch["doc_id"].combine_chunks()) % 80,
+                "token": pl.from_arrow(batch["text"].combine_chunks()).str.split(" "),
+            }
+        )
+        out = df.explode("token").unique()
+        h = out["token"].hash(seed=43).to_numpy()
+        return out.with_columns(
+            pl.Series("part", (h % np.uint64(partitions)).astype(np.int32))
+        ).to_arrow()
+
+    # pairwise_jaccard needs GLOBALLY distinct (key, element) rows (its
+    # groupby-sum relies on sum == or); batch-local unique() above shrinks
+    # the shuffle, this pass finishes the dedup per token partition
+    def _dedup(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(["bucket", "token"])[["bucket", "token"]]
+
+    distinct = (
+        docs.map_batches(_pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_dedup, batch_format="pandas")
+    )
+    df = pairwise_jaccard(distinct, "bucket", "token", partitions=partitions)
+    return df.rename(columns={"key_a": "bucket_a", "key_b": "bucket_b"})
+
+
 def q_hash_sample(sf_dir: str):
     """Deterministic content-hash sampling (the reproducible train/eval
     split primitive): keep docs where md5(doc_id) lands in a 10% bucket —
@@ -2741,8 +2784,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_term": q_tfidf_top_term,
         "incremental_dedup": q_incremental_dedup,
         "bloom_semi_join": q_bloom_semi_join,
-        "semantic_dedup": q_semantic_dedup,
+        "source_jaccard_wide": q_source_jaccard_wide,
         # --- tail: hash-green in CORRECTNESS_r03 ---
+        "semantic_dedup": q_semantic_dedup,
         "running_totals": q_running_totals,
         "hopping_windows": q_hopping_windows,
         "token_postings": q_token_postings,
@@ -3537,6 +3581,23 @@ def oracle_sql() -> dict[str, str]:
                          (x.n + y.n - COALESCE(inter, 0)), 6) AS jaccard
             FROM sizes x JOIN sizes y ON x.source < y.source
             LEFT JOIN pairs ON sa = x.source AND sb = y.source
+        """,
+        "source_jaccard_wide": """
+            WITH st AS (
+                SELECT DISTINCT doc_id % 80 AS bucket, w AS token
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+            ), pairs AS (
+                SELECT a.bucket AS sa, b.bucket AS sb, count(*) AS inter
+                FROM st a JOIN st b USING (token)
+                WHERE a.bucket < b.bucket GROUP BY a.bucket, b.bucket
+            ), sizes AS (
+                SELECT bucket, count(*) AS n FROM st GROUP BY bucket
+            )
+            SELECT x.bucket AS bucket_a, y.bucket AS bucket_b,
+                   round(COALESCE(inter, 0) * 1.0 /
+                         (x.n + y.n - COALESCE(inter, 0)), 6) AS jaccard
+            FROM sizes x JOIN sizes y ON x.bucket < y.bucket
+            LEFT JOIN pairs ON sa = x.bucket AND sb = y.bucket
         """,
         "hash_sample": """
             SELECT doc_id, source FROM documents
