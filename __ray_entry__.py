@@ -1929,6 +1929,45 @@ def q_knn_ivf_pruned(sf_dir: str):
         shutil.rmtree(index_dir, ignore_errors=True)
 
 
+def q_knn_ivfpq(sf_dir: str):
+    """IVF-PQ ANN (Jégou et al. 2011): the billion-scale index layout —
+    bucket-partitioned Parquet holding m-byte PQ codes instead of 4*d-byte
+    vectors (16x compression at d=64), queried by reading only probed
+    bucket directories and scoring via broadcast ADC lookup tables
+    (stages/ann.py). Approximate by construction (quantized residuals), so
+    no SQL oracle — recall vs brute force, score error, and build/search
+    determinism are pytest-gated (tests/test_stages.py)."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from pprl_ray.stages.ann import knn_ivfpq, write_ivfpq_index
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qtbl = tbl.filter(pc.less(tbl["vec_id"], 3))
+    qids = qtbl["vec_id"].to_pylist()
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qtbl["embedding"].to_pylist()])
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    index_dir = tempfile.mkdtemp(prefix="ivfpq_index_", dir="/tmp")
+    try:
+        write_ivfpq_index(ds, index_dir, n_centroids=8, m=16, n_codes=256)
+        out = knn_ivfpq(index_dir, qids, qmat, k=5, nprobe=4).map_batches(
+            lambda b: pa.table(
+                {
+                    "query_id": pc.cast(b["query_id"], pa.int64()),
+                    "neighbor_id": pc.cast(b["neighbor_id"], pa.int64()),
+                    "score": pc.round(pc.cast(b["score"], pa.float64()), ndigits=4),
+                    "rank": pc.cast(b["rank"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        return out.to_pandas()
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based session windows per user over the event stream (30-minute
     inactivity gap), stages/window.py — the stateful streaming-window
@@ -2783,9 +2822,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "tfidf_top_term": q_tfidf_top_term,
         "incremental_dedup": q_incremental_dedup,
-        "bloom_semi_join": q_bloom_semi_join,
+        "knn_ivfpq": q_knn_ivfpq,
         "source_jaccard_wide": q_source_jaccard_wide,
         # --- tail: hash-green in CORRECTNESS_r03 ---
+        "bloom_semi_join": q_bloom_semi_join,
         "semantic_dedup": q_semantic_dedup,
         "running_totals": q_running_totals,
         "hopping_windows": q_hopping_windows,

@@ -1232,3 +1232,59 @@ def test_global_running_sum_and_token_pack_exact():
     # every bin except possibly the last crosses the budget with its last row
     last_per_bin = packed.groupby("bin_id")["running_sum"].max()
     assert (last_per_bin.iloc[:-1].to_numpy() >= 100 * (last_per_bin.index[:-1] + 1)).all()
+
+
+def test_ivfpq_index_recall_and_determinism(sf_dir, tmp_path):
+    """IVF-PQ: index build compresses to m bytes/vector, probed-bucket ADC
+    search recalls most of the exact top-k, ADC scores approximate true
+    cosines, and two builds/searches are byte-identical."""
+    from pprl_ray.stages.ann import knn_brute, knn_ivfpq, write_ivfpq_index
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    pdf = emb.to_pandas()
+    mat = np.stack(pdf["embedding"].to_numpy())
+    qids = pdf["vec_id"].tolist()[:5]
+    qmat = mat[:5]
+
+    idx = str(tmp_path / "ivfpq")
+    cents, books = write_ivfpq_index(emb, idx, n_centroids=8, m=16,
+                                     n_codes=256, sample_size=512)
+    assert books.shape == (16, 256, mat.shape[1] // 16)
+
+    # the index holds m-byte codes, not 4*d-byte vectors
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    some = _pq.read_table(_glob.glob(f"{idx}/bucket=*/**.parquet")[0])
+    assert some["codes"].type == pa.binary(16)
+    assert "embedding" not in some.column_names
+
+    exact = knn_brute(emb, qids, qmat, k=5).to_pandas()
+    approx = knn_ivfpq(idx, qids, qmat, k=5, nprobe=8).to_pandas()
+    recalls = []
+    for qid in qids:
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6, recalls
+
+    # ADC scores approximate the true cosine of the same pairs
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    byid = dict(zip(pdf["vec_id"], range(len(pdf))))
+    errs = [
+        abs(r.score - float(norm[byid[r.query_id]] @ norm[byid[r.neighbor_id]]))
+        for r in approx.itertuples()
+    ]
+    assert np.mean(errs) < 0.15, np.mean(errs)
+
+    # determinism: a second build + search reproduces byte-identical output
+    idx2 = str(tmp_path / "ivfpq2")
+    cents2, books2 = write_ivfpq_index(emb, idx2, n_centroids=8, m=16,
+                                       n_codes=256, sample_size=512)
+    assert np.array_equal(cents, cents2) and np.array_equal(books, books2)
+    approx2 = knn_ivfpq(idx2, qids, qmat, k=5, nprobe=8).to_pandas()
+    a1 = approx.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    a2 = approx2.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a1.equals(a2)
