@@ -1968,6 +1968,31 @@ def q_knn_ivfpq(sf_dir: str):
         shutil.rmtree(index_dir, ignore_errors=True)
 
 
+def q_lm_perplexity(sf_dir: str):
+    """CCNet-style LM quality scoring (stages/lm.py): train a stupid-backoff
+    bigram model over the corpus (one pre-aggregated counting shuffle),
+    broadcast it once (worker-assembled, CCNet's load-the-LM-per-worker
+    shape), and score every doc's perplexity in a streaming actor-pool
+    pass. Self-scored here so the DuckDB oracle replicates the exact
+    count tables and float64 arithmetic."""
+    from pprl_ray.stages.lm import score_perplexity, train_bigram_lm
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    uni, bi, total = train_bigram_lm(docs)
+    out = score_perplexity(docs, uni, bi, total)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tokens": b["n_tokens"],
+                "avg_logp": pc.round(b["avg_logp"], ndigits=4),
+                "perplexity": pc.round(b["perplexity"], ndigits=4),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based session windows per user over the event stream (30-minute
     inactivity gap), stages/window.py — the stateful streaming-window
@@ -2870,6 +2895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "knn_ivf_pruned": q_knn_ivf_pruned,
         "embedding_near_dup": q_embedding_near_dup,
+        "lm_perplexity": q_lm_perplexity,
     }
 
 
@@ -3621,6 +3647,35 @@ def oracle_sql() -> dict[str, str]:
                          (x.n + y.n - COALESCE(inter, 0)), 6) AS jaccard
             FROM sizes x JOIN sizes y ON x.source < y.source
             LEFT JOIN pairs ON sa = x.source AND sb = y.source
+        """,
+        "lm_perplexity": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM documents
+            ),
+            uni AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+            tot AS (SELECT count(*) AS t FROM toks),
+            bi AS (
+                SELECT a.w AS w1, b.w AS w2, count(*) AS c
+                FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                GROUP BY a.w, b.w
+            ),
+            scored AS (
+                SELECT t.doc_id,
+                       CASE WHEN t.pos = 1 THEN ln(u.c * 1.0 / tot.t)
+                            WHEN bi.c IS NOT NULL THEN ln(bi.c * 1.0 / up.c)
+                            ELSE ln(0.4 * u.c / tot.t) END AS lp
+                FROM toks t
+                JOIN uni u ON u.w = t.w
+                LEFT JOIN toks p ON p.doc_id = t.doc_id AND p.pos = t.pos - 1
+                LEFT JOIN uni up ON up.w = p.w
+                LEFT JOIN bi ON bi.w1 = p.w AND bi.w2 = t.w
+                CROSS JOIN tot
+            )
+            SELECT doc_id, count(*) AS n_tokens, round(avg(lp), 4) AS avg_logp,
+                   round(exp(-avg(lp)), 4) AS perplexity
+            FROM scored GROUP BY doc_id
         """,
         "source_jaccard_wide": """
             WITH st AS (

@@ -1,0 +1,250 @@
+"""Statistical language-model quality scoring (the CCNet recipe shape).
+
+Web-scale pipelines score every document's perplexity under a small LM
+trained on a trusted reference corpus and keep/bucket docs by that score
+(Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual Datasets
+from Web Crawl Data" — there a pruned KenLM 5-gram; here a bigram model
+with stupid backoff, Brants et al. 2007, which keeps the model exactly
+replicable in SQL for the correctness oracle).
+
+Scale shape (mirrors CCNet's production layout):
+
+- **Training** streams the reference corpus once: per-batch vectorized
+  token/bigram counting (numpy shift within doc boundaries — no Python
+  loop over words), pre-aggregated inside ``map_batches`` so only
+  (token, partial-count) rows — deduplicated per batch — enter the ONE
+  partitioned shuffle; a per-partition pandas groupby-sum finishes the
+  counts (Ray-native aggregates would pay ~0.3 ms of Python per DISTINCT
+  token).
+- **The model is a broadcast artifact, not a join side** — exactly how
+  CCNet ships its KenLM file to every worker. ``min_count`` pruning
+  bounds its size (hapax bigrams are most of an open-vocab count table);
+  the broadcast table is assembled in a WORKER from the count datasets'
+  object-store blocks (``to_arrow_refs`` + remote concat), the driver
+  never holds a copy.
+- **Scoring** is embarrassingly parallel: one ``map_batches`` pass, each
+  batch doing three vectorized pandas merges (bigram, previous-token
+  unigram, token unigram) against the local zero-copy model table.
+
+Token probability (stupid backoff, alpha = 0.4):
+
+- first token of a doc:       P = cnt(w) / total
+- seen bigram (prev, w):      P = cnt(prev, w) / cnt(prev)
+- else:                       P = alpha * max(cnt(w), 1) / total
+
+Perplexity = exp(-mean log P). All arithmetic in float64 with a fixed
+operation order, so the DuckDB oracle reproduces it bit-for-bit before
+rounding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["train_bigram_lm", "score_perplexity", "ALPHA"]
+
+ALPHA = 0.4  # stupid-backoff discount (Brants et al. 2007)
+
+
+def _doc_tokens(batch: pa.Table, text_col: str):
+    """Flat token array + per-doc lengths for a batch (one polars split)."""
+    import polars as pl
+
+    words = pl.from_arrow(batch[text_col].combine_chunks()).str.split(" ")
+    lens = words.list.len().to_numpy().astype(np.int64)
+    flat = words.explode().to_numpy().astype(object)
+    return flat, lens
+
+
+def train_bigram_lm(ds, text_col: str = "text", partitions: int | None = None,
+                    min_count: int = 1):
+    """Count unigrams and bigrams over a reference corpus.
+
+    Returns ``(uni_ds, bi_ds, total_tokens)``: Datasets of
+    ``(token, cnt)`` / ``(w1, w2, cnt)`` plus the corpus token count.
+    ``min_count`` prunes rare BIGRAMS after the global sum (pruning
+    unigrams would break the backoff denominator) — the knob that bounds
+    the broadcast model size, as in CCNet's pruned LM artifacts.
+    """
+    from .partitioning import auto_partitions
+
+    if partitions is None:
+        partitions = auto_partitions(ds)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        flat, lens = _doc_tokens(batch, text_col)
+        # bigram mask: positions that are NOT the first token of a doc
+        starts = np.zeros(len(flat), bool)
+        starts[np.cumsum(lens)[:-1]] = True
+        if len(flat):
+            starts[0] = True
+        w1 = flat[:-1][~starts[1:]] if len(flat) > 1 else flat[:0]
+        w2 = flat[1:][~starts[1:]] if len(flat) > 1 else flat[:0]
+        uni = (
+            pl.DataFrame({"token": pl.Series(flat, dtype=pl.Utf8)})
+            .group_by("token").len(name="cnt")
+        )
+        bi = (
+            pl.DataFrame({"w1": pl.Series(w1, dtype=pl.Utf8),
+                          "w2": pl.Series(w2, dtype=pl.Utf8)})
+            .group_by(["w1", "w2"]).len(name="cnt")
+        )
+        hu = uni["token"].hash(seed=47).to_numpy()
+        hb = bi["w1"].hash(seed=47).to_numpy()
+        uni = uni.with_columns(
+            pl.Series("part", (hu % np.uint64(partitions)).astype(np.int32)),
+            pl.lit(None, dtype=pl.Utf8).alias("w2"),
+            pl.Series("kind", np.zeros(len(uni), np.int8)),
+        ).rename({"token": "w1"})
+        bi = bi.with_columns(
+            pl.Series("part", (hb % np.uint64(partitions)).astype(np.int32)),
+            pl.Series("kind", np.ones(len(bi), np.int8)),
+        )
+        cols = ["w1", "w2", "cnt", "part", "kind"]
+        return pa.concat_tables([uni.select(cols).to_arrow(),
+                                 bi.select(cols).to_arrow()])
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+
+    def _sum(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby(["kind", "w1", "w2"], dropna=False,
+                            as_index=False)["cnt"].sum()
+        return out[["kind", "w1", "w2", "cnt"]]
+
+    counts = partials.groupby("part").map_groups(_sum, batch_format="pandas")
+    counts = counts.materialize()
+
+    import pyarrow.compute as pc
+
+    uni_ds = counts.map_batches(
+        lambda b: b.filter(pc.equal(b["kind"], 0)).select(["w1", "cnt"]).rename_columns(
+            ["token", "cnt"]
+        ),
+        batch_format="pyarrow",
+    )
+    bi_ds = counts.map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.equal(b["kind"], 1), pc.greater_equal(b["cnt"], min_count))
+        ).select(["w1", "w2", "cnt"]),
+        batch_format="pyarrow",
+    )
+    total = counts.map_batches(
+        lambda b: pa.table(
+            {"t": pa.array([pc.sum(b.filter(pc.equal(b["kind"], 0))["cnt"]).as_py() or 0],
+                           pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).sum("t")
+    return uni_ds.materialize(), bi_ds.materialize(), int(total)
+
+
+def _broadcast_tables(*datasets):
+    """One object-store ref per dataset, each table concatenated in a
+    WORKER from the dataset's blocks (same pattern as broadcast_join)."""
+    import ray
+
+    def _assemble(schema, *tables):
+        ts = [t for t in tables if t.num_rows > 0]
+        return pa.concat_tables(ts).combine_chunks() if ts else schema.empty_table()
+
+    refs = []
+    for d in datasets:
+        blocks = d.to_arrow_refs()
+        schema = d.schema().base_schema
+        refs.append(ray.remote(num_cpus=1)(_assemble).remote(schema, *blocks))
+    return refs
+
+
+class _PerplexityStage:
+    """Per-batch stupid-backoff scoring against the local model tables
+    (zero-copy object-store reads; three vectorized pandas merges)."""
+
+    def __init__(self, uni_ref, bi_ref, total: int, text_col: str, id_col: str):
+        self.uni_ref = uni_ref
+        self.bi_ref = bi_ref
+        self.total = float(total)
+        self.text_col = text_col
+        self.id_col = id_col
+        self._model = None  # lazy per-actor pandas views of the broadcast
+
+    def _tables(self):
+        if self._model is None:
+            import ray
+
+            uni, bi = ray.get(self.uni_ref), ray.get(self.bi_ref)
+            udf = uni.to_pandas()
+            bdf = bi.to_pandas()
+            self._model = (
+                dict(zip(udf["token"], udf["cnt"].astype(np.float64))),
+                bdf.set_index(["w1", "w2"])["cnt"].astype(np.float64),
+            )
+        return self._model
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        uni_map, bi_ser = self._tables()
+        flat, lens = _doc_tokens(batch, self.text_col)
+        n = len(flat)
+        starts = np.zeros(n, bool)
+        if n:
+            starts[0] = True
+            starts[np.cumsum(lens)[:-1]] = True
+        tok = pd.Series(flat, dtype=object)
+        cw = tok.map(uni_map).to_numpy(np.float64, na_value=np.nan)
+        prev = np.roll(flat, 1)
+        cprev = pd.Series(prev, dtype=object).map(uni_map).to_numpy(
+            np.float64, na_value=np.nan
+        )
+        key = pd.MultiIndex.from_arrays([prev, flat])
+        cbi = bi_ser.reindex(key).to_numpy(np.float64, na_value=np.nan)
+        cbi[starts] = np.nan  # no bigram across doc boundaries
+
+        # fixed operation order (matches the SQL oracle exactly):
+        #   start:        ln(cw / total)
+        #   seen bigram:  ln(cbi / cprev)
+        #   backoff:      ln(ALPHA * max(cw, 1) / total)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lp = np.where(
+                starts,
+                np.log(np.nan_to_num(cw, nan=1.0) / self.total),
+                np.where(
+                    ~np.isnan(cbi),
+                    np.log(cbi / cprev),
+                    np.log(ALPHA * np.fmax(np.nan_to_num(cw, nan=1.0), 1.0) / self.total),
+                ),
+            )
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        sums = np.zeros(len(lens), np.float64)
+        np.add.at(sums, doc_idx, lp)
+        safe_lens = np.maximum(lens, 1)
+        avg = sums / safe_lens
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "n_tokens": pa.array(lens, pa.int64()),
+                "avg_logp": pa.array(avg, pa.float64()),
+                "perplexity": pa.array(np.exp(-avg), pa.float64()),
+            }
+        )
+
+
+def score_perplexity(ds, uni_ds, bi_ds, total_tokens: int, text_col: str = "text",
+                     id_col: str = "doc_id", **map_kwargs):
+    """Score every doc's stupid-backoff bigram perplexity under a trained
+    model (:func:`train_bigram_lm`). The model broadcasts once and is
+    decoded to lookup structures ONCE PER ACTOR (actor-pool stage, like
+    CCNet loading its KenLM per worker); the corpus streams. Returns
+    (id, n_tokens, avg_logp, perplexity)."""
+    uni_ref, bi_ref = _broadcast_tables(uni_ds, bi_ds)
+    map_kwargs.setdefault("concurrency", (1, 8))
+    return ds.map_batches(
+        _PerplexityStage,
+        fn_constructor_kwargs=dict(uni_ref=uni_ref, bi_ref=bi_ref,
+                                   total=total_tokens, text_col=text_col,
+                                   id_col=id_col),
+        batch_format="pyarrow",
+        **map_kwargs,
+    )

@@ -352,3 +352,68 @@ def test_pairwise_jaccard_beyond_63_keys(ray_session):
         inter = len(sets[a] & sets[b])
         union = len(sets[a] | sets[b])
         assert got_map[(a, b)] == round(inter / union, 6), (a, b)
+
+
+# --- bigram LM perplexity ------------------------------------------------------
+
+
+def test_lm_perplexity_matches_reference(ray_session):
+    """Distributed train + score equals a sequential python stupid-backoff
+    reference; partition count does not change the model; min_count pruning
+    reroutes pruned bigrams through the backoff branch."""
+    import math
+    from collections import Counter
+
+    import ray.data as rd
+
+    from pprl_ray.stages.lm import ALPHA, score_perplexity, train_bigram_lm
+
+    docs = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "a cat and a dog and a bird",
+        "one two three four five",
+        "the cat sat on the mat again",
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs),
+    }))
+
+    unic, bic = Counter(), Counter()
+    for d in docs:
+        ws = d.split(" ")
+        unic.update(ws)
+        bic.update(zip(ws, ws[1:]))
+    total_ref = sum(unic.values())
+
+    def _ref_avg(d, bi_counts):
+        ws = d.split(" ")
+        lps = []
+        for j, w in enumerate(ws):
+            if j == 0:
+                lps.append(math.log(unic[w] / total_ref))
+            elif (ws[j - 1], w) in bi_counts:
+                lps.append(math.log(bi_counts[(ws[j - 1], w)] / unic[ws[j - 1]]))
+            else:
+                lps.append(math.log(ALPHA * max(unic[w], 1) / total_ref))
+        return sum(lps) / len(lps)
+
+    for parts in (1, 3):
+        uni, bi, total = train_bigram_lm(ds, partitions=parts)
+        assert total == total_ref
+        out = score_perplexity(ds, uni, bi, total).to_pandas().sort_values("doc_id")
+        for i, d in enumerate(docs):
+            want = _ref_avg(d, bic)
+            got = out[out.doc_id == i].iloc[0]
+            assert abs(got.avg_logp - want) < 1e-12, (parts, i)
+            assert abs(got.perplexity - math.exp(-want)) < 1e-9
+
+    # min_count=2 prunes singleton bigrams -> pruned pairs take the backoff
+    uni, bi, total = train_bigram_lm(ds, partitions=2, min_count=2)
+    kept = {(r["w1"], r["w2"]): r["cnt"] for r in bi.take_all()}
+    assert kept and all(c >= 2 for c in kept.values())
+    out = score_perplexity(ds, uni, bi, total).to_pandas().sort_values("doc_id")
+    for i, d in enumerate(docs):
+        want = _ref_avg(d, kept)
+        assert abs(out[out.doc_id == i].iloc[0].avg_logp - want) < 1e-12, i
