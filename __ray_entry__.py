@@ -1968,6 +1968,42 @@ def q_knn_ivfpq(sf_dir: str):
         shutil.rmtree(index_dir, ignore_errors=True)
 
 
+def q_repetition(sf_dir: str):
+    """Gopher-style within-doc repetition signals (stages/text.py
+    repetition_batch): duplicate-word ratio, top-word share, top-bigram
+    share — embarrassingly parallel, one flatten + two C-level groupbys
+    per batch."""
+    from pprl_ray.stages.text import repetition_batch
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    out = docs.map_batches(repetition_batch, batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_words": b["n_words"],
+                "dup_word_ratio": pc.round(b["dup_word_ratio"], ndigits=6),
+                "top_word_frac": pc.round(b["top_word_frac"], ndigits=6),
+                "top_bigram_frac": pc.round(b["top_bigram_frac"], ndigits=6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_latest_event(sf_dir: str):
+    """Changelog -> current-state compaction (stages/window.py
+    latest_by_key): each user's latest event by (ts, event_id) — per-batch
+    combiner first, then ONE slim hash(key) shuffle."""
+    from pprl_ray.stages.window import latest_by_key
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    return latest_by_key(ev, "user_id", ["ts", "event_id"])
+
+
 def q_lm_perplexity(sf_dir: str):
     """CCNet-style LM quality scoring (stages/lm.py): train a stupid-backoff
     bigram model over the corpus (one pre-aggregated counting shuffle),
@@ -2896,6 +2932,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_pruned": q_knn_ivf_pruned,
         "embedding_near_dup": q_embedding_near_dup,
         "lm_perplexity": q_lm_perplexity,
+        "repetition": q_repetition,
+        "latest_event": q_latest_event,
     }
 
 
@@ -3647,6 +3685,38 @@ def oracle_sql() -> dict[str, str]:
                          (x.n + y.n - COALESCE(inter, 0)), 6) AS jaccard
             FROM sizes x JOIN sizes y ON x.source < y.source
             LEFT JOIN pairs ON sa = x.source AND sb = y.source
+        """,
+        "repetition": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM documents
+            ),
+            wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+            agg AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS d,
+                       max(c) AS topw
+                FROM wc GROUP BY doc_id
+            ),
+            big AS (
+                SELECT a.doc_id, a.w || chr(0) || b.w AS bg, count(*) AS c
+                FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                GROUP BY a.doc_id, a.w || chr(0) || b.w
+            ),
+            bagg AS (SELECT doc_id, max(c) AS topb FROM big GROUP BY doc_id)
+            SELECT a.doc_id, n AS n_words,
+                   round(1 - d * 1.0 / greatest(n, 1), 6) AS dup_word_ratio,
+                   round(topw * 1.0 / greatest(n, 1), 6) AS top_word_frac,
+                   round(COALESCE(topb, 0) * 1.0 / greatest(n - 1, 1), 6)
+                       AS top_bigram_frac
+            FROM agg a LEFT JOIN bagg USING (doc_id)
+        """,
+        "latest_event": """
+            SELECT event_id, ts, user_id, event_type, value FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                ) AS rn FROM events
+            ) WHERE rn = 1
         """,
         "lm_perplexity": """
             WITH toks AS (

@@ -12,7 +12,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["LangIdStage", "quality_batch", "token_count_batch", "fingerprint_batch", "rolling_fingerprint64", "document_frequency", "tfidf_top_terms", "PiiScrubStage"]
+__all__ = ["LangIdStage", "quality_batch", "repetition_batch", "token_count_batch", "fingerprint_batch", "rolling_fingerprint64", "document_frequency", "tfidf_top_terms", "PiiScrubStage"]
 
 _STOPWORDS = {
     "en": {"the", "a", "of", "and", "to", "in", "is", "it", "that", "was", "for", "on", "with"},
@@ -199,6 +199,68 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     ]:
         out_cols[name] = pa.array(arr, typ)
     return pa.table(out_cols)
+
+
+def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    Appendix A quality filters): repetitious documents are a dominant
+    low-quality mode in web crawl and these cheap counts catch most of it
+    before any model-based scoring.
+
+    Emits per doc (space-split words, matching the engine's other token
+    semantics): ``n_words``, ``dup_word_ratio`` (1 - distinct/total),
+    ``top_word_frac`` (most frequent word's share), ``top_bigram_frac``
+    (most frequent word bigram's share of the doc's bigrams).
+
+    Vectorised: one flatten + two C-level pandas groupbys per batch — no
+    per-row Python over words."""
+    import pandas as pd
+    import polars as pl
+
+    ids = {name: batch[name] for name in batch.column_names if name != text_col}
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    words = pl.from_arrow(col).fill_null("").str.split(" ")
+    lens = words.list.len().to_numpy().astype(np.int64)
+    flat = words.explode().to_numpy().astype(object)
+    n_docs = len(lens)
+    doc_idx = np.repeat(np.arange(n_docs), lens)
+
+    wc = (
+        pd.DataFrame({"d": doc_idx, "w": flat})
+        .groupby(["d", "w"], sort=False)
+        .size()
+    )
+    top_word = wc.groupby(level=0).max()
+    distinct = wc.groupby(level=0).size()
+    topw = np.zeros(n_docs, np.int64)
+    dist = np.zeros(n_docs, np.int64)
+    topw[top_word.index.to_numpy()] = top_word.to_numpy()
+    dist[distinct.index.to_numpy()] = distinct.to_numpy()
+
+    topb = np.zeros(n_docs, np.int64)
+    if len(flat) > 1:
+        starts = np.zeros(len(flat), bool)
+        starts[0] = True
+        starts[np.cumsum(lens)[:-1]] = True
+        keep = ~starts[1:]
+        bg = pd.Series(flat[:-1][keep]) + "\x00" + pd.Series(flat[1:][keep])
+        bd = doc_idx[1:][keep]
+        if len(bg):
+            bc = pd.DataFrame({"d": bd, "b": bg.to_numpy()}).groupby(
+                ["d", "b"], sort=False
+            ).size()
+            top_big = bc.groupby(level=0).max()
+            topb[top_big.index.to_numpy()] = top_big.to_numpy()
+
+    nw = np.maximum(lens, 1).astype(np.float64)
+    nbig = np.maximum(lens - 1, 1).astype(np.float64)
+    ids["n_words"] = pa.array(lens, pa.int64())
+    ids["dup_word_ratio"] = pa.array(1.0 - dist / nw, pa.float64())
+    ids["top_word_frac"] = pa.array(topw / nw, pa.float64())
+    ids["top_bigram_frac"] = pa.array(topb / nbig, pa.float64())
+    return pa.table(ids)
 
 
 def quality_row_reference(text: str) -> dict:

@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["sessionize", "running_aggregate", "hop_windows"]
+__all__ = ["sessionize", "running_aggregate", "hop_windows", "latest_by_key"]
 
 
 def _hash_partition(col: "pa.ChunkedArray | pa.Array", partitions: int) -> "np.ndarray":
@@ -155,3 +155,47 @@ def hop_windows(ds, ts_col: str, length_s: int, step_s: int, cols=None):
         return out.append_column("window_start", pa.array(starts, pa.int64()))
 
     return ds.map_batches(_expand, batch_format="pyarrow")
+
+
+def latest_by_key(ds, key_col: str, order_cols, partitions: int | None = None):
+    """SCD-style compaction: ONE row per key — the lexicographic maximum by
+    ``order_cols`` (e.g. ``["ts", "event_id"]``; make the last column a
+    tie-breaking unique id for a deterministic winner). The changelog ->
+    current-state operator every incremental ingest pipeline ends with.
+
+    Scale shape: a per-batch combiner keeps each key's local winner FIRST
+    (one vectorised sort + drop_duplicates per batch), so only ~one row per
+    (key, batch) enters the single hash(key) shuffle; the per-partition
+    reduce repeats the same vectorised pass. No key ever needs more rows
+    co-resident than it has batches touching it — flat memory at any
+    corpus size, and skewed hot keys cost shuffle rows proportional to
+    batch count, not row count."""
+    from .partitioning import auto_partitions
+
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    if partitions is None:
+        partitions = auto_partitions(ds)
+    by = [key_col] + order_cols
+    asc = [True] + [False] * len(order_cols)
+
+    def _local(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(by, ascending=asc, kind="stable").drop_duplicates(
+            key_col
+        )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        out = pa.Table.from_pandas(
+            _local(batch.to_pandas()), preserve_index=False
+        ).cast(batch.schema)
+        return out.append_column(
+            "__part", pa.array(_hash_partition(out[key_col], partitions))
+        )
+
+    def _reduce(group: pd.DataFrame) -> pd.DataFrame:
+        return _local(group).drop(columns="__part")
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(_reduce, batch_format="pandas")
+    )

@@ -417,3 +417,58 @@ def test_lm_perplexity_matches_reference(ray_session):
     for i, d in enumerate(docs):
         want = _ref_avg(d, kept)
         assert abs(out[out.doc_id == i].iloc[0].avg_logp - want) < 1e-12, i
+
+
+# --- repetition signals + latest_by_key -----------------------------------------
+
+
+def test_repetition_signals_reference(ray_session):
+    from pprl_ray.stages.text import repetition_batch
+
+    texts = [
+        "a a a a",                      # dup ratio 0.75, top word 1.0, top bigram 1.0
+        "one two three four",           # all distinct
+        "x y x y x",                    # top bigram (x,y) 2/4
+        "solo",                         # single word, no bigrams
+    ]
+    batch = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                      "text": pa.array(texts)})
+    out = repetition_batch(batch).to_pandas().set_index("doc_id")
+    assert out.loc[0, "dup_word_ratio"] == 0.75
+    assert out.loc[0, "top_word_frac"] == 1.0
+    assert out.loc[0, "top_bigram_frac"] == 1.0
+    assert out.loc[1, "dup_word_ratio"] == 0.0
+    assert abs(out.loc[1, "top_bigram_frac"] - 1 / 3) < 1e-12  # 3 bigrams, each once
+    assert out.loc[2, "top_bigram_frac"] == 0.5
+    assert out.loc[3, "n_words"] == 1 and out.loc[3, "top_bigram_frac"] == 0.0
+
+
+def test_latest_by_key_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from pprl_ray.stages.window import latest_by_key
+
+    rng = np.random.default_rng(9)
+    n = 5000
+    tbl = pa.table({
+        "k": pa.array(rng.integers(0, 200, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 10_000, n), pa.int64()),
+        "id": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(rng.standard_normal(n)),
+    })
+    pdf = tbl.to_pandas()
+    want = (
+        pdf.sort_values(["k", "ts", "id"], ascending=[True, False, False])
+        .drop_duplicates("k")
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    for nblocks in (1, 7):
+        ds = rd.from_arrow(tbl).repartition(nblocks)
+        got = (
+            latest_by_key(ds, "k", ["ts", "id"], partitions=3)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)[want.columns.tolist()]
+        )
+        assert got.equals(want), nblocks
