@@ -1968,6 +1968,52 @@ def q_knn_ivfpq(sf_dir: str):
         shutil.rmtree(index_dir, ignore_errors=True)
 
 
+def q_jsonl_source(sf_dir: str):
+    """JSONL source/sink fidelity: round-trip the documents table through
+    line-delimited JSON (``Dataset.write_json`` -> ``read_json``, one file
+    per block — the interchange format most text-corpus releases ship as)
+    and aggregate per source; the oracle runs the same aggregate on the
+    original parquet, so any loss/corruption in the JSON path mismatches."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    docs = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+    out_dir = tempfile.mkdtemp(prefix="jsonl_docs_", dir="/tmp")
+    try:
+        # bound the file count: JSONL interchange wants few large files,
+        # not one per scan block
+        docs.repartition(4).write_json(out_dir)
+        back = rd.read_json(out_dir)
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            import polars as pl
+
+            df = pl.from_arrow(batch)
+            return df.group_by("source").agg(
+                pl.len().alias("n_docs"), pl.col("n_chars").sum().alias("sum_chars"),
+                pl.col("doc_id").min().alias("min_id"), pl.col("doc_id").max().alias("max_id"),
+            ).to_arrow()
+
+        partials = back.map_batches(_partial, batch_format="pyarrow").to_pandas()
+        agg = partials.groupby("source", as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"),
+            min_id=("min_id", "min"), max_id=("max_id", "max"),
+        )
+        return pa.table(
+            {
+                "source": pa.array(agg["source"], pa.string()),
+                "n_docs": pa.array(agg["n_docs"], pa.int64()),
+                "sum_chars": pa.array(agg["sum_chars"], pa.int64()),
+                "min_id": pa.array(agg["min_id"], pa.int64()),
+                "max_id": pa.array(agg["max_id"], pa.int64()),
+            }
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def q_repetition(sf_dir: str):
     """Gopher-style within-doc repetition signals (stages/text.py
     repetition_batch): duplicate-word ratio, top-word share, top-bigram
@@ -2932,6 +2978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_pruned": q_knn_ivf_pruned,
         "embedding_near_dup": q_embedding_near_dup,
         "lm_perplexity": q_lm_perplexity,
+        "jsonl_source": q_jsonl_source,
         "repetition": q_repetition,
         "latest_event": q_latest_event,
     }
@@ -3685,6 +3732,12 @@ def oracle_sql() -> dict[str, str]:
                          (x.n + y.n - COALESCE(inter, 0)), 6) AS jaccard
             FROM sizes x JOIN sizes y ON x.source < y.source
             LEFT JOIN pairs ON sa = x.source AND sb = y.source
+        """,
+        "jsonl_source": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM documents GROUP BY source
         """,
         "repetition": """
             WITH toks AS (

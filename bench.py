@@ -63,6 +63,11 @@ BENCH_QUERIES = [
     "json_props",
     "top_tokens",
     "corpus_profile",
+    "lm_perplexity",
+    "knn_ivfpq",
+    "source_jaccard_wide",
+    "repetition",
+    "latest_event",
 ]
 
 

@@ -118,30 +118,34 @@ def _init_ray() -> bool:
 
 
 def _read(path: str, columns: list[str] | None = None):
-    """Read a parquet/CSV file or directory (format sniffed from the
+    """Read a parquet/CSV/JSONL file or directory (format sniffed from the
     extension of the path or, for directories, of the contained files)."""
     import glob
     import os
 
     import ray.data as rd
 
-    is_csv = path.endswith(".csv") or (
-        os.path.isdir(path)
-        and not glob.glob(f"{path}/*.parquet")
-        and bool(glob.glob(f"{path}/*.csv"))
-    )
-    if is_csv:
+    def _dir_has(ext: str) -> bool:
+        return (os.path.isdir(path)
+                and not glob.glob(f"{path}/*.parquet")
+                and bool(glob.glob(f"{path}/*{ext}")))
+
+    if path.endswith(".csv") or _dir_has(".csv"):
         ds = rd.read_csv(path)
+        return ds.select_columns(columns) if columns else ds
+    if path.endswith((".jsonl", ".json")) or _dir_has(".jsonl") or _dir_has(".json"):
+        ds = rd.read_json(path)
         return ds.select_columns(columns) if columns else ds
     return rd.read_parquet(path, columns=columns)
 
 
 def _write(ds, path: str, fmt: str = "parquet") -> int:
+    ds = ds.materialize()
     if fmt == "csv":
-        ds = ds.materialize()
         ds.write_csv(path)
+    elif fmt in ("jsonl", "json"):
+        ds.write_json(path)
     else:
-        ds = ds.materialize()
         ds.write_parquet(path)
     return ds.count()
 
@@ -531,7 +535,7 @@ def main(argv: list[str] | None = None) -> None:
         sp.add_argument("--input", required=True)
         if output:
             sp.add_argument("--output", required=True)
-        sp.add_argument("--format", choices=("parquet", "csv"), default="parquet")
+        sp.add_argument("--format", choices=("parquet", "csv", "jsonl"), default="parquet")
         sp.add_argument("--id-column", default="id")
 
     sp = sub.add_parser("transform", help="string-transform entity attributes")
@@ -549,7 +553,7 @@ def main(argv: list[str] | None = None) -> None:
     sp = sub.add_parser("match", help="match >= 2 bit-vector tables pairwise/crosswise")
     sp.add_argument("--inputs", nargs="+", required=True)
     sp.add_argument("--output", required=True)
-    sp.add_argument("--format", choices=("parquet", "csv"), default="parquet")
+    sp.add_argument("--format", choices=("parquet", "csv", "jsonl"), default="parquet")
     sp.add_argument("--measure", choices=("dice", "cosine", "jaccard"), default="dice")
     sp.add_argument("--threshold", type=float, default=0.8)
     sp.add_argument("--method", choices=("crosswise", "pairwise"), default="crosswise")
@@ -605,7 +609,7 @@ def main(argv: list[str] | None = None) -> None:
                     help="tokens to look up (omit to build)")
     sp.add_argument("--output", default=None,
                     help="postings output (lookup mode)")
-    sp.add_argument("--format", choices=("parquet", "csv"), default="parquet")
+    sp.add_argument("--format", choices=("parquet", "csv", "jsonl"), default="parquet")
     sp.add_argument("--id-column", default="doc_id")
     sp.add_argument("--text-column", default="text")
     sp.add_argument("--partitions", type=int, default=32)
@@ -626,7 +630,7 @@ def main(argv: list[str] | None = None) -> None:
     sp.add_argument("--input", required=True, help="train corpus")
     sp.add_argument("--eval-input", required=True, help="eval/benchmark corpus")
     sp.add_argument("--output", required=True)
-    sp.add_argument("--format", choices=("parquet", "csv"), default="parquet")
+    sp.add_argument("--format", choices=("parquet", "csv", "jsonl"), default="parquet")
     sp.add_argument("--id-column", default="doc_id")
     sp.add_argument("--text-column", default="text")
     sp.add_argument("--shingle-n", type=int, default=8)
@@ -636,7 +640,7 @@ def main(argv: list[str] | None = None) -> None:
                         help="one-pass per-column stats (nulls/extrema/distinct)")
     sp.add_argument("--input", required=True)
     sp.add_argument("--output", required=True)
-    sp.add_argument("--format", choices=("parquet", "csv"), default="parquet")
+    sp.add_argument("--format", choices=("parquet", "csv", "jsonl"), default="parquet")
     sp.add_argument("--columns", nargs="+", required=True)
     sp.add_argument("--theta-k", type=int, default=65536)
     sp.set_defaults(fn=cmd_table_profile)
@@ -647,7 +651,7 @@ def main(argv: list[str] | None = None) -> None:
     sp.add_argument("--generator-config", default=None,
                     help="FakerGeneratorConfig JSON (function-name-by-string generators)")
     sp.add_argument("--output", required=True)
-    sp.add_argument("--format", choices=("parquet", "csv"), default="parquet")
+    sp.add_argument("--format", choices=("parquet", "csv", "jsonl"), default="parquet")
     sp.set_defaults(fn=cmd_generate)
 
     sp = sub.add_parser("estimate", help="per-attribute weight estimation (entropy + avg tokens)")

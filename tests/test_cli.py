@@ -452,3 +452,31 @@ def test_cli_index_checkpointed_build(ray_session, tmp_path, capsys):
           "--output", str(tmp_path / "hits"), "--partitions", "4"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["postings"] == 20
+
+
+def test_cli_jsonl_round_trip(ray_session, tmp_path, entities_file, capsys):
+    """JSONL workflow: transform writes a JSONL dir, mask reads it back —
+    the line-delimited-JSON interchange most corpus releases ship as."""
+    import glob
+
+    cfg_t = tmp_path / "t.json"
+    cfg_t.write_text(json.dumps(TRANSFORM_REQUEST))
+    r = _run(capsys, [
+        "transform", "--input", entities_file, "--config", str(cfg_t),
+        "--output", str(tmp_path / "tx_jsonl"), "--format", "jsonl",
+    ])
+    assert r["rows"] == 20
+    files = glob.glob(f"{tmp_path}/tx_jsonl/*.json*")
+    assert files
+    # every line parses as a JSON object carrying the entity columns
+    line = open(files[0]).readline()
+    row = json.loads(line)
+    assert "id" in row
+
+    cfg_m = tmp_path / "m.json"
+    cfg_m.write_text(json.dumps(MASK_REQUEST))
+    r = _run(capsys, [
+        "mask", "--input", str(tmp_path / "tx_jsonl"), "--config", str(cfg_m),
+        "--output", str(tmp_path / "masked_from_jsonl"),
+    ])
+    assert r["rows"] == 20
