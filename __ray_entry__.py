@@ -2037,6 +2037,39 @@ def q_repetition(sf_dir: str):
     )
 
 
+def q_gopher_filter(sf_dir: str):
+    """Composed Gopher-rule quality FILTER (the keep/drop pipeline the
+    repetition signals exist for): keep docs with 30 <= n_words <= 1000,
+    dup_word_ratio < 0.6 and top_word_frac < 0.2 — one streaming
+    map_batches (signals + predicate fused per batch), no shuffle."""
+    from pprl_ray.stages.text import repetition_batch
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        sig = repetition_batch(batch)
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(sig["n_words"], 30),
+                pc.less_equal(sig["n_words"], 1000),
+            ),
+            pc.and_(
+                pc.less(sig["dup_word_ratio"], 0.6),
+                pc.less(sig["top_word_frac"], 0.2),
+            ),
+        )
+        out = sig.filter(keep)
+        return pa.table(
+            {
+                "doc_id": out["doc_id"],
+                "n_words": out["n_words"],
+                "dup_word_ratio": pc.round(out["dup_word_ratio"], ndigits=6),
+            }
+        )
+
+    return docs.map_batches(_filter, batch_format="pyarrow")
+
+
 def q_latest_event(sf_dir: str):
     """Changelog -> current-state compaction (stages/window.py
     latest_by_key): each user's latest event by (ts, event_id) — per-batch
@@ -2980,6 +3013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": q_lm_perplexity,
         "jsonl_source": q_jsonl_source,
         "repetition": q_repetition,
+        "gopher_filter": q_gopher_filter,
         "latest_event": q_latest_event,
     }
 
@@ -3763,6 +3797,24 @@ def oracle_sql() -> dict[str, str]:
                    round(COALESCE(topb, 0) * 1.0 / greatest(n - 1, 1), 6)
                        AS top_bigram_frac
             FROM agg a LEFT JOIN bagg USING (doc_id)
+        """,
+        "gopher_filter": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ),
+            wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+            agg AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS d,
+                       max(c) AS topw
+                FROM wc GROUP BY doc_id
+            )
+            SELECT doc_id, n AS n_words,
+                   round(1 - d * 1.0 / n, 6) AS dup_word_ratio
+            FROM agg
+            WHERE n BETWEEN 30 AND 1000
+              AND 1 - d * 1.0 / n < 0.6
+              AND topw * 1.0 / n < 0.2
         """,
         "latest_event": """
             SELECT event_id, ts, user_id, event_type, value FROM (

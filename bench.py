@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "source_jaccard_wide",
     "repetition",
     "latest_event",
+    "gopher_filter",
+    "jsonl_source",
 ]
 
 

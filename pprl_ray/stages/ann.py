@@ -367,6 +367,15 @@ def write_ivfpq_index(ds, path: str, n_centroids: int = 16, m: int = 8,
     encoded, centroids, books = build_ivfpq(
         ds, n_centroids, m, n_codes, id_col, vec_col, **build_kwargs
     )
+    from .partitioning import compact_blocks
+
+    # bucket rides twice: as the partition directory key (pruned reads) AND
+    # as a plain column `b` (the reader needs it per row for the q.centroid
+    # term without re-deriving it from file paths); compact first so the
+    # partitioned write emits ~blocks*buckets files, not one per scan block
+    encoded = compact_blocks(encoded.materialize(), min_blocks=4).map_batches(
+        lambda t: t.append_column("b", t["bucket"]), batch_format="pyarrow"
+    )
     encoded.write_parquet(path, partition_cols=["bucket"])
     meta = pa.table(
         {
@@ -380,15 +389,15 @@ def write_ivfpq_index(ds, path: str, n_centroids: int = 16, m: int = 8,
 
 
 class _ADCTopK:
-    """Asymmetric-distance top-k over one probed bucket's code batches:
-    approximate score(q, v) = q . centroid_bucket + sum_m LUT[q][m][code_m],
-    where LUT[q][m][c] = q_sub[m] . codebook[m][c] — the classic ADC
-    inner-product decomposition; one (q, n) table lookup-sum per batch, no
-    vector decode."""
+    """Asymmetric-distance top-k over probed code batches: approximate
+    score(q, v) = q . centroid_{b(v)} + sum_m LUT[q][m][code_m], where
+    LUT[q][m][c] = q_sub[m] . codebook[m][c] — the classic ADC
+    inner-product decomposition; one (n, q) lookup-sum per batch, no
+    vector decode. Rows carry their bucket in the ``b`` column, so ONE
+    dataset over all probed directories suffices."""
 
-    def __init__(self, ref, bucket: int, id_col: str, k: int):
+    def __init__(self, ref, id_col: str, k: int):
         self.ref = ref
-        self.bucket = bucket
         self.id_col = id_col
         self.k = k
 
@@ -408,7 +417,8 @@ class _ADCTopK:
         else:
             codes = np.frombuffer(b"".join(codes_col.to_pylist()), np.uint8).reshape(-1, m)
         n, q = len(codes), luts.shape[0]
-        scores = np.broadcast_to(qdotcent[:, self.bucket], (n, q)).copy()
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        scores = np.ascontiguousarray(qdotcent[:, b].T)  # (n, q)
         for s in range(m):
             scores += luts[:, s, codes[:, s]].T  # (n, q)
         ids = np.asarray(batch[self.id_col].to_pylist(), dtype=object)
@@ -460,20 +470,18 @@ def knn_ivfpq(index_path: str, query_ids: list, query_matrix: np.ndarray,
     qdotcent = qnorm @ centroids.T  # (q, n_centroids)
     ref = ray.put((list(query_ids), luts, qdotcent))
 
-    per_bucket = []
-    for b in buckets:
-        paths = glob.glob(f"{index_path}/bucket={b}/*.parquet")
-        if not paths:
-            continue
-        per_bucket.append(
-            rd.read_parquet(paths, columns=[id_col, "codes"]).map_batches(
-                _ADCTopK(ref, b, id_col, k), batch_format="pyarrow"
-            )
-        )
-    cands = per_bucket[0]
-    for extra in per_bucket[1:]:
-        cands = cands.union(extra)
-    return _topk_reduce(cands, k)
+    # ONE dataset over every probed directory (rows carry their bucket in
+    # `b`); per-batch top-k leaves only O(read-tasks * q * k) candidate
+    # rows, which are compacted to a handful of blocks before the final
+    # groupby so the reduce doesn't pay per-block dispatch on hundreds of
+    # 15-row blocks
+    from .partitioning import compact_blocks
+
+    paths = [p for b in buckets for p in glob.glob(f"{index_path}/bucket={b}/*.parquet")]
+    cands = rd.read_parquet(paths, columns=[id_col, "codes", "b"]).map_batches(
+        _ADCTopK(ref, id_col, k), batch_format="pyarrow"
+    )
+    return _topk_reduce(compact_blocks(cands.materialize(), min_blocks=1), k)
 
 
 # --- embedding near-dup ----------------------------------------------------
