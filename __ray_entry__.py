@@ -2037,6 +2037,42 @@ def q_repetition(sf_dir: str):
     )
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020 §4.4):
+    every doc labelled by which perplexity TERCILE it falls in — the
+    composition the LM scorer exists for. Pipeline: stages/lm.py scoring
+    (broadcast model, streaming pass) -> stages/sort.py range_sorted_rank
+    (KLL-partitioned EXACT global ranks over the float scores) -> label by
+    rank thresholds. The sketch only drives partitioning; ranks and cuts
+    are exact, so row_number() oracles the whole composition."""
+    from pprl_ray.stages.lm import score_perplexity, train_bigram_lm
+    from pprl_ray.stages.sort import range_sorted_rank
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_total = docs.count()  # parquet metadata — no execution
+    c1, c2 = n_total // 3, (2 * n_total) // 3
+    uni, bi, total = train_bigram_lm(docs)
+    scored = score_perplexity(docs, uni, bi, total).map_batches(
+        lambda b: b.select(["doc_id", "perplexity"]), batch_format="pyarrow"
+    )
+    ranked = range_sorted_rank(scored, col="perplexity", tiebreak="doc_id")
+
+    def _label(batch: pa.Table) -> pa.Table:
+        rank = batch["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = np.where(rank <= c1, "head", np.where(rank <= c2, "middle", "tail"))
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "perplexity": pc.round(
+                    pc.cast(batch["perplexity"], pa.float64()), ndigits=4
+                ),
+                "bucket": pa.array(lab.astype(object), pa.string()),
+            }
+        )
+
+    return ranked.map_batches(_label, batch_format="pyarrow")
+
+
 def q_gopher_filter(sf_dir: str):
     """Composed Gopher-rule quality FILTER (the keep/drop pipeline the
     repetition signals exist for): keep docs with 30 <= n_words <= 1000,
@@ -3014,6 +3050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_source": q_jsonl_source,
         "repetition": q_repetition,
         "gopher_filter": q_gopher_filter,
+        "ccnet_buckets": q_ccnet_buckets,
         "latest_event": q_latest_event,
     }
 
@@ -3797,6 +3834,44 @@ def oracle_sql() -> dict[str, str]:
                    round(COALESCE(topb, 0) * 1.0 / greatest(n - 1, 1), 6)
                        AS top_bigram_frac
             FROM agg a LEFT JOIN bagg USING (doc_id)
+        """,
+        "ccnet_buckets": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM documents
+            ),
+            uni AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+            tot AS (SELECT count(*) AS t FROM toks),
+            bi AS (
+                SELECT a.w AS w1, b.w AS w2, count(*) AS c
+                FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                GROUP BY a.w, b.w
+            ),
+            scored AS (
+                SELECT t.doc_id,
+                       CASE WHEN t.pos = 1 THEN ln(u.c * 1.0 / tot.t)
+                            WHEN bi.c IS NOT NULL THEN ln(bi.c * 1.0 / up.c)
+                            ELSE ln(0.4 * u.c / tot.t) END AS lp
+                FROM toks t
+                JOIN uni u ON u.w = t.w
+                LEFT JOIN toks p ON p.doc_id = t.doc_id AND p.pos = t.pos - 1
+                LEFT JOIN uni up ON up.w = p.w
+                LEFT JOIN bi ON bi.w1 = p.w AND bi.w2 = t.w
+                CROSS JOIN tot
+            ),
+            px AS (SELECT doc_id, exp(-avg(lp)) AS perpl FROM scored GROUP BY doc_id),
+            ranked AS (
+                SELECT doc_id, perpl,
+                       row_number() OVER (ORDER BY perpl, doc_id) AS rank,
+                       count(*) OVER () AS n
+                FROM px
+            )
+            SELECT doc_id, round(perpl, 4) AS perplexity,
+                   CASE WHEN rank <= n // 3 THEN 'head'
+                        WHEN rank <= (2 * n) // 3 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM ranked
         """,
         "gopher_filter": """
             WITH toks AS (

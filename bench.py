@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "latest_event",
     "gopher_filter",
     "jsonl_source",
+    "ccnet_buckets",
 ]
 
 
