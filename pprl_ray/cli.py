@@ -343,6 +343,47 @@ def cmd_scrub(args) -> None:
     print(json.dumps({"command": "scrub", "rows": n, "output": args.output}))
 
 
+def cmd_quality(args) -> None:
+    """Corpus quality pass: emit per-doc signals, apply the Gopher filter,
+    or score LM perplexity — the three quality modes a training-data
+    pipeline composes (signals -> filter -> LM buckets)."""
+    import pyarrow.compute as pc
+
+    from .stages.text import repetition_batch
+
+    ds = _read(args.input)
+    if args.method == "signals":
+        out = ds.map_batches(
+            lambda b: repetition_batch(b, text_col=args.text_column),
+            batch_format="pyarrow",
+        )
+    elif args.method == "gopher":
+        lo, hi = args.min_words, args.max_words
+        dup, topw = args.max_dup_ratio, args.max_top_word_frac
+
+        def _filter(batch):
+            sig = repetition_batch(batch, text_col=args.text_column)
+            keep = pc.and_(
+                pc.and_(pc.greater_equal(sig["n_words"], lo),
+                        pc.less_equal(sig["n_words"], hi)),
+                pc.and_(pc.less(sig["dup_word_ratio"], dup),
+                        pc.less(sig["top_word_frac"], topw)),
+            )
+            return batch.filter(keep)
+
+        out = ds.map_batches(_filter, batch_format="pyarrow")
+    else:  # lm
+        from .stages.lm import score_perplexity, train_bigram_lm
+
+        uni, bi, total = train_bigram_lm(ds, text_col=args.text_column,
+                                         min_count=args.min_count)
+        out = score_perplexity(ds, uni, bi, total, text_col=args.text_column,
+                               id_col=args.id_column)
+    n = _write(out, args.output, args.format)
+    print(json.dumps({"command": "quality", "method": args.method, "rows": n,
+                      "output": args.output}))
+
+
 def cmd_semantic_dedup(args) -> None:
     from .stages.cluster import kmeans_fit, semantic_dedup_pairs
 
@@ -590,6 +631,20 @@ def main(argv: list[str] | None = None) -> None:
     common(sp)
     sp.add_argument("--text-column", default="text")
     sp.set_defaults(fn=cmd_scrub)
+
+    sp = sub.add_parser("quality", help="repetition signals / Gopher filter / LM perplexity")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--format", choices=("parquet", "csv", "jsonl"), default="parquet")
+    sp.add_argument("--method", choices=("signals", "gopher", "lm"), default="signals")
+    sp.add_argument("--text-column", default="text")
+    sp.add_argument("--id-column", default="doc_id")
+    sp.add_argument("--min-words", type=int, default=30)
+    sp.add_argument("--max-words", type=int, default=100_000)
+    sp.add_argument("--max-dup-ratio", type=float, default=0.6)
+    sp.add_argument("--max-top-word-frac", type=float, default=0.2)
+    sp.add_argument("--min-count", type=int, default=1)
+    sp.set_defaults(fn=cmd_quality)
 
     sp = sub.add_parser("semantic-dedup",
                         help="k-means cluster + within-cluster cosine near-dup pairs")

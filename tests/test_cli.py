@@ -480,3 +480,47 @@ def test_cli_jsonl_round_trip(ray_session, tmp_path, entities_file, capsys):
         "--output", str(tmp_path / "masked_from_jsonl"),
     ])
     assert r["rows"] == 20
+
+
+def test_cli_quality_modes(ray_session, tmp_path, capsys):
+    """quality subcommand: signals, gopher filter, lm scoring — and the
+    filter actually drops rows while lm emits one score row per doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array([
+            " ".join(["tok%d" % (i * 37 % 53) for i in range(60)]),
+            " ".join(["a"] * 40),                     # degenerate repeat
+            "short doc",                              # under min words
+            " ".join(["w%d" % (i % 29) for i in range(45)]),
+            " ".join(["x%d" % (i % 31) for i in range(80)]),
+            " ".join(["b b c d e f g h i j"] * 5),
+        ]),
+    })
+    inp = tmp_path / "docs.parquet"
+    pq.write_table(docs, str(inp))
+
+    r = _run(capsys, ["quality", "--input", str(inp),
+                      "--output", str(tmp_path / "sig")])
+    assert r["rows"] == 6
+    sig = pq.read_table(str(tmp_path / "sig"))
+    assert {"dup_word_ratio", "top_word_frac", "top_bigram_frac"} <= set(
+        sig.column_names)
+
+    r = _run(capsys, ["quality", "--method", "gopher", "--input", str(inp),
+                      "--output", str(tmp_path / "kept")])
+    kept = pq.read_table(str(tmp_path / "kept"))
+    assert 0 < kept.num_rows < 6  # filtered, but not everything
+    kept_ids = set(kept["doc_id"].to_pylist())
+    assert 1 not in kept_ids and 2 not in kept_ids  # repeat + short dropped
+
+    r = _run(capsys, ["quality", "--method", "lm", "--input", str(inp),
+                      "--output", str(tmp_path / "ppl")])
+    ppl = pq.read_table(str(tmp_path / "ppl"))
+    assert ppl.num_rows == 6 and "perplexity" in ppl.column_names
+    # repetitive text scores far more predictable than the rare-word doc
+    pdf = ppl.to_pandas().set_index("doc_id")
+    assert pdf.loc[1, "perplexity"] < pdf.loc[0, "perplexity"]
+    assert pdf["perplexity"].idxmax() == 2  # rare-bigram short doc
