@@ -2052,9 +2052,12 @@ def q_ccnet_buckets(sf_dir: str):
     n_total = docs.count()  # parquet metadata — no execution
     c1, c2 = n_total // 3, (2 * n_total) // 3
     uni, bi, total = train_bigram_lm(docs)
+    # materialize the SLIM (id, f64) projection — ~16 B/doc, spillable —
+    # so the 3-pass ranker (KLL, histogram, rank shuffle) re-reads scores
+    # from the object store instead of re-running LM scoring three times
     scored = score_perplexity(docs, uni, bi, total).map_batches(
         lambda b: b.select(["doc_id", "perplexity"]), batch_format="pyarrow"
-    )
+    ).materialize()
     ranked = range_sorted_rank(scored, col="perplexity", tiebreak="doc_id")
 
     def _label(batch: pa.Table) -> pa.Table:

@@ -23,7 +23,7 @@ Scale shape (mirrors CCNet's production layout):
   object-store blocks (``to_arrow_refs`` + remote concat), the driver
   never holds a copy.
 - **Scoring** is embarrassingly parallel: one ``map_batches`` pass, each
-  batch doing three vectorized pandas merges (bigram, previous-token
+  batch doing three vectorized polars hash joins (bigram, previous-token
   unigram, token unigram) against the local zero-copy model table.
 
 Token probability (stupid backoff, alpha = 0.4):
@@ -40,7 +40,6 @@ rounding.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 __all__ = ["train_bigram_lm", "score_perplexity", "ALPHA"]
@@ -110,12 +109,18 @@ def train_bigram_lm(ds, text_col: str = "text", partitions: int | None = None,
 
     partials = ds.map_batches(_partial, batch_format="pyarrow")
 
-    def _sum(group: pd.DataFrame) -> pd.DataFrame:
-        out = group.groupby(["kind", "w1", "w2"], dropna=False,
-                            as_index=False)["cnt"].sum()
-        return out[["kind", "w1", "w2", "cnt"]]
+    def _sum(group: pa.Table) -> pa.Table:
+        import polars as pl
 
-    counts = partials.groupby("part").map_groups(_sum, batch_format="pandas")
+        out = (
+            pl.from_arrow(group)
+            .group_by(["kind", "w1", "w2"])
+            .agg(pl.col("cnt").cast(pl.Int64).sum())
+            .select(["kind", "w1", "w2", "cnt"])
+        )
+        return out.to_arrow()
+
+    counts = partials.groupby("part").map_groups(_sum, batch_format="pyarrow")
     counts = counts.materialize()
 
     import pyarrow.compute as pc
@@ -161,7 +166,7 @@ def _broadcast_tables(*datasets):
 
 class _PerplexityStage:
     """Per-batch stupid-backoff scoring against the local model tables
-    (zero-copy object-store reads; three vectorized pandas merges)."""
+    (zero-copy object-store reads; three vectorized polars hash joins)."""
 
     def __init__(self, uni_ref, bi_ref, total: int, text_col: str, id_col: str):
         self.uni_ref = uni_ref
@@ -173,33 +178,55 @@ class _PerplexityStage:
 
     def _tables(self):
         if self._model is None:
+            import polars as pl
             import ray
 
             uni, bi = ray.get(self.uni_ref), ray.get(self.bi_ref)
-            udf = uni.to_pandas()
-            bdf = bi.to_pandas()
-            self._model = (
-                dict(zip(udf["token"], udf["cnt"].astype(np.float64))),
-                bdf.set_index(["w1", "w2"])["cnt"].astype(np.float64),
+            # polars frames with float64 counts: per-batch lookups become
+            # vectorized hash joins instead of per-row Python dict probes
+            updf = pl.from_arrow(uni).select(
+                pl.col("token"), pl.col("cnt").cast(pl.Float64).alias("cw")
             )
+            bpdf = pl.from_arrow(bi).select(
+                pl.col("w1"), pl.col("w2"),
+                pl.col("cnt").cast(pl.Float64).alias("cbi"),
+            )
+            self._model = (updf, bpdf)
         return self._model
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        uni_map, bi_ser = self._tables()
+        import polars as pl
+
+        updf, bpdf = self._tables()
         flat, lens = _doc_tokens(batch, self.text_col)
         n = len(flat)
         starts = np.zeros(n, bool)
         if n:
             starts[0] = True
             starts[np.cumsum(lens)[:-1]] = True
-        tok = pd.Series(flat, dtype=object)
-        cw = tok.map(uni_map).to_numpy(np.float64, na_value=np.nan)
         prev = np.roll(flat, 1)
-        cprev = pd.Series(prev, dtype=object).map(uni_map).to_numpy(
-            np.float64, na_value=np.nan
+        # three vectorized hash joins against the local model tables; the
+        # row index restores input order (left joins don't guarantee it)
+        frame = pl.DataFrame(
+            {
+                "tok": pl.Series(flat, dtype=pl.Utf8),
+                "prev": pl.Series(prev, dtype=pl.Utf8),
+            }
+        ).with_row_index("idx")
+        frame = (
+            frame.join(updf, left_on="tok", right_on="token", how="left")
+            .join(
+                updf.rename({"token": "prev", "cw": "cprev"}),
+                on="prev", how="left",
+            )
+            .join(
+                bpdf, left_on=["prev", "tok"], right_on=["w1", "w2"], how="left"
+            )
+            .sort("idx")
         )
-        key = pd.MultiIndex.from_arrays([prev, flat])
-        cbi = bi_ser.reindex(key).to_numpy(np.float64, na_value=np.nan)
+        cw = frame["cw"].to_numpy()
+        cprev = frame["cprev"].to_numpy()
+        cbi = np.array(frame["cbi"].to_numpy(), dtype=np.float64, copy=True)
         cbi[starts] = np.nan  # no bigram across doc boundaries
 
         # fixed operation order (matches the SQL oracle exactly):
@@ -239,7 +266,7 @@ def score_perplexity(ds, uni_ds, bi_ds, total_tokens: int, text_col: str = "text
     CCNet loading its KenLM per worker); the corpus streams. Returns
     (id, n_tokens, avg_logp, perplexity)."""
     uni_ref, bi_ref = _broadcast_tables(uni_ds, bi_ds)
-    map_kwargs.setdefault("concurrency", (1, 8))
+    map_kwargs.setdefault("concurrency", (1, 16))
     return ds.map_batches(
         _PerplexityStage,
         fn_constructor_kwargs=dict(uni_ref=uni_ref, bi_ref=bi_ref,
