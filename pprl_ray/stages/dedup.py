@@ -38,6 +38,7 @@ __all__ = [
     "simhash_candidates",
     "connected_components_collapse",
     "contamination_pairs",
+    "ngram_jaccard_pairs",
     "near_dedup_corpus",
 ]
 
@@ -1234,6 +1235,112 @@ def contamination_pairs(train_ds, eval_ds, text_col: str = "text",
         partials.map_batches(_pair_part, batch_format="pyarrow")
         .groupby("ppart")
         .map_groups(_sum, batch_format="pandas")
+    )
+
+
+def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                        shingle_n: int = 4, threshold: float = 0.5,
+                        partitions: int | None = None, max_bucket: int = 1024):
+    """EXACT word n-gram Jaccard near-duplicate pairs: every ``(a, b)``
+    with ``|A ∩ B| / |A ∪ B| >= threshold`` over the docs' distinct
+    ``shingle_n``-gram sets — the deterministic ground-truth variant of
+    MinHash near-dup (no signature approximation, no banding misses),
+    affordable whenever shingle buckets are bounded.
+
+    Scale shape: one vectorised shingle pass (:func:`shingle_tokens`,
+    standard n-gram semantics — docs under ``shingle_n`` words emit
+    nothing); only slim ``(shingle_hash, id, nsh)`` rows enter the ONE
+    hash-partitioned shuffle, where ``nsh`` is the doc's distinct-shingle
+    count RIDDEN ALONG with every row so pair Jaccards never need a
+    size join (union = nsh_a + nsh_b - inter). Each partition drops
+    ubiquitous shingles (> ``max_bucket`` docs — boilerplate n-grams are
+    not a near-dup signal and the cap bounds the per-shingle cross
+    product), self-joins by shingle, and pre-reduces pair counts; a
+    second slim pair-keyed reduce sums the per-partition partials and
+    computes the exact Jaccard. Text never moves.
+
+    Returns a Dataset ``(doc_a, doc_b, n_shared, jaccard)``. Exact modulo
+    64-bit shingle-hash collisions (same caveat as minhash verification).
+    """
+    from .partitioning import auto_partitions
+
+    if partitions is None:
+        partitions = auto_partitions(ds)
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        shingles = shingle_tokens(batch, text_col, shingle_n, drop_short=True)
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        lens = np.array([len(s) for s in shingles], dtype=np.int64)
+        h = (np.concatenate(shingles) if len(shingles) else
+             np.empty(0, dtype=np.uint64))
+        return pa.table(
+            {
+                "h": pa.array(h, pa.uint64()),
+                "id": pa.array(np.repeat(ids, lens), pa.int64()),
+                "nsh": pa.array(np.repeat(lens, lens), pa.int64()),
+                "part": pa.array(
+                    (h % np.uint64(partitions)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    emitted = ds.map_batches(_emit, batch_format="pyarrow")
+
+    def _match(group: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(group).select(["h", "id", "nsh"])
+        ok = df.group_by("h").len(name="c").filter(pl.col("c") <= max_bucket)
+        df = df.join(ok.select("h"), on="h", how="semi")
+        m = df.join(df, on="h", suffix="_b").filter(pl.col("id") < pl.col("id_b"))
+        out = (
+            m.group_by(["id", "id_b"])
+            .agg(
+                pl.len().cast(pl.Int64).alias("n"),
+                pl.col("nsh").first().alias("nsh_a"),
+                pl.col("nsh_b").first().alias("nsh_b"),
+            )
+            .rename({"id": "doc_a", "id_b": "doc_b"})
+        )
+        return out.to_arrow()
+
+    partials = emitted.groupby("part").map_groups(_match, batch_format="pyarrow")
+
+    # a pair's shared shingles span partitions -> one more slim pair-keyed
+    # reduce, then the exact Jaccard from the global intersection count
+    def _pair_part(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch).select(["doc_a", "doc_b"])
+        hp = (df.hash_rows(seed=83).to_numpy() % np.uint64(partitions)).astype(np.int32)
+        return batch.append_column("ppart", pa.array(hp))
+
+    def _finish(group: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(group)
+            .group_by(["doc_a", "doc_b"])
+            .agg(
+                pl.col("n").sum().alias("n_shared"),
+                pl.col("nsh_a").first(),
+                pl.col("nsh_b").first(),
+            )
+            .with_columns(
+                (
+                    pl.col("n_shared").cast(pl.Float64)
+                    / (pl.col("nsh_a") + pl.col("nsh_b") - pl.col("n_shared"))
+                ).alias("jaccard")
+            )
+            .filter(pl.col("jaccard") >= threshold)
+            .select(["doc_a", "doc_b", "n_shared", "jaccard"])
+        )
+        return out.to_arrow()
+
+    return (
+        partials.map_batches(_pair_part, batch_format="pyarrow")
+        .groupby("ppart")
+        .map_groups(_finish, batch_format="pyarrow")
     )
 
 

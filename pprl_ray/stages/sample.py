@@ -34,7 +34,7 @@ import pyarrow as pa
 
 from ..functions.digest import md5_bucket32
 
-__all__ = ["weighted_sample_es"]
+__all__ = ["weighted_sample_es", "hash_split"]
 
 _U_DENOM = float(1 << 32)
 
@@ -94,3 +94,43 @@ def weighted_sample_es(ds, id_col: str, weight_col: str, k: int):
     top.sort(key=lambda r: r[id_col])
     df = pd.DataFrame(top)
     return df.drop(columns=["_es_key"])
+
+
+def hash_split(ds, id_col: str, fractions: dict[str, float], salt: str = ""):
+    """Deterministic train/val/test split by content hash: each row's
+    split is ``md5(salt || id) % 100`` mapped through cumulative
+    percentage bands (e.g. ``{"train": 0.90, "val": 0.05, "test": 0.05}``).
+
+    The assignment is a pure function of the row id — stable across runs,
+    partitionings, engines and corpus growth (a doc never changes split
+    when new data arrives, the property random splits lack), and
+    replicable in stock SQL via ``md5()``. One streaming ``map_batches``
+    pass appends a ``split`` column; no shuffle, no state.
+
+    ``fractions`` must sum to 1.0 (to within 1e-9) and splits are assigned
+    in dict order, so band edges are reproducible: with the example above,
+    buckets 0-89 -> train, 90-94 -> val, 95-99 -> test."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    names = list(fractions)
+    pcts = [fractions[n] * 100 for n in names]
+    if any(abs(p - round(p)) > 1e-6 for p in pcts):
+        raise ValueError("fractions must be expressible in whole percent")
+    edges = np.cumsum([int(round(p)) for p in pcts])
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks().cast(pa.string())
+        if salt:
+            import pyarrow.compute as pc
+
+            ids = pc.binary_join_element_wise(salt, ids, "")
+        bucket = md5_bucket32(ids, 100)
+        lab = np.empty(len(bucket), dtype=object)
+        lo = 0
+        for name, hi in zip(names, edges):
+            lab[(bucket >= lo) & (bucket < hi)] = name
+            lo = hi
+        return batch.append_column("split", pa.array(lab, pa.string()))
+
+    return ds.map_batches(_assign, batch_format="pyarrow")

@@ -12,7 +12,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["LangIdStage", "quality_batch", "repetition_batch", "token_count_batch", "fingerprint_batch", "rolling_fingerprint64", "document_frequency", "tfidf_top_terms", "PiiScrubStage"]
+__all__ = ["LangIdStage", "quality_batch", "repetition_batch", "token_count_batch", "fingerprint_batch", "rolling_fingerprint64", "document_frequency", "bm25_topk", "tfidf_top_terms", "PiiScrubStage"]
 
 _STOPWORDS = {
     "en": {"the", "a", "of", "and", "to", "in", "is", "it", "that", "was", "for", "on", "with"},
@@ -429,6 +429,73 @@ def document_frequency(ds, text_col: str = "text", id_col: str = "doc_id",
         .groupby("part")
         .map_groups(_sum, batch_format="pandas")
     )
+
+
+def bm25_topk(ds, terms: list[str], text_col: str = "text",
+              id_col: str = "doc_id", k: int = 10,
+              k1: float = 1.2, b: float = 0.75):
+    """Okapi BM25 top-k retrieval for a FIXED query over a streaming
+    corpus (Robertson & Zaragoza 2009) — the exact-scoring baseline a
+    distributed search stack verifies against.
+
+    Scale shape: because the query is known up front, no inverted index
+    and no postings shuffle are needed — two streaming passes suffice.
+    Pass 1 reduces per-batch partials of (n_docs, total_len, df per query
+    term): |terms|+2 integers per BLOCK, trivially driver-mergeable at any
+    corpus size. Pass 2 broadcasts the scalar stats by closure, scores
+    each batch vectorised (polars ``list.count_matches`` per term, fixed
+    term-order float64 accumulation so the arithmetic is replicable in
+    SQL), keeps each batch's top-k, and the driver merges the bounded
+    (k x n_blocks) candidate set. The corpus never shuffles.
+
+    Returns a pandas DataFrame ``(doc_id, score, rank)`` of the global
+    top-k ordered by (score desc, id asc)."""
+    import pandas as pd
+    import polars as pl
+
+    terms = list(terms)
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        words = pl.from_arrow(batch[text_col].combine_chunks()).fill_null("").str.split(" ")
+        cols = {
+            "n_docs": pa.array([len(words)], pa.int64()),
+            "total_len": pa.array([int(words.list.len().sum() or 0)], pa.int64()),
+        }
+        for i, t in enumerate(terms):
+            cols[f"df_{i}"] = pa.array(
+                [int((words.list.count_matches(t) > 0).sum())], pa.int64()
+            )
+        return pa.table(cols)
+
+    parts = pd.DataFrame(ds.map_batches(_stats, batch_format="pyarrow").take_all())
+    n_docs = int(parts["n_docs"].sum())
+    total_len = int(parts["total_len"].sum())
+    dfs = [int(parts[f"df_{i}"].sum()) for i in range(len(terms))]
+    avgdl = total_len / n_docs
+    idfs = [np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)) for df in dfs]
+
+    def _score(batch: pa.Table) -> pa.Table:
+        words = pl.from_arrow(batch[text_col].combine_chunks()).fill_null("").str.split(" ")
+        dl = words.list.len().to_numpy().astype(np.float64)
+        denom_base = k1 * (1.0 - b + b * dl / avgdl)
+        score = np.zeros(len(dl), np.float64)
+        for t, idf in zip(terms, idfs):  # fixed term order = SQL-replicable
+            tf = words.list.count_matches(t).to_numpy().astype(np.float64)
+            score = score + idf * (tf * (k1 + 1.0)) / (tf + denom_base)
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        top = np.lexsort((ids, -score))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[top], pa.int64()),
+                "score": pa.array(score[top], pa.float64()),
+            }
+        )
+
+    cand = pd.DataFrame(ds.map_batches(_score, batch_format="pyarrow").take_all())
+    cand = cand.sort_values(["score", id_col], ascending=[False, True], kind="mergesort")
+    out = cand.head(k).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1)
+    return out
 
 
 def tfidf_top_terms(ds, n_docs: int, text_col: str = "text", id_col: str = "doc_id",
