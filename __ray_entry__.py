@@ -2145,6 +2145,39 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def q_near_dedup_keep_best(sf_dir: str):
+    """End-to-end near-dup REMOVAL with the keep-BEST survivor policy
+    (stages/dedup.py near_dedup_corpus keep="best"): exact 4-gram Jaccard
+    pairs (SQL-replicable candidate generator via the new ``pairs=`` plug
+    point) -> connected components -> per component keep the member with
+    the most chars (tie: min id) -> stream the corpus through the loser
+    anti-filter. The oracle replays the whole pipeline: n-gram self-join,
+    recursive-CTE components, window-function winner, anti-filter."""
+    from pprl_ray.stages.dedup import near_dedup_corpus, ngram_jaccard_pairs
+
+    docs = _docs(sf_dir, ["doc_id", "text", "n_chars"])
+    pairs = ngram_jaccard_pairs(docs, shingle_n=4, threshold=0.5).map_batches(
+        lambda b: pa.table(
+            {
+                "id_a": pc.cast(b["doc_a"], pa.int64()),
+                "id_b": pc.cast(b["doc_b"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    kept = near_dedup_corpus(docs, keep="best", keep_score_col="n_chars",
+                             pairs=pairs)
+    return kept.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "n_chars": pc.cast(b["n_chars"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_bm25(sf_dir: str):
     """Okapi BM25 top-10 for the fixed query ["hash", "join", "customer"]
     (stages/text.py bm25_topk): two streaming passes — scalar corpus
@@ -3038,6 +3071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_source": q_jsonl_source,
         "latest_event": q_latest_event,
         "ngram_jaccard": q_ngram_jaccard,
+        "near_dedup_keep_best": q_near_dedup_keep_best,
         "bm25": q_bm25,
         "dataset_split": q_dataset_split,
         "knn_ivfpq": q_knn_ivfpq,
@@ -4003,6 +4037,49 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON doc_a = sa.doc_id
             JOIN sizes sb ON doc_b = sb.doc_id
             WHERE n_shared * 1.0 / (sa.nsh + sb.nsh - n_shared) >= 0.5
+        """,
+        "near_dedup_keep_best": """
+            WITH RECURSIVE
+            g AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS g
+                FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+                     LATERAL (SELECT unnest(range(1, len(w) - 2)) AS i)
+            ), ok AS (
+                SELECT g FROM g GROUP BY g HAVING count(*) <= 1024
+            ), sizes AS (
+                SELECT doc_id, count(*) AS nsh FROM g GROUP BY doc_id
+            ), jp AS (
+                SELECT doc_a, doc_b FROM (
+                    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                           count(*) AS n_shared
+                    FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+                             JOIN ok o ON o.g = a.g
+                    GROUP BY 1, 2
+                ) p
+                JOIN sizes sa ON doc_a = sa.doc_id
+                JOIN sizes sb ON doc_b = sb.doc_id
+                WHERE n_shared * 1.0 / (sa.nsh + sb.nsh - n_shared) >= 0.5
+            ), bidir AS (
+                SELECT doc_a AS a, doc_b AS b FROM jp
+                UNION ALL SELECT doc_b, doc_a FROM jp
+            ), nodes AS (SELECT DISTINCT a AS node FROM bidir),
+            reach(node, rep) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.b, r.rep FROM reach r JOIN bidir e ON e.a = r.node
+            ), labels AS (
+                SELECT node AS doc_id, min(rep) AS rep_id FROM reach GROUP BY node
+            ), member AS (
+                SELECT l.doc_id, l.rep_id, d.n_chars,
+                       row_number() OVER (
+                           PARTITION BY l.rep_id
+                           ORDER BY d.n_chars DESC, l.doc_id
+                       ) AS rn
+                FROM labels l JOIN documents d USING (doc_id)
+            ), losers AS (SELECT doc_id FROM member WHERE rn > 1)
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         """,
         "bm25": """
             WITH d AS (

@@ -1347,16 +1347,110 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 # --- end-to-end near-dup corpus dedup ----------------------------------------
 
 
+def _keep_best_losers(ds, labels, id_col: str, score_col: str,
+                      broadcast_max: int, partitions: int):
+    """Losers under the keep-BEST policy: every labeled component member
+    except the ``(score desc, id asc)`` argmax of its component — the
+    keep-the-highest-quality-copy rule production dedup uses (score =
+    quality signal / negated perplexity / length) instead of min-id.
+
+    Scale shape: labeled docs are the minority, so their ``(id, score)``
+    rows are extracted by streaming the corpus through a labeled-id semi
+    filter (broadcast set under ``broadcast_max``, co-partitioned semi
+    bucket join above it); winners are picked per component in ONE slim
+    hash(rep_id)-partitioned pass with a vectorised in-partition argmax —
+    components never cross partitions, text never moves."""
+    import pyarrow.compute as pc
+    import ray
+
+    labels = labels.materialize()
+    n_labeled = labels.count()
+
+    def _slim(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch[id_col], pa.int64()),
+                "score": pc.cast(batch[score_col], pa.float64()),
+            }
+        )
+
+    if n_labeled <= broadcast_max:
+        # labeled-id set assembled in a WORKER from the labels blocks
+        def _ids(*tables):
+            return pa.concat_tables(
+                [t.select(["doc_id"]) for t in tables]
+            )["doc_id"].combine_chunks()
+
+        ref = ray.remote(num_cpus=1)(_ids).remote(*labels.to_arrow_refs())
+
+        def _semi(batch: pa.Table) -> pa.Table:
+            keep_ids = ray.get(ref)
+            mask = pc.is_in(pc.cast(batch[id_col], keep_ids.type), value_set=keep_ids)
+            return _slim(batch.filter(mask))
+
+        scores = ds.map_batches(_semi, batch_format="pyarrow")
+    else:
+        from .join import bucket_join
+
+        scores = bucket_join(
+            ds.map_batches(_slim, batch_format="pyarrow"),
+            labels.map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow"),
+            keys="doc_id", join_type="left semi", partitions=partitions,
+        )
+
+    from .join import bucket_join
+
+    joined = bucket_join(labels, scores, keys="doc_id", partitions=partitions)
+
+    def _part(batch: pa.Table) -> pa.Table:
+        rep = batch["rep_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        p = (rep.astype(np.uint64) % np.uint64(partitions)).astype(np.int32)
+        return batch.append_column("cpart", pa.array(p))
+
+    def _losers(group: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(group).select(["rep_id", "doc_id", "score"])
+        winners = (
+            df.sort(["rep_id", "score", "doc_id"], descending=[False, True, False])
+            .group_by("rep_id", maintain_order=True)
+            .first()
+        )
+        out = df.join(
+            winners.select(["rep_id", "doc_id"]), on=["rep_id", "doc_id"], how="anti"
+        )
+        return out.select(["doc_id"]).rename({"doc_id": id_col}).to_arrow()
+
+    return (
+        joined.map_batches(_part, batch_format="pyarrow")
+        .groupby("cpart")
+        .map_groups(_losers, batch_format="pyarrow")
+    )
+
+
 def near_dedup_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
                       threshold: float = 0.8, persist: str = "memory",
                       partitions: int | None = None,
                       loser_broadcast_max: int = 5_000_000,
-                      cc_checkpoint_dir: str | None = None, **kwargs):
+                      cc_checkpoint_dir: str | None = None,
+                      keep: str = "min_id", keep_score_col: str | None = None,
+                      pairs=None, **kwargs):
     """The full near-duplicate REMOVAL pipeline in one call: MinHash+LSH
     candidates -> exact Jaccard verification (:func:`minhash_dedup_pairs`)
     -> connected-component collapse (:func:`connected_components_collapse`)
-    -> keep the smallest id per component, everything else filtered out of
-    the ORIGINAL dataset.
+    -> one survivor per component, everything else filtered out of the
+    ORIGINAL dataset.
+
+    ``keep`` picks the survivor: ``"min_id"`` (default — the component
+    representative) or ``"best"`` — the member maximising
+    ``(keep_score_col desc, id asc)``, the keep-the-highest-quality-copy
+    policy (see :func:`_keep_best_losers` for its scale shape).
+
+    ``pairs``: optional pre-computed duplicate-pair Dataset with columns
+    ``(id_a, id_b)`` — plug in ANY candidate generator
+    (:func:`ngram_jaccard_pairs` for exact ground truth,
+    :func:`simhash_candidates`, :func:`embedding_near_dup_pairs` for
+    semantic pairs) in place of the default MinHash+LSH path.
 
     Scale shape is the union of its parts: text shuffles only inside the
     shingle/verify machinery (per ``persist`` mode), the component collapse
@@ -1372,16 +1466,26 @@ def near_dedup_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
 
     if partitions is None:
         partitions = auto_partitions(ds)
-    pairs = minhash_dedup_pairs(ds, text_col, id_col, threshold,
-                                persist=persist, **kwargs)
+    if pairs is None:
+        pairs = minhash_dedup_pairs(ds, text_col, id_col, threshold,
+                                    persist=persist, **kwargs)
     labels = connected_components_collapse(pairs, partitions=partitions,
                                            checkpoint_dir=cc_checkpoint_dir)
-    losers = labels.map_batches(
-        lambda b: pa.table(
-            {id_col: b["doc_id"].filter(pc.not_equal(b["doc_id"], b["rep_id"]))}
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+    if keep == "best":
+        if keep_score_col is None:
+            raise ValueError('keep="best" requires keep_score_col')
+        losers = _keep_best_losers(ds, labels, id_col, keep_score_col,
+                                   loser_broadcast_max, partitions)
+    elif keep == "min_id":
+        losers = labels.map_batches(
+            lambda b: pa.table(
+                {id_col: b["doc_id"].filter(pc.not_equal(b["doc_id"], b["rep_id"]))}
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        raise ValueError(f"unknown keep policy {keep!r}")
+    losers = losers.materialize()
     n_losers = losers.count()
     if n_losers == 0:
         return ds

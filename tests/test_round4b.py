@@ -172,3 +172,66 @@ def test_hash_split_salt_and_validation(ray_session):
         hash_split(rd.from_items(rows), "doc_id", {"a": 0.5, "b": 0.4})
     with pytest.raises(ValueError, match="whole percent"):
         hash_split(rd.from_items(rows), "doc_id", {"a": 0.505, "b": 0.495})
+
+
+# --- near_dedup_corpus keep="best" ---------------------------------------------
+
+
+def test_near_dedup_keep_best(ray_session):
+    import ray.data as rd
+
+    from pprl_ray.stages.dedup import near_dedup_corpus
+
+    # component {1,2,3} via chained pairs; doc 2 has the top score; doc 9
+    # is a singleton and always survives
+    rows = [
+        {"doc_id": 1, "text": "a", "score": 5.0},
+        {"doc_id": 2, "text": "b", "score": 9.0},
+        {"doc_id": 3, "text": "c", "score": 7.0},
+        {"doc_id": 9, "text": "d", "score": 1.0},
+    ]
+    pairs = rd.from_items([{"id_a": 1, "id_b": 2}, {"id_a": 2, "id_b": 3}])
+    kept = near_dedup_corpus(
+        rd.from_items(rows).repartition(2), keep="best", keep_score_col="score",
+        pairs=pairs,
+    ).to_pandas()
+    assert sorted(kept["doc_id"]) == [2, 9]
+
+
+def test_near_dedup_keep_best_tiebreak_and_validation(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+
+    from pprl_ray.stages.dedup import near_dedup_corpus
+
+    rows = [
+        {"doc_id": 4, "text": "x", "score": 3.0},
+        {"doc_id": 7, "text": "y", "score": 3.0},
+    ]
+    pairs = rd.from_items([{"id_a": 4, "id_b": 7}])
+    kept = near_dedup_corpus(
+        rd.from_items(rows), keep="best", keep_score_col="score", pairs=pairs
+    ).to_pandas()
+    assert sorted(kept["doc_id"]) == [4]  # equal scores -> min id wins
+    with _pytest.raises(ValueError, match="keep_score_col"):
+        near_dedup_corpus(rd.from_items(rows), keep="best", pairs=pairs)
+    with _pytest.raises(ValueError, match="unknown keep"):
+        near_dedup_corpus(rd.from_items(rows), keep="quality", pairs=pairs)
+
+
+def test_near_dedup_keep_best_bucket_join_path(ray_session):
+    import ray.data as rd
+
+    from pprl_ray.stages.dedup import near_dedup_corpus
+
+    rows = [{"doc_id": i, "text": f"t{i}", "score": float(i % 3)} for i in range(12)]
+    pairs = rd.from_items([{"id_a": i, "id_b": i + 1} for i in range(0, 12, 2)])
+    # force the co-partitioned (non-broadcast) labeled-score path
+    kept = near_dedup_corpus(
+        rd.from_items(rows), keep="best", keep_score_col="score", pairs=pairs,
+        loser_broadcast_max=0, partitions=3,
+    ).to_pandas()
+    # per pair (i, i+1): score = i%3 vs (i+1)%3 — winner has higher score,
+    # except when i%3 == 2 (then i+1 scores 0 and i wins)
+    want = sorted(i if i % 3 == 2 else i + 1 for i in range(0, 12, 2))
+    assert sorted(kept["doc_id"]) == want
