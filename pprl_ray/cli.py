@@ -316,10 +316,55 @@ def cmd_dedup(args) -> None:
     elif args.method == "simhash":
         fp = simhash_fingerprints(ds, text_col=args.text_column, id_col=args.id_column)
         out = simhash_candidates(fp, id_col=args.id_column, max_hamming=args.max_hamming)
+    elif args.method == "ngram":
+        from .stages.dedup import ngram_jaccard_pairs
+
+        out = ngram_jaccard_pairs(ds, text_col=args.text_column,
+                                  id_col=args.id_column, shingle_n=args.shingle_n,
+                                  threshold=args.threshold)
+    elif args.method == "near":
+        from .stages.dedup import near_dedup_corpus
+
+        if args.keep == "best" and not args.score_column:
+            raise SystemExit("--keep best requires --score-column")
+        out = near_dedup_corpus(ds, text_col=args.text_column,
+                                id_col=args.id_column, threshold=args.threshold,
+                                keep=args.keep, keep_score_col=args.score_column)
     else:
         raise ValueError(args.method)
     n = _write(out, args.output, args.format)
     print(json.dumps({"command": "dedup", "method": args.method, "rows": n, "output": args.output}))
+
+
+def cmd_split(args) -> None:
+    from .stages.sample import hash_split
+
+    fractions = {}
+    for part in args.fractions.split(","):
+        name, _, frac = part.partition("=")
+        fractions[name.strip()] = float(frac)
+    ds = _read(args.input)
+    out = hash_split(ds, args.id_column, fractions, salt=args.salt)
+    if args.partition_output:
+        out.write_parquet(args.output, partition_cols=["split"])
+        n = out.count()
+    else:
+        n = _write(out, args.output, args.format)
+    print(json.dumps({"command": "split", "fractions": fractions, "rows": n,
+                      "output": args.output}))
+
+
+def cmd_search(args) -> None:
+    from .stages.text import bm25_topk
+
+    ds = _read(args.input)
+    out = bm25_topk(ds, args.terms, text_col=args.text_column,
+                    id_col=args.id_column, k=args.k, k1=args.k1, b=args.b)
+    import ray.data as rd
+
+    n = _write(rd.from_pandas(out), args.output, args.format)
+    print(json.dumps({"command": "search", "terms": args.terms, "rows": n,
+                      "output": args.output}))
 
 
 def cmd_sort(args) -> None:
@@ -610,16 +655,45 @@ def main(argv: list[str] | None = None) -> None:
     sp.add_argument("--bloom-bits", type=int, default=1 << 20)
     sp.set_defaults(fn=cmd_profile)
 
-    sp = sub.add_parser("dedup", help="exact / minhash / simhash deduplication")
+    sp = sub.add_parser("dedup", help="exact / minhash / simhash / ngram / near dedup")
     common(sp)
-    sp.add_argument("--method", choices=("exact", "minhash", "simhash", "incremental"),
+    sp.add_argument("--method",
+                    choices=("exact", "minhash", "simhash", "incremental",
+                             "ngram", "near"),
                     default="exact")
     sp.add_argument("--text-column", default="text")
     sp.add_argument("--threshold", type=float, default=0.8)
     sp.add_argument("--max-hamming", type=int, default=3)
+    sp.add_argument("--shingle-n", type=int, default=4,
+                    help="ngram: word n-gram size for exact Jaccard pairs")
+    sp.add_argument("--keep", choices=("min_id", "best"), default="min_id",
+                    help="near: survivor per duplicate component")
+    sp.add_argument("--score-column", default=None,
+                    help="near --keep best: keep the component member "
+                         "maximizing this column")
     sp.add_argument("--index-dir", default=None,
                     help="incremental: persistent hash index (created on first run)")
     sp.set_defaults(fn=cmd_dedup)
+
+    sp = sub.add_parser("split", help="deterministic md5 train/val/test split")
+    common(sp)
+    sp.add_argument("--fractions", default="train=0.9,val=0.05,test=0.05",
+                    help='comma list "name=frac,..." summing to 1.0 '
+                         "(whole percents)")
+    sp.add_argument("--salt", default="", help="rotate assignments without "
+                                               "touching ids")
+    sp.add_argument("--partition-output", action="store_true",
+                    help="write parquet partitioned by split= directories")
+    sp.set_defaults(fn=cmd_split)
+
+    sp = sub.add_parser("search", help="BM25 top-k retrieval for a fixed query")
+    common(sp)
+    sp.add_argument("--terms", nargs="+", required=True)
+    sp.add_argument("--text-column", default="text")
+    sp.add_argument("-k", type=int, default=10)
+    sp.add_argument("--k1", type=float, default=1.2)
+    sp.add_argument("--b", type=float, default=0.75)
+    sp.set_defaults(fn=cmd_search)
 
     sp = sub.add_parser("sort", help="KLL range-partitioned global sort to bucketed parquet")
     common(sp)

@@ -524,3 +524,63 @@ def test_cli_quality_modes(ray_session, tmp_path, capsys):
     pdf = ppl.to_pandas().set_index("doc_id")
     assert pdf.loc[1, "perplexity"] < pdf.loc[0, "perplexity"]
     assert pdf["perplexity"].idxmax() == 2  # rare-bigram short doc
+
+
+def test_cli_split_search_ngram_near(ray_session, tmp_path, capsys):
+    docs = tmp_path / "docs.parquet"
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",  # near-dup of 0
+        "totally different words in this document here now",
+        "alpha beta unrelated tail words here again now",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(texts),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(docs),
+    )
+
+    main(["split", "--input", str(docs), "--id-column", "doc_id",
+          "--fractions", "train=0.5,test=0.5",
+          "--output", str(tmp_path / "splits")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 4
+    tagged = pq.read_table(str(tmp_path / "splits"))
+    assert set(tagged["split"].to_pylist()) <= {"train", "test"}
+
+    main(["search", "--input", str(docs), "--id-column", "doc_id",
+          "--terms", "alpha", "beta", "-k", "3",
+          "--output", str(tmp_path / "hits")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 3
+    hits = pq.read_table(str(tmp_path / "hits"))
+    assert hits.column_names == ["doc_id", "score", "rank"]
+
+    main(["dedup", "--method", "ngram", "--input", str(docs),
+          "--id-column", "doc_id", "--shingle-n", "3", "--threshold", "0.4",
+          "--output", str(tmp_path / "pairs")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    pairs = pq.read_table(str(tmp_path / "pairs"))
+    assert out["rows"] == 1
+    assert pairs["doc_a"].to_pylist() == [0] and pairs["doc_b"].to_pylist() == [1]
+
+    main(["dedup", "--method", "near", "--keep", "best",
+          "--score-column", "n_chars", "--threshold", "0.4",
+          "--input", str(docs), "--id-column", "doc_id",
+          "--output", str(tmp_path / "kept")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    kept = pq.read_table(str(tmp_path / "kept"))
+    # docs 0/1 are near-dups; both have 47 chars -> tie, min id 0 survives
+    assert sorted(kept["doc_id"].to_pylist()) == [0, 2, 3]
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="score-column"):
+        main(["dedup", "--method", "near", "--keep", "best",
+              "--input", str(docs), "--id-column", "doc_id",
+              "--output", str(tmp_path / "x")])
