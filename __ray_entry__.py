@@ -2226,6 +2226,77 @@ def q_dataset_split(sf_dir: str):
     return agg
 
 
+def _doc_words(sf_dir: str):
+    """(doc_id, ws:list<string>) — per-document word lists, the word-token
+    analogue of the corpus table (SQL-replicable via string_split)."""
+
+    def _split(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        ws = pl.DataFrame(
+            {"ws": pl.from_arrow(batch["text"].combine_chunks()).str.split(" ")}
+        ).to_arrow()["ws"]
+        return pa.table({"doc_id": batch["doc_id"], "ws": ws})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(_split, batch_format="pyarrow")
+
+
+def q_chunk_docs(sf_dir: str):
+    """LM context-window chunking (stages/tokens.py chunk_sequences):
+    sliding windows of 16 word-tokens at stride 8 per document —
+    offsets-math over the flat value buffer, embarrassingly parallel,
+    no shuffle. Run over word lists so DuckDB replicates it exactly
+    (generate_series starts + 1-based list slices)."""
+    from pprl_ray.stages.tokens import chunk_sequences
+
+    chunks = chunk_sequences(_doc_words(sf_dir), "ws", seq_len=16, stride=8)
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "chunk_idx": batch["chunk_idx"],
+                "chunk_text": pc.cast(pc.binary_join(batch["ws"], pa.scalar(" ", pa.large_string())), pa.string()),
+                "n_chunk_tok": batch["n_chunk_tok"],
+            }
+        )
+
+    return chunks.map_batches(_finish, batch_format="pyarrow")
+
+
+def q_vocab_prune(sf_dir: str):
+    """Closed-vocabulary remap (stages/tokens.py vocab_prune): global
+    top-12 words by frequency (ties: token asc) stay; every other token
+    becomes <unk>. Slim (token, count) shuffle for the vocabulary, then a
+    broadcast remap — the corpus never shuffles."""
+    from pprl_ray.stages.tokens import vocab_prune
+
+    pruned = vocab_prune(_doc_words(sf_dir), "ws", k=12)
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "pruned_text": pc.cast(pc.binary_join(batch["ws"], pa.scalar(" ", pa.large_string())), pa.string()),
+                "n_unk": batch["n_unk"],
+            }
+        )
+
+    return pruned.map_batches(_finish, batch_format="pyarrow")
+
+
+def q_token_bigrams(sf_dir: str):
+    """Corpus bigram counts, exact global top-100 (stages/tokens.py
+    bigram_counts) — the n-gram-LM count-collection pass: boundary-masked
+    shift over the flat word buffer, map-side combine, slim pair-keyed
+    shuffle, per-partition top-n merge."""
+    from pprl_ray.stages.tokens import bigram_counts
+
+    out = bigram_counts(_doc_words(sf_dir), "ws", top_n=100)
+    out["c"] = out["c"].astype("int64")
+    return out
+
+
 def q_lm_perplexity(sf_dir: str):
     """CCNet-style LM quality scoring (stages/lm.py): train a stupid-backoff
     bigram model over the corpus (one pre-aggregated counting shuffle),
@@ -3062,6 +3133,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the judge's own r3 oracle run; all 100+ re-runnable any time via
     # scripts/check_oracles.py.
     return {
+        "chunk_docs": q_chunk_docs,
+        "vocab_prune": q_vocab_prune,
+        "token_bigrams": q_token_bigrams,
         "clk_mask_sha512": q_clk_mask_sha512,
         "clk_mask_hmac": q_clk_mask_hmac,
         "lm_perplexity": q_lm_perplexity,
@@ -3549,6 +3623,60 @@ def oracle_sql() -> dict[str, str]:
         f"('{w}', {i})" for w, i in _TOKEN_ID_GOLDEN
     )
     return {
+        "chunk_docs": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            s AS (
+                SELECT doc_id, ws,
+                       unnest(generate_series(0, len(ws) - 1, 8)) AS st
+                FROM w
+            )
+            SELECT doc_id,
+                   CAST(st / 8 AS BIGINT) AS chunk_idx,
+                   array_to_string(ws[st + 1 : least(st + 16, len(ws))], ' ')
+                       AS chunk_text,
+                   CAST(least(16, len(ws) - st) AS BIGINT) AS n_chunk_tok
+            FROM s
+        """,
+        "vocab_prune": """
+            WITH tok AS (
+                SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            ),
+            counts AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+            kept AS (
+                SELECT list(w) AS kl FROM (
+                    SELECT w FROM counts ORDER BY c DESC, w LIMIT 12
+                )
+            ),
+            ws AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            )
+            SELECT doc_id,
+                   array_to_string(
+                       list_transform(ws, x -> CASE WHEN list_contains(kl, x)
+                                                    THEN x ELSE '<unk>' END),
+                       ' ') AS pruned_text,
+                   CAST(len(list_filter(ws, x -> NOT list_contains(kl, x)))
+                        AS BIGINT) AS n_unk
+            FROM ws CROSS JOIN kept
+        """,
+        "token_bigrams": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, unnest(ws) AS w,
+                       unnest(generate_series(1, len(ws))) AS p
+                FROM w
+            )
+            SELECT a.w AS w1, b.w AS w2, count(*) AS c
+            FROM pos a
+            JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+            GROUP BY a.w, b.w
+            ORDER BY c DESC, w1, w2
+            LIMIT 100
+        """,
         "lang_id": _lang_id_oracle(),
         "simhash": _simhash_oracle(),
         "clk_mask_md5": _mask_oracle("xor(i0, i1) + s.i * xor(i2, i3)", 1024, 5),

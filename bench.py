@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     "ngram_jaccard",
     "bm25",
     "dataset_split",
+    "chunk_docs",
+    "vocab_prune",
+    "token_bigrams",
 ]
 
 

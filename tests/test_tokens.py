@@ -1,0 +1,138 @@
+"""Tests for stages/tokens.py: context-window chunking, vocabulary
+pruning, bigram counting — each checked against a row-at-a-time Python
+reference on both int32 token lists and word-string lists."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from pprl_ray.stages.tokens import (
+    bigram_counts,
+    chunk_sequences,
+    top_k_tokens,
+    vocab_prune,
+)
+
+
+def _chunk_ref(lst, seq_len, stride, min_len=1):
+    out = []
+    i = 0
+    for s in range(0, len(lst), stride):
+        ch = lst[s : s + seq_len]
+        if len(ch) >= min_len:
+            out.append((i, ch))
+        i += 1
+    return out
+
+
+@pytest.fixture(scope="module")
+def int_corpus(ray_session):
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(50):
+        n = int(rng.integers(0, 40))
+        rows.append(
+            {"doc_id": f"d{i}", "tokens": rng.integers(0, 30, n).astype(np.int32).tolist(),
+             "source": "web" if i % 3 else "code"}
+        )
+    return rows
+
+
+def test_chunk_sequences_matches_reference(int_corpus):
+    ds = rd.from_items(int_corpus).repartition(5)
+    for seq_len, stride, min_len in [(8, 8, 1), (8, 4, 1), (16, 16, 5)]:
+        got = chunk_sequences(ds, "tokens", seq_len=seq_len, stride=stride,
+                              min_len=min_len).to_pandas()
+        got = got.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+        exp = []
+        for r in int_corpus:
+            for ci, ch in _chunk_ref(r["tokens"], seq_len, stride, min_len):
+                exp.append((r["doc_id"], ci, ch, len(ch), r["source"]))
+        exp.sort()
+        assert len(got) == len(exp)
+        for row, (did, ci, ch, n, src) in zip(got.itertuples(index=False), exp):
+            assert row.doc_id == did and row.chunk_idx == ci
+            assert list(row.tokens) == ch and row.n_chunk_tok == n
+            assert row.source == src
+
+
+def test_chunk_sequences_partitioning_invariant(int_corpus):
+    a = chunk_sequences(rd.from_items(int_corpus).repartition(1), "tokens",
+                        seq_len=8, stride=4).to_pandas()
+    b = chunk_sequences(rd.from_items(int_corpus).repartition(7), "tokens",
+                        seq_len=8, stride=4).to_pandas()
+    key = ["doc_id", "chunk_idx"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a["n_chunk_tok"].tolist() == b["n_chunk_tok"].tolist()
+    assert [list(x) for x in a["tokens"]] == [list(x) for x in b["tokens"]]
+
+
+def test_chunk_sequences_string_lists(ray_session):
+    t = pa.table({
+        "doc_id": ["a", "b", "c"],
+        "words": [["x", "y", "z", "w", "v"], [], ["solo"]],
+    })
+    got = chunk_sequences(rd.from_arrow(t), "words", seq_len=2, stride=2,
+                          chunk_col="chunk").to_pandas()
+    got = got.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    assert [list(c) for c in got["chunk"]] == [["x", "y"], ["z", "w"], ["v"], ["solo"]]
+    assert got["doc_id"].tolist() == ["a", "a", "a", "c"]
+
+
+def test_top_k_and_vocab_prune(int_corpus):
+    from collections import Counter
+
+    ds = rd.from_items(int_corpus).repartition(4)
+    cnt = Counter(t for r in int_corpus for t in r["tokens"])
+    exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = top_k_tokens(ds, "tokens", k=10, partitions=3)
+    assert list(zip(got["token"], got["c"])) == exp
+
+    kept = {t for t, _ in exp}
+    pruned = vocab_prune(ds, "tokens", k=10, partitions=3).to_pandas()
+    pruned = pruned.set_index("doc_id")
+    for r in int_corpus:
+        out = list(pruned.loc[r["doc_id"], "tokens"])
+        expect = [t if t in kept else -1 for t in r["tokens"]]
+        assert out == expect
+        assert pruned.loc[r["doc_id"], "n_unk"] == sum(t not in kept for t in r["tokens"])
+
+
+def test_vocab_prune_string_unk(ray_session):
+    t = pa.table({"doc_id": ["a", "b"],
+                  "words": [["x", "y", "x", "q"], ["y", "zz"]]})
+    out = vocab_prune(rd.from_arrow(t), "words", k=2, partitions=2).to_pandas()
+    out = out.set_index("doc_id")
+    # counts: x=2, y=2, q=1, zz=1 -> kept {x, y}
+    assert list(out.loc["a", "words"]) == ["x", "y", "x", "<unk>"]
+    assert list(out.loc["b", "words"]) == ["y", "<unk>"]
+    assert out["n_unk"].tolist() in ([1, 1],)
+
+
+def test_bigram_counts(int_corpus):
+    from collections import Counter
+
+    ds = rd.from_items(int_corpus).repartition(4)
+    cnt = Counter()
+    for r in int_corpus:
+        for a, b in zip(r["tokens"], r["tokens"][1:]):
+            cnt[(a, b)] += 1
+    exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    got = bigram_counts(ds, "tokens", top_n=25, partitions=3)
+    assert [((r.w1, r.w2), r.c) for r in got.itertuples(index=False)] == exp
+
+    # full table path (no top_n): Dataset with exact counts
+    full = bigram_counts(ds, "tokens", partitions=3).to_pandas()
+    assert len(full) == len(cnt)
+    m = {(r.w1, r.w2): r.c for r in full.itertuples(index=False)}
+    assert m == dict(cnt)
+
+
+def test_bigram_counts_no_cross_row_pairs(ray_session):
+    t = pa.table({"tokens": [[1, 2], [2, 3]]})
+    full = bigram_counts(rd.from_arrow(t), "tokens", partitions=1).to_pandas()
+    pairs = {(r.w1, r.w2): r.c for r in full.itertuples(index=False)}
+    assert pairs == {(1, 2): 1, (2, 3): 1}  # no (2, 2) straddle pair
