@@ -48,12 +48,15 @@ ALPHA = 0.4  # stupid-backoff discount (Brants et al. 2007)
 
 
 def _doc_tokens(batch: pa.Table, text_col: str):
-    """Flat token array + per-doc lengths for a batch (one polars split)."""
+    """Flat token Series (polars, no Python-object copies) + per-doc
+    lengths for a batch (one polars split). ``explode()`` emits one null
+    per EMPTY list; single-space-separated text never yields an empty
+    split, so lengths stay aligned."""
     import polars as pl
 
     words = pl.from_arrow(batch[text_col].combine_chunks()).str.split(" ")
     lens = words.list.len().to_numpy().astype(np.int64)
-    flat = words.explode().to_numpy().astype(object)
+    flat = words.explode()
     return flat, lens
 
 
@@ -81,15 +84,14 @@ def train_bigram_lm(ds, text_col: str = "text", partitions: int | None = None,
         starts[np.cumsum(lens)[:-1]] = True
         if len(flat):
             starts[0] = True
-        w1 = flat[:-1][~starts[1:]] if len(flat) > 1 else flat[:0]
-        w2 = flat[1:][~starts[1:]] if len(flat) > 1 else flat[:0]
         uni = (
-            pl.DataFrame({"token": pl.Series(flat, dtype=pl.Utf8)})
+            pl.DataFrame({"token": flat.alias("token")})
             .group_by("token").len(name="cnt")
         )
         bi = (
-            pl.DataFrame({"w1": pl.Series(w1, dtype=pl.Utf8),
-                          "w2": pl.Series(w2, dtype=pl.Utf8)})
+            pl.DataFrame({"w1": flat.shift(1).alias("w1"),
+                          "w2": flat.alias("w2")})
+            .filter(pl.Series(~starts))
             .group_by(["w1", "w2"]).len(name="cnt")
         )
         hu = uni["token"].hash(seed=47).to_numpy()
@@ -204,13 +206,14 @@ class _PerplexityStage:
         if n:
             starts[0] = True
             starts[np.cumsum(lens)[:-1]] = True
-        prev = np.roll(flat, 1)
         # three vectorized hash joins against the local model tables; the
-        # row index restores input order (left joins don't guarantee it)
+        # row index restores input order (left joins don't guarantee it).
+        # prev at doc starts is masked out below, so shift's leading null
+        # (vs np.roll's wrap-around) never reaches the arithmetic.
         frame = pl.DataFrame(
             {
-                "tok": pl.Series(flat, dtype=pl.Utf8),
-                "prev": pl.Series(prev, dtype=pl.Utf8),
+                "tok": flat.alias("tok"),
+                "prev": flat.shift(1).alias("prev"),
             }
         ).with_row_index("idx")
         frame = (
@@ -243,9 +246,10 @@ class _PerplexityStage:
                     np.log(ALPHA * np.fmax(np.nan_to_num(cw, nan=1.0), 1.0) / self.total),
                 ),
             )
-        doc_idx = np.repeat(np.arange(len(lens)), lens)
-        sums = np.zeros(len(lens), np.float64)
-        np.add.at(sums, doc_idx, lp)
+        # segmented sum via reduceat (np.add.at is orders slower); empty
+        # docs can't occur (split(' ') of any string yields >= 1 token)
+        offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        sums = np.add.reduceat(lp, offsets) if len(lp) else np.zeros(0)
         safe_lens = np.maximum(lens, 1)
         avg = sums / safe_lens
         return pa.table(
