@@ -2297,6 +2297,29 @@ def q_token_bigrams(sf_dir: str):
     return out
 
 
+def q_span_scrub(sf_dir: str):
+    """Exact-substring span removal (stages/dedup.py duplicate_span_scrub,
+    the Lee et al. 2022 dedup shape at word level, n=4): every word 4-gram
+    occurring more than once corpus-wide has its spans cut from all
+    carriers; survivors re-join. Two slim exchanges (gram hashes, then
+    covered positions unioned with the docs); text moves once."""
+    from pprl_ray.stages.dedup import duplicate_span_scrub
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    out = duplicate_span_scrub(docs, n=4)
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "text": batch["text"],
+                "n_removed": batch["n_removed"],
+            }
+        )
+
+    return out.map_batches(_finish, batch_format="pyarrow")
+
+
 def q_lm_perplexity(sf_dir: str):
     """CCNet-style LM quality scoring (stages/lm.py): train a stupid-backoff
     bigram model over the corpus (one pre-aggregated counting shuffle),
@@ -3136,6 +3159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": q_chunk_docs,
         "vocab_prune": q_vocab_prune,
         "token_bigrams": q_token_bigrams,
+        "span_scrub": q_span_scrub,
         "clk_mask_sha512": q_clk_mask_sha512,
         "clk_mask_hmac": q_clk_mask_hmac,
         "lm_perplexity": q_lm_perplexity,
@@ -3676,6 +3700,45 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a.w, b.w
             ORDER BY c DESC, w1, w2
             LIMIT 100
+        """,
+        "span_scrub": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            g AS (
+                SELECT doc_id, ws,
+                       unnest(generate_series(1, len(ws) - 3)) AS p
+                FROM w WHERE len(ws) >= 4
+            ),
+            gram AS (
+                SELECT doc_id, p, array_to_string(ws[p : p + 3], ' ') AS gr
+                FROM g
+            ),
+            dup AS (SELECT gr FROM gram GROUP BY gr HAVING count(*) > 1),
+            cov AS (
+                SELECT DISTINCT doc_id,
+                       unnest(generate_series(p, p + 3)) AS cp
+                FROM gram WHERE gr IN (SELECT gr FROM dup)
+            ),
+            tok AS (
+                SELECT doc_id, unnest(ws) AS wd,
+                       unnest(generate_series(1, len(ws))) AS tp
+                FROM w
+            ),
+            kept AS (
+                SELECT t.doc_id,
+                       array_to_string(list(t.wd ORDER BY t.tp), ' ') AS txt,
+                       count(*) AS nk
+                FROM tok t
+                LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tp = c.cp
+                WHERE c.doc_id IS NULL
+                GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(k.txt, '') AS text,
+                   CAST(len(string_split(d.text, ' ')) - coalesce(k.nk, 0)
+                        AS BIGINT) AS n_removed
+            FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
         """,
         "lang_id": _lang_id_oracle(),
         "simhash": _simhash_oracle(),

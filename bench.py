@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "chunk_docs",
     "vocab_prune",
     "token_bigrams",
+    "span_scrub",
 ]
 
 

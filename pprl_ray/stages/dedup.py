@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..sketches.hashing import hash_strings
 from ..sketches.lsh import band_keys, hamming64, minhash_signatures, simhash64
@@ -373,8 +374,10 @@ def shingle_tokens(batch: pa.Table, text_col: str = "text", n: int = 3,
     with np.errstate(over="ignore"):
         for j in range(1, n):
             shifted = np.zeros_like(flat_hashes)
-            same_row = row_of[j:] == row_of[: total - j]
-            shifted[: total - j][same_row] = flat_hashes[j:][same_row]
+            if j < total:  # keep the *C fold even when the whole batch is
+                # shorter than n, so hashes stay batch-size-invariant
+                same_row = row_of[j:] == row_of[: total - j]
+                shifted[: total - j][same_row] = flat_hashes[j:][same_row]
             comb = comb * C + shifted
         sh = splitmix64(comb)
     # valid shingle start positions: i + n - 1 stays inside the row
@@ -1508,3 +1511,199 @@ def near_dedup_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
 
     return bucket_join(ds, losers, keys=id_col, join_type="left anti",
                        partitions=partitions)
+
+
+# --- exact-substring span scrub ---------------------------------------------
+
+
+def _positional_gram_hashes(batch: pa.Table, text_col: str, n: int):
+    """Rolling 64-bit hash of EVERY word ``n``-gram occurrence in a batch
+    (same combine as :func:`shingle_tokens`, but positions kept and NOT
+    deduplicated — span removal needs within-doc repeats too). Returns
+    ``(hashes, row_idx, pos)`` with ``pos`` the 0-based start-word index;
+    rows under ``n`` words emit nothing (no n-grams)."""
+    import polars as pl
+
+    from ..sketches.hashing import splitmix64
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    words = pl.from_arrow(col).fill_null("").str.split(" ")
+    lengths = words.list.len().to_numpy().astype(np.int64)
+    n_rows = len(lengths)
+    flat_hashes = words.explode().hash(seed=41).to_numpy().astype(np.uint64)
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    total = int(offsets[-1])
+    empty = (np.empty(0, np.uint64), np.empty(0, np.int64), np.empty(0, np.int64))
+    if total == 0:
+        return empty
+    if len(flat_hashes) != total:  # explode() null slots for empty lists
+        lengths = np.maximum(lengths, 1)
+        offsets = np.concatenate([[0], np.cumsum(lengths)])
+        total = int(offsets[-1])
+    row_of = np.repeat(np.arange(n_rows), lengths)
+    C = np.uint64(0x9E3779B97F4A7C15)
+    comb = flat_hashes.copy()
+    with np.errstate(over="ignore"):
+        for j in range(1, n):
+            shifted = np.zeros_like(flat_hashes)
+            if j < total:  # keep the *C fold even when the whole batch is
+                # shorter than n, so hashes stay batch-size-invariant
+                same_row = row_of[j:] == row_of[: total - j]
+                shifted[: total - j][same_row] = flat_hashes[j:][same_row]
+            comb = comb * C + shifted
+        sh = splitmix64(comb)
+    pos_in_row = np.arange(total) - offsets[row_of]
+    valid = pos_in_row + (n - 1) < lengths[row_of]
+    return sh[valid], row_of[valid], pos_in_row[valid]
+
+
+def duplicate_span_scrub(ds, text_col: str = "text", id_col: str = "doc_id",
+                         n: int = 50, partitions: int | None = None):
+    """Exact-substring deduplication by SPAN REMOVAL (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" shape,
+    word-level): any word ``n``-gram occurring more than once in the
+    corpus — in another doc or at another position of the same doc — has
+    all its occurrences' word spans ``[p, p+n)`` removed; the surviving
+    words (original order) are re-joined. Unlike whole-doc dedup this
+    cuts boilerplate out of otherwise-unique documents.
+
+    Scale shape (two slim exchanges, text moves ONCE):
+    1. per-batch positional gram hashes (vectorised rolling combine) →
+       slim ``(h, id, pos)`` rows, hash-partitioned; per-hash-partition
+       occurrence count; hashes with count > 1 emit their ``(id, pos)``
+       occurrences — output bounded by duplicated occurrences;
+    2. one doc-keyed exchange of (docs ∪ covered-position rows): equal
+       ids co-locate, so each group scrubs locally — interval-union
+       coverage via a +1/−1 delta array + prefix sum over flat word
+       coordinates, one take + binary_join rebuilds the text. Docs
+       without covered spans pass through unchanged.
+
+    Returns ``(id, text, n_removed:int64)`` with ``text`` scrubbed (empty
+    string when fully covered). Exact modulo 64-bit gram-hash collisions
+    (same caveat as minhash verification). Docs under ``n`` words have no
+    n-grams and always pass through.
+    """
+    import polars as pl
+
+    from .partitioning import auto_partitions
+
+    if partitions is None:
+        partitions = auto_partitions(ds)
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        h, row_idx, pos = _positional_gram_hashes(batch, text_col, n)
+        ids = batch[id_col].combine_chunks()
+        return pa.table(
+            {
+                "h": pa.array(h, pa.uint64()),
+                "id": pc.take(ids, pa.array(row_idx, pa.int64())),
+                "pos": pa.array(pos, pa.int64()),
+                "part": pa.array((h % np.uint64(partitions)).astype(np.int32)),
+            }
+        )
+
+    grams = ds.map_batches(_emit, batch_format="pyarrow")
+
+    def _dups(group: pd.DataFrame) -> pd.DataFrame:
+        c = group.groupby("h")["pos"].transform("size")
+        out = group.loc[c > 1, ["id", "pos"]]
+        return out
+
+    covered = grams.groupby("part").map_groups(_dups, batch_format="pandas")
+
+    # ONE doc-keyed exchange: doc rows (id, text, pos=null) union covered
+    # rows (id, text=null, pos). Equal ids share a dpart group, so the
+    # scrub is local to each group — no pyarrow join (which rejects
+    # list-typed payloads), and the text moves exactly once.
+    schema = ds.schema().base_schema
+    id_type = schema.field(id_col).type
+    text_type = schema.field(text_col).type
+
+    def _dpart(ids: pa.Array) -> pa.Array:
+        hp = pl.from_arrow(ids).hash(seed=29).to_numpy()
+        return pa.array((hp % np.uint64(partitions)).astype(np.int32))
+
+    def _tag_docs(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks()
+        return pa.table(
+            {
+                id_col: ids,
+                text_col: batch[text_col],
+                "pos": pa.nulls(batch.num_rows, pa.int64()),
+                "dpart": _dpart(ids),
+            }
+        )
+
+    def _tag_cov(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["id"].combine_chunks(), id_type)
+        return pa.table(
+            {
+                id_col: ids,
+                text_col: pa.nulls(batch.num_rows, text_type),
+                "pos": pc.cast(batch["pos"], pa.int64()),
+                "dpart": _dpart(ids),
+            }
+        )
+
+    both = (
+        ds.map_batches(lambda b: _tag_docs(b.select([id_col, text_col])),
+                       batch_format="pyarrow")
+        .union(covered.map_batches(_tag_cov, batch_format="pyarrow"))
+    )
+
+    def _scrub_group(group: pa.Table) -> pa.Table:
+        is_cov = pc.is_valid(group["pos"])
+        docs = group.filter(pc.invert(is_cov))
+        cov = group.filter(is_cov)
+        words = pl.from_arrow(
+            docs[text_col].combine_chunks()
+        ).fill_null("").str.split(" ")
+        lens = words.list.len().to_numpy().astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        total = int(offs[-1])
+        # locate each covered (id, pos) row's doc (ids unique per corpus)
+        doc_ids = docs[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        cov_ids = cov[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(doc_ids, kind="mergesort")
+        row_idx = order[np.searchsorted(doc_ids[order], cov_ids)] if len(cov_ids) \
+            else np.empty(0, np.int64)
+        pos = cov["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # interval union via +1/-1 deltas in FLAT word coordinates
+        delta = np.zeros(total + 1, np.int64)
+        a = offs[row_idx] + pos
+        np.add.at(delta, a, 1)
+        np.add.at(delta, a + n, -1)  # p+n <= len(doc) by construction
+        keep_flat = np.cumsum(delta[:-1]) == 0
+        flat_words = words.explode()
+        if len(flat_words) != total:  # explode() null slot for empty lists
+            keep_flat = np.ones(len(flat_words), bool)
+            total = len(flat_words)
+            lens = np.maximum(lens, 1)
+            offs = np.concatenate([[0], np.cumsum(lens)])
+        if total:
+            # offs[:-1] < total always (str.split yields >= 1 token/row),
+            # so reduceat's trailing-index quirk can't trigger
+            kept_counts = np.add.reduceat(keep_flat.astype(np.int64), offs[:-1])
+        else:
+            kept_counts = np.zeros(len(lens), np.int64)
+        flat_arr = flat_words.to_arrow()
+        if isinstance(flat_arr, pa.ChunkedArray):
+            flat_arr = flat_arr.combine_chunks()
+        kept_words = flat_arr.take(pa.array(np.flatnonzero(keep_flat), pa.int64()))
+        new_off = np.concatenate([[0], np.cumsum(kept_counts)])
+        out_lists = pa.ListArray.from_arrays(
+            pa.array(new_off, pa.int32()) if new_off[-1] < 2**31
+            else pa.array(new_off), kept_words
+        )
+        texts = pc.binary_join(out_lists, pa.scalar(" ", flat_arr.type))
+        return pa.table(
+            {
+                id_col: docs[id_col],
+                text_col: pc.cast(texts, pa.string()),
+                "n_removed": pa.array(lens - kept_counts, pa.int64()),
+            }
+        )
+
+    return both.groupby("dpart").map_groups(_scrub_group, batch_format="pyarrow")

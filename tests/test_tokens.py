@@ -136,3 +136,86 @@ def test_bigram_counts_no_cross_row_pairs(ray_session):
     full = bigram_counts(rd.from_arrow(t), "tokens", partitions=1).to_pandas()
     pairs = {(r.w1, r.w2): r.c for r in full.itertuples(index=False)}
     assert pairs == {(1, 2): 1, (2, 3): 1}  # no (2, 2) straddle pair
+
+
+# --- duplicate_span_scrub -----------------------------------------------
+
+
+def _scrub_ref(rows, n):
+    """Row-at-a-time reference: remove every word n-gram span whose gram
+    occurs more than once corpus-wide (any doc, any position)."""
+    from collections import Counter
+
+    grams = Counter()
+    for r in rows:
+        ws = r["text"].split(" ")
+        for p in range(len(ws) - n + 1):
+            grams[tuple(ws[p : p + n])] += 1
+    out = {}
+    for r in rows:
+        ws = r["text"].split(" ")
+        cov = [False] * len(ws)
+        for p in range(len(ws) - n + 1):
+            if grams[tuple(ws[p : p + n])] > 1:
+                for i in range(p, p + n):
+                    cov[i] = True
+        kept = [w for w, c in zip(ws, cov) if not c]
+        out[r["doc_id"]] = (" ".join(kept), sum(cov))
+    return out
+
+
+@pytest.fixture(scope="module")
+def scrub_corpus(ray_session):
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(40):
+        k = int(rng.integers(2, 25))
+        rows.append({"doc_id": i, "text": " ".join(rng.choice(vocab, k))})
+    # plant an exact shared 6-word span inside two otherwise-unique docs
+    span = "alpha beta gamma delta epsilon zeta"
+    rows.append({"doc_id": 100, "text": "unique one " + span + " tail words"})
+    rows.append({"doc_id": 101, "text": "other head " + span + " closing bit"})
+    # a doc that repeats its own 4-gram (within-doc duplication)
+    rows.append({"doc_id": 102, "text": "p q r s junk p q r s more"})
+    return rows
+
+
+def test_duplicate_span_scrub_matches_reference(scrub_corpus):
+    from pprl_ray.stages.dedup import duplicate_span_scrub
+
+    for n in (3, 4, 6):
+        ref = _scrub_ref(scrub_corpus, n)
+        ds = rd.from_items(scrub_corpus).repartition(5)
+        got = duplicate_span_scrub(ds, n=n, partitions=3).to_pandas()
+        assert len(got) == len(scrub_corpus)
+        for r in got.itertuples(index=False):
+            exp_text, exp_removed = ref[r.doc_id]
+            assert r.text == exp_text, (n, r.doc_id)
+            assert r.n_removed == exp_removed
+
+
+def test_duplicate_span_scrub_planted_span(scrub_corpus):
+    from pprl_ray.stages.dedup import duplicate_span_scrub
+
+    ds = rd.from_items(scrub_corpus)
+    got = duplicate_span_scrub(ds, n=6, partitions=2).to_pandas().set_index("doc_id")
+    # the planted 6-gram disappears from both carriers, context survives
+    assert got.loc[100, "text"] == "unique one tail words"
+    assert got.loc[101, "text"] == "other head closing bit"
+    assert got.loc[100, "n_removed"] == 6
+    # within-doc repeat scrubbed at n=4
+    got4 = duplicate_span_scrub(ds, n=4, partitions=2).to_pandas().set_index("doc_id")
+    assert "p q r s" not in got4.loc[102, "text"]
+
+
+def test_duplicate_span_scrub_short_docs_pass_through(ray_session):
+    from pprl_ray.stages.dedup import duplicate_span_scrub
+
+    rows = [{"doc_id": 0, "text": "a b"}, {"doc_id": 1, "text": "a b"},
+            {"doc_id": 2, "text": ""}]
+    got = duplicate_span_scrub(rd.from_items(rows), n=3).to_pandas()
+    got = got.set_index("doc_id")
+    assert got.loc[0, "text"] == "a b" and got.loc[1, "text"] == "a b"
+    assert got.loc[2, "text"] == ""
+    assert got["n_removed"].tolist() == [0, 0, 0]
