@@ -2297,6 +2297,20 @@ def q_token_bigrams(sf_dir: str):
     return out
 
 
+def q_temperature_mix(sf_dir: str):
+    """Temperature-balanced language mixing (stages/sample.py
+    temperature_mix, alpha=0.5, budget 50%): dominant langs downsample,
+    rare langs keep more — deterministic md5-rate filter, corpus never
+    shuffles; the whole rate computation (sqrt shares, ordered float64
+    sum, floor thresholds) is replicated operation-for-operation in the
+    SQL oracle."""
+    from pprl_ray.stages.sample import temperature_mix
+
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+    return temperature_mix(docs, group_col="lang", id_col="doc_id",
+                           alpha=0.5, budget_frac=0.5)
+
+
 def q_span_scrub(sf_dir: str):
     """Exact-substring span removal (stages/dedup.py duplicate_span_scrub,
     the Lee et al. 2022 dedup shape at word level, n=4): every word 4-gram
@@ -3160,6 +3174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_prune": q_vocab_prune,
         "token_bigrams": q_token_bigrams,
         "span_scrub": q_span_scrub,
+        "temperature_mix": q_temperature_mix,
         "clk_mask_sha512": q_clk_mask_sha512,
         "clk_mask_hmac": q_clk_mask_hmac,
         "lm_perplexity": q_lm_perplexity,
@@ -3700,6 +3715,30 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a.w, b.w
             ORDER BY c DESC, w1, w2
             LIMIT 100
+        """,
+        "temperature_mix": """
+            WITH c AS (
+                SELECT lang, CAST(count(*) AS DOUBLE) AS n
+                FROM documents GROUP BY lang
+            ),
+            den AS (
+                SELECT ((((pow((SELECT n FROM c WHERE lang = 'de'), 0.5)
+                     + pow((SELECT n FROM c WHERE lang = 'en'), 0.5))
+                     + pow((SELECT n FROM c WHERE lang = 'es'), 0.5))
+                     + pow((SELECT n FROM c WHERE lang = 'fr'), 0.5))
+                     + pow((SELECT n FROM c WHERE lang = 'zh'), 0.5)) AS d,
+                       (SELECT sum(n) FROM c) AS ntot
+            ),
+            r AS (
+                SELECT c.lang,
+                       floor(least(1.0, ((0.5 * ntot) * (pow(n, 0.5) / d)) / n)
+                             * 4294967296.0) AS thr
+                FROM c, den
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN r ON d.lang = r.lang
+            WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) < r.thr
         """,
         "span_scrub": """
             WITH w AS (

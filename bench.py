@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "vocab_prune",
     "token_bigrams",
     "span_scrub",
+    "temperature_mix",
 ]
 
 

@@ -34,7 +34,7 @@ import pyarrow as pa
 
 from ..functions.digest import md5_bucket32
 
-__all__ = ["weighted_sample_es", "hash_split"]
+__all__ = ["weighted_sample_es", "hash_split", "temperature_mix"]
 
 _U_DENOM = float(1 << 32)
 
@@ -134,3 +134,54 @@ def hash_split(ds, id_col: str, fractions: dict[str, float], salt: str = ""):
         return batch.append_column("split", pa.array(lab, pa.string()))
 
     return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def temperature_mix(ds, group_col: str, id_col: str, alpha: float = 0.5,
+                    budget_frac: float = 0.5):
+    """Temperature-balanced group mixing — the ``n^alpha`` source
+    reweighting of multilingual/GPT-3-style training-data recipes
+    (upweight low-resource groups, downsample dominant ones), realized as
+    a DETERMINISTIC hash-rate filter.
+
+    Per group ``s`` with ``n_s`` rows (N total): target share
+    ``q_s = n_s^alpha / sum_t n_t^alpha`` (sum accumulated in group-name
+    order, left to right — replicable float64), keep rate
+    ``r_s = min(1, budget_frac*N*q_s / n_s)``, kept iff
+    ``md5_32(id) < floor(r_s * 2^32)`` — the same content-hash primitive
+    as ``hash_split``/``source_mix``, so the mix is identical under any
+    partitioning, cluster size or engine.
+
+    Scale shape: pass 1 reduces per-batch group counts (|groups| rows per
+    block — a source taxonomy is small by construction, the ONLY thing
+    the driver ever holds); pass 2 filters each batch against the
+    broadcast threshold table. The corpus never shuffles.
+    """
+    import polars as pl
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        return (
+            pl.DataFrame({"g": pl.from_arrow(batch[group_col].combine_chunks())})
+            .group_by("g").len(name="n").to_arrow()
+        )
+
+    parts = pd.DataFrame(ds.map_batches(_counts, batch_format="pyarrow").take_all())
+    counts = parts.groupby("g")["n"].sum().sort_index()
+    groups = counts.index.to_numpy()
+    n = counts.to_numpy().astype(np.float64)
+    ntot = float(n.sum())
+    pw = np.power(n, alpha)
+    den = 0.0
+    for v in pw:  # fixed left-to-right order == the SQL oracle's nesting
+        den += float(v)
+    thr = np.floor(
+        np.minimum(1.0, (budget_frac * ntot) * (pw / den) / n) * float(1 << 32)
+    ).astype(np.int64)
+    thr_map = dict(zip(groups.tolist(), thr.tolist()))
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        g = pl.from_arrow(batch[group_col].combine_chunks())
+        t = g.replace_strict(thr_map, default=0).cast(pl.Int64).to_numpy()
+        bucket = md5_bucket32(batch[id_col], 1 << 32)
+        return batch.filter(pa.array(bucket < t))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")

@@ -219,3 +219,39 @@ def test_duplicate_span_scrub_short_docs_pass_through(ray_session):
     assert got.loc[0, "text"] == "a b" and got.loc[1, "text"] == "a b"
     assert got.loc[2, "text"] == ""
     assert got["n_removed"].tolist() == [0, 0, 0]
+
+
+# --- temperature_mix ------------------------------------------------------
+
+
+def test_temperature_mix_rebalances(ray_session):
+    from pprl_ray.stages.sample import temperature_mix
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(2000):
+        g = "big" if i < 1800 else "small"
+        rows.append({"doc_id": i, "g": g})
+    ds = rd.from_items(rows).repartition(4)
+    out = temperature_mix(ds, "g", "doc_id", alpha=0.5, budget_frac=0.5).to_pandas()
+    import pandas as pd
+
+    frac = out.groupby("g").size() / pd.Series({"big": 1800, "small": 200})
+    # alpha=0.5 with budget 0.5: q_big = sqrt(1800)/(sqrt(1800)+sqrt(200)),
+    # keep rate big = 0.5*2000*q_big/1800 ~ 0.417, small ~ 1.25 -> clamp 1.0
+    assert frac["small"] == 1.0
+    assert 0.35 < frac["big"] < 0.48
+    # deterministic: same output under different partitioning
+    out2 = temperature_mix(rd.from_items(rows).repartition(9), "g", "doc_id",
+                           alpha=0.5, budget_frac=0.5).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_temperature_mix_alpha_one_uniform_rate(ray_session):
+    from pprl_ray.stages.sample import temperature_mix
+
+    rows = [{"doc_id": i, "g": "a" if i % 4 else "b"} for i in range(400)]
+    ds = rd.from_items(rows)
+    # alpha=1: q_s = n_s/N -> r_s = budget_frac for every group
+    out = temperature_mix(ds, "g", "doc_id", alpha=1.0, budget_frac=0.25).to_pandas()
+    assert 0.15 < len(out) / 400 < 0.35
