@@ -330,10 +330,65 @@ def cmd_dedup(args) -> None:
         out = near_dedup_corpus(ds, text_col=args.text_column,
                                 id_col=args.id_column, threshold=args.threshold,
                                 keep=args.keep, keep_score_col=args.score_column)
+    elif args.method == "spans":
+        from .stages.dedup import duplicate_span_scrub
+
+        out = duplicate_span_scrub(ds, text_col=args.text_column,
+                                   id_col=args.id_column, n=args.span_n)
     else:
         raise ValueError(args.method)
     n = _write(out, args.output, args.format)
     print(json.dumps({"command": "dedup", "method": args.method, "rows": n, "output": args.output}))
+
+
+def cmd_chunk(args) -> None:
+    """Context-window chunking of a list column (or of whitespace words
+    derived from --text-column) into seq_len/stride windows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .stages.tokens import chunk_sequences
+
+    ds = _read(args.input)
+    list_col = args.list_column
+    if list_col is None:
+        import polars as pl
+
+        def _split(batch: pa.Table) -> pa.Table:
+            ws = pl.DataFrame(
+                {"ws": pl.from_arrow(batch[args.text_column].combine_chunks())
+                 .str.split(" ")}
+            ).to_arrow()["ws"]
+            return batch.drop_columns([args.text_column]).append_column("ws", ws)
+
+        ds = ds.map_batches(_split, batch_format="pyarrow")
+        list_col = "ws"
+    out = chunk_sequences(ds, list_col, seq_len=args.seq_len,
+                          stride=args.stride or args.seq_len,
+                          min_len=args.min_len)
+    if args.list_column is None:
+
+        def _join(batch: pa.Table) -> pa.Table:
+            txt = pc.binary_join(batch["ws"], pa.scalar(" ", pa.large_string()))
+            return batch.drop_columns(["ws"]).append_column(
+                args.text_column, pc.cast(txt, pa.string())
+            )
+
+        out = out.map_batches(_join, batch_format="pyarrow")
+    n = _write(out, args.output, args.format)
+    print(json.dumps({"command": "chunk", "seq_len": args.seq_len, "rows": n,
+                      "output": args.output}))
+
+
+def cmd_mix(args) -> None:
+    from .stages.sample import temperature_mix
+
+    ds = _read(args.input)
+    out = temperature_mix(ds, group_col=args.group_column, id_col=args.id_column,
+                          alpha=args.alpha, budget_frac=args.budget)
+    n = _write(out, args.output, args.format)
+    print(json.dumps({"command": "mix", "alpha": args.alpha, "rows": n,
+                      "output": args.output}))
 
 
 def cmd_split(args) -> None:
@@ -655,12 +710,15 @@ def main(argv: list[str] | None = None) -> None:
     sp.add_argument("--bloom-bits", type=int, default=1 << 20)
     sp.set_defaults(fn=cmd_profile)
 
-    sp = sub.add_parser("dedup", help="exact / minhash / simhash / ngram / near dedup")
+    sp = sub.add_parser("dedup",
+                        help="exact / minhash / simhash / ngram / near / spans dedup")
     common(sp)
     sp.add_argument("--method",
                     choices=("exact", "minhash", "simhash", "incremental",
-                             "ngram", "near"),
+                             "ngram", "near", "spans"),
                     default="exact")
+    sp.add_argument("--span-n", type=int, default=50,
+                    help="spans: word n-gram size for exact-substring removal")
     sp.add_argument("--text-column", default="text")
     sp.add_argument("--threshold", type=float, default=0.8)
     sp.add_argument("--max-hamming", type=int, default=3)
@@ -674,6 +732,26 @@ def main(argv: list[str] | None = None) -> None:
     sp.add_argument("--index-dir", default=None,
                     help="incremental: persistent hash index (created on first run)")
     sp.set_defaults(fn=cmd_dedup)
+
+    sp = sub.add_parser("chunk", help="LM context-window chunking (seq_len/stride)")
+    common(sp)
+    sp.add_argument("--text-column", default="text",
+                    help="whitespace-word source when --list-column is unset")
+    sp.add_argument("--list-column", default=None,
+                    help="chunk an existing list column (e.g. tokens) instead")
+    sp.add_argument("--seq-len", type=int, default=2048)
+    sp.add_argument("--stride", type=int, default=None,
+                    help="window stride (default: seq_len, disjoint windows)")
+    sp.add_argument("--min-len", type=int, default=1)
+    sp.set_defaults(fn=cmd_chunk)
+
+    sp = sub.add_parser("mix", help="temperature-balanced group mixing (n^alpha)")
+    common(sp)
+    sp.add_argument("--group-column", default="source")
+    sp.add_argument("--alpha", type=float, default=0.5)
+    sp.add_argument("--budget", type=float, default=0.5,
+                    help="target kept fraction of the corpus")
+    sp.set_defaults(fn=cmd_mix)
 
     sp = sub.add_parser("split", help="deterministic md5 train/val/test split")
     common(sp)

@@ -584,3 +584,46 @@ def test_cli_split_search_ngram_near(ray_session, tmp_path, capsys):
         main(["dedup", "--method", "near", "--keep", "best",
               "--input", str(docs), "--id-column", "doc_id",
               "--output", str(tmp_path / "x")])
+
+
+def test_cli_chunk_mix_spans(ray_session, tmp_path, capsys):
+    texts = [
+        "a b c d e f g h i j",
+        "k l m n o p",
+        "one two three dup dup dup dup one two three",  # self-repeating
+    ]
+    docs = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(3), pa.int64()),
+                "text": pa.array(texts),
+                "grp": pa.array(["big", "big", "small"]),
+            }
+        ),
+        str(docs),
+    )
+
+    main(["chunk", "--input", str(docs), "--seq-len", "4", "--output",
+          str(tmp_path / "chunks")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # 10 words -> 3 windows, 6 -> 2, 10 -> 3
+    assert out["rows"] == 8
+    t = pq.read_table(str(tmp_path / "chunks"))
+    assert "chunk_idx" in t.column_names and "text" in t.column_names
+
+    main(["dedup", "--method", "spans", "--span-n", "2", "--input", str(docs),
+          "--id-column", "doc_id", "--output", str(tmp_path / "scrubbed")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 3
+    s = pq.read_table(str(tmp_path / "scrubbed")).to_pandas().set_index("doc_id")
+    # "dup dup" repeats -> all dup-covered spans removed from doc 2;
+    # "one two"/"two three" repeat within the doc as well
+    assert "dup" not in s.loc[2, "text"]
+    assert s.loc[0, "n_removed"] == 0
+
+    main(["mix", "--input", str(docs), "--id-column", "doc_id",
+          "--group-column", "grp", "--alpha", "0.5", "--budget", "1.0",
+          "--output", str(tmp_path / "mixed")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 1 <= out["rows"] <= 3
