@@ -3158,17 +3158,18 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering note: the driver's correctness harness records the FIRST 50
-    # dict entries. Round-4 rotation (VERDICT.md ask #5): every query that
-    # has NEVER been driver-verified comes first — the round-4 additions
-    # (sha512/HMAC mask pins, LM scoring, ccnet buckets, repetition, gopher
-    # filter, jsonl round-trip, latest_event, ngram_jaccard, bm25,
-    # dataset_split, knn_ivfpq, source_jaccard_wide) — then r3-verified
-    # queries whose code paths changed this round (contamination, skew_join,
-    # weighted_sample, tfidf_top_term, incremental_dedup via the advisor
-    # fixes; ccnet/lm via the polars-join scorer), then r2-verified queries
-    # not rechecked since. The tail is r2/r3-driver-green AND re-verified by
-    # the judge's own r3 oracle run; all 100+ re-runnable any time via
-    # scripts/check_oracles.py.
+    # dict entries. Round-4 rotation (VERDICT.md ask #5): never-driver-
+    # verified queries first — the round-4 additions (token-array ops,
+    # span_scrub, temperature_mix, sha512/HMAC mask pins, LM scoring,
+    # ccnet buckets, repetition, gopher filter, jsonl round-trip,
+    # latest_event, ngram_jaccard, bm25, dataset_split, knn_ivfpq,
+    # source_jaccard_wide) — then queries whose code paths changed this
+    # round (advisor fixes: contamination, skew_join, weighted_sample,
+    # tfidf_top_term, incremental_dedup; the shingle batch-invariance fix:
+    # exact/minhash/simhash dedup; fp_md5 vectorization: fingerprint), then
+    # r2-verified queries not rechecked since. The tail is r2/r3-driver-
+    # green AND re-verified by the judge's own r3 oracle run; all 110
+    # re-runnable any time via scripts/check_oracles.py.
     return {
         "chunk_docs": q_chunk_docs,
         "vocab_prune": q_vocab_prune,
@@ -3189,19 +3190,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": q_dataset_split,
         "knn_ivfpq": q_knn_ivfpq,
         "source_jaccard_wide": q_source_jaccard_wide,
+        "contamination": q_contamination,
+        "skew_join": q_skew_join,
+        "weighted_sample": q_weighted_sample,
+        "tfidf_top_term": q_tfidf_top_term,
+        "incremental_dedup": q_incremental_dedup,
         "rbf_mask_md5": q_rbf_mask_md5,
-        "top_tokens": q_top_tokens,
         "knn_cosine": q_knn_cosine,
-        "lineitem_pricing": q_lineitem_pricing,
-        "attribute_stats": q_attribute_stats,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "connected_components": q_connected_components,
         "match_crosswise": q_match_crosswise,
         "corpus_build": q_corpus_build,
-        "exact_distinct_tokens": q_exact_distinct_tokens,
-        "shipping_priority": q_shipping_priority,
         "heavy_hitters": q_heavy_hitters,
         "top_per_group": q_top_per_group,
         "asof_join": q_asof_join,
@@ -3215,19 +3216,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
         "token_freq": q_token_freq,
+        "top_tokens": q_top_tokens,
+        "lineitem_pricing": q_lineitem_pricing,
+        "attribute_stats": q_attribute_stats,
+        "exact_distinct_tokens": q_exact_distinct_tokens,
+        "shipping_priority": q_shipping_priority,
         "source_stats": q_source_stats,
         "lang_entropy": q_lang_entropy,
         "quality": q_quality,
         "events_agg": q_events_agg,
         "ntok_quantiles": q_ntok_quantiles,
         "top_docs": q_top_docs,
-        "contamination": q_contamination,
-        "skew_join": q_skew_join,
-        "weighted_sample": q_weighted_sample,
-        "tfidf_top_term": q_tfidf_top_term,
-        "incremental_dedup": q_incremental_dedup,
-        # --- tail: driver-green in r2/r3 AND re-verified by the judge's own
-        # r3 oracle sweep; unchanged since ---
         "match_blocked": q_match_blocked,
         "match_pairwise": q_match_pairwise,
         "phonetic_codes": q_phonetic_codes,
