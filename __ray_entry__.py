@@ -3122,6 +3122,148 @@ def q_top_tokens(sf_dir: str):
     )
 
 
+def q_heavy_hitters_by_source(sf_dir: str):
+    """PER-KEY heavy hitters: one mergeable Misra-Gries summary per source
+    (the per-key form of q_heavy_hitters — same salted sketch_by_key
+    scaffold the HLL/Bloom per-source queries ride). With the fixture's
+    per-source vocabulary (~31) far under the 256 counters, MG is exact
+    (no decrement ever fires), so the oracle is plain per-source SQL
+    counts; the >vocab case is bound-gated in tests/test_sketches.py."""
+    from pprl_ray.sketches import MGSketch
+    from pprl_ray.sources.corpus import derive_corpus
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    merged = sketch_by_key(derive_corpus(sf_dir), lambda: MGSketch(256), "tokens", "source")
+    sketches = finalize_sketches(merged, MGSketch)
+    rows = []
+    for src in sorted(sketches):
+        sk = sketches[src]
+        top = sorted(sk.heavy_hitters(0.02).items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        rows += [{"source": src, "token": t, "mg_estimate": n} for t, n in top]
+    return pd.DataFrame(rows)
+
+
+def q_kll_by_source(sf_dir: str):
+    """PER-KEY quantile sketches: one mergeable KLL per source over n_tok
+    (per-key form of q_kll_ntok_quantiles). Deterministic merge topology
+    (canonical-order combiner) -> pinned-VALUES oracle at sf0.01; rank
+    error bounds + merge invariance are pytest-gated."""
+    from pprl_ray.sketches import KLLSketch
+    from pprl_ray.sources.corpus import derive_corpus
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    merged = sketch_by_key(derive_corpus(sf_dir), lambda: KLLSketch(200), "n_tok", "source")
+    sketches = finalize_sketches(merged, KLLSketch)
+    rows = []
+    for src in sorted(sketches):
+        sk = sketches[src]
+        for q in (0.5, 0.9):
+            rows.append({"source": src, "q": q, "kll_value": float(sk.quantile(q))})
+    return pd.DataFrame(rows)
+
+
+def q_classifier_score(sf_dir: str):
+    """Model-inference stage shape: hashed-bag-of-words linear classifier
+    (stages/text.py ClassifierScoreStage). Weight vector built once per
+    actor (broadcast-once model state), md5 feature hashing per DISTINCT
+    batch word, exact int64 fixed-point accumulation, one float division
+    per row — the whole scoring pass is replicated op-for-op in SQL."""
+    from pprl_ray.stages.text import ClassifierScoreStage
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ClassifierScoreStage, concurrency=2, batch_format="pyarrow"
+    )
+
+
+def q_embedding_covariance(sf_dir: str):
+    """Distributed linear algebra as a mergeable UDAF: the exact Gram
+    matrix X^T X of the embedding table via GramSketch (sketches/gram.py)
+    — one streaming pass, O(d^2) int64 state per partial, entrywise-add
+    merge (exactly order/partitioning-invariant), vectors never shuffle.
+    Fixed-point floor(v * 2^15) quantisation makes every entry an exact
+    BIGINT the oracle recomputes dim-by-dim in SQL."""
+    from pprl_ray.sketches import GramSketch
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    merged = sketch_by_key(ds, lambda: GramSketch(64, 1 << 15), "embedding", None)
+    sk = finalize_sketches(merged, GramSketch)[""]
+    iu = np.triu_indices(64)
+    return pd.DataFrame(
+        {
+            "i": iu[0].astype(np.int64),
+            "j": iu[1].astype(np.int64),
+            "gram_fx": sk.gram_fixed()[iu].astype(np.int64),
+        }
+    )
+
+
+def q_event_dedup(sf_dir: str):
+    """Windowed event dedup: FIRST event per (user, event_type, hour)
+    wins, later duplicates/replays drop — latest_by_key(keep='min')
+    (stages/window.py), i.e. the same per-batch-combiner + slim-shuffle
+    compaction as latest_event but keeping the lexicographic minimum by
+    (ts, event_id). The at-least-once -> exactly-once ingest shape."""
+    from pprl_ray.stages.window import latest_by_key
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        hour = pc.multiply(pc.divide(us, 3_600_000_000), 3_600_000_000)
+        key = pc.binary_join_element_wise(
+            pc.cast(batch["user_id"], pa.string()),
+            batch["event_type"],
+            pc.cast(hour, pa.string()),
+            "|",
+        )
+        return batch.append_column("hour_us", hour).append_column("dedup_key", key)
+
+    first = latest_by_key(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        "dedup_key",
+        ["ts", "event_id"],
+        keep="min",
+    )
+    return first.map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "event_type": b["event_type"],
+                "hour_us": b["hour_us"],
+                "value": b["value"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_bloom_semi_join_multi(sf_dir: str):
+    """Composite-key Bloom semi-join (join.py bloom_semi_join, multi-key
+    path): documents whose (lang, source) pair occurs among the pairs of
+    the first 200 doc_ids. Both sides fold the pair to one int64 via the
+    seeded splitmix64/xxhash combination; the exact phase compares the
+    real columns, so a fold collision can never produce a wrong row."""
+    from pprl_ray.stages.join import bloom_semi_join
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "source"])
+    keys = _docs(sf_dir, ["doc_id", "lang", "source"]).map_batches(
+        lambda b: b.filter(pc.less(b["doc_id"], 200)).select(["lang", "source"]),
+        batch_format="pyarrow",
+    )
+    kept = bloom_semi_join(docs, keys, keys=["lang", "source"])
+    return kept.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["doc_id"], "lang": b["lang"], "source": b["source"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver API
 
@@ -3195,6 +3337,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "tfidf_top_term": q_tfidf_top_term,
         "incremental_dedup": q_incremental_dedup,
+        "heavy_hitters_by_source": q_heavy_hitters_by_source,
+        "kll_by_source": q_kll_by_source,
+        "classifier_score": q_classifier_score,
+        "embedding_covariance": q_embedding_covariance,
+        "event_dedup": q_event_dedup,
+        "bloom_semi_join_multi": q_bloom_semi_join_multi,
         "rbf_mask_md5": q_rbf_mask_md5,
         "knn_cosine": q_knn_cosine,
         "exact_dedup": q_exact_dedup,
@@ -3518,6 +3666,7 @@ def _sketch_pin_oracles() -> dict[str, str]:
     hll = _rows(sp.PIN_HLL_DISTINCT_TOKENS, lambda r: f"'{r[0]}', {r[1]!r}")
     cms = _rows(sp.PIN_CMS_TOKEN_COUNTS, lambda r: f"{r[0]}, {r[1]}")
     kll = _rows(sp.PIN_KLL_NTOK_QUANTILES, lambda r: f"{r[0]!r}, {r[1]!r}")
+    kbs = _rows(sp.PIN_KLL_BY_SOURCE, lambda r: f"'{r[0]}', {r[1]!r}, {r[2]!r}")
     td = _rows(sp.PIN_TDIGEST_NTOK_QUANTILES, lambda r: f"{r[0]!r}, {r[1]!r}")
     bloom = _rows(sp.PIN_BLOOM_SOURCES, lambda r: f"'{r[0]}', {r[1]}, {r[2]!r}")
     prof = _rows(sp.PIN_CORPUS_PROFILE, lambda r: f"'{r[0]}', '{r[1]}', {r[2]!r}")
@@ -3595,6 +3744,14 @@ def _sketch_pin_oracles() -> dict[str, str]:
             FROM (VALUES
                 {kll}
             ) AS t(q, v)
+        """,
+        "kll_by_source": f"""
+            SELECT s.source AS source, CAST(v.q AS DOUBLE) AS q,
+                   CAST(v.v AS DOUBLE) AS kll_value
+            FROM (SELECT DISTINCT source FROM documents) s
+            JOIN (VALUES
+                {kbs}
+            ) AS v(source, q, v) ON s.source = v.source
         """,
         "tdigest_ntok_quantiles": f"""
             SELECT CAST(q AS DOUBLE) AS q, CAST(v AS DOUBLE) AS tdigest_value
@@ -3818,6 +3975,87 @@ def oracle_sql() -> dict[str, str]:
             FROM mapped, tot
             WHERE c >= (0.005 - 1.0/256) * n
             ORDER BY c DESC, token ASC LIMIT 50
+        """,
+        # per-source MG is provably EXACT here (per-source vocabulary ~31
+        # << 256 counters -> no decrement ever fires), so plain per-source
+        # SQL counts are a true oracle; the >capacity regime is bound-gated
+        # in tests/test_sketches.py
+        "heavy_hitters_by_source": f"""
+            WITH counts AS (
+                SELECT source, w, count(*) AS c
+                FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+                      FROM documents)
+                GROUP BY source, w
+            ), tot AS (SELECT source, sum(c) AS n FROM counts GROUP BY source),
+            mapped AS (
+                SELECT counts.source AS source, v.token_id AS token, c, tot.n
+                FROM counts
+                JOIN (VALUES
+                {token_map_vals}
+                ) AS v(w, token_id) ON counts.w = v.w
+                JOIN tot ON counts.source = tot.source
+            )
+            SELECT source, CAST(token AS BIGINT) AS token,
+                   CAST(c AS BIGINT) AS mg_estimate
+            FROM mapped
+            WHERE c >= (0.02 - 1.0/256) * n
+            QUALIFY row_number() OVER (
+                PARTITION BY source ORDER BY c DESC, token ASC) <= 10
+        """,
+        # op-for-op replica of ClassifierScoreStage: md5 feature hashing,
+        # Knuth-spread int64 fixed-point weights, exact integer accumulation
+        "classifier_score": """
+            WITH occ AS (
+                SELECT doc_id,
+                       CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT)
+                           % 4096 AS b
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents)
+            ), scored AS (
+                SELECT doc_id, count(*) AS n_words,
+                       sum((b * 2654435761) % 1000003 - 501501) AS score_fx
+                FROM occ GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                   CAST(score_fx AS BIGINT) AS score_fx,
+                   CAST(score_fx AS DOUBLE) / (1000003.0 * n_words) AS score,
+                   score_fx > 0 AS label
+            FROM scored
+        """,
+        # exact fixed-point Gram matrix: floor(v * 2^15) BIGINT products,
+        # dim-by-dim — identical IEEE float64 quantisation on both sides
+        "embedding_covariance": """
+            WITH f AS (
+                SELECT vec_id, i,
+                       CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 32768)
+                            AS BIGINT) AS q
+                FROM embeddings, LATERAL (SELECT unnest(range(64)) AS i) AS t
+            )
+            SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+                   CAST(sum(a.q * b.q) AS BIGINT) AS gram_fx
+            FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY 1, 2
+        """,
+        "event_dedup": """
+            WITH prep AS (
+                SELECT event_id, ts, user_id, event_type, value,
+                       (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us
+                FROM events
+            )
+            SELECT event_id, user_id, event_type, hour_us, value FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id, event_type, hour_us
+                    ORDER BY ts ASC, event_id ASC) AS rn
+                FROM prep
+            ) WHERE rn = 1
+        """,
+        "bloom_semi_join_multi": """
+            SELECT doc_id, lang, source FROM documents d
+            WHERE EXISTS (
+                SELECT 1 FROM documents k
+                WHERE k.doc_id < 200 AND k.lang = d.lang
+                  AND k.source = d.source
+            )
         """,
         "phonetic_codes": f"""
             WITH words AS (

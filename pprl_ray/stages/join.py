@@ -347,39 +347,94 @@ def bloom_semi_join(left_ds, keys_ds, keys, right_keys=None,
     phase 3 for pure-filter use (e.g. candidate pruning feeding a verifier
     that re-checks anyway).
 
-    Key typing: values are hashed via the same int64 pipeline on both
-    sides (int keys only; hash string keys to int64 upstream)."""
+    Key typing: a single integer key feeds the Bloom directly (the fast
+    path); string keys and composite (multi-column) keys are folded to one
+    int64 per row with the same vectorised splitmix64/xxhash combination on
+    both sides (:func:`_composite_key_hash`), so the filter works for any
+    key shape — the exact phase-3 semi-join always compares the REAL key
+    columns, so a (astronomically unlikely) 64-bit fold collision can only
+    cost one extra phase-3 row, never a wrong result."""
     import ray
 
     from ..sketches import BloomSketch
-    from ..state.aggregate import finalize_sketches, sketch_by_key
+    from ..state.aggregate import SketchPartials, finalize_sketches, merge_blob_rows
 
     keys = [keys] if isinstance(keys, str) else list(keys)
     right_keys = keys if right_keys is None else (
         [right_keys] if isinstance(right_keys, str) else list(right_keys)
     )
-    if len(keys) != 1 or len(right_keys) != 1:
-        raise NotImplementedError("bloom_semi_join supports a single key column")
-    lkey, rkey = keys[0], right_keys[0]
+    if len(keys) != len(right_keys):
+        raise ValueError("keys and right_keys must have equal length")
 
-    merged = sketch_by_key(
-        keys_ds, lambda: BloomSketch(bloom_bits, bloom_k), rkey, None
+    direct = (
+        len(keys) == 1
+        and pa.types.is_integer(
+            dict(zip(keys_ds.schema().names, keys_ds.schema().types))[right_keys[0]]
+        )
     )
-    bloom = finalize_sketches(merged, BloomSketch)[""]
+
+    if direct:
+        partials = keys_ds.map_batches(
+            SketchPartials(lambda: BloomSketch(bloom_bits, bloom_k), right_keys[0]),
+            batch_format="pyarrow",
+        )
+    else:
+        def _hash_partial(batch: pa.Table) -> pa.Table:
+            sk = BloomSketch(bloom_bits, bloom_k)
+            sk.update(_composite_key_hash(batch, right_keys))
+            import zlib
+
+            return pa.table(
+                {
+                    "key": pa.array([""], pa.string()),
+                    "blob": pa.array([zlib.compress(sk.to_bytes(), 1)], pa.large_binary()),
+                    "rows": pa.array([batch.num_rows], pa.int64()),
+                }
+            )
+
+        partials = keys_ds.map_batches(_hash_partial, batch_format="pyarrow")
+
+    bloom = finalize_sketches(merge_blob_rows(partials, BloomSketch), BloomSketch)[""]
     ref = ray.put(bloom.to_bytes())
+    lkeys = keys
 
     def _prefilter(batch: pa.Table) -> pa.Table:
         sk = BloomSketch.from_bytes(ray.get(ref))
-        vals = batch[lkey].combine_chunks().to_numpy(zero_copy_only=False)
+        if direct:
+            vals = batch[lkeys[0]].combine_chunks().to_numpy(zero_copy_only=False)
+        else:
+            vals = _composite_key_hash(batch, lkeys)
         return batch.filter(pa.array(sk.contains(vals)))
 
     survivors = left_ds.map_batches(_prefilter, batch_format="pyarrow")
     if not exact:
         return survivors
     return bucket_join(
-        survivors, keys_ds.select_columns([rkey]), keys=lkey, right_keys=rkey,
-        join_type="left semi", partitions=partitions,
+        survivors, keys_ds.select_columns(right_keys), keys=keys,
+        right_keys=right_keys, join_type="left semi", partitions=partitions,
     )
+
+
+def _composite_key_hash(batch: pa.Table, cols) -> np.ndarray:
+    """Fold one or more key columns into one int64 per row, vectorised and
+    engine-order-independent: integer columns mix through seeded splitmix64,
+    string columns through polars' xxhash + splitmix64 finaliser, and the
+    running combination re-mixes after each column so (a, b) != (b, a)."""
+    import pyarrow.compute as pc
+
+    from ..sketches.hashing import hash_ints, hash_strings, splitmix64
+
+    h = None
+    for i, c in enumerate(cols):
+        col = batch[c].combine_chunks()
+        if pa.types.is_integer(col.type):
+            hv = hash_ints(col.to_numpy(zero_copy_only=False), seed=i + 1)
+        else:
+            import polars as pl
+
+            hv = hash_strings(pl.from_arrow(pc.cast(col, pa.string())), seed=i + 1)
+        h = hv if h is None else splitmix64(h ^ hv)
+    return h.view(np.int64)
 
 
 def detect_hot_keys(ds, key_col: str, threshold: float = 0.01,

@@ -12,7 +12,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["LangIdStage", "quality_batch", "repetition_batch", "token_count_batch", "fingerprint_batch", "rolling_fingerprint64", "document_frequency", "bm25_topk", "tfidf_top_terms", "PiiScrubStage"]
+__all__ = ["LangIdStage", "quality_batch", "repetition_batch", "token_count_batch", "fingerprint_batch", "rolling_fingerprint64", "document_frequency", "bm25_topk", "tfidf_top_terms", "PiiScrubStage", "ClassifierScoreStage"]
 
 _STOPWORDS = {
     "en": {"the", "a", "of", "and", "to", "in", "is", "it", "that", "was", "for", "on", "with"},
@@ -684,3 +684,70 @@ class PiiScrubStage:
             batch.column_names.index(self.text_col), self.text_col, s.to_arrow()
         )
         return out.append_column("n_redactions", pa.array(redactions, pa.int64()))
+
+
+class ClassifierScoreStage:
+    """Hashed-bag-of-words linear classifier inference (the fastText-style
+    quality/domain classifier shape) as an actor-pool ``map_batches`` stage.
+
+    The model is a weight vector over ``buckets`` feature-hash buckets;
+    a document's score is the mean weight of its word occurrences. The
+    weight vector is built / received ONCE per actor (``__init__``) —
+    broadcast-once model state, never re-shipped per batch — and scoring
+    is exact integer arithmetic: weights are int64 fixed-point millionths
+    (``w_fx``), ``score_fx = sum(w_fx[bucket(word)])`` accumulates in
+    int64 (order-invariant, overflow-free to ~9e12 words/doc), and the
+    single float division ``score = score_fx / (1000003 * n_words)``
+    happens once per row — bit-reproducible under any partitioning.
+
+    Feature hashing uses the stock-SQL-replicable md5 bucketing primitive
+    (:func:`pprl_ray.functions.digest.md5_bucket32`), computed per
+    DISTINCT word in the batch (dictionary-encode first), so the md5 cost
+    is O(batch vocabulary), not O(word occurrences).
+
+    Default weights are synthesized deterministically from the bucket
+    index (``(b * 2654435761) % 1000003 - 501501`` — a Knuth-hash spread
+    over [-501501, 498501] millionths) so the whole stage is replicable
+    in ANSI SQL; pass ``weights_fx`` (int64, len == buckets) to score
+    with a real trained model.
+    """
+
+    def __init__(self, buckets: int = 4096, weights_fx: "np.ndarray | None" = None,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.buckets = int(buckets)
+        if weights_fx is None:
+            b = np.arange(self.buckets, dtype=np.int64)
+            weights_fx = (b * 2654435761) % 1000003 - 501501
+        self.w = np.ascontiguousarray(weights_fx, dtype=np.int64)
+        assert len(self.w) == self.buckets
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.digest import md5_bucket32
+
+        lists = pc.split_pattern(batch[self.text_col].combine_chunks(), " ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = lists.values.slice(offsets[0], offsets[-1] - offsets[0])
+        off0 = offsets - offsets[0]
+
+        dic = flat.dictionary_encode()
+        codes = dic.indices.to_numpy(zero_copy_only=False)
+        uniq_buckets = md5_bucket32(dic.dictionary, self.buckets)
+        w_occ = self.w[uniq_buckets[codes]]
+
+        cs = np.concatenate([[0], np.cumsum(w_occ, dtype=np.int64)])
+        score_fx = cs[off0[1:]] - cs[off0[:-1]]
+        n_words = off0[1:] - off0[:-1]
+        score = score_fx.astype(np.float64) / (1000003.0 * n_words.astype(np.float64))
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "n_words": pa.array(n_words, pa.int64()),
+                "score_fx": pa.array(score_fx, pa.int64()),
+                "score": pa.array(score, pa.float64()),
+                "label": pa.array(score_fx > 0),
+            }
+        )

@@ -157,11 +157,15 @@ def hop_windows(ds, ts_col: str, length_s: int, step_s: int, cols=None):
     return ds.map_batches(_expand, batch_format="pyarrow")
 
 
-def latest_by_key(ds, key_col: str, order_cols, partitions: int | None = None):
+def latest_by_key(ds, key_col: str, order_cols, partitions: int | None = None,
+                  keep: str = "max"):
     """SCD-style compaction: ONE row per key — the lexicographic maximum by
     ``order_cols`` (e.g. ``["ts", "event_id"]``; make the last column a
     tie-breaking unique id for a deterministic winner). The changelog ->
     current-state operator every incremental ingest pipeline ends with.
+    ``keep="min"`` flips the winner to the lexicographic MINIMUM — the
+    first-occurrence-wins form (streaming/windowed event dedup: first event
+    per key wins, later replays drop).
 
     Scale shape: a per-batch combiner keeps each key's local winner FIRST
     (one vectorised sort + drop_duplicates per batch), so only ~one row per
@@ -172,11 +176,13 @@ def latest_by_key(ds, key_col: str, order_cols, partitions: int | None = None):
     batch count, not row count."""
     from .partitioning import auto_partitions
 
+    if keep not in ("max", "min"):
+        raise ValueError(f"keep must be 'max' or 'min', got {keep!r}")
     order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
     if partitions is None:
         partitions = auto_partitions(ds)
     by = [key_col] + order_cols
-    asc = [True] + [False] * len(order_cols)
+    asc = [True] + [keep == "min"] * len(order_cols)
 
     def _local(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(by, ascending=asc, kind="stable").drop_duplicates(
