@@ -3242,6 +3242,42 @@ def q_event_dedup(sf_dir: str):
     )
 
 
+def q_theta_parts_by_order(sf_dir: str):
+    """HIGH-CARDINALITY distributed sketch table: one theta distinct-count
+    per l_orderkey (~15k keys at sf0.01, ~150k at sf0.1) via
+    sketch_estimate_table — the exactly-one-row-per-key groupby topology
+    with the TWO-LEVEL SALTED reduce (salt=2) and the blob readout applied
+    inside map_batches; no sketch and no per-key dict ever reaches the
+    driver (state/aggregate.py). With <=7 lineitems per order << k=64 the
+    theta sketch is provably in exact mode, so COUNT(DISTINCT) is a true
+    SQL oracle; the estimation path shares the bound tests in
+    tests/test_theta.py."""
+    from pprl_ray.sketches import ThetaSketch
+    from pprl_ray.state.aggregate import sketch_estimate_table
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    table = sketch_estimate_table(
+        li,
+        lambda: ThetaSketch(64),
+        "l_partkey",
+        "l_orderkey",
+        {"theta_distinct": lambda sk: int(sk.estimate())},
+        salt=2,
+    )
+    return table.map_batches(
+        lambda b: pa.table(
+            {
+                "key": b["key"],
+                "n_items": b["rows"],
+                "theta_distinct": pc.cast(b["theta_distinct"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_bloom_semi_join_multi(sf_dir: str):
     """Composite-key Bloom semi-join (join.py bloom_semi_join, multi-key
     path): documents whose (lang, source) pair occurs among the pairs of
@@ -3343,6 +3379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": q_embedding_covariance,
         "event_dedup": q_event_dedup,
         "bloom_semi_join_multi": q_bloom_semi_join_multi,
+        "theta_parts_by_order": q_theta_parts_by_order,
         "rbf_mask_md5": q_rbf_mask_md5,
         "knn_cosine": q_knn_cosine,
         "exact_dedup": q_exact_dedup,
@@ -4048,6 +4085,13 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY ts ASC, event_id ASC) AS rn
                 FROM prep
             ) WHERE rn = 1
+        """,
+        # theta in provable exact mode (lineitems/order << k=64) -> exact SQL
+        "theta_parts_by_order": """
+            SELECT CAST(l_orderkey AS VARCHAR) AS key,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(count(DISTINCT l_partkey) AS BIGINT) AS theta_distinct
+            FROM lineitem GROUP BY l_orderkey
         """,
         "bloom_semi_join_multi": """
             SELECT doc_id, lang, source FROM documents d

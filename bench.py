@@ -79,6 +79,11 @@ BENCH_QUERIES = [
     "token_bigrams",
     "span_scrub",
     "temperature_mix",
+    "heavy_hitters_by_source",
+    "classifier_score",
+    "embedding_covariance",
+    "event_dedup",
+    "bloom_semi_join_multi",
 ]
 
 

@@ -25,7 +25,13 @@ from typing import Any, Callable
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["SketchPartials", "sketch_by_key", "merge_blob_rows", "finalize_sketches"]
+__all__ = [
+    "SketchPartials",
+    "sketch_by_key",
+    "merge_blob_rows",
+    "finalize_sketches",
+    "sketch_estimate_table",
+]
 
 
 def _flatten_list_column(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -159,16 +165,64 @@ def _combine_batch(batch: pa.Table, sketch_cls) -> pa.Table:
     )
 
 
-def merge_blob_rows(partials_ds, sketch_cls, salt: int = 0, combine_batch_size: int | None = 4096):
+def _merge_runs(df, sketch_cls, by):
+    """Merge EVERY key co-located in one partition in a single pass: sort
+    into canonical (by..., blob) order, then one merge-run per distinct
+    ``by`` tuple. One function call per PARTITION (not per key) — the
+    high-cardinality-safe reducer: 10^6 keys cost a sort + one Python scan,
+    not 10^6 group dispatches. Output bytes are identical to the per-key
+    :func:`_merge_group` path (same canonical blob order per key)."""
+    import pandas as pd
+
+    df = df.sort_values([*by, "blob"], kind="stable")
+    key_cols = [df[c].tolist() for c in by]
+    blobs = df["blob"].tolist()
+    rows = df["rows"].tolist()
+
+    out: dict[str, list] = {c: [] for c in by}
+    out_blobs: list[bytes] = []
+    out_rows: list[int] = []
+    cur = None
+    cur_sk = None
+    cur_rows = 0
+    for i in range(len(blobs)):
+        tup = tuple(col[i] for col in key_cols)
+        sk = sketch_cls.from_bytes(zlib.decompress(blobs[i]))
+        if tup == cur:
+            cur_sk = cur_sk.merge(sk)
+            cur_rows += rows[i]
+        else:
+            if cur is not None:
+                for c, v in zip(by, cur):
+                    out[c].append(v)
+                out_blobs.append(zlib.compress(cur_sk.to_bytes(), 1))
+                out_rows.append(cur_rows)
+            cur, cur_sk, cur_rows = tup, sk, rows[i]
+    if cur is not None:
+        for c, v in zip(by, cur):
+            out[c].append(v)
+        out_blobs.append(zlib.compress(cur_sk.to_bytes(), 1))
+        out_rows.append(cur_rows)
+    out["blob"] = out_blobs
+    out["rows"] = out_rows
+    return pd.DataFrame(out)
+
+
+def merge_blob_rows(partials_ds, sketch_cls, salt: int = 0,
+                    combine_batch_size: int | None = 4096,
+                    partitions: int = 32):
     """Merge a Dataset of (key, blob, rows) partials down to one row per key.
 
-    Default topology: a local combiner map (bundles many partial blocks per
-    task, merges within the bundle, no shuffle) followed by one small
-    ``groupby``. With ``salt > 0`` an additional intermediate
-    ``groupby([key, salt])`` level further spreads per-key reduce fan-in
-    across ``salt`` reducers (useful when even combiner output per key is
-    large); sketch merges are associative, so every topology yields an
-    identical result (tested)."""
+    Topology: a local combiner map (bundles many partial blocks per task,
+    merges within the bundle, no shuffle), then ONE hash-partitioned
+    exchange — keys co-locate by ``crc32(key) % partitions`` and each
+    partition group merges ALL its keys in a single sorted pass
+    (:func:`_merge_runs`), so reduce cost scales with partition count, not
+    key cardinality (one group dispatch per partition even at millions of
+    keys). With ``salt > 0`` an intermediate level first merges
+    ``(key, blob-hash % salt)`` sub-groups, spreading a hot key's fan-in
+    across ``salt`` sub-reducers; sketch merges are associative, so every
+    topology yields an identical result (tested)."""
 
     if combine_batch_size:
         partials_ds = partials_ds.map_batches(
@@ -177,20 +231,40 @@ def merge_blob_rows(partials_ds, sketch_cls, salt: int = 0, combine_batch_size: 
             batch_size=combine_batch_size,
         )
 
+    def _add_part(batch: pa.Table) -> pa.Table:
+        h = np.array(
+            [zlib.crc32(k.encode()) % partitions for k in batch["key"].to_pylist()],
+            dtype=np.int64,
+        )
+        return batch.append_column("part", pa.array(h))
+
     if salt > 0:
 
         def _add_salt(batch: pa.Table) -> pa.Table:
-            h = np.array([zlib.crc32(b) % salt for b in batch["blob"].to_pylist()], dtype=np.int64)
-            return batch.append_column("salt", pa.array(h))
+            s = np.array(
+                [zlib.crc32(b) % salt for b in batch["blob"].to_pylist()],
+                dtype=np.int64,
+            )
+            return _add_part(batch).append_column("salt", pa.array(s))
 
-        salted = partials_ds.map_batches(_add_salt, batch_format="pyarrow")
-        level1 = salted.groupby(["key", "salt"]).map_groups(
-            lambda df: _merge_group(df, sketch_cls), batch_format="pandas"
+        level1 = (
+            partials_ds.map_batches(_add_salt, batch_format="pyarrow")
+            .groupby(["part", "salt"])
+            .map_groups(
+                lambda df: _merge_runs(df, sketch_cls, ["key", "salt"]),
+                batch_format="pandas",
+            )
         )
-        partials_ds = level1.drop_columns(["salt"]) if "salt" in level1.schema().names else level1
+        partials_ds = level1.drop_columns(["salt"])
 
-    return partials_ds.groupby("key").map_groups(
-        lambda df: _merge_group(df, sketch_cls), batch_format="pandas"
+    # _merge_runs emits only (by..., blob, rows) — the grouping "part"
+    # column never appears in its output, so nothing to drop here.
+    return (
+        partials_ds.map_batches(_add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda df: _merge_runs(df, sketch_cls, ["key"]), batch_format="pandas"
+        )
     )
 
 
@@ -266,3 +340,56 @@ def finalize_sketches(merged_ds, sketch_cls) -> dict[str, Any]:
         k = row["key"]
         out[k] = out[k].merge(sk) if k in out else sk
     return out
+
+
+def sketch_estimate_table(
+    ds,
+    sketch_factory: Callable[[], Any],
+    value_col: str,
+    key_col: str,
+    readouts: dict[str, Callable[[Any], Any]],
+    *,
+    salt: int = 0,
+    batch_size: int | None = None,
+):
+    """HIGH-CARDINALITY per-key sketch table: one ``(key, rows, <readout
+    cols>)`` row per group key, as a streaming Dataset — the distributed
+    counterpart of :func:`finalize_sketches` for when the KEY SPACE itself
+    is big (per-domain / per-shard / per-token-bucket sketches over millions
+    of keys at 10^12-sequence scale).
+
+    The driver never sees a sketch: partials merge through the exactly-one-
+    row-per-key ``groupby`` topology (``salt > 0`` adds the two-level salted
+    reduce for keys whose partial fan-in is itself large), and each readout
+    callable (e.g. ``lambda sk: sk.estimate()``) is applied blob-by-blob
+    INSIDE ``map_batches`` on the merged rows — only ~one compact row per
+    key per block of driver-free output, ready for ``write_parquet`` or a
+    downstream join. Consume with ``to_pandas()`` only when the key space is
+    known-small.
+
+    Determinism: inherits ``sketch_by_key(merge="groupby")``'s contract —
+    exactly-mergeable sketches (HLL/CMS/Bloom/theta/MG/histogram/Gram) give
+    bit-identical tables under every salt/topology; KLL/t-digest readouts
+    are within the published error bound once multi-level reduces engage."""
+    merged = sketch_by_key(
+        ds, sketch_factory, value_col, key_col,
+        merge="groupby", salt=salt, batch_size=batch_size,
+    )
+    sketch_cls = type(sketch_factory())
+    names = list(readouts)
+
+    def _readout(batch: pa.Table) -> pa.Table:
+        sks = [
+            sketch_cls.from_bytes(zlib.decompress(b))
+            for b in batch["blob"].to_pylist()
+        ]
+        cols: dict[str, Any] = {
+            "key": batch["key"],
+            "rows": batch["rows"],
+        }
+        for name in names:
+            fn = readouts[name]
+            cols[name] = pa.array([fn(sk) for sk in sks])
+        return pa.table(cols)
+
+    return merged.map_batches(_readout, batch_format="pyarrow")
