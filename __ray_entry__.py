@@ -1067,6 +1067,55 @@ def q_ntok_histogram(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_kmv_distinct_custkeys(sf_dir: str):
+    """KMV bottom-k distinct sketch (sketches/kmv.py) per group, in
+    ESTIMATION mode: distinct o_custkey per o_orderpriority with k=64 <<
+    the ~1 000 distinct custkeys per priority at sf0.01, so the (k-1)<<64
+    // h_k estimator itself — not an exact-mode shortcut — is what the
+    driver verifies. The oracle replicates splitmix64 + bottom-k + the
+    integer estimator entirely in DuckDB SQL (wrapping 64-bit multiply via
+    32-bit limbs in HUGEINT): the first sketch whose ESTIMATE is
+    SQL-computed rather than pinned or exact-mode."""
+    from pprl_ray.sketches import KMVSketch
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_custkey"]
+    )
+    merged = sketch_by_key(orders, lambda: KMVSketch(64), "o_custkey", "o_orderpriority")
+    sketches = finalize_sketches(merged, KMVSketch)
+    rows = [
+        {"o_orderpriority": k, "kmv_estimate": np.int64(sk.estimate_int())}
+        for k, sk in sketches.items()
+    ]
+    return pd.DataFrame(sorted(rows, key=lambda r: r["o_orderpriority"]))
+
+
+def q_kmv_priority_jaccard(sf_dir: str):
+    """Coordinated-sample set overlap: KMV bottom-k sketches share one hash
+    function, so the union's bottom-k is a uniform sample of A ∪ B and
+    |sample ∩ A ∩ B| / k estimates Jaccard (Beyer et al. 2007 §SS4.2) —
+    set ops HLL cannot do. One orders scan builds one sketch per
+    o_orderpriority; the pairwise algebra runs over the tiny sketch table.
+    Denominator is exactly k=64 (power of two), so the float division is
+    exact and the DuckDB splitmix64 replica matches bit-for-bit."""
+    from pprl_ray.sketches import KMVSketch
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_custkey"]
+    )
+    merged = sketch_by_key(orders, lambda: KMVSketch(64), "o_custkey", "o_orderpriority")
+    sketches = finalize_sketches(merged, KMVSketch)
+    keys = sorted(sketches)
+    rows = [
+        {"prio_a": a, "prio_b": b, "kmv_jaccard": sketches[a].jaccard(sketches[b])}
+        for i, a in enumerate(keys)
+        for b in keys[i + 1 :]
+    ]
+    return pd.DataFrame(rows)
+
+
 def q_theta_distinct_parts(sf_dir: str):
     """Theta/KMV distinct sketch (sketches/theta.py) per group: distinct
     l_partkey per l_returnflag. k=4096 > the 2 000 distinct parts at sf0.01,
@@ -3349,6 +3398,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # green AND re-verified by the judge's own r3 oracle run; all 110
     # re-runnable any time via scripts/check_oracles.py.
     return {
+        "kmv_distinct_custkeys": q_kmv_distinct_custkeys,
+        "kmv_priority_jaccard": q_kmv_priority_jaccard,
         "chunk_docs": q_chunk_docs,
         "vocab_prune": q_vocab_prune,
         "token_bigrams": q_token_bigrams,
@@ -3845,6 +3896,41 @@ def _mask_pin_oracles() -> dict[str, str]:
         "clk_mask_sha512": one(mp.PIN_CLK_MASK_SHA512),
         "clk_mask_hmac": one(mp.PIN_CLK_MASK_HMAC),
     }
+
+
+# Shared CTE chain for the KMV oracles: an EXACT DuckDB replica of
+# sketches/hashing.splitmix64 over the distinct (o_orderpriority, o_custkey)
+# pairs. HUGEINT carries the 64-bit lanes; the wrapping 64-bit multiply is
+# decomposed into 32-bit limbs ((a*b) mod 2^64 = a_lo*b + ((a_hi*b_lo) mod
+# 2^32)<<32), xor() is native, and >>n is floor-division by 2^n (operands are
+# non-negative). Verified bit-identical to the numpy kernel in
+# tests/test_sketches.py::test_kmv_sql_hash_parity.
+_KMV_SM64_CTES = """
+            d AS (
+                SELECT DISTINCT o_orderpriority AS grp,
+                       CAST(o_custkey AS HUGEINT) AS v
+                FROM orders
+            ),
+            h0 AS (SELECT grp, (v + 11400714819323198485) % 18446744073709551616 AS z FROM d),
+            h1 AS (SELECT grp, xor(z, z // 1073741824) AS z FROM h0),
+            h2 AS (SELECT grp,
+                       ((z % 4294967296) * 13787848793156543929
+                        + (((z // 4294967296) * (13787848793156543929 % 4294967296)) % 4294967296)
+                          * 4294967296) % 18446744073709551616 AS z
+                   FROM h1),
+            h3 AS (SELECT grp, xor(z, z // 134217728) AS z FROM h2),
+            h4 AS (SELECT grp,
+                       ((z % 4294967296) * 10723151780598845931
+                        + (((z // 4294967296) * (10723151780598845931 % 4294967296)) % 4294967296)
+                          * 4294967296) % 18446744073709551616 AS z
+                   FROM h3),
+            h5 AS (SELECT grp, xor(z, z // 2147483648) AS z FROM h4),
+            ranked AS (
+                SELECT grp, z,
+                       row_number() OVER (PARTITION BY grp ORDER BY z) AS rn,
+                       count(*) OVER (PARTITION BY grp) AS cnt
+                FROM h5
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4390,6 +4476,44 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (v * 16) // 64 END AS bin,
                    count(*) AS n_docs
             FROM n GROUP BY 1
+        """,
+        "kmv_distinct_custkeys": f"""
+            WITH {_KMV_SM64_CTES}
+            SELECT grp AS o_orderpriority,
+                   CAST(CASE WHEN cnt < 64 THEN cnt
+                             ELSE (63 * 18446744073709551616) // z END AS BIGINT)
+                       AS kmv_estimate
+            FROM ranked
+            WHERE rn = least(cnt, 64)
+            ORDER BY o_orderpriority
+        """,
+        "kmv_priority_jaccard": f"""
+            WITH {_KMV_SM64_CTES},
+            bk AS (SELECT grp, z FROM ranked WHERE rn <= 64),
+            pairs AS (
+                SELECT DISTINCT a.grp AS ga, b.grp AS gb
+                FROM bk a, bk b WHERE a.grp < b.grp
+            ),
+            uz AS (
+                SELECT p.ga, p.gb, bk.z
+                FROM pairs p JOIN bk ON bk.grp = p.ga OR bk.grp = p.gb
+                GROUP BY p.ga, p.gb, bk.z
+            ),
+            ur AS (
+                SELECT ga, gb, z,
+                       row_number() OVER (PARTITION BY ga, gb ORDER BY z) AS rn
+                FROM uz
+            ),
+            ub AS (SELECT ga, gb, z FROM ur WHERE rn <= 64)
+            SELECT ub.ga AS prio_a, ub.gb AS prio_b,
+                   sum(CASE WHEN ia.z IS NOT NULL AND ib.z IS NOT NULL
+                            THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)
+                       AS kmv_jaccard
+            FROM ub
+            LEFT JOIN bk ia ON ia.grp = ub.ga AND ia.z = ub.z
+            LEFT JOIN bk ib ON ib.grp = ub.gb AND ib.z = ub.z
+            GROUP BY ub.ga, ub.gb
+            ORDER BY prio_a, prio_b
         """,
         "theta_distinct_parts": """
             SELECT l_returnflag,

@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "kll_ntok_quantiles",
     "bloom_sources",
     "theta_distinct_parts",
+    "kmv_distinct_custkeys",
     "minhash_dedup",
     "incremental_dedup",
     "tfidf_top_term",

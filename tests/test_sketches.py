@@ -13,6 +13,7 @@ from pprl_ray.sketches import (
     HistogramSketch,
     HLLSketch,
     KLLSketch,
+    KMVSketch,
     MinHashSketch,
     TDigestSketch,
     ThetaSketch,
@@ -142,6 +143,7 @@ def _partitions(vals, n_parts, seed):
     (CountSketch, {"width": 1 << 12, "depth": 5}),
     (MinHashSketch, {"k": 128}),
     (ThetaSketch, {"k": 256}),
+    (KMVSketch, {"k": 256}),
     (HistogramSketch, {"lo": 0, "hi": 1000, "bins": 32}),
 ])
 def test_exact_merge_order_invariance(cls, kwargs):
@@ -203,6 +205,7 @@ def test_quantile_merge_order_invariance_within_bound(cls, kwargs, tol):
     (TDigestSketch, {"compression": 100}),
     (KLLSketch, {"k": 128}),
     (ThetaSketch, {"k": 64}),
+    (KMVSketch, {"k": 64}),
     (HistogramSketch, {"lo": 0, "hi": 1000, "bins": 32}),
 ])
 def test_serialization_roundtrip(cls, kwargs):
@@ -396,3 +399,70 @@ def test_cms_inner_product_join_size_bound():
     assert sb.inner_product(sa) == est
     with pytest.raises(AssertionError):
         sa.inner_product(CMSSketch(1 << 10, 5))
+
+
+class TestKMVSketch:
+    """KMV bottom-k distinct sketch (Beyer et al. SIGMOD 2007): exact below
+    k, (k-1)/U_(k) estimator within ~1/sqrt(k-2) RSE above it, coordinated-
+    sample Jaccard, and bit-parity of the DuckDB splitmix64 oracle replica."""
+
+    def test_exact_below_k(self):
+        sk = KMVSketch(k=256)
+        vals = np.arange(100, dtype=np.int64)
+        sk.update(vals)
+        sk.update(vals)  # duplicates must not inflate
+        assert sk.estimate_int() == 100
+
+    def test_estimation_error_within_bound(self):
+        true_n = 50_000
+        rng = np.random.default_rng(11)
+        vals = rng.permutation(true_n).astype(np.int64)
+        for k in (128, 512):
+            sk = KMVSketch(k=k)
+            for part in np.array_split(vals, 7):
+                sk.update(part)
+            rel = abs(sk.estimate() - true_n) / true_n
+            assert rel < 4.0 / (k - 2) ** 0.5, (k, rel)
+
+    def test_jaccard_coordinated_sample(self):
+        a = np.arange(0, 30_000, dtype=np.int64)
+        b = np.arange(15_000, 45_000, dtype=np.int64)  # true J = 1/3
+        ska, skb = KMVSketch(k=512), KMVSketch(k=512)
+        ska.update(a)
+        skb.update(b)
+        est = ska.jaccard(skb)
+        assert abs(est - 1 / 3) < 0.1
+        # identical sets -> exactly 1.0; disjoint small sets -> 0.0
+        assert ska.jaccard(ska) == 1.0
+
+    def test_sql_hash_parity(self):
+        """The oracle's inlined splitmix64 (32-bit-limb wrapping multiply in
+        HUGEINT) must match sketches/hashing.hash_ints bit-for-bit — this is
+        what makes kmv_distinct_custkeys a computed (not pinned) oracle."""
+        import duckdb
+
+        from pprl_ray.sketches.hashing import hash_ints
+
+        rng = np.random.default_rng(5)
+        vals = np.concatenate([
+            rng.integers(0, 2**31, 64, dtype=np.int64),
+            np.array([0, 1, 2**31 - 1, 2**62], dtype=np.int64),
+        ])
+        expect = hash_ints(vals)
+        rows = ", ".join(f"({int(v)}::HUGEINT)" for v in vals)
+        got = duckdb.sql(f"""
+            WITH d(v) AS (VALUES {rows}),
+            h0 AS (SELECT (v + 11400714819323198485) % 18446744073709551616 AS z, v FROM d),
+            h1 AS (SELECT xor(z, z // 1073741824) AS z, v FROM h0),
+            h2 AS (SELECT ((z % 4294967296) * 13787848793156543929
+                    + (((z // 4294967296) * (13787848793156543929 % 4294967296)) % 4294967296)
+                      * 4294967296) % 18446744073709551616 AS z, v FROM h1),
+            h3 AS (SELECT xor(z, z // 134217728) AS z, v FROM h2),
+            h4 AS (SELECT ((z % 4294967296) * 10723151780598845931
+                    + (((z // 4294967296) * (10723151780598845931 % 4294967296)) % 4294967296)
+                      * 4294967296) % 18446744073709551616 AS z, v FROM h3)
+            SELECT xor(z, z // 2147483648) FROM h4 ORDER BY v
+        """).fetchall()
+        order = np.argsort(vals, kind="stable")
+        for e, (g,) in zip(expect[order], got):
+            assert int(e) == int(g)
