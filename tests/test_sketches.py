@@ -466,3 +466,62 @@ class TestKMVSketch:
         order = np.argsort(vals, kind="stable")
         for e, (g,) in zip(expect[order], got):
             assert int(e) == int(g)
+
+
+class TestHLLSparse:
+    """Sparse HLL representation: lossless (bit-identical bytes/estimates to
+    a dense build), ~25x smaller at low fill, old dense blobs still parse."""
+
+    def test_sparse_dense_bit_identical(self):
+        vals = np.arange(500, dtype=np.int64)  # nnz << m/8 at p=14
+        sparse_built = HLLSketch(14)
+        for part in np.array_split(vals, 9):
+            sparse_built.update(part)
+        dense_built = HLLSketch(14)
+        dense_built.update(np.arange(60_000, dtype=np.int64))  # force dense
+        dense_built._dense[:] = 0
+        idx, rho = dense_built._hash_rho(np.unique(vals))
+        np.maximum.at(dense_built._dense, idx, rho)
+        assert dense_built._dense is not None and sparse_built._dense is None
+        assert sparse_built.to_bytes() == dense_built.to_bytes()
+        assert sparse_built.estimate() == dense_built.estimate()
+
+    def test_sparse_blob_is_small_then_densifies(self):
+        sk = HLLSketch(14)
+        sk.update(np.arange(200, dtype=np.int64))
+        assert len(sk.to_bytes()) < 16 + 5 * 220 + 4
+        sk.update(np.arange(200, 60_000, dtype=np.int64))
+        assert sk._dense is not None  # crossed m/8 -> densified
+        assert len(sk.to_bytes()) == 16 + sk.m
+
+    def test_sparse_merge_matches_single_pass(self):
+        vals = _zipf_stream(2_000, vocab=500, seed=3).astype(np.int64)
+        parts = _partitions(vals, 6, seed=1)
+        acc = None
+        for p in parts:
+            sk = HLLSketch(12)
+            sk.update(p)
+            acc = sk if acc is None else acc.merge(sk)
+        single = HLLSketch(12)
+        single.update(vals)
+        assert acc.to_bytes() == single.to_bytes()
+
+    def test_mixed_sparse_dense_merge(self):
+        big = HLLSketch(12)
+        big.update(np.arange(50_000, dtype=np.int64))
+        small = HLLSketch(12)
+        small.update(np.arange(50_000, 50_100, dtype=np.int64))
+        ref = HLLSketch(12)
+        ref.update(np.arange(50_100, dtype=np.int64))
+        merged = small.merge(big)  # sparse.merge(dense)
+        assert merged.to_bytes() == ref.to_bytes()
+
+    def test_old_dense_format_still_parses(self):
+        import struct as _s
+
+        sk = HLLSketch(10)
+        sk.update(np.arange(50, dtype=np.int64))
+        old = _s.pack("<qq", 10, 0) + sk.registers.tobytes()  # pre-sparse layout
+        back = HLLSketch.from_bytes(old)
+        assert back.estimate() == sk.estimate()
+        assert back.to_bytes() == sk.to_bytes()  # re-canonicalised to sparse
