@@ -3224,6 +3224,51 @@ def q_classifier_score(sf_dir: str):
     )
 
 
+def q_dsir_bucket_counts(sf_dir: str):
+    """DSIR fit pass (stages/dsir.py): per-md5-bucket unigram+bigram
+    occurrence counts for the target distribution (source='src0') and the
+    raw corpus, fitted in ONE keyed streaming scan (HistogramSketch
+    identity binning — exact counts, counter-add merge). Fully computed
+    SQL oracle: md5 feature bucketing + GROUP BY."""
+    from pprl_ray.golden.dsir_pins import BUCKETS, TARGET_SOURCE
+    from pprl_ray.stages.dsir import dsir_fit
+
+    fit = dsir_fit(_docs(sf_dir, ["text", "source"]), BUCKETS, key_col="source")
+    cp = fit.get(TARGET_SOURCE, np.zeros(BUCKETS, dtype=np.int64))
+    cq = np.sum(list(fit.values()), axis=0).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "bucket": np.arange(BUCKETS, dtype=np.int64),
+            "target_cnt": cp,
+            "raw_cnt": cq,
+        }
+    )
+
+
+def q_dsir_select(sf_dir: str):
+    """DSIR importance resampling end-to-end (Xie et al. NeurIPS 2023):
+    fit hashed-n-gram bucket distributions (one keyed scan), quantise the
+    add-1-smoothed log-ratios to int64 fixed-point on the driver, score
+    every document as an exact integer sum over its feature occurrences
+    (actor-pool stage, model built once per actor), select top-200 by
+    (score_fx DESC, doc_id ASC) via per-block top-k + driver merge. The
+    oracle re-scores in SQL with an INDEPENDENTLY-derived model pin
+    (golden/dsir_pins.py — counts from DuckDB, not this pipeline), so the
+    compare verifies fit + quantise + score + select end-to-end."""
+    from pprl_ray.golden.dsir_pins import BUCKETS, TARGET_SOURCE
+    from pprl_ray.stages.dsir import DsirScoreStage, dsir_fit, dsir_log_ratios, dsir_select
+
+    docs = _docs(sf_dir, ["doc_id", "text", "source"])
+    fit = dsir_fit(docs, BUCKETS, key_col="source")
+    cp = fit.get(TARGET_SOURCE, np.zeros(BUCKETS, dtype=np.int64))
+    cq = np.sum(list(fit.values()), axis=0).astype(np.int64)
+    lr_fx = dsir_log_ratios(cp, cq)
+    scored = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        DsirScoreStage(lr_fx), concurrency=2, batch_format="pyarrow"
+    )
+    return dsir_select(scored, k=200, mode="rank")
+
+
 def q_embedding_covariance(sf_dir: str):
     """Distributed linear algebra as a mergeable UDAF: the exact Gram
     matrix X^T X of the embedding table via GramSketch (sketches/gram.py)
@@ -3400,6 +3445,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kmv_distinct_custkeys": q_kmv_distinct_custkeys,
         "kmv_priority_jaccard": q_kmv_priority_jaccard,
+        "dsir_bucket_counts": q_dsir_bucket_counts,
+        "dsir_select": q_dsir_select,
         "chunk_docs": q_chunk_docs,
         "vocab_prune": q_vocab_prune,
         "token_bigrams": q_token_bigrams,
@@ -3931,6 +3978,15 @@ _KMV_SM64_CTES = """
                        count(*) OVER (PARTITION BY grp) AS cnt
                 FROM h5
             )"""
+
+
+def _dsir_lr_values() -> str:
+    """(bucket, lr_fx) VALUES rows of the pinned DSIR importance model
+    (golden/dsir_pins.py — independently derived via DuckDB by
+    scripts/gen_dsir_pins.py, so the pin is not self-referential)."""
+    from pprl_ray.golden.dsir_pins import PIN_DSIR_LR
+
+    return ",\n                ".join(f"({b}, {v})" for b, v in PIN_DSIR_LR)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4477,6 +4533,64 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs
             FROM n GROUP BY 1
         """,
+        "dsir_bucket_counts": """
+            WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+            uni AS (SELECT source, unnest(ws) AS f FROM w),
+            big AS (
+                SELECT source, ws[i] || ' ' || ws[i + 1] AS f
+                FROM (SELECT source, ws,
+                             unnest(generate_series(1, len(ws) - 1)) AS i
+                      FROM w)
+            ),
+            feats AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+            b AS (
+                SELECT source,
+                       CAST(('0x' || substring(md5(f), 1, 8)) AS BIGINT) % 512 AS bucket
+                FROM feats
+            ),
+            c AS (
+                SELECT bucket,
+                       sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS cp,
+                       count(*) AS cq
+                FROM b GROUP BY bucket
+            )
+            SELECT g.bucket,
+                   CAST(coalesce(c.cp, 0) AS BIGINT) AS target_cnt,
+                   CAST(coalesce(c.cq, 0) AS BIGINT) AS raw_cnt
+            FROM (SELECT unnest(generate_series(0, 511)) AS bucket) g
+            LEFT JOIN c ON g.bucket = c.bucket
+            ORDER BY g.bucket
+        """,
+        "dsir_select": f"""
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            uni AS (SELECT doc_id, unnest(ws) AS f FROM w),
+            big AS (
+                SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS f
+                FROM (SELECT doc_id, ws,
+                             unnest(generate_series(1, len(ws) - 1)) AS i
+                      FROM w)
+            ),
+            feats AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+            occ AS (
+                SELECT doc_id,
+                       CAST(('0x' || substring(md5(f), 1, 8)) AS BIGINT) % 512 AS b
+                FROM feats
+            ),
+            lr(b, fx) AS (VALUES
+                {{dsir_lr}}
+            ),
+            scored AS (
+                SELECT occ.doc_id, count(*) AS n_feat, sum(lr.fx) AS score_fx
+                FROM occ JOIN lr ON lr.b = occ.b
+                GROUP BY occ.doc_id
+            )
+            SELECT doc_id, CAST(n_feat AS BIGINT) AS n_feat,
+                   CAST(score_fx AS BIGINT) AS score_fx,
+                   CAST(score_fx AS DOUBLE) / 1048576.0 AS logw
+            FROM scored
+            ORDER BY score_fx DESC, doc_id
+            LIMIT 200
+        """.format(dsir_lr=_dsir_lr_values()),
         "kmv_distinct_custkeys": f"""
             WITH {_KMV_SM64_CTES}
             SELECT grp AS o_orderpriority,

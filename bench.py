@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "bloom_sources",
     "theta_distinct_parts",
     "kmv_distinct_custkeys",
+    "dsir_select",
     "minhash_dedup",
     "incremental_dedup",
     "tfidf_top_term",

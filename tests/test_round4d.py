@@ -1,0 +1,145 @@
+"""Round-4d additions: KMV sketch queries, DSIR importance resampling."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+# --- DSIR feature extraction --------------------------------------------------
+
+
+def test_feature_buckets_unigram_bigram_no_doc_crossing():
+    from pprl_ray.functions.digest import md5_bucket32
+    from pprl_ray.stages.dsir import _feature_buckets
+
+    texts = pa.array(["a b c", "d", "e f"])
+    occ_uni, uni_doc, occ_bi, bi_doc, n_feat = _feature_buckets(texts, 512)
+    # unigrams: a b c | d | e f
+    assert list(uni_doc) == [0, 0, 0, 1, 2, 2]
+    exp_uni = md5_bucket32(["a", "b", "c", "d", "e", "f"], 512)
+    assert list(occ_uni) == list(exp_uni)
+    # bigrams: "a b","b c" (doc0), none (doc1), "e f" (doc2) — never "c d"/"d e"
+    assert list(bi_doc) == [0, 0, 2]
+    exp_bi = md5_bucket32(["a b", "b c", "e f"], 512)
+    assert list(occ_bi) == list(exp_bi)
+    assert list(n_feat) == [5, 1, 3]  # words + bigrams per doc
+
+
+def test_dsir_log_ratios_shape_and_sign():
+    from pprl_ray.stages.dsir import dsir_log_ratios
+
+    cp = np.array([100, 0, 10], dtype=np.int64)
+    cq = np.array([100, 100, 1000], dtype=np.int64)
+    lr = dsir_log_ratios(cp, cq)
+    assert lr.dtype == np.int64
+    # bucket 0: over-represented in target vs raw -> positive
+    assert lr[0] > 0
+    # bucket 1: absent from target, common in raw -> negative
+    assert lr[1] < 0
+    # exact definition
+    B = 3
+    tp, tq = float(cp.sum() + B), float(cq.sum() + B)
+    exp0 = np.floor(
+        (np.log(101.0) - np.log(tp) - np.log(101.0) + np.log(tq)) * (1 << 20)
+    )
+    assert lr[0] == int(exp0)
+
+
+def test_dsir_pin_matches_live_fit(ray_session, sf001_dir):
+    """Close the pin loop: the golden lr_fx table (derived via DuckDB by
+    scripts/gen_dsir_pins.py) must equal the live Ray fit + quantise."""
+    from pprl_ray.golden.dsir_pins import BUCKETS, PIN_DSIR_LR, TARGET_SOURCE
+    from pprl_ray.stages.dsir import dsir_fit, dsir_log_ratios
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf001_dir}/documents.parquet", columns=["text", "source"])
+    fit = dsir_fit(docs, BUCKETS, key_col="source")
+    cp = fit.get(TARGET_SOURCE, np.zeros(BUCKETS, dtype=np.int64))
+    cq = np.sum(list(fit.values()), axis=0).astype(np.int64)
+    lr = dsir_log_ratios(cp, cq)
+    assert [(b, int(v)) for b, v in enumerate(lr)] == PIN_DSIR_LR
+
+
+def test_dsir_select_rank_partitioning_invariant(ray_session):
+    """Top-k by (score_fx desc, doc_id asc) must not depend on block
+    structure."""
+    import ray.data as rd
+
+    from pprl_ray.stages.dsir import DsirScoreStage, dsir_select
+
+    rng = np.random.default_rng(3)
+    words = [f"w{i}" for i in range(50)]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(300, dtype=np.int64)),
+            "text": pa.array(
+                [" ".join(rng.choice(words, rng.integers(3, 12))) for _ in range(300)]
+            ),
+        }
+    )
+    lr = rng.integers(-(1 << 20), 1 << 20, 512).astype(np.int64)
+    outs = []
+    for blocks in (2, 11):
+        ds = rd.from_arrow(docs).repartition(blocks)
+        scored = ds.map_batches(DsirScoreStage(lr), batch_format="pyarrow")
+        outs.append(dsir_select(scored, k=25, mode="rank"))
+    assert outs[0].equals(outs[1])
+
+
+def test_dsir_select_gumbel_deterministic_and_weight_biased(ray_session):
+    """Gumbel-top-k resampling: deterministic given a seed, different seeds
+    differ, and heavily-up-weighted docs are (near-)always selected."""
+    import ray.data as rd
+
+    from pprl_ray.stages.dsir import dsir_select
+
+    n = 400
+    scored = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "n_feat": pa.array(np.full(n, 5, dtype=np.int64)),
+            # docs 0-9 get a huge log-weight edge (~+40 nats over the rest)
+            "score_fx": pa.array(
+                np.where(np.arange(n) < 10, 40 << 20, 0).astype(np.int64)
+            ),
+        }
+    )
+    scored = scored.append_column(
+        "logw", pa.array(scored["score_fx"].to_numpy() / (1 << 20), pa.float64())
+    )
+    ds = rd.from_arrow(scored).repartition(4)
+    a = dsir_select(ds, k=50, mode="gumbel", seed=7)
+    b = dsir_select(rd.from_arrow(scored).repartition(9), k=50, mode="gumbel", seed=7)
+    assert a.equals(b)  # deterministic + partitioning-invariant
+    c = dsir_select(ds, k=50, mode="gumbel", seed=8)
+    assert not a["doc_id"].tolist() == c["doc_id"].tolist()
+    # the 10 heavy docs (+40 nats) must all be inside the 50 sampled
+    assert set(range(10)) <= set(a["doc_id"].tolist())
+    # and the light docs still get sampled (it's a sample, not a top-k)
+    assert len(set(a["doc_id"].tolist()) - set(range(10))) == 40
+
+
+# --- KMV ----------------------------------------------------------------------
+
+
+def test_kmv_estimation_mode_at_query_shape(ray_session, sf001_dir):
+    """kmv_distinct_custkeys runs in ESTIMATION mode (k=64 << distinct
+    custkeys per priority) — assert the mode really engages at sf0.001."""
+    import duckdb
+
+    from pprl_ray.sketches import KMVSketch
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT o_orderpriority, list(DISTINCT o_custkey) FROM "
+        f"read_parquet('{sf001_dir}/orders.parquet') GROUP BY 1"
+    ).fetchall()
+    con.close()
+    for prio, keys in rows:
+        sk = KMVSketch(k=64)
+        sk.update(np.asarray(keys, dtype=np.int64))
+        if len(keys) >= 64:
+            assert len(sk.hashes) == 64  # estimator path, not exact-count
+            rel = abs(sk.estimate() - len(set(keys))) / len(set(keys))
+            assert rel < 5.0 / (64 - 2) ** 0.5, (prio, rel)
