@@ -119,6 +119,11 @@ class HLLSketch:
         uniqueness; duplicates are harmless but waste work)."""
         if len(values) == 0:
             return
+        # a large update lands dense anyway: densify BEFORE hashing so the
+        # hot path is the plain np.maximum.at scatter, not the sparse
+        # concat+lexsort (which is only a win for genuinely small updates)
+        if self._dense is None and len(values) > self.m // _SPARSE_FRAC:
+            self._densify()
         idx, rho = self._hash_rho(values)
         if self._dense is not None:
             np.maximum.at(self._dense, idx, rho)
