@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "theta_distinct_parts",
     "kmv_distinct_custkeys",
     "dsir_select",
+    "ntok_moments",
+    "collocations",
     "minhash_dedup",
     "incremental_dedup",
     "tfidf_top_term",

@@ -751,3 +751,121 @@ class ClassifierScoreStage:
                 "label": pa.array(score_fx > 0),
             }
         )
+
+
+def collocation_lift(ds, text_col: str = "text", min_count: int = 5, k: int = 50,
+                     partitions: int | None = None, scale: int = 1 << 20):
+    """Collocation mining: top-k adjacent word pairs by EXACT integer PMI
+    lift ``lift_fx = floor(c12 · Nw² · scale / (Nb · c1 · c2))`` — the
+    pointwise-mutual-information ratio p(w1,w2)/(p(w1)·p(w2)) in fixed
+    point, computed with exact integer arithmetic (Python big ints above
+    the int64-safe range), so ranking is bit-deterministic and fully
+    SQL-replicable (no ln()).
+
+    Distributed shape: two slim map-side-combined count shuffles (bigram
+    and unigram partial counts per batch via polars — deduplicated before
+    the exchange, like token_freq), ``c12 >= min_count`` filtered
+    DISTRIBUTED before the joins, then the unigram counts attach to the
+    candidates via two token-keyed ``bucket_join``s (no driver-side
+    vocabulary copy — the tfidf lesson), lift per candidate inside
+    ``map_batches``, per-block top-k, one driver merge of k rows/block.
+    ``Nw``/``Nb`` are single-scalar dataset sums."""
+    import pandas as pd
+    import polars as pl
+
+    from .join import bucket_join
+    from .partitioning import auto_partitions
+
+    if partitions is None:
+        partitions = auto_partitions(ds) or 16
+
+    def _pair_partial(batch: pa.Table) -> pa.Table:
+        df = pl.DataFrame({"ws": pl.from_arrow(batch[text_col].combine_chunks()).str.split(" ")})
+        pairs = (
+            df.with_columns(w2s=pl.col("ws").list.slice(1))
+            .select(
+                w1=pl.col("ws").list.slice(0, pl.col("ws").list.len() - 1),
+                w2=pl.col("w2s"),
+            )
+            .explode(["w1", "w2"])
+            .drop_nulls()
+            .group_by(["w1", "w2"])
+            .len(name="cnt")
+        )
+        h = pairs.select(key=pl.col("w1") + " " + pl.col("w2"))["key"].hash(seed=43).to_numpy()
+        pairs = pairs.with_columns(
+            pl.Series("part", (h % np.uint64(partitions)).astype(np.int32))
+        )
+        return pairs.to_arrow()
+
+    def _uni_partial(batch: pa.Table) -> pa.Table:
+        df = pl.DataFrame({"w": pl.from_arrow(batch[text_col].combine_chunks()).str.split(" ")})
+        counts = df.explode("w").group_by("w").len(name="cnt")
+        h = counts["w"].hash(seed=43).to_numpy()
+        counts = counts.with_columns(
+            pl.Series("part", (h % np.uint64(partitions)).astype(np.int32))
+        )
+        return counts.to_arrow()
+
+    def _sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["w1", "w2"], as_index=False)["cnt"].sum()
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    def _sum_uni(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("w", as_index=False)["cnt"].sum()
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    bcnt = (
+        ds.map_batches(_pair_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_sum_pairs, batch_format="pandas")
+    ).materialize()
+    ucnt = (
+        ds.map_batches(_uni_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_sum_uni, batch_format="pandas")
+    ).materialize()
+
+    nb = int(bcnt.sum("cnt"))
+    nw = int(ucnt.sum("cnt"))
+
+    cands = bcnt.filter(expr=f"cnt >= {int(min_count)}").map_batches(
+        lambda b: b.rename_columns(["w1", "w2", "c12"]),
+        batch_format="pyarrow",
+    )
+    u1 = ucnt.map_batches(lambda b: b.select(["w", "cnt"]).rename_columns(["w", "c1"]),
+                          batch_format="pyarrow")
+    u2 = ucnt.map_batches(lambda b: b.select(["w", "cnt"]).rename_columns(["w", "c2"]),
+                          batch_format="pyarrow")
+    j = bucket_join(cands, u1, keys="w1", right_keys="w", partitions=partitions)
+    j = bucket_join(j, u2, keys="w2", right_keys="w", partitions=partitions)
+
+    int64_safe = min_count * nw * nw * scale <= (1 << 62)  # c12 <= nb anyway
+
+    def _lift_topk(batch: pa.Table) -> pa.Table:
+        c12 = batch["c12"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c1 = batch["c1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c2 = batch["c2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if int64_safe and c12.max(initial=0) * nw * nw * scale <= (1 << 62):
+            lift = (c12 * nw * nw * scale) // (nb * c1 * c2)
+        else:  # exact big-int path (corpus-scale counts overflow int64)
+            lift = np.array(
+                [int(a) * nw * nw * scale // (nb * int(b) * int(c))
+                 for a, b, c in zip(c12, c1, c2)],
+                dtype=np.int64,
+            )
+        w1 = batch["w1"].to_numpy(zero_copy_only=False)
+        w2 = batch["w2"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((w2, w1, -lift))[:k]
+        t = batch.take(pa.array(order)).append_column(
+            "lift_fx", pa.array(lift[order], pa.int64())
+        )
+        return t.select(["w1", "w2", "c12", "lift_fx"])
+
+    parts = j.map_batches(_lift_topk, batch_format="pyarrow").take_all()
+    df = pd.DataFrame(parts)
+    df = df.sort_values(["lift_fx", "w1", "w2"], ascending=[False, True, True],
+                        kind="mergesort")
+    return df.head(k).reset_index(drop=True).astype({"c12": "int64", "lift_fx": "int64"})

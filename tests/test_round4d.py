@@ -143,3 +143,108 @@ def test_kmv_estimation_mode_at_query_shape(ray_session, sf001_dir):
             assert len(sk.hashes) == 64  # estimator path, not exact-count
             rel = abs(sk.estimate() - len(set(keys))) / len(set(keys))
             assert rel < 5.0 / (64 - 2) ** 0.5, (prio, rel)
+
+
+# --- MomentsSketch -------------------------------------------------------------
+
+
+class TestMomentsSketch:
+    def test_exact_vs_numpy_and_merge_invariance(self):
+        from pprl_ray.sketches import MomentsSketch
+
+        rng = np.random.default_rng(2)
+        vals = rng.integers(0, 64, 20_000).astype(np.int64)
+        parts = np.array_split(vals, 7)
+        import random as _r
+
+        blobs = []
+        for seed in range(3):
+            order = list(range(7))
+            _r.Random(seed).shuffle(order)
+            acc = MomentsSketch()
+            for p in order:
+                sk = MomentsSketch()
+                sk.update(parts[p])
+                acc.merge(sk)
+            blobs.append(acc.to_bytes())
+        assert blobs[0] == blobs[1] == blobs[2]
+        acc = MomentsSketch.from_bytes(blobs[0])
+        assert acc.n == len(vals)
+        assert acc.mean() == pytest.approx(vals.mean(), rel=0, abs=0)
+        assert acc.variance() == pytest.approx(np.var(vals), rel=1e-12)
+        x = vals - vals.mean()
+        assert acc.skewness() == pytest.approx(
+            (x**3).mean() / np.var(vals) ** 1.5, rel=1e-9
+        )
+        assert acc.kurtosis_excess() == pytest.approx(
+            (x**4).mean() / np.var(vals) ** 2 - 3, rel=1e-9
+        )
+
+    def test_bigint_no_overflow_cliff(self):
+        from pprl_ray.sketches import MomentsSketch
+
+        sk = MomentsSketch()
+        big = np.full(1000, 10**6, dtype=np.int64)  # x^4 = 1e24 >> int64
+        sk.update(big)
+        assert sk.s4 == 1000 * 10**24  # exact big-int, no wraparound
+        back = MomentsSketch.from_bytes(sk.to_bytes())
+        assert (back.n, back.s1, back.s2, back.s3, back.s4) == (
+            sk.n, sk.s1, sk.s2, sk.s3, sk.s4,
+        )
+
+    def test_rejects_floats(self):
+        from pprl_ray.sketches import MomentsSketch
+
+        with pytest.raises(TypeError):
+            MomentsSketch().update(np.array([1.5, 2.5]))
+
+    def test_constant_column_degenerate(self):
+        from pprl_ray.sketches import MomentsSketch
+
+        sk = MomentsSketch()
+        sk.update(np.full(100, 7, dtype=np.int64))
+        assert sk.variance() == 0.0
+        assert sk.skewness() == 0.0
+        assert sk.kurtosis_excess() == -3.0
+
+
+# --- collocation lift ----------------------------------------------------------
+
+
+def test_collocation_lift_matches_bruteforce(ray_session):
+    import itertools
+
+    import ray.data as rd
+
+    from pprl_ray.stages.text import collocation_lift
+
+    rng = np.random.default_rng(9)
+    words = ["alpha", "beta", "gamma", "delta"]
+    # plant a strong collocation: "alpha beta" appears very often
+    docs = []
+    for _ in range(200):
+        toks = list(rng.choice(words, rng.integers(3, 9)))
+        if rng.random() < 0.7:
+            toks[:2] = ["alpha", "beta"]
+        docs.append(" ".join(toks))
+
+    # brute force exact lift
+    unis = [w for d in docs for w in d.split(" ")]
+    bis = [(a, b) for d in docs
+           for a, b in itertools.pairwise(d.split(" "))]
+    from collections import Counter
+
+    cu, cb = Counter(unis), Counter(bis)
+    nw, nb = len(unis), len(bis)
+    exact = sorted(
+        (
+            (-((c12 * nw * nw * (1 << 20)) // (nb * cu[w1] * cu[w2])), w1, w2)
+            for (w1, w2), c12 in cb.items() if c12 >= 5
+        ),
+    )[:10]
+    expect = [(w1, w2, -neg) for neg, w1, w2 in exact]
+
+    for blocks in (2, 7):  # partitioning-invariant
+        ds = rd.from_items([{"text": t} for t in docs]).repartition(blocks)
+        got = collocation_lift(ds, min_count=5, k=10)
+        assert list(zip(got["w1"], got["w2"], got["lift_fx"])) == expect
