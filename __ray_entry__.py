@@ -1170,6 +1170,30 @@ def q_collocations(sf_dir: str):
     return collocation_lift(_docs(sf_dir, ["text"]), min_count=5, k=50)
 
 
+def q_hll_register_occupancy(sf_dir: str):
+    """HLL internals driver-verified by a COMPUTED oracle: the number of
+    occupied registers (nnz) per l_returnflag at p=10 over distinct
+    l_partkey. nnz is an exact integer — idx = splitmix64(v) >> (64-p) —
+    so the DuckDB splitmix64 replica counts the same distinct register
+    indexes the sketch touches (the quantity linear counting reads). This
+    pins the hash + register-index pipeline (incl. the sparse
+    representation, which stores exactly these idx values) without
+    pinned-VALUES."""
+    from pprl_ray.sketches import HLLSketch
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_partkey"]
+    )
+    merged = sketch_by_key(li, lambda: HLLSketch(10), "l_partkey", "l_returnflag")
+    sketches = finalize_sketches(merged, HLLSketch)
+    rows = [
+        {"l_returnflag": k, "occupied": np.int64(sk._nnz())}
+        for k, sk in sorted(sketches.items())
+    ]
+    return pd.DataFrame(rows)
+
+
 def q_theta_distinct_parts(sf_dir: str):
     """Theta/KMV distinct sketch (sketches/theta.py) per group: distinct
     l_partkey per l_returnflag. k=4096 > the 2 000 distinct parts at sf0.01,
@@ -3503,6 +3527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": q_dsir_select,
         "ntok_moments": q_ntok_moments,
         "collocations": q_collocations,
+        "hll_register_occupancy": q_hll_register_occupancy,
         "chunk_docs": q_chunk_docs,
         "vocab_prune": q_vocab_prune,
         "token_bigrams": q_token_bigrams,
@@ -3541,7 +3566,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "connected_components": q_connected_components,
         "match_crosswise": q_match_crosswise,
-        "corpus_build": q_corpus_build,
         "source_jaccard": q_source_jaccard,
         "event_windows": q_event_windows,
         "broadcast_join": q_broadcast_join,
@@ -3555,6 +3579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # broadcast_join, which WERE touched post-verification and stay in).
         "heavy_hitters": q_heavy_hitters,
         "top_per_group": q_top_per_group,
+        "corpus_build": q_corpus_build,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "sessionize": q_sessionize,
@@ -4007,18 +4032,26 @@ def _mask_pin_oracles() -> dict[str, str]:
     }
 
 
-# Shared CTE chain for the KMV oracles: an EXACT DuckDB replica of
-# sketches/hashing.splitmix64 over the distinct (o_orderpriority, o_custkey)
-# pairs. HUGEINT carries the 64-bit lanes; the wrapping 64-bit multiply is
-# decomposed into 32-bit limbs ((a*b) mod 2^64 = a_lo*b + ((a_hi*b_lo) mod
+# Shared CTE chain for the KMV / HLL-occupancy oracles: an EXACT DuckDB
+# replica of sketches/hashing.splitmix64 over distinct (grp, v) pairs from
+# ``src_sql``. HUGEINT carries the 64-bit lanes; the wrapping 64-bit multiply
+# is decomposed into 32-bit limbs ((a*b) mod 2^64 = a_lo*b + ((a_hi*b_lo) mod
 # 2^32)<<32), xor() is native, and >>n is floor-division by 2^n (operands are
 # non-negative). Verified bit-identical to the numpy kernel in
 # tests/test_sketches.py::test_kmv_sql_hash_parity.
-_KMV_SM64_CTES = """
+_ORDERS_SRC = ("SELECT DISTINCT o_orderpriority AS grp, "
+               "CAST(o_custkey AS HUGEINT) AS v FROM orders")
+_LINEITEM_SRC = ("SELECT DISTINCT l_returnflag AS grp, "
+                 "CAST(l_partkey AS HUGEINT) AS v FROM lineitem")
+
+
+def _sm64_ctes(src_sql: str) -> str:
+    return _SM64_CTES_TEMPLATE.replace("__SRC__", src_sql)
+
+
+_SM64_CTES_TEMPLATE = """
             d AS (
-                SELECT DISTINCT o_orderpriority AS grp,
-                       CAST(o_custkey AS HUGEINT) AS v
-                FROM orders
+                __SRC__
             ),
             h0 AS (SELECT grp, (v + 11400714819323198485) % 18446744073709551616 AS z FROM d),
             h1 AS (SELECT grp, xor(z, z // 1073741824) AS z FROM h0),
@@ -4711,7 +4744,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 200
         """.format(dsir_lr=_dsir_lr_values()),
         "kmv_distinct_custkeys": f"""
-            WITH {_KMV_SM64_CTES}
+            WITH {_sm64_ctes(_ORDERS_SRC)}
             SELECT grp AS o_orderpriority,
                    CAST(CASE WHEN cnt < 64 THEN cnt
                              ELSE (63 * 18446744073709551616) // z END AS BIGINT)
@@ -4721,7 +4754,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_orderpriority
         """,
         "kmv_priority_jaccard": f"""
-            WITH {_KMV_SM64_CTES},
+            WITH {_sm64_ctes(_ORDERS_SRC)},
             bk AS (SELECT grp, z FROM ranked WHERE rn <= 64),
             pairs AS (
                 SELECT DISTINCT a.grp AS ga, b.grp AS gb
@@ -4747,6 +4780,13 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN bk ib ON ib.grp = ub.gb AND ib.z = ub.z
             GROUP BY ub.ga, ub.gb
             ORDER BY prio_a, prio_b
+        """,
+        "hll_register_occupancy": f"""
+            WITH {_sm64_ctes(_LINEITEM_SRC)}
+            SELECT grp AS l_returnflag,
+                   CAST(count(DISTINCT z // 18014398509481984) AS BIGINT)
+                       AS occupied
+            FROM ranked GROUP BY grp ORDER BY grp
         """,
         "theta_distinct_parts": """
             SELECT l_returnflag,

@@ -554,6 +554,44 @@ def cmd_sample(args) -> None:
                       "output": args.output}))
 
 
+def cmd_dsir(args) -> None:
+    """DSIR importance selection: fit hashed-n-gram distributions over the
+    target and raw corpora, score every raw doc, keep the top-k (rank) or
+    a Gumbel resample (stages/dsir.py)."""
+    import ray.data as rd
+
+    from .stages.dsir import DsirScoreStage, dsir_fit, dsir_log_ratios, dsir_select
+
+    raw = _read(args.input, columns=[args.id_column, args.text_column])
+    target = _read(args.target_input, columns=[args.text_column])
+    cq = dsir_fit(raw, args.buckets, text_col=args.text_column)
+    cp = dsir_fit(target, args.buckets, text_col=args.text_column)
+    lr_fx = dsir_log_ratios(cp, cq)
+    scored = raw.map_batches(
+        DsirScoreStage(lr_fx, text_col=args.text_column, id_col=args.id_column),
+        batch_format="pyarrow",
+    )
+    df = dsir_select(scored, k=args.k, mode=args.mode, seed=args.seed)
+    n = _write(rd.from_pandas(df), args.output, args.format)
+    print(json.dumps({"command": "dsir", "mode": args.mode, "k": args.k,
+                      "buckets": args.buckets, "rows": n, "output": args.output}))
+
+
+def cmd_collocate(args) -> None:
+    """Top-k collocations by exact integer PMI lift (stages/text.py)."""
+    import ray.data as rd
+
+    from .stages.text import collocation_lift
+
+    ds = _read(args.input, columns=[args.text_column])
+    df = collocation_lift(ds, text_col=args.text_column,
+                          min_count=args.min_count, k=args.k)
+    n = _write(rd.from_pandas(df), args.output, args.format)
+    print(json.dumps({"command": "collocate", "k": args.k,
+                      "min_count": args.min_count, "rows": n,
+                      "output": args.output}))
+
+
 def cmd_decontaminate(args) -> None:
     """Train/eval n-gram overlap pairs (benchmark-contamination check)."""
     from .stages.dedup import contamination_pairs
@@ -831,6 +869,30 @@ def main(argv: list[str] | None = None) -> None:
     sp.add_argument("--weight-column", required=True)
     sp.add_argument("-k", type=int, default=100)
     sp.set_defaults(fn=cmd_sample)
+
+    sp = sub.add_parser("dsir",
+                        help="DSIR importance selection against a target corpus")
+    sp.add_argument("--input", required=True, help="raw corpus to select from")
+    sp.add_argument("--target-input", required=True, help="target-distribution corpus")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--format", choices=("parquet", "csv", "jsonl"), default="parquet")
+    sp.add_argument("--id-column", default="doc_id")
+    sp.add_argument("--text-column", default="text")
+    sp.add_argument("--buckets", type=int, default=512)
+    sp.add_argument("-k", type=int, default=1000)
+    sp.add_argument("--mode", choices=("rank", "gumbel"), default="rank")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_dsir)
+
+    sp = sub.add_parser("collocate",
+                        help="top-k word collocations by exact integer PMI lift")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--format", choices=("parquet", "csv", "jsonl"), default="parquet")
+    sp.add_argument("--text-column", default="text")
+    sp.add_argument("--min-count", type=int, default=5)
+    sp.add_argument("-k", type=int, default=50)
+    sp.set_defaults(fn=cmd_collocate)
 
     sp = sub.add_parser("decontaminate",
                         help="train/eval word n-gram overlap pairs")

@@ -627,3 +627,42 @@ def test_cli_chunk_mix_spans(ray_session, tmp_path, capsys):
           "--output", str(tmp_path / "mixed")])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 1 <= out["rows"] <= 3
+
+
+def test_cli_dsir_and_collocate(ray_session, tmp_path, capsys):
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    sci = ["quantum flux entangles the qubit lattice",
+           "flux lattice coherence drives quantum gates"]
+    web = ["buy cheap pills online now best deal",
+           "celebrity gossip news today click here now"]
+    raw_rows, target_rows = [], []
+    for i in range(120):
+        base = sci[i % 2] if i < 20 else web[i % 2]
+        raw_rows.append({"doc_id": i, "text": base})
+    for i in range(40):
+        target_rows.append({"doc_id": 1000 + i, "text": sci[i % 2]})
+    pq.write_table(pa.Table.from_pylist(raw_rows), str(tmp_path / "raw.parquet"))
+    pq.write_table(pa.Table.from_pylist(target_rows), str(tmp_path / "tgt.parquet"))
+
+    main(["dsir", "--input", str(tmp_path / "raw.parquet"),
+          "--target-input", str(tmp_path / "tgt.parquet"),
+          "-k", "20", "--output", str(tmp_path / "sel")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 20
+    sel = pq.read_table(str(tmp_path / "sel"))
+    # the 20 science docs out-rank the 100 web docs
+    assert sorted(sel["doc_id"].to_pylist()) == list(range(20))
+
+    main(["collocate", "--input", str(tmp_path / "raw.parquet"),
+          "--min-count", "5", "-k", "5", "--output", str(tmp_path / "coll")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 5
+    coll = pq.read_table(str(tmp_path / "coll"))
+    lifts = coll["lift_fx"].to_pylist()
+    assert lifts == sorted(lifts, reverse=True)
+    # rarity wins: the rare science-doc pairs (always co-occurring, low
+    # unigram counts) out-lift the common web pairs
+    pairs = set(zip(coll["w1"].to_pylist(), coll["w2"].to_pylist()))
+    assert ("coherence", "drives") in pairs
