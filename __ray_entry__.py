@@ -1194,6 +1194,33 @@ def q_hll_register_occupancy(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_kmv_parts_by_supplier(sf_dir: str):
+    """Streaming per-key sketch table IN ESTIMATION MODE: distinct
+    l_partkey per l_suppkey via sketch_estimate_table + KMVSketch(16)
+    (k=16 << the ~80 distinct parts per supplier), readouts applied
+    blob-by-blob inside map_batches — the driver never holds a sketch.
+    The computed DuckDB oracle re-derives splitmix64 bottom-16 per
+    supplier and the exact-integer estimator, so the whole groupby-merge
+    topology + estimation readout is hash-verified (theta_parts_by_order
+    covers the same topology only in exact mode)."""
+    from pprl_ray.sketches import KMVSketch
+    from pprl_ray.state.aggregate import sketch_estimate_table
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    )
+    tbl = sketch_estimate_table(
+        li, lambda: KMVSketch(16), "l_partkey", "l_suppkey",
+        readouts={"kmv_estimate": lambda sk: int(sk.estimate_int())},
+    )
+    df = tbl.to_pandas()
+    df["l_suppkey"] = df["key"].astype("int64")
+    out = df[["l_suppkey", "rows", "kmv_estimate"]].sort_values("l_suppkey")
+    return out.reset_index(drop=True).astype(
+        {"rows": "int64", "kmv_estimate": "int64"}
+    )
+
+
 def q_theta_distinct_parts(sf_dir: str):
     """Theta/KMV distinct sketch (sketches/theta.py) per group: distinct
     l_partkey per l_returnflag. k=4096 > the 2 000 distinct parts at sf0.01,
@@ -3528,6 +3555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntok_moments": q_ntok_moments,
         "collocations": q_collocations,
         "hll_register_occupancy": q_hll_register_occupancy,
+        "kmv_parts_by_supplier": q_kmv_parts_by_supplier,
         "chunk_docs": q_chunk_docs,
         "vocab_prune": q_vocab_prune,
         "token_bigrams": q_token_bigrams,
@@ -3551,7 +3579,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_join": q_skew_join,
         "weighted_sample": q_weighted_sample,
         "tfidf_top_term": q_tfidf_top_term,
-        "incremental_dedup": q_incremental_dedup,
         "heavy_hitters_by_source": q_heavy_hitters_by_source,
         "kll_by_source": q_kll_by_source,
         "classifier_score": q_classifier_score,
@@ -3579,6 +3606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # broadcast_join, which WERE touched post-verification and stay in).
         "heavy_hitters": q_heavy_hitters,
         "top_per_group": q_top_per_group,
+        "incremental_dedup": q_incremental_dedup,
         "corpus_build": q_corpus_build,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
@@ -4043,6 +4071,8 @@ _ORDERS_SRC = ("SELECT DISTINCT o_orderpriority AS grp, "
                "CAST(o_custkey AS HUGEINT) AS v FROM orders")
 _LINEITEM_SRC = ("SELECT DISTINCT l_returnflag AS grp, "
                  "CAST(l_partkey AS HUGEINT) AS v FROM lineitem")
+_SUPP_SRC = ("SELECT DISTINCT l_suppkey AS grp, "
+             "CAST(l_partkey AS HUGEINT) AS v FROM lineitem")
 
 
 def _sm64_ctes(src_sql: str) -> str:
@@ -4780,6 +4810,19 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN bk ib ON ib.grp = ub.gb AND ib.z = ub.z
             GROUP BY ub.ga, ub.gb
             ORDER BY prio_a, prio_b
+        """,
+        "kmv_parts_by_supplier": f"""
+            WITH {_sm64_ctes(_SUPP_SRC)},
+            rc AS (SELECT l_suppkey AS grp, count(*) AS n_rows
+                   FROM lineitem GROUP BY 1)
+            SELECT CAST(r.grp AS BIGINT) AS l_suppkey,
+                   CAST(rc.n_rows AS BIGINT) AS rows,
+                   CAST(CASE WHEN r.cnt < 16 THEN r.cnt
+                             ELSE (15 * 18446744073709551616) // r.z
+                        END AS BIGINT) AS kmv_estimate
+            FROM ranked r JOIN rc ON rc.grp = r.grp
+            WHERE r.rn = least(r.cnt, 16)
+            ORDER BY l_suppkey
         """,
         "hll_register_occupancy": f"""
             WITH {_sm64_ctes(_LINEITEM_SRC)}
