@@ -138,8 +138,10 @@ def test_profile_wall_time_unaffected_by_extreme_key_skew(ray_session):
         return time.perf_counter() - t0
 
     run(False)  # warm
-    balanced = min(run(False) for _ in range(2))
-    skewed = min(run(True) for _ in range(2))
+    # best-of-3: the shared host's co-tenant bursts can starve one 32-way
+    # run without warning (quiet single-core calibration != quiet host)
+    balanced = min(run(False) for _ in range(3))
+    skewed = min(run(True) for _ in range(3))
     assert skewed < 3.0 * balanced + 1.0, (balanced, skewed)
 
 
