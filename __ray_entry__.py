@@ -1221,6 +1221,29 @@ def q_kmv_parts_by_supplier(sf_dir: str):
     )
 
 
+def q_corpus_drift(sf_dir: str):
+    """Cross-version drift report (pipelines/drift.py): documents vs a
+    simulated v2 (doc_id % 7 != 0; 7 is coprime with the round-robin source assignment, so every source keeps docs) — per source doc counts, exact
+    fixed-point mean-length shift (integer moments, sign-split floor
+    division), and vocabulary inter/union/Jaccard via coordinated KMV
+    sketches over md5 word-ids. splitmix64 is a BIJECTION on uint64, so
+    set relations over the sketch hashes equal set relations over the
+    word-ids, and below sketch capacity (31-word vocab << k=4096) the
+    counts are exact — the SQL oracle computes them from the word sets
+    directly."""
+    from pprl_ray.pipelines.drift import corpus_drift
+
+    def _v2(t: pa.Table) -> pa.Table:
+        mod7 = pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 7), 7))
+        return t.filter(pc.not_equal(mod7, 0))
+
+    a = _docs(sf_dir, ["doc_id", "text", "source"])
+    b = _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        _v2, batch_format="pyarrow"
+    )
+    return corpus_drift(a, b)
+
+
 def q_theta_distinct_parts(sf_dir: str):
     """Theta/KMV distinct sketch (sketches/theta.py) per group: distinct
     l_partkey per l_returnflag. k=4096 > the 2 000 distinct parts at sf0.01,
@@ -3556,6 +3579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations": q_collocations,
         "hll_register_occupancy": q_hll_register_occupancy,
         "kmv_parts_by_supplier": q_kmv_parts_by_supplier,
+        "corpus_drift": q_corpus_drift,
         "chunk_docs": q_chunk_docs,
         "vocab_prune": q_vocab_prune,
         "token_bigrams": q_token_bigrams,
@@ -3592,7 +3616,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "connected_components": q_connected_components,
-        "match_crosswise": q_match_crosswise,
         "source_jaccard": q_source_jaccard,
         "event_windows": q_event_windows,
         "broadcast_join": q_broadcast_join,
@@ -3607,6 +3630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q_heavy_hitters,
         "top_per_group": q_top_per_group,
         "incremental_dedup": q_incremental_dedup,
+        "match_crosswise": q_match_crosswise,
         "corpus_build": q_corpus_build,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
@@ -4810,6 +4834,61 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN bk ib ON ib.grp = ub.gb AND ib.z = ub.z
             GROUP BY ub.ga, ub.gb
             ORDER BY prio_a, prio_b
+        """,
+        "corpus_drift": """
+            WITH a AS (
+                SELECT source, doc_id, string_split(text, ' ') AS ws
+                FROM documents
+            ),
+            b AS (SELECT * FROM a WHERE doc_id % 7 != 0),
+            wa AS (
+                SELECT DISTINCT source,
+                       CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) AS wid
+                FROM (SELECT source, unnest(ws) AS w FROM a)
+            ),
+            wb AS (
+                SELECT DISTINCT source,
+                       CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) AS wid
+                FROM (SELECT source, unnest(ws) AS w FROM b)
+            ),
+            na AS (
+                SELECT source, CAST(count(*) AS HUGEINT) AS n,
+                       CAST(sum(len(ws)) AS HUGEINT) AS s1
+                FROM a GROUP BY source
+            ),
+            nb AS (
+                SELECT source, CAST(count(*) AS HUGEINT) AS n,
+                       CAST(sum(len(ws)) AS HUGEINT) AS s1
+                FROM b GROUP BY source
+            ),
+            vi AS (
+                SELECT wa.source, CAST(count(*) AS HUGEINT) AS inter
+                FROM wa JOIN wb ON wa.source = wb.source AND wa.wid = wb.wid
+                GROUP BY wa.source
+            ),
+            vu AS (
+                SELECT source, CAST(count(DISTINCT wid) AS HUGEINT) AS u
+                FROM (SELECT * FROM wa UNION SELECT * FROM wb)
+                GROUP BY source
+            )
+            SELECT na.source,
+                   CAST(na.n AS BIGINT) AS n_docs_a,
+                   CAST(nb.n AS BIGINT) AS n_docs_b,
+                   CAST(coalesce(vi.inter, 0) AS BIGINT) AS vocab_inter,
+                   CAST(vu.u AS BIGINT) AS vocab_union,
+                   CAST((coalesce(vi.inter, 0) * 1048576) // vu.u AS BIGINT)
+                       AS vocab_jaccard_fx,
+                   CAST(CASE WHEN nb.s1 * na.n >= na.s1 * nb.n
+                             THEN ((nb.s1 * na.n - na.s1 * nb.n) * 1048576)
+                                  // (na.n * nb.n)
+                             ELSE -(((na.s1 * nb.n - nb.s1 * na.n) * 1048576)
+                                    // (na.n * nb.n))
+                        END AS BIGINT) AS mean_ntok_delta_fx
+            FROM na
+            JOIN nb ON nb.source = na.source
+            JOIN vu ON vu.source = na.source
+            LEFT JOIN vi ON vi.source = na.source
+            ORDER BY na.source
         """,
         "kmv_parts_by_supplier": f"""
             WITH {_sm64_ctes(_SUPP_SRC)},

@@ -248,3 +248,51 @@ def test_collocation_lift_matches_bruteforce(ray_session):
         ds = rd.from_items([{"text": t} for t in docs]).repartition(blocks)
         got = collocation_lift(ds, min_count=5, k=10)
         assert list(zip(got["w1"], got["w2"], got["lift_fx"])) == expect
+
+
+# --- corpus drift ---------------------------------------------------------------
+
+
+def test_corpus_drift_report(ray_session):
+    import ray.data as rd
+
+    from pprl_ray.pipelines.drift import corpus_drift
+
+    a = pa.table(
+        {
+            "doc_id": pa.array(np.arange(8, dtype=np.int64)),
+            "text": pa.array(
+                ["aa bb cc", "aa bb", "dd ee", "aa cc",
+                 "xx yy zz", "xx yy", "xx zz", "yy zz"]
+            ),
+            "source": pa.array(["s1"] * 4 + ["s2"] * 4),
+        }
+    )
+    # v2: s1 loses doc 3 and the word 'dd' is gone nowhere; s2 unchanged
+    b = a.filter(pa.array([True, True, True, False, True, True, True, True]))
+    df = corpus_drift(rd.from_arrow(a).repartition(3), rd.from_arrow(b).repartition(2))
+    r1 = df[df["source"] == "s1"].iloc[0]
+    assert (r1["n_docs_a"], r1["n_docs_b"]) == (4, 3)
+    # s1 vocab: a={aa,bb,cc,dd,ee}, b={aa,bb,cc,dd,ee} minus doc3 ('aa cc')
+    # -> still {aa,bb,cc,dd,ee}? doc3 = 'aa cc', both appear elsewhere -> J=1
+    assert r1["vocab_inter"] == r1["vocab_union"] == 5
+    assert r1["vocab_jaccard_fx"] == 1 << 20
+    # mean length: a = (3+2+2+2)/4 = 2.25, b = (3+2+2)/3 = 2.3333 -> positive
+    assert r1["mean_ntok_delta_fx"] == ((7 * 4 - 9 * 3) << 20) // 12
+    r2 = df[df["source"] == "s2"].iloc[0]
+    assert r2["mean_ntok_delta_fx"] == 0
+    assert r2["vocab_jaccard_fx"] == 1 << 20
+
+
+def test_signed_floordiv_matches_python_and_sql():
+    import duckdb
+
+    from pprl_ray.pipelines.drift import _signed_floordiv
+
+    for num in (-7, -5, -1, 0, 1, 5, 7, -1048577, 1048577):
+        got = _signed_floordiv(num, 3)
+        sql = duckdb.sql(
+            f"SELECT CASE WHEN {num} >= 0 THEN ({num}) // 3 "
+            f"ELSE -((-({num})) // 3) END"
+        ).fetchone()[0]
+        assert got == sql, (num, got, sql)
