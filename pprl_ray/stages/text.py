@@ -754,7 +754,8 @@ class ClassifierScoreStage:
 
 
 def collocation_lift(ds, text_col: str = "text", min_count: int = 5, k: int = 50,
-                     partitions: int | None = None, scale: int = 1 << 20):
+                     partitions: int | None = None, scale: int = 1 << 20,
+                     broadcast_max_terms: int = 50_000_000):
     """Collocation mining: top-k adjacent word pairs by EXACT integer PMI
     lift ``lift_fx = floor(c12 · Nw² · scale / (Nb · c1 · c2))`` — the
     pointwise-mutual-information ratio p(w1,w2)/(p(w1)·p(w2)) in fixed
@@ -766,10 +767,11 @@ def collocation_lift(ds, text_col: str = "text", min_count: int = 5, k: int = 50
     and unigram partial counts per batch via polars — deduplicated before
     the exchange, like token_freq), ``c12 >= min_count`` filtered
     DISTRIBUTED before the joins, then the unigram counts attach to the
-    candidates via two token-keyed ``bucket_join``s (no driver-side
-    vocabulary copy — the tfidf lesson), lift per candidate inside
-    ``map_batches``, per-block top-k, one driver merge of k rows/block.
-    ``Nw``/``Nb`` are single-scalar dataset sums."""
+    candidates — broadcast (worker-assembled ref, the tfidf pattern) when
+    the vocabulary is under ``broadcast_max_terms``, else two token-keyed
+    ``bucket_join``s (no driver-side vocabulary copy at open vocabulary).
+    Lift per candidate inside ``map_batches``, per-block top-k, one driver
+    merge of k rows/block. ``Nw``/``Nb`` are single-scalar dataset sums."""
     import pandas as pd
     import polars as pl
 
@@ -835,12 +837,41 @@ def collocation_lift(ds, text_col: str = "text", min_count: int = 5, k: int = 50
         lambda b: b.rename_columns(["w1", "w2", "c12"]),
         batch_format="pyarrow",
     )
-    u1 = ucnt.map_batches(lambda b: b.select(["w", "cnt"]).rename_columns(["w", "c1"]),
-                          batch_format="pyarrow")
-    u2 = ucnt.map_batches(lambda b: b.select(["w", "cnt"]).rename_columns(["w", "c2"]),
-                          batch_format="pyarrow")
-    j = bucket_join(cands, u1, keys="w1", right_keys="w", partitions=partitions)
-    j = bucket_join(j, u2, keys="w2", right_keys="w", partitions=partitions)
+    n_terms = ucnt.count()
+    if n_terms <= broadcast_max_terms:
+        # small vocabulary: broadcast the unigram counts (assembled in a
+        # REMOTE task from the already-materialized blocks — the driver
+        # holds only the ref, the tfidf pattern) and attach c1/c2 inside
+        # map_batches; saves two bucket-join shuffles.
+        import ray
+
+        refs = ucnt.to_arrow_refs()
+        uschema = pa.schema([("w", pa.large_string()), ("cnt", pa.int64())])
+
+        def _assemble(*tables):
+            ts = [t.select(["w", "cnt"]) for t in tables if t.num_rows > 0]
+            return pa.concat_tables(ts).combine_chunks() if ts else uschema.empty_table()
+
+        uref = (ray.remote(num_cpus=1)(_assemble).remote(*refs)
+                if refs else ray.put(uschema.empty_table()))
+
+        def _attach(batch: pa.Table) -> pa.Table:
+            um = pl.from_arrow(ray.get(uref))
+            d = pl.from_arrow(batch)
+            d = d.join(um.rename({"w": "w1", "cnt": "c1"}), on="w1", how="inner")
+            d = d.join(um.rename({"w": "w2", "cnt": "c2"}), on="w2", how="inner")
+            return d.to_arrow()
+
+        j = cands.map_batches(_attach, batch_format="pyarrow")
+    else:
+        # open vocabulary: token-keyed bucket joins, no driver/worker-wide
+        # vocabulary copy
+        u1 = ucnt.map_batches(lambda b: b.select(["w", "cnt"]).rename_columns(["w", "c1"]),
+                              batch_format="pyarrow")
+        u2 = ucnt.map_batches(lambda b: b.select(["w", "cnt"]).rename_columns(["w", "c2"]),
+                              batch_format="pyarrow")
+        j = bucket_join(cands, u1, keys="w1", right_keys="w", partitions=partitions)
+        j = bucket_join(j, u2, keys="w2", right_keys="w", partitions=partitions)
 
     int64_safe = min_count * nw * nw * scale <= (1 << 62)  # c12 <= nb anyway
 
@@ -848,7 +879,11 @@ def collocation_lift(ds, text_col: str = "text", min_count: int = 5, k: int = 50
         c12 = batch["c12"].to_numpy(zero_copy_only=False).astype(np.int64)
         c1 = batch["c1"].to_numpy(zero_copy_only=False).astype(np.int64)
         c2 = batch["c2"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if int64_safe and c12.max(initial=0) * nw * nw * scale <= (1 << 62):
+        if (
+            int64_safe
+            and c12.max(initial=0) * nw * nw * scale <= (1 << 62)
+            and nb * int(c1.max(initial=1)) * int(c2.max(initial=1)) <= (1 << 62)
+        ):
             lift = (c12 * nw * nw * scale) // (nb * c1 * c2)
         else:  # exact big-int path (corpus-scale counts overflow int64)
             lift = np.array(

@@ -248,6 +248,10 @@ def test_collocation_lift_matches_bruteforce(ray_session):
         ds = rd.from_items([{"text": t} for t in docs]).repartition(blocks)
         got = collocation_lift(ds, min_count=5, k=10)
         assert list(zip(got["w1"], got["w2"], got["lift_fx"])) == expect
+    # the open-vocabulary bucket-join path must return the identical list
+    ds = rd.from_items([{"text": t} for t in docs]).repartition(3)
+    got = collocation_lift(ds, min_count=5, k=10, broadcast_max_terms=0)
+    assert list(zip(got["w1"], got["w2"], got["lift_fx"])) == expect
 
 
 # --- corpus drift ---------------------------------------------------------------
