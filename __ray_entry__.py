@@ -1437,6 +1437,60 @@ def q_lang_id(sf_dir: str):
     )
 
 
+def q_image_phash(sf_dir: str):
+    """Image near-dup via perceptual hashing: 150 deterministic smooth
+    synthetic BMPs + 30 noisy twins (two pixels perturbed) ->
+    PerceptualHashStage (pure-numpy DCT pHash, actor pool, per-shape DCT
+    matrices cached in __init__) -> the SAME banded simhash_candidates
+    machinery as text near-dup (the phash column is named simhash on
+    purpose; bands=8 gives the <=7 pigeonhole guarantee, max_hamming=8).
+    Smooth images behave like photographs (twins land within ~0-8 bits,
+    unrelated images ~32); deterministic, so the oracle is pinned VALUES
+    (gen_sketch_pins.py)."""
+    import ray.data as rd
+
+    from pprl_ray.stages.dedup import simhash_candidates
+    from pprl_ray.stages.multimodal import (
+        PerceptualHashStage,
+        encode_bmp,
+        synth_smooth_image,
+    )
+
+    def _imgs(b: pa.Table, twin: bool) -> pa.Table:
+        ids, payloads = [], []
+        for i in b["id"].to_pylist():
+            g = synth_smooth_image(i)
+            if twin:
+                g = g.astype(np.int16)
+                g[0, 0] += 3
+                g[5, 7] -= 2
+                g = np.clip(g, 0, 255).astype(np.uint8)
+            rgb = np.repeat(g[:, :, None], 3, axis=2)
+            payloads.append(encode_bmp(rgb))
+            ids.append(f"{'t' if twin else 'm'}-{int(i):010d}")
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "payload": pa.array(payloads, pa.large_binary()),
+            }
+        )
+
+    base = rd.range(150).map_batches(
+        lambda b: _imgs(b, False), batch_format="pyarrow"
+    )
+    twins = rd.range(30).map_batches(lambda b: _imgs(b, True), batch_format="pyarrow")
+    fps = base.union(twins).map_batches(
+        PerceptualHashStage,
+        fn_constructor_kwargs={"backend": "bmp"},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+    pairs = simhash_candidates(fps, id_col="media_id", max_hamming=8, bands=8)
+    df = pairs.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return df.astype({"hamming": "int64"})
+
+
 def q_multimodal_features(sf_dir: str):
     """REAL decode pipeline: deterministic synthetic 16x16 BMP containers
     (pure-numpy encoder) -> actor-pool ImageDecodeStage with the pure-numpy
@@ -3580,6 +3634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_register_occupancy": q_hll_register_occupancy,
         "kmv_parts_by_supplier": q_kmv_parts_by_supplier,
         "corpus_drift": q_corpus_drift,
+        "image_phash": q_image_phash,
         "chunk_docs": q_chunk_docs,
         "vocab_prune": q_vocab_prune,
         "token_bigrams": q_token_bigrams,
@@ -3612,7 +3667,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theta_parts_by_order": q_theta_parts_by_order,
         "rbf_mask_md5": q_rbf_mask_md5,
         "knn_cosine": q_knn_cosine,
-        "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "connected_components": q_connected_components,
@@ -3631,6 +3685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_per_group": q_top_per_group,
         "incremental_dedup": q_incremental_dedup,
         "match_crosswise": q_match_crosswise,
+        "exact_dedup": q_exact_dedup,
         "corpus_build": q_corpus_build,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
@@ -3950,6 +4005,7 @@ def _sketch_pin_oracles() -> dict[str, str]:
         lambda r: f"'{r[0]}', {r[1]!r}, {r[2]!r}, {r[3]}, {r[4]!r}",
     )
     vf = _rows(sp.PIN_VIDEO_FRAMES, lambda r: f"'{r[0]}', {r[1]}, {r[2]!r}")
+    ph = _rows(sp.PIN_IMAGE_PHASH, lambda r: f"'{r[0]}', '{r[1]}', {r[2]}")
     km = _rows(sp.PIN_KMEANS_CLUSTERS, lambda r: f"{r[0]}, {r[1]}")
     cs = _rows(sp.PIN_COUNTSKETCH_TOKEN_COUNTS, lambda r: f"{r[0]}, {r[1]}")
     jse = _rows(
@@ -3964,6 +4020,13 @@ def _sketch_pin_oracles() -> dict[str, str]:
             FROM (VALUES
                 {jse}
             ) AS v(e, t, nl, no)
+        """,
+        "image_phash": f"""
+            SELECT CAST(a AS VARCHAR) AS id_a, CAST(b AS VARCHAR) AS id_b,
+                   CAST(h AS BIGINT) AS hamming
+            FROM (VALUES
+                {ph}
+            ) AS v(a, b, h)
         """,
         "countsketch_token_counts": f"""
             SELECT CAST(t AS BIGINT) AS token, CAST(c AS BIGINT) AS cs_estimate

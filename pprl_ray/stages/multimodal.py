@@ -357,3 +357,103 @@ class FrameSampleStage:
                 "frame_mean": pa.array(means_out, pa.float64()),
             }
         )
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal type-II DCT matrix (the standard pHash transform)."""
+    k = np.arange(n, dtype=np.float64)
+    d = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    d[0] *= 1.0 / np.sqrt(2.0)
+    return d
+
+
+class PerceptualHashStage:
+    """pHash: 64-bit perceptual fingerprint of an image payload column.
+
+    Classic DCT perceptual hash (Zauner 2010, "Implementation and
+    Benchmarking of Perceptual Image Hash Functions"): grayscale → 2-D
+    orthonormal DCT-II → keep the top-left ``hash_size x hash_size``
+    low-frequency block → bit i = coefficient_i > median(block) → pack
+    MSB-first into one uint64. Visually-near images land within a small
+    Hamming distance, so the OUTPUT column is named ``simhash`` and feeds
+    :func:`pprl_ray.stages.dedup.simhash_candidates` unchanged — banded
+    near-dup blocking over images reuses the text machinery verbatim.
+
+    ``backend="bmp"`` decodes real 24-bpp BMPs via the pure-numpy codec
+    (grayscale = integer channel mean, like ImageDecodeStage); ``"fake"``
+    hashes the raw payload bytes as a 1-row image (deterministic test
+    stand-in); compressed formats gate on the pil import. DCT matrices
+    are cached per shape in the actor (``__init__``-owned dict), so the
+    per-image cost is two small matmuls."""
+
+    def __init__(self, backend: str = "fake", hash_size: int = 8,
+                 payload_col: str = "payload", id_col: str = "media_id"):
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.hash_size = int(hash_size)
+        assert self.hash_size * self.hash_size == 64, "pHash packs 64 bits"
+        if backend == "pil":
+            try:
+                from PIL import Image  # noqa: F401
+            except ImportError:
+                _require("pil", "Pillow", codec="bmp")
+        elif backend not in ("fake", "bmp"):
+            raise ValueError(f"unknown backend `{backend}`")
+        self.backend = backend
+        self._dcts: dict[int, np.ndarray] = {}
+
+    def _gray(self, payload: bytes) -> np.ndarray:
+        if self.backend == "bmp":
+            img = decode_bmp(payload)
+            return (img.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
+        return np.frombuffer(payload, dtype=np.uint8).reshape(1, -1)
+
+    def _dct(self, n: int) -> np.ndarray:
+        if n not in self._dcts:
+            self._dcts[n] = _dct_matrix(n)
+        return self._dcts[n]
+
+    def phash64(self, gray: np.ndarray) -> int:
+        h, w = gray.shape
+        t = self.hash_size
+        if h < t or w < t:  # tile tiny/degenerate inputs up to the block
+            reps = (t + h - 1) // h, (t + w - 1) // w
+            gray = np.tile(gray, reps)
+            h, w = gray.shape
+        coef = self._dct(h) @ gray.astype(np.float64) @ self._dct(w).T
+        block = coef[:t, :t].ravel()
+        bits = block > np.median(block)
+        return int(np.packbits(bits).view(">u8")[0])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        hashes = np.empty(len(payloads), dtype=np.uint64)
+        for i, p in enumerate(payloads):
+            g = self._gray(p) if len(p) else np.zeros((1, 1), np.uint8)
+            hashes[i] = np.uint64(self.phash64(g))
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "simhash": pa.array(hashes.astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def synth_smooth_image(i: int, size: int = 16) -> np.ndarray:
+    """Deterministic SMOOTH grayscale test image (sum of three seed-derived
+    low-frequency cosines, normalized to uint8). Unlike the sha256 noise
+    payloads of synth_media_batch (which are pHash's adversarial worst
+    case — coefficients cluster at the median), these behave like real
+    photographs under perceptual hashing: small pixel perturbations move
+    the hash by a few bits, unrelated images by ~32."""
+    seed = hashlib.sha256(f"img-{int(i)}".encode()).digest()
+    yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    img = np.zeros((size, size), np.float64)
+    for k in range(3):
+        fy, fx = seed[2 * k] % 4, seed[2 * k + 1] % 4
+        amp = 1 + seed[6 + k] / 32.0
+        phase = seed[10 + k] / 255.0 * 2 * np.pi
+        img += amp * np.cos(np.pi * (fy * yy + fx * xx) / size + phase)
+    img -= img.min()
+    img /= max(img.max(), 1e-9)
+    return (img * 255).astype(np.uint8)

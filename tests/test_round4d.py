@@ -300,3 +300,66 @@ def test_signed_floordiv_matches_python_and_sql():
             f"ELSE -((-({num})) // 3) END"
         ).fetchone()[0]
         assert got == sql, (num, got, sql)
+
+
+# --- perceptual hash ------------------------------------------------------------
+
+
+class TestPerceptualHash:
+    def test_dct_matrix_orthonormal(self):
+        from pprl_ray.stages.multimodal import _dct_matrix
+
+        d = _dct_matrix(16)
+        assert np.allclose(d @ d.T, np.eye(16), atol=1e-12)
+
+    def test_near_far_separation_on_smooth_images(self):
+        from pprl_ray.sketches import hamming64
+        from pprl_ray.stages.multimodal import PerceptualHashStage, synth_smooth_image
+
+        st = PerceptualHashStage(backend="bmp")
+        near, hs = [], []
+        for i in range(20):
+            g = synth_smooth_image(i)
+            g2 = np.clip(g.astype(np.int16) + np.where(
+                (np.arange(256).reshape(16, 16) % 97) == 0, 3, 0
+            ), 0, 255).astype(np.uint8)
+            h1, h2 = st.phash64(g), st.phash64(g2)
+            near.append(int(hamming64(
+                np.array([h1], np.uint64), np.array([h2], np.uint64))[0]))
+            hs.append(h1)
+        far = [int(hamming64(np.array([hs[i]], np.uint64),
+                             np.array([hs[i + 10]], np.uint64))[0])
+               for i in range(10)]
+        assert np.median(near) <= 8
+        assert min(far) > max(np.percentile(near, 75), 8)
+
+    def test_tiles_tiny_inputs_and_fake_backend(self):
+        from pprl_ray.stages.multimodal import PerceptualHashStage
+
+        st = PerceptualHashStage(backend="fake")
+        g = np.arange(12, dtype=np.uint8).reshape(3, 4)  # smaller than 8x8
+        h = st.phash64(g)
+        assert 0 <= h < 1 << 64
+        # deterministic
+        assert st.phash64(g) == h
+
+    def test_stage_batch_roundtrip(self):
+        import pyarrow as pa_
+
+        from pprl_ray.stages.multimodal import (
+            PerceptualHashStage, encode_bmp, synth_smooth_image,
+        )
+
+        st = PerceptualHashStage(backend="bmp")
+        payloads = [
+            encode_bmp(np.repeat(synth_smooth_image(i)[:, :, None], 3, axis=2))
+            for i in range(5)
+        ]
+        batch = pa_.table({
+            "media_id": pa_.array([f"m{i}" for i in range(5)]),
+            "payload": pa_.array(payloads, pa_.large_binary()),
+        })
+        out = st(batch)
+        assert out.column_names == ["media_id", "simhash"]
+        assert out.num_rows == 5
+        assert len(set(out["simhash"].to_pylist())) == 5
