@@ -1491,6 +1491,77 @@ def q_image_phash(sf_dir: str):
     return df.astype({"hamming": "int64"})
 
 
+def q_audio_near_dup(sf_dir: str):
+    """Audio near-dup end-to-end: 60 deterministic two-tone clips + 20
+    perturbed twins (gain x1.02 + fresh low-amplitude noise, the re-encode shape) ->
+    AudioFingerprintStage (Haitsma-Kalker band-energy delta-sign frame
+    words over the pure-numpy WAV codec, Hann window + band edges built
+    once per actor) -> array_jaccard_pairs (MinHash r=1 banding + exact
+    Jaccard verify; the ~60-word fingerprints ride the exchange). All 20
+    planted twins surface (J 0.20-0.62); ~26 further pairs are clips that
+    genuinely share spectral structure in a two-tone fixture (honest
+    near-matches, not algorithm noise - fully deterministic either way).
+    Deterministic -> pinned VALUES oracle."""
+    import ray.data as rd
+
+    from pprl_ray.stages.dedup import array_jaccard_pairs
+    from pprl_ray.stages.multimodal import AudioFingerprintStage, encode_wav
+
+    def _clips(b: pa.Table, twin: bool) -> pa.Table:
+        import hashlib
+
+        ids, payloads = [], []
+        n = 16384
+        t = np.arange(n) / 8000.0
+        for i in b["id"].to_pylist():
+            seed = hashlib.sha256(f"aud-{int(i)}".encode()).digest()
+            # tones are a function of the id itself (not a hashed bucket),
+            # so every base clip is structurally distinct - no same-tone
+            # accidental near-dups muddying the planted-pair check
+            f0 = 200 + int(i) * 53  # spacing > the low log-band widths
+            f1 = 350 + (int(i) * 211) % 3400 + seed[1] % 13
+            noise = (
+                np.frombuffer((seed * (n // len(seed) + 1))[:n], np.uint8).astype(np.float64)
+                - 127.5
+            )
+            envf = 0.5 + (int(i) % 24) * 0.41 + seed[2] / 256.0  # per-clip AM rate
+            env = 1 + 0.5 * np.sin(2 * np.pi * envf * t)
+            pcm = env * (6000 * np.sin(2 * np.pi * f0 * t)
+                         + 2500 * np.sin(2 * np.pi * f1 * t)) + 8 * noise
+            if twin:
+                seed2 = hashlib.sha256(f"twin-{int(i)}".encode()).digest()
+                n2 = (
+                    np.frombuffer((seed2 * (n // len(seed2) + 1))[:n], np.uint8).astype(np.float64)
+                    - 127.5
+                )
+                pcm = pcm * 1.02 + 0.5 * n2
+            payloads.append(encode_wav(np.clip(pcm, -32768, 32767).astype(np.int16)))
+            ids.append(f"{'t' if twin else 'a'}-{int(i):010d}")
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "payload": pa.array(payloads, pa.large_binary()),
+            }
+        )
+
+    base = rd.range(60).map_batches(lambda b: _clips(b, False), batch_format="pyarrow")
+    twins = rd.range(20).map_batches(lambda b: _clips(b, True), batch_format="pyarrow")
+    fps = base.union(twins).map_batches(
+        AudioFingerprintStage,
+        fn_constructor_kwargs={"backend": "wav"},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+    )
+    pairs = array_jaccard_pairs(
+        fps.select_columns(["media_id", "words"]), "words",
+        id_col="media_id", k=64, bands=64, min_jaccard=0.2,
+    )
+    df = pairs.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    df["jaccard_fx"] = (df["jaccard"] * (1 << 20)).astype("int64")
+    return df[["id_a", "id_b", "jaccard_fx"]]
+
+
 def q_multimodal_features(sf_dir: str):
     """REAL decode pipeline: deterministic synthetic 16x16 BMP containers
     (pure-numpy encoder) -> actor-pool ImageDecodeStage with the pure-numpy
@@ -3635,6 +3706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_parts_by_supplier": q_kmv_parts_by_supplier,
         "corpus_drift": q_corpus_drift,
         "image_phash": q_image_phash,
+        "audio_near_dup": q_audio_near_dup,
         "chunk_docs": q_chunk_docs,
         "vocab_prune": q_vocab_prune,
         "token_bigrams": q_token_bigrams,
@@ -3665,7 +3737,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_dedup": q_event_dedup,
         "bloom_semi_join_multi": q_bloom_semi_join_multi,
         "theta_parts_by_order": q_theta_parts_by_order,
-        "rbf_mask_md5": q_rbf_mask_md5,
         "knn_cosine": q_knn_cosine,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
@@ -3686,6 +3757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": q_incremental_dedup,
         "match_crosswise": q_match_crosswise,
         "exact_dedup": q_exact_dedup,
+        "rbf_mask_md5": q_rbf_mask_md5,
         "corpus_build": q_corpus_build,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
@@ -4006,6 +4078,7 @@ def _sketch_pin_oracles() -> dict[str, str]:
     )
     vf = _rows(sp.PIN_VIDEO_FRAMES, lambda r: f"'{r[0]}', {r[1]}, {r[2]!r}")
     ph = _rows(sp.PIN_IMAGE_PHASH, lambda r: f"'{r[0]}', '{r[1]}', {r[2]}")
+    au_nd = _rows(sp.PIN_AUDIO_NEAR_DUP, lambda r: f"'{r[0]}', '{r[1]}', {r[2]}")
     km = _rows(sp.PIN_KMEANS_CLUSTERS, lambda r: f"{r[0]}, {r[1]}")
     cs = _rows(sp.PIN_COUNTSKETCH_TOKEN_COUNTS, lambda r: f"{r[0]}, {r[1]}")
     jse = _rows(
@@ -4020,6 +4093,13 @@ def _sketch_pin_oracles() -> dict[str, str]:
             FROM (VALUES
                 {jse}
             ) AS v(e, t, nl, no)
+        """,
+        "audio_near_dup": f"""
+            SELECT CAST(a AS VARCHAR) AS id_a, CAST(b AS VARCHAR) AS id_b,
+                   CAST(j AS BIGINT) AS jaccard_fx
+            FROM (VALUES
+                {au_nd}
+            ) AS v(a, b, j)
         """,
         "image_phash": f"""
             SELECT CAST(a AS VARCHAR) AS id_a, CAST(b AS VARCHAR) AS id_b,

@@ -1707,3 +1707,95 @@ def duplicate_span_scrub(ds, text_col: str = "text", id_col: str = "doc_id",
         )
 
     return both.groupby("dpart").map_groups(_scrub_group, batch_format="pyarrow")
+
+
+def array_jaccard_pairs(ds, arr_col: str, id_col: str = "media_id", k: int = 64,
+                        bands: int = 64, min_jaccard: float = 0.1,
+                        partitions: int | None = None, max_bucket: int = 500,
+                        seed: int = 0):
+    """Near-dup pairs over a SMALL integer-array column (audio fingerprint
+    words, quantization codes, feature ids): per-row MinHash signatures →
+    band blocking → EXACT Jaccard verify inside the bucket.
+
+    Unlike the text pipeline (minhash_dedup_pairs — shingle tables rival
+    the corpus in bytes, so they persist out-of-band), the arrays here are
+    a few hundred ints per row, so they RIDE the exchange and verification
+    needs no second join. ``bands=64`` with ``k=64`` is one hash per band
+    (r=1): collision probability per band equals the Jaccard itself, so
+    even J≈0.1 pairs are caught with prob 1−(1−J)^64 ≈ 0.999 while
+    unrelated rows (J≈0) only ever collide on equal hash values. Use
+    fewer, wider bands for high-threshold matching at bigger scale."""
+    import pandas as pd
+
+    from ..sketches import band_keys, minhash_signatures
+    from .partitioning import auto_partitions
+
+    assert 64 % bands == 0 or k % bands == 0
+    if partitions is None:
+        partitions = max(8, (auto_partitions(ds) or 32) // 4)
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        col = batch[arr_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        arrays = [np.asarray(a, dtype=np.int64) for a in col.to_pylist()]
+        sigs = minhash_signatures(arrays, k=k, seed=seed)
+        bk = band_keys(sigs, bands=bands)
+        n = len(arrays)
+        rep = np.repeat(np.arange(n), bands)
+        band = np.tile(np.arange(bands), n)
+        ids = batch[id_col].combine_chunks() if isinstance(
+            batch[id_col], pa.ChunkedArray) else batch[id_col]
+        return pa.table(
+            {
+                id_col: pc.take(ids, pa.array(rep, pa.int64())),
+                "band": pa.array(band, pa.int32()),
+                "band_key": pa.array(bk.reshape(-1).astype(np.int64), pa.int64()),
+                "part": pa.array(
+                    (bk.reshape(-1) % np.uint64(partitions)).astype(np.int32),
+                    pa.int32(),
+                ),
+                arr_col: col.take(pa.array(rep, pa.int64())),
+            }
+        )
+
+    exploded = ds.map_batches(_explode, batch_format="pyarrow")
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col).reset_index(drop=True)
+        g = g[g.groupby("band_key").cumcount() < max_bucket].reset_index(drop=True)
+        empty = {
+            "id_a": pd.Series(dtype=g[id_col].dtype),
+            "id_b": pd.Series(dtype=g[id_col].dtype),
+            "jaccard": pd.Series(dtype=np.float64),
+        }
+        if len(g) < 2:
+            return pd.DataFrame(empty)
+        idx = np.arange(len(g))
+        left = pd.DataFrame({"band_key": g["band_key"].to_numpy(), "i": idx})
+        m = left.merge(left.rename(columns={"i": "j"}), on="band_key")
+        m = m[m["i"] < m["j"]]
+        if len(m) == 0:
+            return pd.DataFrame(empty)
+        sets = [frozenset(a) for a in g[arr_col]]
+        ids = g[id_col].to_numpy()
+        rows_a, rows_b, js = [], [], []
+        seen = set()
+        for i, j in zip(m["i"].to_numpy(), m["j"].to_numpy()):
+            if ids[i] == ids[j] or (ids[i], ids[j]) in seen:
+                continue
+            seen.add((ids[i], ids[j]))
+            a, b = sets[i], sets[j]
+            union = len(a | b)
+            jac = len(a & b) / union if union else 0.0
+            if jac >= min_jaccard:
+                rows_a.append(ids[i])
+                rows_b.append(ids[j])
+                js.append(jac)
+        return pd.DataFrame({"id_a": rows_a, "id_b": rows_b, "jaccard": js})
+
+    pairs = (
+        exploded.groupby(["band", "part"])
+        .map_groups(_pairs, batch_format="pandas")
+    )
+    return _dedupe_pair_rows(pairs, "jaccard", partitions, value_agg="max")

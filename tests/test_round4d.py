@@ -363,3 +363,75 @@ class TestPerceptualHash:
         assert out.column_names == ["media_id", "simhash"]
         assert out.num_rows == 5
         assert len(set(out["simhash"].to_pylist())) == 5
+
+
+# --- audio fingerprint ----------------------------------------------------------
+
+
+class TestAudioFingerprint:
+    def _clip(self, i, twin=False, n=8192):
+        import hashlib
+
+        from pprl_ray.stages.multimodal import encode_wav
+
+        seed = hashlib.sha256(f"t-aud-{i}".encode()).digest()
+        f0 = 200 + i * 53
+        t = np.arange(n) / 8000.0
+        noise = (np.frombuffer((seed * (n // len(seed) + 1))[:n], np.uint8)
+                 .astype(np.float64) - 127.5)
+        envf = 0.5 + (i % 10) * 0.7
+        pcm = (1 + 0.5 * np.sin(2 * np.pi * envf * t)) * (
+            6000 * np.sin(2 * np.pi * f0 * t)) + 8 * noise
+        if twin:
+            pcm = pcm * 1.02
+        return encode_wav(np.clip(pcm, -32768, 32767).astype(np.int16))
+
+    def test_words_stable_under_gain_volatile_across_clips(self):
+        from pprl_ray.stages.multimodal import AudioFingerprintStage, decode_wav
+
+        st = AudioFingerprintStage(backend="wav")
+        for i in range(5):
+            a = set(st.frame_words(decode_wav(self._clip(i))[0].astype(np.float64)).tolist())
+            b = set(st.frame_words(decode_wav(self._clip(i, True))[0].astype(np.float64)).tolist())
+            c = set(st.frame_words(decode_wav(self._clip(i + 5))[0].astype(np.float64)).tolist())
+            j_near = len(a & b) / len(a | b)
+            j_far = len(a & c) / len(a | c)
+            assert j_near > 0.2, (i, j_near)
+            assert j_far < j_near, (i, j_near, j_far)
+
+    def test_stage_emits_simhash_and_words(self):
+        from pprl_ray.stages.multimodal import AudioFingerprintStage
+
+        st = AudioFingerprintStage(backend="wav")
+        batch = pa.table({
+            "media_id": pa.array(["x", "y"]),
+            "payload": pa.array([self._clip(0), self._clip(1)], pa.large_binary()),
+        })
+        out = st(batch)
+        assert out.column_names == ["media_id", "simhash", "n_frames", "words"]
+        assert out["n_frames"].to_pylist() == [(8192 - 256) // 32 + 1 - 1] * 2
+
+
+def test_array_jaccard_pairs_exact_and_partitioning_invariant(ray_session):
+    import ray.data as rd
+
+    from pprl_ray.stages.dedup import array_jaccard_pairs
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(40):
+        base = rng.integers(0, 10_000, 30).tolist()
+        rows.append({"media_id": f"b{i:03d}", "words": base})
+        if i < 10:  # twins share 24/30 words -> J = 24/36 = 0.667
+            twin = base[:24] + rng.integers(20_000, 30_000, 6).tolist()
+            rows.append({"media_id": f"t{i:03d}", "words": twin})
+    outs = []
+    for blocks in (2, 9):
+        ds = rd.from_items(rows).repartition(blocks)
+        df = array_jaccard_pairs(ds, "words", k=64, bands=64, min_jaccard=0.5)
+        outs.append(df.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    assert outs[0].equals(outs[1])
+    got = set(zip(outs[0]["id_a"], outs[0]["id_b"]))
+    assert got == {(f"b{i:03d}", f"t{i:03d}") for i in range(10)}
+    # exact jaccard values survive verification
+    assert np.allclose(outs[0]["jaccard"], 24 / 36)
