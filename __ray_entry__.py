@@ -1562,6 +1562,57 @@ def q_audio_near_dup(sf_dir: str):
     return df[["id_a", "id_b", "jaccard_fx"]]
 
 
+def q_video_near_dup(sf_dir: str):
+    """Video EDIT-level dedup: 40 deterministic 12-frame Y4M clips (smooth
+    per-frame images) + 15 trimmed copies (first 8 frames) ->
+    VideoFingerprintStage (pure-numpy Y4M decode + per-frame DCT pHash as
+    the clip's word bag) -> array_jaccard_pairs. A trim shares exactly its
+    surviving frames' hashes, so every planted pair lands at J = 8/12 and
+    unrelated clips at 0. Deterministic -> pinned VALUES oracle."""
+    import ray.data as rd
+
+    from pprl_ray.stages.dedup import array_jaccard_pairs
+    from pprl_ray.stages.multimodal import (
+        VideoFingerprintStage,
+        encode_y4m,
+        synth_smooth_image,
+    )
+
+    def _clips(b: pa.Table, trim: bool) -> pa.Table:
+        ids, payloads = [], []
+        for i in b["id"].to_pylist():
+            frames = np.stack(
+                [synth_smooth_image(int(i) * 100 + k, size=16) for k in range(12)]
+            )
+            if trim:
+                frames = frames[:8]
+            payloads.append(encode_y4m(frames))
+            ids.append(f"{'t' if trim else 'v'}-{int(i):010d}")
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "payload": pa.array(payloads, pa.large_binary()),
+            }
+        )
+
+    base = rd.range(40).map_batches(lambda b: _clips(b, False), batch_format="pyarrow")
+    trims = rd.range(15).map_batches(lambda b: _clips(b, True), batch_format="pyarrow")
+    fps = base.union(trims).map_batches(
+        VideoFingerprintStage,
+        fn_constructor_kwargs={"backend": "y4m"},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=2,
+    )
+    pairs = array_jaccard_pairs(
+        fps.select_columns(["media_id", "words"]), "words",
+        id_col="media_id", k=64, bands=64, min_jaccard=0.4,
+    )
+    df = pairs.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    df["jaccard_fx"] = (df["jaccard"] * (1 << 20)).astype("int64")
+    return df[["id_a", "id_b", "jaccard_fx"]]
+
+
 def q_multimodal_features(sf_dir: str):
     """REAL decode pipeline: deterministic synthetic 16x16 BMP containers
     (pure-numpy encoder) -> actor-pool ImageDecodeStage with the pure-numpy
@@ -3707,7 +3758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_drift": q_corpus_drift,
         "image_phash": q_image_phash,
         "audio_near_dup": q_audio_near_dup,
-        "chunk_docs": q_chunk_docs,
+        "video_near_dup": q_video_near_dup,
         "vocab_prune": q_vocab_prune,
         "token_bigrams": q_token_bigrams,
         "span_scrub": q_span_scrub,
@@ -3758,6 +3809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_crosswise": q_match_crosswise,
         "exact_dedup": q_exact_dedup,
         "rbf_mask_md5": q_rbf_mask_md5,
+        "chunk_docs": q_chunk_docs,
         "corpus_build": q_corpus_build,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
@@ -4079,6 +4131,7 @@ def _sketch_pin_oracles() -> dict[str, str]:
     vf = _rows(sp.PIN_VIDEO_FRAMES, lambda r: f"'{r[0]}', {r[1]}, {r[2]!r}")
     ph = _rows(sp.PIN_IMAGE_PHASH, lambda r: f"'{r[0]}', '{r[1]}', {r[2]}")
     au_nd = _rows(sp.PIN_AUDIO_NEAR_DUP, lambda r: f"'{r[0]}', '{r[1]}', {r[2]}")
+    vi_nd = _rows(sp.PIN_VIDEO_NEAR_DUP, lambda r: f"'{r[0]}', '{r[1]}', {r[2]}")
     km = _rows(sp.PIN_KMEANS_CLUSTERS, lambda r: f"{r[0]}, {r[1]}")
     cs = _rows(sp.PIN_COUNTSKETCH_TOKEN_COUNTS, lambda r: f"{r[0]}, {r[1]}")
     jse = _rows(
@@ -4093,6 +4146,13 @@ def _sketch_pin_oracles() -> dict[str, str]:
             FROM (VALUES
                 {jse}
             ) AS v(e, t, nl, no)
+        """,
+        "video_near_dup": f"""
+            SELECT CAST(a AS VARCHAR) AS id_a, CAST(b AS VARCHAR) AS id_b,
+                   CAST(j AS BIGINT) AS jaccard_fx
+            FROM (VALUES
+                {vi_nd}
+            ) AS v(a, b, j)
         """,
         "audio_near_dup": f"""
             SELECT CAST(a AS VARCHAR) AS id_a, CAST(b AS VARCHAR) AS id_b,

@@ -548,3 +548,67 @@ class AudioFingerprintStage:
                 "words": pa.array([w.tolist() for w in words], pa.list_(pa.int64())),
             }
         )
+
+
+class VideoFingerprintStage:
+    """Video near-dup fingerprint: per-frame perceptual hashes as the
+    clip's word bag. Decode Y4M (pure-numpy, Cmono) → DCT pHash per frame
+    (:class:`PerceptualHashStage` kernel, per-shape DCT matrices cached) →
+    the clip is the SET of its frame hashes, matched downstream by
+    :func:`pprl_ray.stages.dedup.array_jaccard_pairs` exactly like audio
+    frame words. This is EDIT-level dedup: trimmed / extended /
+    reordered / frame-dropped copies share their surviving frames' exact
+    hashes, so Jaccard IS the shared-frame fraction (a 8-of-12-frame trim
+    scores 2/3). Per-pixel re-encodes move each frame's pHash by a few
+    bits — exact word matching misses those by design; route the exploded
+    (clip, frame-hash) rows through banded simhash_candidates when
+    noise-level matching is needed. Also emits one clip-level SimHash
+    over the bag and ``n_frames``."""
+
+    def __init__(self, backend: str = "fake", payload_col: str = "payload",
+                 id_col: str = "media_id"):
+        self.payload_col = payload_col
+        self.id_col = id_col
+        if backend == "av":
+            try:
+                import av  # noqa: F401
+            except ImportError:
+                _require("av", "PyAV", codec="y4m")
+        elif backend not in ("fake", "y4m"):
+            raise ValueError(f"unknown backend `{backend}`")
+        self.backend = backend
+        self._phash = PerceptualHashStage(backend="fake")  # kernel reuse only
+
+    def frame_hashes(self, frames: np.ndarray) -> np.ndarray:
+        out = np.empty(len(frames), dtype=np.int64)
+        for i, f in enumerate(frames):
+            out[i] = np.int64(np.uint64(self._phash.phash64(f)).astype(np.int64))
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sketches import simhash64
+
+        payloads = batch[self.payload_col].to_pylist()
+        words, n_frames = [], np.empty(len(payloads), np.int64)
+        for i, p in enumerate(payloads):
+            if self.backend == "y4m":
+                frames, _ = decode_y4m(p)
+            else:
+                side = max(int(len(p) ** 0.5) // 8 * 8, 8)
+                usable = (len(p) // (side * side)) * side * side
+                frames = (
+                    np.frombuffer(p[:usable], np.uint8).reshape(-1, side, side)
+                    if usable else np.zeros((1, 8, 8), np.uint8)
+                )
+            w = self.frame_hashes(frames)
+            words.append(w)
+            n_frames[i] = len(w)
+        fps = simhash64(words)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "simhash": pa.array(fps.astype(np.int64), pa.int64()),
+                "n_frames": pa.array(n_frames, pa.int64()),
+                "words": pa.array([w.tolist() for w in words], pa.list_(pa.int64())),
+            }
+        )

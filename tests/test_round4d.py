@@ -435,3 +435,33 @@ def test_array_jaccard_pairs_exact_and_partitioning_invariant(ray_session):
     assert got == {(f"b{i:03d}", f"t{i:03d}") for i in range(10)}
     # exact jaccard values survive verification
     assert np.allclose(outs[0]["jaccard"], 24 / 36)
+
+
+def test_video_fingerprint_trim_and_reorder_semantics():
+    from pprl_ray.stages.multimodal import (
+        VideoFingerprintStage, encode_y4m, synth_smooth_image,
+    )
+
+    st = VideoFingerprintStage(backend="y4m")
+    frames = np.stack([synth_smooth_image(100 + k, size=16) for k in range(12)])
+    batch = pa.table({
+        "media_id": pa.array(["full", "trim", "reorder", "other"]),
+        "payload": pa.array(
+            [
+                encode_y4m(frames),
+                encode_y4m(frames[:8]),
+                encode_y4m(frames[::-1]),  # reordered: same frame SET
+                encode_y4m(np.stack([synth_smooth_image(900 + k, size=16)
+                                     for k in range(12)])),
+            ],
+            pa.large_binary(),
+        ),
+    })
+    out = st(batch)
+    words = {i: set(w) for i, w in zip(out["media_id"].to_pylist(),
+                                       out["words"].to_pylist())}
+    j = lambda a, b: len(words[a] & words[b]) / len(words[a] | words[b])
+    assert j("full", "trim") == 8 / 12
+    assert j("full", "reorder") == 1.0  # frame order is irrelevant to the bag
+    assert j("full", "other") == 0.0
+    assert out["n_frames"].to_pylist() == [12, 8, 12, 12]
