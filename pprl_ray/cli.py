@@ -592,6 +592,47 @@ def cmd_collocate(args) -> None:
                       "output": args.output}))
 
 
+def cmd_media_dedup(args) -> None:
+    """Near-dup pairs over a media payload table: image (DCT pHash +
+    banded Hamming), audio (Haitsma-Kalker frame words + array Jaccard),
+    or video (per-frame pHash bags + array Jaccard)."""
+    import ray.data as rd
+
+    from .stages.dedup import array_jaccard_pairs, simhash_candidates
+    from .stages.multimodal import (
+        AudioFingerprintStage,
+        PerceptualHashStage,
+        VideoFingerprintStage,
+    )
+
+    ds = _read(args.input, columns=[args.id_column, args.payload_column])
+    stage = {
+        "image": (PerceptualHashStage, {"backend": args.backend or "bmp"}),
+        "audio": (AudioFingerprintStage, {"backend": args.backend or "wav"}),
+        "video": (VideoFingerprintStage, {"backend": args.backend or "y4m"}),
+    }[args.type]
+    cls, kw = stage
+    kw.update({"payload_col": args.payload_column, "id_col": args.id_column})
+    fps = ds.map_batches(
+        cls, fn_constructor_kwargs=kw, batch_format="pyarrow",
+        batch_size=64, concurrency=2,
+    )
+    if args.type == "image":
+        pairs = simhash_candidates(
+            fps, id_col=args.id_column,
+            max_hamming=args.max_hamming, bands=8,
+        )
+        n = _write(pairs, args.output, args.format)
+    else:
+        df = array_jaccard_pairs(
+            fps.select_columns([args.id_column, "words"]), "words",
+            id_col=args.id_column, min_jaccard=args.min_jaccard,
+        ).to_pandas()
+        n = _write(rd.from_pandas(df), args.output, args.format)
+    print(json.dumps({"command": "media-dedup", "type": args.type,
+                      "pairs": n, "output": args.output}))
+
+
 def cmd_decontaminate(args) -> None:
     """Train/eval n-gram overlap pairs (benchmark-contamination check)."""
     from .stages.dedup import contamination_pairs
@@ -893,6 +934,20 @@ def main(argv: list[str] | None = None) -> None:
     sp.add_argument("--min-count", type=int, default=5)
     sp.add_argument("-k", type=int, default=50)
     sp.set_defaults(fn=cmd_collocate)
+
+    sp = sub.add_parser("media-dedup",
+                        help="image/audio/video near-dup pairs over payload columns")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--format", choices=("parquet", "csv", "jsonl"), default="parquet")
+    sp.add_argument("--type", choices=("image", "audio", "video"), required=True)
+    sp.add_argument("--id-column", default="media_id")
+    sp.add_argument("--payload-column", default="payload")
+    sp.add_argument("--backend", default=None,
+                    help="codec backend (default: the pure-numpy bmp/wav/y4m)")
+    sp.add_argument("--max-hamming", type=int, default=8, help="image mode")
+    sp.add_argument("--min-jaccard", type=float, default=0.2, help="audio/video modes")
+    sp.set_defaults(fn=cmd_media_dedup)
 
     sp = sub.add_parser("decontaminate",
                         help="train/eval word n-gram overlap pairs")

@@ -666,3 +666,62 @@ def test_cli_dsir_and_collocate(ray_session, tmp_path, capsys):
     # unigram counts) out-lift the common web pairs
     pairs = set(zip(coll["w1"].to_pylist(), coll["w2"].to_pylist()))
     assert ("coherence", "drives") in pairs
+
+
+def test_cli_media_dedup_all_types(ray_session, tmp_path, capsys):
+    import numpy as np
+
+    from pprl_ray.stages.multimodal import (
+        encode_bmp, encode_wav, encode_y4m, synth_smooth_image,
+    )
+
+    # image: 10 smooth BMPs + 3 perturbed twins
+    rows = []
+    for i in range(10):
+        g = synth_smooth_image(i)
+        rows.append({"media_id": f"m{i}", "payload": encode_bmp(np.repeat(g[:, :, None], 3, 2))})
+        if i < 3:
+            g2 = np.clip(g.astype(np.int16) + 2, 0, 255).astype(np.uint8)
+            rows.append({"media_id": f"t{i}", "payload": encode_bmp(np.repeat(g2[:, :, None], 3, 2))})
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "img.parquet"))
+    main(["media-dedup", "--type", "image", "--input", str(tmp_path / "img.parquet"),
+          "--output", str(tmp_path / "imgpairs")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = pq.read_table(str(tmp_path / "imgpairs"))
+    pairs = set(zip(got["id_a"].to_pylist(), got["id_b"].to_pylist()))
+    assert {("m0", "t0"), ("m1", "t1"), ("m2", "t2")} <= pairs
+
+    # video: 6 clips + 2 trims
+    rows = []
+    for i in range(6):
+        frames = np.stack([synth_smooth_image(i * 50 + k) for k in range(10)])
+        rows.append({"media_id": f"v{i}", "payload": encode_y4m(frames)})
+        if i < 2:
+            rows.append({"media_id": f"w{i}", "payload": encode_y4m(frames[:7])})
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "vid.parquet"))
+    main(["media-dedup", "--type", "video", "--input", str(tmp_path / "vid.parquet"),
+          "--min-jaccard", "0.5", "--output", str(tmp_path / "vidpairs")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = pq.read_table(str(tmp_path / "vidpairs"))
+    pairs = set(zip(got["id_a"].to_pylist(), got["id_b"].to_pylist()))
+    assert pairs == {("v0", "w0"), ("v1", "w1")}
+
+    # audio: 5 clips + 2 gain twins
+    rows = []
+    n = 8192
+    t = np.arange(n) / 8000.0
+    for i in range(5):
+        pcm = (1 + 0.5 * np.sin(2 * np.pi * (0.5 + i) * t)) * 6000 * np.sin(
+            2 * np.pi * (300 + i * 61) * t)
+        rows.append({"media_id": f"a{i}",
+                     "payload": encode_wav(np.clip(pcm, -32768, 32767).astype(np.int16))})
+        if i < 2:
+            rows.append({"media_id": f"b{i}",
+                         "payload": encode_wav(np.clip(pcm * 1.02, -32768, 32767).astype(np.int16))})
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "aud.parquet"))
+    main(["media-dedup", "--type", "audio", "--input", str(tmp_path / "aud.parquet"),
+          "--min-jaccard", "0.2", "--output", str(tmp_path / "audpairs")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = pq.read_table(str(tmp_path / "audpairs"))
+    pairs = set(zip(got["id_a"].to_pylist(), got["id_b"].to_pylist()))
+    assert {("a0", "b0"), ("a1", "b1")} <= pairs
