@@ -1244,6 +1244,62 @@ def q_corpus_drift(sf_dir: str):
     return corpus_drift(a, b)
 
 
+def q_kmv_store_refresh(sf_dir: str):
+    """Persisted sketch store end-to-end (state/sketchstore.py): BUILD a
+    bucket-partitioned per-priority KMV store from the even-orderkey half
+    of orders, REFRESH it with the odd half (only the touched buckets are
+    read back — partition pruning), then LOOKUP all priorities (pruned
+    read again). Associativity means refresh(build(A), B) == build(A∪B)
+    bit-for-bit, so the oracle is the SAME computed splitmix64 bottom-k
+    SQL as kmv_distinct_custkeys — over ALL orders — even though no
+    single pass ever saw both halves together."""
+    import shutil
+    import tempfile
+
+    from pprl_ray.sketches import KMVSketch
+    from pprl_ray.state.sketchstore import (
+        build_sketch_store,
+        lookup_sketch_store,
+        refresh_sketch_store,
+    )
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_custkey"],
+    )
+
+    def _half(t: pa.Table, parity: int) -> pa.Table:
+        mod2 = pc.bit_wise_and(t["o_orderkey"], 1)
+        return t.filter(pc.equal(mod2, parity)).select(
+            ["o_orderpriority", "o_custkey"]
+        )
+
+    even = orders.map_batches(lambda t: _half(t, 0), batch_format="pyarrow")
+    odd = orders.map_batches(lambda t: _half(t, 1), batch_format="pyarrow")
+
+    store = tempfile.mkdtemp(prefix="kmv_store_", dir="/tmp")
+    shutil.rmtree(store)
+    try:
+        build_sketch_store(
+            even, lambda: KMVSketch(64), "o_custkey", "o_orderpriority",
+            store, buckets=8,
+        )
+        refresh_sketch_store(
+            odd, lambda: KMVSketch(64), "o_custkey", "o_orderpriority", store
+        )
+        prios = sorted(
+            orders.unique("o_orderpriority")
+        )
+        sketches = lookup_sketch_store(store, prios, KMVSketch)
+        rows = [
+            {"o_orderpriority": k, "kmv_estimate": np.int64(sk.estimate_int())}
+            for k, sk in sorted(sketches.items())
+        ]
+        return pd.DataFrame(rows)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 def q_theta_distinct_parts(sf_dir: str):
     """Theta/KMV distinct sketch (sketches/theta.py) per group: distinct
     l_partkey per l_returnflag. k=4096 > the 2 000 distinct parts at sf0.01,
@@ -3759,6 +3815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash": q_image_phash,
         "audio_near_dup": q_audio_near_dup,
         "video_near_dup": q_video_near_dup,
+        "kmv_store_refresh": q_kmv_store_refresh,
         "vocab_prune": q_vocab_prune,
         "token_bigrams": q_token_bigrams,
         "span_scrub": q_span_scrub,
@@ -3769,7 +3826,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets": q_ccnet_buckets,
         "repetition": q_repetition,
         "gopher_filter": q_gopher_filter,
-        "jsonl_source": q_jsonl_source,
         "latest_event": q_latest_event,
         "ngram_jaccard": q_ngram_jaccard,
         "near_dedup_keep_best": q_near_dedup_keep_best,
@@ -3810,6 +3866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q_exact_dedup,
         "rbf_mask_md5": q_rbf_mask_md5,
         "chunk_docs": q_chunk_docs,
+        "jsonl_source": q_jsonl_source,
         "corpus_build": q_corpus_build,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
@@ -5000,6 +5057,16 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score_fx DESC, doc_id
             LIMIT 200
         """.format(dsir_lr=_dsir_lr_values()),
+        "kmv_store_refresh": f"""
+            WITH {_sm64_ctes(_ORDERS_SRC)}
+            SELECT grp AS o_orderpriority,
+                   CAST(CASE WHEN cnt < 64 THEN cnt
+                             ELSE (63 * 18446744073709551616) // z END AS BIGINT)
+                       AS kmv_estimate
+            FROM ranked
+            WHERE rn = least(cnt, 64)
+            ORDER BY o_orderpriority
+        """,
         "kmv_distinct_custkeys": f"""
             WITH {_sm64_ctes(_ORDERS_SRC)}
             SELECT grp AS o_orderpriority,

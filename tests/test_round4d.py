@@ -465,3 +465,74 @@ def test_video_fingerprint_trim_and_reorder_semantics():
     assert j("full", "reorder") == 1.0  # frame order is irrelevant to the bag
     assert j("full", "other") == 0.0
     assert out["n_frames"].to_pylist() == [12, 8, 12, 12]
+
+
+# --- persisted sketch store -------------------------------------------------------
+
+
+class TestSketchStore:
+    def _mk(self, n, lo, hi, seed):
+        import pyarrow as pa_
+
+        rng = np.random.default_rng(seed)
+        return pa_.table({
+            "grp": pa_.array(rng.choice([f"g{j}" for j in range(12)], n)),
+            "val": pa_.array(rng.integers(lo, hi, n).astype(np.int64)),
+        })
+
+    def test_refresh_equals_from_scratch_build(self, ray_session, tmp_path):
+        import json as _json
+
+        import ray.data as rd
+
+        from pprl_ray.sketches import KMVSketch
+        from pprl_ray.state.sketchstore import (
+            build_sketch_store, lookup_sketch_store, refresh_sketch_store,
+        )
+
+        a, b = self._mk(3000, 0, 5000, 1), self._mk(2500, 2500, 9000, 2)
+        fac = lambda: KMVSketch(32)  # noqa: E731
+
+        inc = str(tmp_path / "inc")
+        build_sketch_store(rd.from_arrow(a).repartition(3), fac, "val", "grp", inc, buckets=4)
+        refresh_sketch_store(rd.from_arrow(b).repartition(5), fac, "val", "grp", inc)
+
+        full = str(tmp_path / "full")
+        both = rd.from_arrow(a).union(rd.from_arrow(b))
+        build_sketch_store(both, fac, "val", "grp", full, buckets=4)
+
+        mi = _json.load(open(f"{inc}/_manifest.json"))
+        mf = _json.load(open(f"{full}/_manifest.json"))
+        assert mi["per_bucket"] == mf["per_bucket"]  # bit-identical blobs
+
+        got = lookup_sketch_store(inc, ["g0", "g7"], KMVSketch)
+        want = lookup_sketch_store(full, ["g0", "g7"], KMVSketch)
+        assert got.keys() == want.keys()
+        for k in got:
+            assert got[k].to_bytes() == want[k].to_bytes()
+
+    def test_lookup_prunes_and_param_guard(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from pprl_ray.sketches import KMVSketch
+        from pprl_ray.state.sketchstore import (
+            build_sketch_store, lookup_sketch_store, refresh_sketch_store,
+        )
+
+        store = str(tmp_path / "s")
+        build_sketch_store(
+            rd.from_arrow(self._mk(2000, 0, 4000, 3)),
+            lambda: KMVSketch(32), "val", "grp", store, buckets=8,
+        )
+        got = lookup_sketch_store(store, ["g3"], KMVSketch)
+        assert set(got) == {"g3"}
+        assert got["g3"].estimate_int() > 0
+        # unknown key: empty result, no error
+        assert lookup_sketch_store(store, ["nope"], KMVSketch) in ({},) or \
+            "nope" not in lookup_sketch_store(store, ["nope"], KMVSketch)
+        # refresh with different params must refuse
+        with pytest.raises(ValueError, match="different parameters"):
+            refresh_sketch_store(
+                rd.from_arrow(self._mk(100, 0, 10, 4)),
+                lambda: KMVSketch(64), "val", "grp", store,
+            )
