@@ -126,10 +126,16 @@ def refresh_sketch_store(ds, sketch_factory: Callable[[], Any], value_col: str,
         .materialize()
     )
 
-    touched = set()
-    for batch in new_rows.iter_batches(batch_format="pyarrow"):
-        for k in batch["key"].to_pylist():
-            touched.add(_bucket_of(k, buckets))
+    # distinct touched buckets, computed in the workers (only <= `buckets`
+    # small ints reach the driver — never the key strings themselves)
+    def _buckets_of(batch: pa.Table) -> pa.Table:
+        bs = {_bucket_of(k, buckets) for k in batch["key"].to_pylist()}
+        return pa.table({"bucket": pa.array(sorted(bs), pa.int32())})
+
+    touched = set(
+        new_rows.map_batches(_buckets_of, batch_format="pyarrow")
+        .unique("bucket")
+    )
 
     data_dir = os.path.join(store_dir, "data")
     sketch_cls = type(sketch_factory())
@@ -159,26 +165,47 @@ def _finalize_manifest(store_dir: str, buckets: int, name: str,
                        params: bytes) -> dict:
     """Recompute the manifest from what is on disk (manifest-last). Blob
     hashes accumulate in canonical (key) order per bucket, so the manifest
-    is a pure function of store CONTENT, independent of block layout."""
+    is a pure function of store CONTENT, independent of block layout — and
+    the per-bucket digests are computed IN THE WORKERS (one map_groups per
+    bucket); only `buckets` tiny summary rows reach the driver."""
+    import pandas as pd
     import pyarrow.compute as pc
     import ray.data as rd
 
     data_dir = os.path.join(store_dir, "data")
-    rows_by_bucket: dict[str, list[tuple[str, bytes]]] = {}
-    back = rd.read_parquet(data_dir)
-    for batch in back.iter_batches(batch_format="pyarrow"):
-        for bkt, key, blob in zip(
-            pc.cast(batch["bucket"], pa.int32()).to_pylist(),
-            batch["key"].to_pylist(),
-            batch["blob"].to_pylist(),
-        ):
-            rows_by_bucket.setdefault(str(bkt), []).append((key, blob))
-    per_bucket = {}
-    for bkt, rows in sorted(rows_by_bucket.items()):
+
+    def _digest(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("key")
         sha = hashlib.sha256()
-        for _, blob in sorted(rows):
+        for blob in g["blob"]:
             sha.update(blob)
-        per_bucket[bkt] = {"rows": len(rows), "blob_sha256": sha.hexdigest()}
+        return pd.DataFrame(
+            {
+                "bucket": [int(group["bucket"].iloc[0])],
+                "rows": [len(g)],
+                "sha": [sha.hexdigest()],
+            }
+        )
+
+    back = rd.read_parquet(data_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "key": t["key"],
+                "blob": t["blob"],
+                "rows": t["rows"],
+                "bucket": pc.cast(t["bucket"], pa.int32()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    summary = back.groupby("bucket").map_groups(_digest, batch_format="pandas")
+    per_bucket = {}
+    for row in summary.take_all():
+        per_bucket[str(row["bucket"])] = {
+            "rows": int(row["rows"]),
+            "blob_sha256": row["sha"],
+        }
+    per_bucket = dict(sorted(per_bucket.items()))
     manifest = {
         "sketch": name,
         "params_sha": hashlib.sha256(params).hexdigest(),
