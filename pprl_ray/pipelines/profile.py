@@ -31,7 +31,9 @@ from ..sketches import (
     HistogramSketch,
     HLLSketch,
     KLLSketch,
+    KMVSketch,
     MGSketch,
+    MomentsSketch,
     TDigestSketch,
     ThetaSketch,
 )
@@ -56,6 +58,8 @@ SKETCH_CLASSES: dict[str, type] = {
     "theta": ThetaSketch,
     "histogram": HistogramSketch,
     "countsketch": CountSketch,
+    "kmv": KMVSketch,
+    "moments": MomentsSketch,
 }
 
 
@@ -175,7 +179,7 @@ class MultiSketchPartials:
             rows_out.append(int(rows))
 
         for spec in self.specs:
-            set_like = spec.kind in ("hll", "bloom", "cms")
+            set_like = spec.kind in ("hll", "bloom", "cms", "kmv", "theta")
             if spec.key_col is None:
                 sk = spec.factory()
                 if set_like:

@@ -43,8 +43,14 @@ class KMVSketch:
     def update(self, values: np.ndarray) -> None:
         if len(values) == 0:
             return
-        h = hash_ints(np.unique(np.asarray(values)), self.seed)
-        self._absorb(h)
+        self.update_unique(np.unique(np.asarray(values)))
+
+    def update_unique(self, values: np.ndarray) -> None:
+        """Update with ALREADY-DEDUPLICATED values (the fused-profile
+        shared-dedup path; duplicates are harmless but waste work)."""
+        if len(values) == 0:
+            return
+        self._absorb(hash_ints(np.asarray(values), self.seed))
 
     def _absorb(self, h: np.ndarray) -> None:
         if len(self.hashes) == self.k:

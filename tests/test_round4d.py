@@ -536,3 +536,33 @@ class TestSketchStore:
                 rd.from_arrow(self._mk(100, 0, 10, 4)),
                 lambda: KMVSketch(64), "val", "grp", store,
             )
+
+
+def test_fused_profile_with_kmv_and_moments(ray_session):
+    """KMV and moments ride the fused one-pass profile: results must equal
+    standalone sketch_by_key over the same corpus."""
+    from pprl_ray.pipelines.profile import (
+        ProfileSpec, corpus_profile, finalize_profile,
+    )
+    from pprl_ray.sketches import KMVSketch, MomentsSketch
+    from pprl_ray.sources.corpus import synth_corpus
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    c = synth_corpus(3000, override_num_blocks=4)
+    specs = [
+        ProfileSpec("kmv_tokens", "kmv", lambda: KMVSketch(128), "tokens", "source"),
+        ProfileSpec("ntok_moments", "moments", MomentsSketch, "n_tok", "source"),
+    ]
+    fused = finalize_profile(corpus_profile(c, specs), specs)
+    kmv_alone = finalize_sketches(
+        sketch_by_key(c, lambda: KMVSketch(128), "tokens", "source"), KMVSketch
+    )
+    mom_alone = finalize_sketches(
+        sketch_by_key(c, MomentsSketch, "n_tok", "source"), MomentsSketch
+    )
+    for (name, key), sk in fused.items():
+        if name == "kmv_tokens":
+            assert sk.to_bytes() == kmv_alone[key].to_bytes()
+        else:
+            assert sk.to_bytes() == mom_alone[key].to_bytes()
+    assert {k for n, k in fused if n == "kmv_tokens"} == set(kmv_alone)
