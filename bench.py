@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     "dsir_select",
     "ntok_moments",
     "collocations",
+    "corpus_drift",
+    "kmv_parts_by_supplier",
+    "kmv_store_refresh",
+    "hll_register_occupancy",
     "minhash_dedup",
     "incremental_dedup",
     "tfidf_top_term",
