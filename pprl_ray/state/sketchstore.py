@@ -26,7 +26,10 @@ Layout / scale:
 - a ``_manifest.json`` (written LAST, the checkpoint.py convention) pins
   sketch class/params, bucket count, per-bucket row counts and blob
   sha256s — lineage enough to detect a torn write or a parameter
-  mismatch on refresh.
+  mismatch on refresh. Digests are computed by one Ray task per bucket
+  over the on-disk partitions (no shuffle — the data is already grouped),
+  and a refresh re-digests ONLY the buckets it rewrote, so refresh cost
+  is proportional to the touched buckets, never to store size.
 """
 
 from __future__ import annotations
@@ -75,6 +78,24 @@ def _write_store(merged_ds, store_dir: str, buckets: int, sketch_name: str,
     )
     ds.write_parquet(os.path.join(store_dir, "data"), partition_cols=["bucket"])
     return _finalize_manifest(store_dir, buckets, sketch_name, sketch_blob_params)
+
+
+def _digest_bucket(files: list[str]) -> tuple[int, str]:
+    """Rows + canonical-order blob sha256 of ONE bucket partition. Runs as
+    a Ray task per bucket: the store is already partitioned by bucket on
+    disk, so no shuffle is needed to group it — and only (rows, sha) ever
+    leaves the task, never the keys. Memory bound: one bucket's table in
+    the task heap — the same per-bucket bound lookup already has, sized by
+    the `buckets` choice (key_cardinality x sketch_size / buckets)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pa.concat_tables([pq.read_table(f, columns=["key", "blob"]) for f in files])
+    order = pc.sort_indices(t, sort_keys=[("key", "ascending")])
+    sha = hashlib.sha256()
+    for blob in pc.take(t["blob"], order):
+        sha.update(blob.as_py())
+    return t.num_rows, sha.hexdigest()
 
 
 def _params_blob(sketch_factory: Callable[[], Any]) -> tuple[str, bytes]:
@@ -158,53 +179,42 @@ def refresh_sketch_store(ds, sketch_factory: Callable[[], Any], value_col: str,
         lambda t: _add_bucket(t, buckets), batch_format="pyarrow"
     )
     out.write_parquet(data_dir, partition_cols=["bucket"])
-    return _finalize_manifest(store_dir, buckets, name, params)
+    return _finalize_manifest(
+        store_dir, buckets, name, params, touched=touched, prev=manifest
+    )
 
 
 def _finalize_manifest(store_dir: str, buckets: int, name: str,
-                       params: bytes) -> dict:
+                       params: bytes, touched=None,
+                       prev: dict | None = None) -> dict:
     """Recompute the manifest from what is on disk (manifest-last). Blob
     hashes accumulate in canonical (key) order per bucket, so the manifest
-    is a pure function of store CONTENT, independent of block layout — and
-    the per-bucket digests are computed IN THE WORKERS (one map_groups per
-    bucket); only `buckets` tiny summary rows reach the driver."""
-    import pandas as pd
-    import pyarrow.compute as pc
-    import ray.data as rd
+    is a pure function of store CONTENT, independent of block layout. The
+    store is already bucket-partitioned on disk, so digests need NO
+    shuffle: one Ray task per bucket reads that bucket's files and returns
+    (rows, sha) — and with `touched`, refresh recomputes ONLY the buckets
+    it rewrote, carrying the rest forward from `prev`, keeping refresh
+    cost proportional to touched buckets, not store size."""
+    import ray
 
     data_dir = os.path.join(store_dir, "data")
-
-    def _digest(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("key")
-        sha = hashlib.sha256()
-        for blob in g["blob"]:
-            sha.update(blob)
-        return pd.DataFrame(
-            {
-                "bucket": [int(group["bucket"].iloc[0])],
-                "rows": [len(g)],
-                "sha": [sha.hexdigest()],
-            }
+    if touched is None:
+        bucket_ids = sorted(
+            int(d.split("=", 1)[1]) for d in os.listdir(data_dir)
+            if d.startswith("bucket=")
         )
+    else:
+        bucket_ids = sorted(touched)
 
-    back = rd.read_parquet(data_dir).map_batches(
-        lambda t: pa.table(
-            {
-                "key": t["key"],
-                "blob": t["blob"],
-                "rows": t["rows"],
-                "bucket": pc.cast(t["bucket"], pa.int32()),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    summary = back.groupby("bucket").map_groups(_digest, batch_format="pandas")
-    per_bucket = {}
-    for row in summary.take_all():
-        per_bucket[str(row["bucket"])] = {
-            "rows": int(row["rows"]),
-            "blob_sha256": row["sha"],
-        }
+    digest_task = ray.remote(num_cpus=1)(_digest_bucket)
+    refs = {
+        b: digest_task.remote(files)
+        for b in bucket_ids
+        if (files := _bucket_files(data_dir, [b]))
+    }
+    per_bucket = dict(prev["per_bucket"]) if prev else {}
+    for b, (rows, sha) in zip(refs, ray.get(list(refs.values()))):
+        per_bucket[str(b)] = {"rows": int(rows), "blob_sha256": sha}
     per_bucket = dict(sorted(per_bucket.items()))
     manifest = {
         "sketch": name,
