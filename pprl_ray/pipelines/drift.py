@@ -10,12 +10,11 @@ corpora (v1, v2): per source, compare
   above it, the coordinated-sample estimate — the same fixed hash on both
   sides is what makes the two sketches comparable at all).
 
-Each side is two streaming scans (flat word-id rows → per-key KMV; n_tok
-→ per-key moments) through ``sketch_by_key``'s combiner tree; only sketch
-blobs shuffle, and the report is one row per group key. At 10^12-sequence
-scale the four scans can be fused into two (emit both partials from one
-pass) — kept separate here for clarity since the scan is column-pruned
-and cheap relative to the sketch work.
+Each side is ONE fused streaming scan (pipelines/profile.py): a prep map
+derives the word-id list and n_tok from a single split, then KMV and
+moments partials ride the same corpus_profile pass — only tiny sketch
+blobs move through the combiner tree, and the report is one row per
+group key.
 """
 
 from __future__ import annotations
@@ -28,11 +27,12 @@ __all__ = ["corpus_drift"]
 _FX = 1 << 20
 
 
-def _word_id_rows(ds, text_col: str, key_col: str):
-    """(key, wid:int64) flat word-occurrence rows; wid = first 8 md5 hex
-    chars of the word as an integer (the stock SQL-replicable hash)."""
+def _wid_ntok(ds, text_col: str, key_col: str):
+    """Per doc: wid list<int64> (word-id = first 8 md5 hex chars of the
+    word as an integer — the stock SQL-replicable hash) + n_tok. One
+    split_pattern serves both derived columns."""
 
-    def _flat(batch: pa.Table) -> pa.Table:
+    def _prep(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         from ..functions.digest import md5_bucket32
@@ -42,47 +42,41 @@ def _word_id_rows(ds, text_col: str, key_col: str):
             lists = lists.combine_chunks()
         offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         flat = lists.values.slice(offsets[0], offsets[-1] - offsets[0])
-        n_words = (offsets[1:] - offsets[:-1])
+        n_words = offsets[1:] - offsets[:-1]
         dic = flat.dictionary_encode()
         codes = dic.indices.to_numpy(zero_copy_only=False)
         wid = md5_bucket32(dic.dictionary, 1 << 32)[codes]
-        keys = batch[key_col].combine_chunks().take(
-            pa.array(np.repeat(np.arange(batch.num_rows), n_words))
+        wid_list = pa.ListArray.from_arrays(
+            pa.array(offsets - offsets[0], pa.int32()),
+            pa.array(wid, pa.int64()),
         )
-        return pa.table({key_col: keys, "wid": pa.array(wid, pa.int64())})
-
-    return ds.map_batches(_flat, batch_format="pyarrow")
-
-
-def _ntok_rows(ds, text_col: str, key_col: str):
-    def _n(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        n = pc.list_value_length(pc.split_pattern(batch[text_col], " "))
         return pa.table(
-            {key_col: batch[key_col], "n_tok": pc.cast(n, pa.int64())}
+            {
+                key_col: batch[key_col],
+                "wid": wid_list,
+                "n_tok": pa.array(n_words, pa.int64()),
+            }
         )
 
-    return ds.map_batches(_n, batch_format="pyarrow")
+    return ds.map_batches(_prep, batch_format="pyarrow")
 
 
 def _side_sketches(ds, text_col: str, key_col: str, kmv_k: int):
+    """ONE fused scan per corpus version: the KMV vocabulary sketch and the
+    length moments ride the same corpus_profile pass (shared flatten +
+    key-encode; only tiny partial rows move)."""
     from ..sketches import KMVSketch, MomentsSketch
-    from ..state.aggregate import finalize_sketches, sketch_by_key
+    from .profile import ProfileSpec, corpus_profile, finalize_profile
 
-    vocab = finalize_sketches(
-        sketch_by_key(
-            _word_id_rows(ds, text_col, key_col), lambda: KMVSketch(kmv_k),
-            "wid", key_col,
-        ),
-        KMVSketch,
+    specs = [
+        ProfileSpec("vocab", "kmv", lambda: KMVSketch(kmv_k), "wid", key_col),
+        ProfileSpec("moments", "moments", MomentsSketch, "n_tok", key_col),
+    ]
+    fused = finalize_profile(
+        corpus_profile(_wid_ntok(ds, text_col, key_col), specs), specs
     )
-    moments = finalize_sketches(
-        sketch_by_key(
-            _ntok_rows(ds, text_col, key_col), MomentsSketch, "n_tok", key_col
-        ),
-        MomentsSketch,
-    )
+    vocab = {k: sk for (name, k), sk in fused.items() if name == "vocab"}
+    moments = {k: sk for (name, k), sk in fused.items() if name == "moments"}
     return vocab, moments
 
 
