@@ -763,15 +763,17 @@ def collocation_lift(ds, text_col: str = "text", min_count: int = 5, k: int = 50
     the int64-safe range), so ranking is bit-deterministic and fully
     SQL-replicable (no ln()).
 
-    Distributed shape: two slim map-side-combined count shuffles (bigram
-    and unigram partial counts per batch via polars — deduplicated before
-    the exchange, like token_freq), ``c12 >= min_count`` filtered
-    DISTRIBUTED before the joins, then the unigram counts attach to the
-    candidates — broadcast (worker-assembled ref, the tfidf pattern) when
-    the vocabulary is under ``broadcast_max_terms``, else two token-keyed
-    ``bucket_join``s (no driver-side vocabulary copy at open vocabulary).
-    Lift per candidate inside ``map_batches``, per-block top-k, one driver
-    merge of k rows/block. ``Nw``/``Nb`` are single-scalar dataset sums."""
+    Distributed shape: ONE corpus scan emits BOTH bigram and unigram
+    partial counts (deduplicated per batch via polars, like token_freq;
+    unigram rows ride with kind="u" and an empty-string w2 sentinel —
+    safe because kind disambiguates), and both ride ONE slim count
+    exchange. ``c12 >= min_count`` is filtered DISTRIBUTED before the
+    joins, then the unigram counts attach to the candidates — broadcast
+    (worker-assembled ref, the tfidf pattern) when the vocabulary is
+    under ``broadcast_max_terms``, else two token-keyed ``bucket_join``s
+    (no driver-side vocabulary copy at open vocabulary). Lift per
+    candidate inside ``map_batches``, per-block top-k, one driver merge
+    of k rows/block. ``Nw``/``Nb`` reduce from per-block partial sums."""
     import pandas as pd
     import polars as pl
 
@@ -781,10 +783,12 @@ def collocation_lift(ds, text_col: str = "text", min_count: int = 5, k: int = 50
     if partitions is None:
         partitions = auto_partitions(ds) or 16
 
-    def _pair_partial(batch: pa.Table) -> pa.Table:
-        df = pl.DataFrame({"ws": pl.from_arrow(batch[text_col].combine_chunks()).str.split(" ")})
+    def _partials(batch: pa.Table) -> pa.Table:
+        ws = pl.DataFrame(
+            {"ws": pl.from_arrow(batch[text_col].combine_chunks()).str.split(" ")}
+        )
         pairs = (
-            df.with_columns(w2s=pl.col("ws").list.slice(1))
+            ws.with_columns(w2s=pl.col("ws").list.slice(1))
             .select(
                 w1=pl.col("ws").list.slice(0, pl.col("ws").list.len() - 1),
                 w2=pl.col("w2s"),
@@ -793,51 +797,71 @@ def collocation_lift(ds, text_col: str = "text", min_count: int = 5, k: int = 50
             .drop_nulls()
             .group_by(["w1", "w2"])
             .len(name="cnt")
+            .with_columns(kind=pl.lit("b"))
         )
-        h = pairs.select(key=pl.col("w1") + " " + pl.col("w2"))["key"].hash(seed=43).to_numpy()
-        pairs = pairs.with_columns(
+        uni = (
+            ws.select(w1=pl.col("ws"))
+            .explode("w1")
+            .group_by("w1")
+            .len(name="cnt")
+            .with_columns(w2=pl.lit("", dtype=pl.String), kind=pl.lit("u"))
+        )
+        cols = ["kind", "w1", "w2", "cnt"]
+        both = pl.concat([pairs.select(cols), uni.select(cols)])
+        key = (
+            pl.when(pl.col("kind") == "b")
+            .then(pl.col("w1") + " " + pl.col("w2"))
+            .otherwise(pl.col("w1"))
+        )
+        h = both.select(key=key)["key"].hash(seed=43).to_numpy()
+        both = both.with_columns(
             pl.Series("part", (h % np.uint64(partitions)).astype(np.int32))
         )
-        return pairs.to_arrow()
+        return both.to_arrow()
 
-    def _uni_partial(batch: pa.Table) -> pa.Table:
-        df = pl.DataFrame({"w": pl.from_arrow(batch[text_col].combine_chunks()).str.split(" ")})
-        counts = df.explode("w").group_by("w").len(name="cnt")
-        h = counts["w"].hash(seed=43).to_numpy()
-        counts = counts.with_columns(
-            pl.Series("part", (h % np.uint64(partitions)).astype(np.int32))
-        )
-        return counts.to_arrow()
-
-    def _sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(["w1", "w2"], as_index=False)["cnt"].sum()
+    def _sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["kind", "w1", "w2"], as_index=False)["cnt"].sum()
         out["cnt"] = out["cnt"].astype("int64")
         return out
 
-    def _sum_uni(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("w", as_index=False)["cnt"].sum()
-        out["cnt"] = out["cnt"].astype("int64")
-        return out
-
-    bcnt = (
-        ds.map_batches(_pair_partial, batch_format="pyarrow")
+    counts = (
+        ds.map_batches(_partials, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(_sum_pairs, batch_format="pandas")
-    ).materialize()
-    ucnt = (
-        ds.map_batches(_uni_partial, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(_sum_uni, batch_format="pandas")
+        .map_groups(_sum, batch_format="pandas")
     ).materialize()
 
-    nb = int(bcnt.sum("cnt"))
-    nw = int(ucnt.sum("cnt"))
+    def _kind_sums(t: pa.Table) -> pa.Table:
+        is_b = pc.equal(t["kind"], "b")
+        cnt = t["cnt"]
+        zero = pa.scalar(0, pa.int64())
+        sb = pc.sum(pc.if_else(is_b, cnt, zero)).as_py() or 0
+        su = pc.sum(pc.if_else(is_b, zero, cnt)).as_py() or 0
+        n_u = pc.sum(pc.cast(pc.invert(is_b), pa.int64())).as_py() or 0
+        return pa.table(
+            {
+                "nb": pa.array([sb], pa.int64()),
+                "nw": pa.array([su], pa.int64()),
+                "n_terms": pa.array([n_u], pa.int64()),
+            }
+        )
 
-    cands = bcnt.filter(expr=f"cnt >= {int(min_count)}").map_batches(
-        lambda b: b.rename_columns(["w1", "w2", "c12"]),
+    totals = counts.map_batches(_kind_sums, batch_format="pyarrow").take_all()
+    nb = sum(r["nb"] for r in totals)
+    nw = sum(r["nw"] for r in totals)
+    n_terms = sum(r["n_terms"] for r in totals)
+
+    cands = counts.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t["kind"], "b"), pc.greater_equal(t["cnt"], min_count))
+        ).select(["w1", "w2", "cnt"]).rename_columns(["w1", "w2", "c12"]),
         batch_format="pyarrow",
     )
-    n_terms = ucnt.count()
+    ucnt = counts.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "u"))
+        .select(["w1", "cnt"])
+        .rename_columns(["w", "cnt"]),
+        batch_format="pyarrow",
+    )
     if n_terms <= broadcast_max_terms:
         # small vocabulary: broadcast the unigram counts (assembled in a
         # REMOTE task from the already-materialized blocks — the driver
