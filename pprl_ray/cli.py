@@ -633,6 +633,36 @@ def cmd_media_dedup(args) -> None:
                       "pairs": n, "output": args.output}))
 
 
+def cmd_prepare(args) -> None:
+    """End-to-end corpus preparation (pipelines/prepare.py): exact dedup ->
+    Gopher quality -> n-gram-Jaccard near-dup removal -> decontamination,
+    per-stage metrics on stderr-free stdout JSON, optional per-stage
+    loser-id checkpointing for resume."""
+    from .pipelines.prepare import prepare_corpus
+
+    cols = [args.id_column, args.text_column]
+    if args.keep == "best" and args.score_column:
+        cols.append(args.score_column)
+    docs = _read(args.input, columns=cols)
+    evals = (
+        _read(args.eval_input, columns=[args.id_column, args.text_column])
+        if args.eval_input else None
+    )
+    if args.keep == "best" and not args.score_column:
+        raise SystemExit("--keep best requires --score-column")
+    kept, report = prepare_corpus(
+        docs, evals, id_col=args.id_column, text_col=args.text_column,
+        min_words=args.min_words, max_words=args.max_words,
+        shingle_n=args.shingle_n, jaccard_threshold=args.threshold,
+        keep=args.keep, keep_score_col=args.score_column,
+        contam_n=args.contam_n, checkpoint_dir=args.checkpoint_dir,
+        input_tag=args.input,
+    )
+    n = _write(kept, args.output, args.format)
+    print(json.dumps({"command": "prepare", "rows": n, "output": args.output,
+                      "stages": report.to_dict(orient="records")}))
+
+
 def cmd_decontaminate(args) -> None:
     """Train/eval n-gram overlap pairs (benchmark-contamination check)."""
     from .stages.dedup import contamination_pairs
@@ -948,6 +978,34 @@ def main(argv: list[str] | None = None) -> None:
     sp.add_argument("--max-hamming", type=int, default=8, help="image mode")
     sp.add_argument("--min-jaccard", type=float, default=0.2, help="audio/video modes")
     sp.set_defaults(fn=cmd_media_dedup)
+
+    sp = sub.add_parser("prepare",
+                        help="exact dedup -> quality -> near-dup -> "
+                             "decontaminate, with per-stage metrics")
+    sp.add_argument("--input", required=True, help="raw corpus")
+    sp.add_argument("--eval-input", default=None,
+                    help="eval/benchmark corpus for decontamination "
+                         "(stage skipped when omitted)")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--format", choices=("parquet", "csv", "jsonl"), default="parquet")
+    sp.add_argument("--id-column", default="doc_id")
+    sp.add_argument("--text-column", default="text")
+    sp.add_argument("--min-words", type=int, default=30)
+    sp.add_argument("--max-words", type=int, default=1000)
+    sp.add_argument("--shingle-n", type=int, default=4,
+                    help="near-dup word n-gram size")
+    sp.add_argument("--threshold", type=float, default=0.5,
+                    help="near-dup Jaccard threshold")
+    sp.add_argument("--keep", choices=("min_id", "best"), default="min_id",
+                    help="near-dup survivor policy")
+    sp.add_argument("--score-column", default=None,
+                    help="--keep best: column whose max wins")
+    sp.add_argument("--contam-n", type=int, default=5,
+                    help="decontamination word n-gram size")
+    sp.add_argument("--checkpoint-dir", default=None,
+                    help="persist per-stage loser ids; resume skips "
+                         "stages whose manifest matches")
+    sp.set_defaults(fn=cmd_prepare)
 
     sp = sub.add_parser("decontaminate",
                         help="train/eval word n-gram overlap pairs")

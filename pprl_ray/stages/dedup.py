@@ -71,23 +71,58 @@ def content_hash128(batch: pa.Table, text_col: str = "text") -> tuple[np.ndarray
     return h1, h2
 
 
-def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
-                partitions: int | None = None, loser_broadcast_max: int = 5_000_000):
-    """Keep the row with the smallest id per distinct content.
-
-    Scale shape: the full-text column NEVER shuffles. Only slim
-    (hash128, id) rows move through the groupby (equal hashes co-locate,
-    so picking winners within a partition group is exact, via one
-    vectorised pandas drop_duplicates per group). The surviving rows are
-    then selected by streaming the ORIGINAL dataset through an
-    anti-filter against the LOSER id set — duplicates are the minority,
-    so the broadcast set is far smaller than a winner set; beyond
-    ``loser_broadcast_max`` losers the filter falls back to a
-    co-partitioned left-anti bucket join (one shuffle of the data,
-    no driver materialization)."""
+def anti_filter_ids(ds, losers, id_col: str = "doc_id",
+                    loser_broadcast_max: int = 5_000_000,
+                    partitions: int | None = None):
+    """Stream ``ds`` through a loser-id anti-filter — the shared survivor-
+    selection tail of :func:`exact_dedup`, :func:`near_dedup_corpus` and
+    ``pipelines/prepare.py``. Losers are the minority, so their id set
+    broadcasts (``ray.put`` once, zero-copy object-store read per task)
+    when under ``loser_broadcast_max``; beyond that the filter falls back
+    to a co-partitioned left-anti bucket join (one shuffle of the data,
+    no driver materialization). Returns ``(filtered_ds, n_losers)``."""
     import pyarrow.compute as pc
 
     from .partitioning import auto_partitions
+
+    losers = losers.materialize()
+    n_losers = losers.count()
+    if n_losers == 0:
+        return ds, 0
+    if n_losers <= loser_broadcast_max:
+        import ray
+
+        loser_tbl = pa.concat_tables(
+            [b for b in losers.iter_batches(batch_format="pyarrow", batch_size=1 << 20)]
+        )
+        ref = ray.put(loser_tbl[id_col].combine_chunks())
+
+        def _anti(batch: pa.Table) -> pa.Table:
+            bad = ray.get(ref)  # zero-copy local object-store read
+            return batch.filter(
+                pc.invert(pc.is_in(pc.cast(batch[id_col], bad.type), value_set=bad))
+            )
+
+        return ds.map_batches(_anti, batch_format="pyarrow"), n_losers
+    from .join import bucket_join
+
+    if partitions is None:
+        partitions = auto_partitions(ds)
+    return (
+        bucket_join(ds, losers, keys=id_col, join_type="left anti",
+                    partitions=partitions),
+        n_losers,
+    )
+
+
+def exact_dup_losers(ds, id_col: str = "doc_id", text_col: str = "text",
+                     partitions: int | None = None):
+    """Slim loser-id Dataset for exact content dedup: every row except the
+    smallest id per distinct content. The full-text column NEVER
+    shuffles — only slim (hash128, id) rows move through the groupby
+    (equal hashes co-locate, so picking winners within a partition group
+    is exact, via one vectorised pandas drop_duplicates per group)."""
+    from .partitioning import auto_partitions, compact_blocks
 
     if partitions is None:
         partitions = auto_partitions(ds)
@@ -103,8 +138,6 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
             }
         )
 
-    from .partitioning import compact_blocks
-
     # materialize + compact the slim table: its groupby otherwise inherits
     # the input's block count and pays per-block shuffle scheduling
     slim = compact_blocks(ds.map_batches(_slim, batch_format="pyarrow").materialize())
@@ -114,28 +147,17 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         dup = g.duplicated(subset=["h1", "h2"], keep="first")
         return g.loc[dup, [id_col]]
 
-    losers = slim.groupby("part").map_groups(_losers, batch_format="pandas").materialize()
-    n_losers = losers.count()
-    if n_losers == 0:
-        return ds
-    if n_losers <= loser_broadcast_max:
-        import ray
+    return slim.groupby("part").map_groups(_losers, batch_format="pandas")
 
-        loser_tbl = pa.concat_tables(
-            [b for b in losers.iter_batches(batch_format="pyarrow", batch_size=1 << 20)]
-        )
-        ref = ray.put(loser_tbl[id_col].combine_chunks())
 
-        def _anti(batch: pa.Table) -> pa.Table:
-            bad = ray.get(ref)  # zero-copy local object-store read
-            return batch.filter(pc.invert(pc.is_in(batch[id_col], value_set=bad)))
-
-        return ds.map_batches(_anti, batch_format="pyarrow")
-    # loser set too large to broadcast: co-partitioned anti join (one
-    # shuffle of the data keyed by id; equal ids co-locate)
-    from .join import bucket_join
-
-    return bucket_join(ds, losers, keys=id_col, join_type="left anti", partitions=partitions)
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                partitions: int | None = None, loser_broadcast_max: int = 5_000_000):
+    """Keep the row with the smallest id per distinct content:
+    :func:`exact_dup_losers` -> :func:`anti_filter_ids` (see each for the
+    scale shape)."""
+    losers = exact_dup_losers(ds, id_col, text_col, partitions)
+    out, _ = anti_filter_ids(ds, losers, id_col, loser_broadcast_max, partitions)
+    return out
 
 
 # --- incremental (corpus-version) dedup --------------------------------------
@@ -1463,6 +1485,29 @@ def near_dedup_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
     co-partitioned left-anti bucket join, same as :func:`exact_dedup`).
 
     Returns the deduplicated Dataset (all original columns)."""
+    from .partitioning import auto_partitions
+
+    if partitions is None:
+        partitions = auto_partitions(ds)
+    losers = near_dup_losers(
+        ds, pairs=pairs, text_col=text_col, id_col=id_col, threshold=threshold,
+        persist=persist, partitions=partitions, keep=keep,
+        keep_score_col=keep_score_col, cc_checkpoint_dir=cc_checkpoint_dir,
+        loser_broadcast_max=loser_broadcast_max, **kwargs,
+    )
+    out, _ = anti_filter_ids(ds, losers, id_col, loser_broadcast_max, partitions)
+    return out
+
+
+def near_dup_losers(ds, pairs=None, text_col: str = "text",
+                    id_col: str = "doc_id", threshold: float = 0.8,
+                    persist: str = "memory", partitions: int | None = None,
+                    keep: str = "min_id", keep_score_col: str | None = None,
+                    cc_checkpoint_dir: str | None = None,
+                    loser_broadcast_max: int = 5_000_000, **kwargs):
+    """Slim loser-id Dataset of :func:`near_dedup_corpus` (same arguments):
+    candidate pairs -> connected components -> everything except the
+    survivor of each component, under the chosen ``keep`` policy."""
     import pyarrow.compute as pc
 
     from .partitioning import auto_partitions
@@ -1477,40 +1522,16 @@ def near_dedup_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
     if keep == "best":
         if keep_score_col is None:
             raise ValueError('keep="best" requires keep_score_col')
-        losers = _keep_best_losers(ds, labels, id_col, keep_score_col,
-                                   loser_broadcast_max, partitions)
-    elif keep == "min_id":
-        losers = labels.map_batches(
+        return _keep_best_losers(ds, labels, id_col, keep_score_col,
+                                 loser_broadcast_max, partitions)
+    if keep == "min_id":
+        return labels.map_batches(
             lambda b: pa.table(
                 {id_col: b["doc_id"].filter(pc.not_equal(b["doc_id"], b["rep_id"]))}
             ),
             batch_format="pyarrow",
         )
-    else:
-        raise ValueError(f"unknown keep policy {keep!r}")
-    losers = losers.materialize()
-    n_losers = losers.count()
-    if n_losers == 0:
-        return ds
-    if n_losers <= loser_broadcast_max:
-        import ray
-
-        loser_tbl = pa.concat_tables(
-            [b for b in losers.iter_batches(batch_format="pyarrow", batch_size=1 << 20)]
-        )
-        ref = ray.put(loser_tbl[id_col].combine_chunks())
-
-        def _anti(batch: pa.Table) -> pa.Table:
-            bad = ray.get(ref)
-            return batch.filter(
-                pc.invert(pc.is_in(pc.cast(batch[id_col], bad.type), value_set=bad))
-            )
-
-        return ds.map_batches(_anti, batch_format="pyarrow")
-    from .join import bucket_join
-
-    return bucket_join(ds, losers, keys=id_col, join_type="left anti",
-                       partitions=partitions)
+    raise ValueError(f"unknown keep policy {keep!r}")
 
 
 # --- exact-substring span scrub ---------------------------------------------
