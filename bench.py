@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "hll_register_occupancy",
     "minhash_dedup",
     "incremental_dedup",
+    "prepare_report",
     "tfidf_top_term",
     "bloom_semi_join",
     "range_sort_rank",
