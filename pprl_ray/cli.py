@@ -633,6 +633,48 @@ def cmd_media_dedup(args) -> None:
                       "pairs": n, "output": args.output}))
 
 
+def cmd_sketch_store(args) -> None:
+    """Persisted per-key sketch store (state/sketchstore.py): build a
+    bucket-partitioned store from a parquet input, refresh it with a new
+    corpus version (only the touched buckets are read back and rewritten;
+    the result is bit-identical to a from-scratch build over the union),
+    or look up per-key estimates with partition-pruned reads."""
+    from .sketches import HLLSketch, KMVSketch, ThetaSketch
+    from .state.sketchstore import (
+        build_sketch_store,
+        lookup_sketch_store,
+        refresh_sketch_store,
+    )
+
+    cls = {"kmv": KMVSketch, "hll": HLLSketch, "theta": ThetaSketch}[args.sketch]
+    fac = (lambda: cls(args.param)) if args.param is not None else cls
+
+    if args.mode == "lookup":
+        if not args.keys:
+            raise SystemExit("--mode lookup requires --keys")
+        out = lookup_sketch_store(args.store_dir, args.keys.split(","), cls)
+        print(json.dumps({
+            "command": "sketch-store", "mode": "lookup", "store": args.store_dir,
+            "estimates": {k: round(sk.estimate(), 1)
+                          for k, sk in sorted(out.items())},
+        }))
+        return
+    if not args.input:
+        raise SystemExit(f"--mode {args.mode} requires --input")
+    ds = _read(args.input, columns=[args.key_column, args.value_column])
+    if args.mode == "build":
+        man = build_sketch_store(ds, fac, args.value_column, args.key_column,
+                                 args.store_dir, buckets=args.buckets)
+    else:
+        man = refresh_sketch_store(ds, fac, args.value_column, args.key_column,
+                                   args.store_dir)
+    print(json.dumps({
+        "command": "sketch-store", "mode": args.mode, "store": args.store_dir,
+        "sketch": man["sketch"], "buckets": man["buckets"],
+        "keys": sum(b["rows"] for b in man["per_bucket"].values()),
+    }))
+
+
 def cmd_prepare(args) -> None:
     """End-to-end corpus preparation (pipelines/prepare.py): exact dedup ->
     Gopher quality -> n-gram-Jaccard near-dup removal -> decontamination,
@@ -978,6 +1020,25 @@ def main(argv: list[str] | None = None) -> None:
     sp.add_argument("--max-hamming", type=int, default=8, help="image mode")
     sp.add_argument("--min-jaccard", type=float, default=0.2, help="audio/video modes")
     sp.set_defaults(fn=cmd_media_dedup)
+
+    sp = sub.add_parser("sketch-store",
+                        help="build / incrementally refresh / look up a "
+                             "persisted per-key sketch store")
+    sp.add_argument("--mode", choices=("build", "refresh", "lookup"),
+                    required=True)
+    sp.add_argument("--store-dir", required=True)
+    sp.add_argument("--sketch", choices=("kmv", "hll", "theta"), default="kmv")
+    sp.add_argument("--param", type=int, default=None,
+                    help="sketch size parameter (kmv/theta k, hll p); "
+                         "default: the class default — refresh must match "
+                         "the build")
+    sp.add_argument("--input", default=None, help="build/refresh: parquet input")
+    sp.add_argument("--key-column", default="source")
+    sp.add_argument("--value-column", default="doc_id")
+    sp.add_argument("--buckets", type=int, default=32, help="build only")
+    sp.add_argument("--keys", default=None,
+                    help="lookup: comma-separated keys")
+    sp.set_defaults(fn=cmd_sketch_store)
 
     sp = sub.add_parser("prepare",
                         help="exact dedup -> quality -> near-dup -> "

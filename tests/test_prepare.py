@@ -201,3 +201,44 @@ def test_cli_prepare_smoke(ray_session, tmp_path, capsys):
     with pytest.raises(SystemExit):
         main(["prepare", "--input", str(tmp_path / "docs.parquet"),
               "--keep", "best", "--output", str(tmp_path / "out2")])
+
+
+def test_cli_sketch_store_build_refresh_lookup(ray_session, tmp_path, capsys):
+    """CLI round-trip: build on half the rows, refresh with the other
+    half, lookup equals a one-shot build over everything (associativity
+    surfaced through the CLI)."""
+    from pprl_ray.cli import main
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 500, 2000).astype(np.int64)
+    keys = [f"s{i % 4}" for i in range(2000)]
+    tbl = pa.table({"source": pa.array(keys), "doc_id": pa.array(vals)})
+    pq.write_table(tbl.slice(0, 1000), str(tmp_path / "a.parquet"))
+    pq.write_table(tbl.slice(1000), str(tmp_path / "b.parquet"))
+    pq.write_table(tbl, str(tmp_path / "all.parquet"))
+
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    main(["sketch-store", "--mode", "build", "--store-dir", inc,
+          "--sketch", "kmv", "--param", "64", "--buckets", "4",
+          "--input", str(tmp_path / "a.parquet")])
+    main(["sketch-store", "--mode", "refresh", "--store-dir", inc,
+          "--sketch", "kmv", "--param", "64",
+          "--input", str(tmp_path / "b.parquet")])
+    main(["sketch-store", "--mode", "build", "--store-dir", full,
+          "--sketch", "kmv", "--param", "64", "--buckets", "4",
+          "--input", str(tmp_path / "all.parquet")])
+    main(["sketch-store", "--mode", "lookup", "--store-dir", inc,
+          "--sketch", "kmv", "--keys", "s0,s1,s2,s3"])
+    main(["sketch-store", "--mode", "lookup", "--store-dir", full,
+          "--sketch", "kmv", "--keys", "s0,s1,s2,s3"])
+    lines = [json.loads(line) for line in
+             capsys.readouterr().out.strip().splitlines()]
+    assert lines[1]["mode"] == "refresh" and lines[1]["keys"] == 4
+    look_inc, look_full = lines[3], lines[4]
+    assert look_inc["estimates"] == look_full["estimates"]
+    assert set(look_inc["estimates"]) == {"s0", "s1", "s2", "s3"}
+    # param mismatch on refresh is refused
+    with pytest.raises(ValueError, match="different parameters"):
+        main(["sketch-store", "--mode", "refresh", "--store-dir", inc,
+              "--sketch", "kmv", "--param", "128",
+              "--input", str(tmp_path / "b.parquet")])
