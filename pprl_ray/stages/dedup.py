@@ -307,6 +307,173 @@ def incremental_exact_dedup(new_ds, index_dir: str, id_col: str = "doc_id",
     return kept
 
 
+def _band_index_meta_path(index_dir: str) -> str:
+    import os
+
+    return os.path.join(index_dir, "_meta.json")
+
+
+def _band_rows(ds, text_col: str, id_col: str, k: int, bands: int,
+               shingle_n: int, buckets: int):
+    """(id, band, band_key, bucket) rows for every doc: the
+    :class:`_MinHashStage` exploded banding plus the index's bucket
+    assignment (``band_key % buckets`` over the uint64 view, so bucket
+    routing is sign-stable)."""
+    stage = _MinHashStage(text_col=text_col, id_col=id_col, k=k, bands=bands,
+                          shingle_n=shingle_n)
+
+    def _with_bucket(batch: pa.Table) -> pa.Table:
+        t = stage(batch)
+        bk = t["band_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "bucket", pa.array((bk % np.uint64(buckets)).astype(np.int32))
+        )
+
+    return ds.map_batches(_with_bucket, batch_format="pyarrow")
+
+
+def write_band_index(ds, index_dir: str, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 128, bands: int = 16,
+                     shingle_n: int = 3, buckets: int = 64) -> int:
+    """Create a persistent MinHash BAND index from a (near-deduped)
+    corpus — the near-duplicate analog of :func:`write_hash_index`:
+    DISTINCT ``(band, band_key)`` rows partitioned by ``band_key %
+    buckets`` so a later incremental run reads only the bucket
+    directories its new docs hash to. The index stores no doc ids and no
+    signatures — its size is O(distinct band keys), ~``bands`` small rows
+    per indexed doc. ``_meta.json`` pins (k, bands, shingle_n, buckets):
+    a mismatched parameterisation would silently miss every
+    near-duplicate, so reuse reads the parameters from the meta rather
+    than trusting the caller. Returns the number of indexed band keys."""
+    import json
+    import os
+
+    import pyarrow.dataset as pads
+
+    meta_path = _band_index_meta_path(index_dir)
+    if os.path.exists(meta_path):
+        raise FileExistsError(f"band index already exists at {index_dir}")
+    rows = _band_rows(ds, text_col, id_col, k, bands, shingle_n, buckets)
+
+    def _distinct(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(subset=["band", "band_key"])[
+            ["band", "band_key", "bucket"]
+        ]
+
+    distinct = rows.groupby("bucket").map_groups(_distinct, batch_format="pandas")
+    distinct.write_parquet(index_dir, partition_cols=["bucket"])
+    n = sum(
+        pads.dataset(os.path.join(index_dir, d)).count_rows()
+        for d in os.listdir(index_dir)
+        if d.startswith("bucket=")
+    )
+    with open(meta_path, "w") as f:
+        json.dump({"k": k, "bands": bands, "shingle_n": shingle_n,
+                   "buckets": buckets, "n_keys": n,
+                   "scheme": "splitmix64 shingles / lsh band keys v1"}, f)
+    return n
+
+
+def incremental_near_dedup(new_ds, index_dir: str, id_col: str = "doc_id",
+                           text_col: str = "text", match_bands_min: int = 1,
+                           update_index: bool = True,
+                           loser_broadcast_max: int = 5_000_000):
+    """Near-dedup a NEW corpus version against a persisted band index (and
+    against itself, min-id-first) without touching the old corpus: per
+    bucket group, read only ``index_dir/bucket=<b>/`` and count each new
+    doc's matched bands; docs matching in at least ``match_bands_min``
+    bands (the standard LSH OR-construction at 1; raise for precision)
+    are dropped. ``update_index=True`` appends the survivors' band keys
+    so the next version dedupes against v1 ∪ v2 — append cost is
+    proportional to the new version, never the corpus.
+
+    Banding is the production incremental GATE: collisions are the same
+    candidate semantics as :func:`minhash_candidates` (per-band match
+    probability ~ jaccard^(k/bands)); exact Jaccard verification against
+    the OLD corpus would need its shingles, which the index deliberately
+    does not store — run :func:`near_dedup_corpus` for in-version exact
+    verification. Internal matches count per (band, band_key) with the
+    min-id doc surviving, consistent with the anonymous index semantics.
+
+    Returns the kept Dataset (original columns; text never shuffled)."""
+    import json
+    import os
+
+    import pyarrow.dataset as pads
+
+    from .partitioning import compact_blocks
+
+    with open(_band_index_meta_path(index_dir)) as f:
+        meta = json.load(f)
+    k, bands = int(meta["k"]), int(meta["bands"])
+    shingle_n, buckets = int(meta["shingle_n"]), int(meta["buckets"])
+
+    slim = compact_blocks(
+        _band_rows(new_ds, text_col, id_col, k, bands, shingle_n, buckets)
+        .materialize()
+    )
+
+    def _hits(group: pd.DataFrame) -> pd.DataFrame:
+        b = int(group["bucket"].iloc[0])
+        g = group.sort_values(id_col)
+        bucket_dir = os.path.join(index_dir, f"bucket={b}")
+        if os.path.isdir(bucket_dir):
+            idx = pads.dataset(bucket_dir).to_table(
+                columns=["band", "band_key"]
+            ).to_pandas()
+            seen = pd.MultiIndex.from_frame(idx)
+            in_index = pd.MultiIndex.from_frame(g[["band", "band_key"]]).isin(seen)
+        else:
+            in_index = np.zeros(len(g), dtype=bool)
+        internal = g.duplicated(subset=["band", "band_key"], keep="first").to_numpy()
+        return g.loc[in_index | internal, [id_col, "band"]]
+
+    hits = slim.groupby("bucket").map_groups(_hits, batch_format="pandas")
+
+    def _gate(group: pd.DataFrame) -> pd.DataFrame:
+        if group["band"].nunique() >= match_bands_min:
+            return group.head(1)[[id_col]]
+        return group.head(0)[[id_col]]
+
+    losers = hits.groupby(id_col).map_groups(_gate, batch_format="pandas")
+    kept, n_losers = anti_filter_ids(new_ds, losers, id_col,
+                                     loser_broadcast_max)
+
+    if update_index:
+        if n_losers:
+            kept_rows, _ = anti_filter_ids(slim, losers, id_col,
+                                           loser_broadcast_max)
+        else:
+            kept_rows = slim
+
+        def _append(group: pd.DataFrame) -> pd.DataFrame:
+            b = int(group["bucket"].iloc[0])
+            fresh = group.drop_duplicates(subset=["band", "band_key"])[
+                ["band", "band_key", "bucket"]
+            ]
+            bucket_dir = os.path.join(index_dir, f"bucket={b}")
+            if os.path.isdir(bucket_dir):
+                idx = pads.dataset(bucket_dir).to_table(
+                    columns=["band", "band_key"]
+                ).to_pandas()
+                seen = pd.MultiIndex.from_frame(idx)
+                fresh = fresh.loc[
+                    ~pd.MultiIndex.from_frame(fresh[["band", "band_key"]]).isin(seen)
+                ]
+            return fresh
+
+        appended = kept_rows.groupby("bucket").map_groups(
+            _append, batch_format="pandas"
+        ).materialize()
+        n_new = appended.count()
+        if n_new:
+            appended.write_parquet(index_dir, partition_cols=["bucket"])
+        meta["n_keys"] = int(meta.get("n_keys", 0)) + int(n_new)
+        with open(_band_index_meta_path(index_dir), "w") as f:
+            json.dump(meta, f)
+    return kept
+
+
 def _dedupe_pair_rows(pairs_ds, value_col: str | None, partitions: int,
                       value_agg: str = "max"):
     """Collapse duplicate (id_a, id_b) rows with ONE vectorised pandas
