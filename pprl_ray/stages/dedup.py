@@ -1897,6 +1897,182 @@ def duplicate_span_scrub(ds, text_col: str = "text", id_col: str = "doc_id",
     return both.groupby("dpart").map_groups(_scrub_group, batch_format="pyarrow")
 
 
+def _line_long(texts, sep: str, words_per_line: int | None):
+    """Long-form lines for a batch's text column: ``(row_idx, line_no,
+    lines)`` numpy/polars arrays. ``words_per_line`` set → fixed word
+    windows stand in for lines (corpora without newline structure);
+    otherwise split on ``sep``. Vectorised (one polars split/explode, no
+    Python loop over rows)."""
+    import polars as pl
+
+    texts = texts.fill_null("")
+    if words_per_line is None:
+        lines = texts.str.split(sep)
+        lens = lines.list.len().to_numpy().astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        row_idx = np.repeat(np.arange(len(lens)), lens)
+        line_no = np.arange(int(offs[-1])) - offs[row_idx]
+        return row_idx, line_no, lines.explode()
+    words = texts.str.split(" ")
+    lens = words.list.len().to_numpy().astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    row_idx = np.repeat(np.arange(len(lens)), lens)
+    pos = np.arange(int(offs[-1])) - offs[row_idx]
+    grouped = (
+        pl.DataFrame(
+            {
+                "r": row_idx,
+                "ln": pos // max(words_per_line, 1),
+                "w": words.explode(),
+            }
+        )
+        .group_by(["r", "ln"], maintain_order=True)
+        .agg(pl.col("w").str.join(" "))
+    )
+    return (
+        grouped["r"].to_numpy().astype(np.int64),
+        grouped["ln"].to_numpy().astype(np.int64),
+        grouped["w"],
+    )
+
+
+def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+               sep: str = "\n", words_per_line: int | None = None,
+               partitions: int | None = None):
+    """Corpus-wide LINE deduplication (the CCNet / RefinedWeb pre-filter:
+    Wenzek et al. 2020 §3.1, Penedo et al. 2023): every line keeps only
+    its globally FIRST occurrence — ordered by ``(doc_id, line_no)`` —
+    and every other occurrence (in other docs or later in the same doc)
+    is removed; surviving lines re-join with ``sep``. This strips
+    boilerplate headers/footers/navigation shared across pages without
+    dropping whole documents. ``words_per_line`` chunks each doc into
+    fixed word windows when the corpus has no newline structure.
+
+    Scale shape (two slim exchanges; the text moves ONCE):
+    1. per-batch line split (vectorised) → slim ``(h1, h2, id, line_no)``
+       rows, hash-partitioned by the 128-bit line hash; occurrences of a
+       line co-locate, so each partition picks the global winner with one
+       vectorised sort + cumcount — losers ``(id, line_no)`` emit;
+    2. one doc-keyed exchange of (docs ∪ loser rows) — equal ids share a
+       group, each group re-splits its docs locally (recompute beats
+       shuffling line text, the same trade as minhash's ``recompute``
+       shingle mode) and drops flagged line slots via flat-coordinate
+       masking + one take + binary_join.
+
+    Returns ``(id, text, n_dropped:int64)`` — ``text`` with duplicated
+    lines removed (empty string when every line was a dup). Exact modulo
+    128-bit line-hash collisions."""
+    import polars as pl
+
+    from .partitioning import auto_partitions
+
+    if partitions is None:
+        partitions = auto_partitions(ds)
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        texts = pl.from_arrow(batch[text_col].combine_chunks())
+        row_idx, line_no, lines = _line_long(texts, sep, words_per_line)
+        h1 = lines.hash(seed=67).to_numpy().astype(np.uint64)
+        h2 = lines.hash(seed=131).to_numpy().astype(np.uint64)
+        ids = batch[id_col].combine_chunks()
+        return pa.table(
+            {
+                "h1": pa.array(h1, pa.uint64()),
+                "h2": pa.array(h2, pa.uint64()),
+                "id": pc.take(ids, pa.array(row_idx, pa.int64())),
+                "line_no": pa.array(line_no, pa.int64()),
+                "part": pa.array((h1 % np.uint64(partitions)).astype(np.int32)),
+            }
+        )
+
+    slim = ds.map_batches(_emit, batch_format="pyarrow")
+
+    def _losers(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["id", "line_no"], kind="mergesort")
+        dup = g.groupby(["h1", "h2"], sort=False).cumcount() > 0
+        return g.loc[dup.to_numpy(), ["id", "line_no"]]
+
+    losers = slim.groupby("part").map_groups(_losers, batch_format="pandas")
+
+    # ONE doc-keyed exchange: docs (id, text, line_no=null) ∪ losers
+    # (id, text=null, line_no) — the duplicate_span_scrub group topology.
+    schema = ds.schema().base_schema
+    id_type = schema.field(id_col).type
+    text_type = schema.field(text_col).type
+
+    def _dpart(ids: pa.Array) -> pa.Array:
+        hp = pl.from_arrow(ids).hash(seed=29).to_numpy()
+        return pa.array((hp % np.uint64(partitions)).astype(np.int32))
+
+    def _tag_docs(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks()
+        return pa.table(
+            {
+                id_col: ids,
+                text_col: batch[text_col],
+                "line_no": pa.nulls(batch.num_rows, pa.int64()),
+                "dpart": _dpart(ids),
+            }
+        )
+
+    def _tag_losers(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["id"].combine_chunks(), id_type)
+        return pa.table(
+            {
+                id_col: ids,
+                text_col: pa.nulls(batch.num_rows, text_type),
+                "line_no": pc.cast(batch["line_no"], pa.int64()),
+                "dpart": _dpart(ids),
+            }
+        )
+
+    both = (
+        ds.map_batches(lambda b: _tag_docs(b.select([id_col, text_col])),
+                       batch_format="pyarrow")
+        .union(losers.map_batches(_tag_losers, batch_format="pyarrow"))
+    )
+    def _rebuild(group: pa.Table) -> pa.Table:
+        is_loser = pc.is_valid(group["line_no"])
+        docs = group.filter(pc.invert(is_loser))
+        drop = group.filter(is_loser)
+        texts = pl.from_arrow(docs[text_col].combine_chunks())
+        row_idx, line_no, lines = _line_long(texts, sep, words_per_line)
+        lens = np.bincount(row_idx, minlength=docs.num_rows).astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        doc_ids = docs[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        d_ids = drop[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(doc_ids, kind="mergesort")
+        d_rows = order[np.searchsorted(doc_ids[order], d_ids)] if len(d_ids) \
+            else np.empty(0, np.int64)
+        d_ln = drop["line_no"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep_flat = np.ones(int(offs[-1]), bool)
+        keep_flat[offs[d_rows] + d_ln] = False
+        kept_counts = (
+            np.add.reduceat(keep_flat.astype(np.int64), offs[:-1])
+            if offs[-1] else np.zeros(len(lens), np.int64)
+        )
+        kept_counts[lens == 0] = 0  # degenerate guard (split yields >= 1)
+        flat_arr = lines.to_arrow()
+        if isinstance(flat_arr, pa.ChunkedArray):
+            flat_arr = flat_arr.combine_chunks()
+        kept = flat_arr.take(pa.array(np.flatnonzero(keep_flat), pa.int64()))
+        new_off = np.concatenate([[0], np.cumsum(kept_counts)])
+        out_lists = pa.ListArray.from_arrays(
+            pa.array(new_off, pa.int32()) if new_off[-1] < 2**31
+            else pa.array(new_off), kept
+        )
+        joined = pc.binary_join(out_lists, pa.scalar(sep, flat_arr.type))
+        return pa.table(
+            {
+                id_col: docs[id_col],
+                text_col: pc.cast(joined, pa.string()),
+                "n_dropped": pa.array(lens - kept_counts, pa.int64()),
+            }
+        )
+
+    return both.groupby("dpart").map_groups(_rebuild, batch_format="pyarrow")
+
+
 def array_jaccard_pairs(ds, arr_col: str, id_col: str = "media_id", k: int = 64,
                         bands: int = 64, min_jaccard: float = 0.1,
                         partitions: int | None = None, max_bucket: int = 500,
