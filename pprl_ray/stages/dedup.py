@@ -313,38 +313,112 @@ def _band_index_meta_path(index_dir: str) -> str:
     return os.path.join(index_dir, "_meta.json")
 
 
+def _set_hashes(shingles: list[np.ndarray]) -> np.ndarray:
+    """Order-independent 64-bit hash of each row's (already de-duplicated)
+    shingle SET: XOR of per-element splitmix64 values, folded with the set
+    size. Equal sets <=> equal hashes modulo ~2^-64 accidents — the exact
+    CONFIRM tier of the band index (near-identical docs, which defeat
+    any signature-equality test with probability ~jaccard^k, share no
+    structure under XOR-of-hashes)."""
+    from ..sketches.hashing import splitmix64
+
+    lens = np.array([len(s) for s in shingles], dtype=np.int64)
+    flat = (np.concatenate(shingles) if len(shingles) and lens.sum()
+            else np.empty(0, dtype=np.uint64))
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    out = np.zeros(len(lens), dtype=np.uint64)
+    nz = lens > 0
+    if flat.size:
+        el = splitmix64(flat ^ np.uint64(0xA5A5_5A5A_DEAD_BEEF))
+        # reduceat over nonzero-row starts only: zero-length rows own no
+        # elements, so each segment ends exactly at the next nonzero start
+        out[nz] = np.bitwise_xor.reduceat(el, offs[:-1][nz])
+    with np.errstate(over="ignore"):
+        out ^= splitmix64(lens.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    return out
+
+
 def _band_rows(ds, text_col: str, id_col: str, k: int, bands: int,
                shingle_n: int, buckets: int):
-    """(id, band, band_key, bucket) rows for every doc: the
-    :class:`_MinHashStage` exploded banding plus the index's bucket
-    assignment (``band_key % buckets`` over the uint64 view, so bucket
-    routing is sign-stable)."""
-    stage = _MinHashStage(text_col=text_col, id_col=id_col, k=k, bands=bands,
-                          shingle_n=shingle_n)
+    """Slim per-doc index rows, ``bands`` per doc: (id, band, band_key,
+    bucket, set_hash, sbucket). ``bucket = band_key % buckets`` and
+    ``sbucket = set_hash % buckets`` (uint64 views, so routing is
+    sign-stable) drive partition-pruned index reads; ``set_hash`` is the
+    row's shingle-set hash (:func:`_set_hashes`), replicated across the
+    doc's band rows so ONE exchange feeds both index tiers (the ``band ==
+    0`` slice is exactly one row per doc)."""
+    from ..sketches.lsh import band_keys, minhash_signatures
 
-    def _with_bucket(batch: pa.Table) -> pa.Table:
-        t = stage(batch)
-        bk = t["band_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return t.append_column(
-            "bucket", pa.array((bk % np.uint64(buckets)).astype(np.int32))
+    def _emit(batch: pa.Table) -> pa.Table:
+        if "shingles" in batch.column_names:
+            shingles = [
+                np.frombuffer(b, dtype=np.uint64) for b in batch["shingles"].to_pylist()
+            ]
+        else:
+            shingles = shingle_tokens(batch, text_col, shingle_n)
+        sigs = minhash_signatures(shingles, k)
+        bkeys = band_keys(sigs, bands)  # (rows, bands)
+        shash = _set_hashes(shingles)
+        n = len(shingles)
+        ids = batch[id_col].combine_chunks() if isinstance(
+            batch[id_col], pa.ChunkedArray) else batch[id_col]
+        rep = np.repeat(np.arange(n), bands)
+        band_idx = np.tile(np.arange(bands), n)
+        bk = bkeys[rep, band_idx].astype(np.uint64)
+        sh = shash[rep]
+        return pa.table(
+            {
+                id_col: pc.take(ids, pa.array(rep, pa.int64())),
+                "band": pa.array(band_idx, pa.int32()),
+                "band_key": pa.array(bk.astype(np.int64), pa.int64()),
+                "bucket": pa.array((bk % np.uint64(buckets)).astype(np.int32)),
+                "set_hash": pa.array(sh.astype(np.int64), pa.int64()),
+                "sbucket": pa.array((sh % np.uint64(buckets)).astype(np.int32)),
+            }
         )
 
-    return ds.map_batches(_with_bucket, batch_format="pyarrow")
+    return ds.map_batches(_emit, batch_format="pyarrow")
+
+
+def _read_bucket(index_dir: str, tier: str, b: int, columns: list[str]):
+    """One pruned index read: tier subdir, single bucket partition.
+    Returns a pandas frame (empty when the partition doesn't exist)."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    d = os.path.join(index_dir, tier, f"{'bucket' if tier == 'bands' else 'sbucket'}={b}")
+    if not os.path.isdir(d):
+        return pd.DataFrame({c: [] for c in columns})
+    return pads.dataset(d).to_table(columns=columns).to_pandas()
+
+
+def _band0(batch: pa.Table) -> pa.Table:
+    """One row per doc from a replicated band-rows table (vectorised)."""
+    return batch.filter(pc.equal(batch["band"], 0))
 
 
 def write_band_index(ds, index_dir: str, id_col: str = "doc_id",
                      text_col: str = "text", k: int = 128, bands: int = 16,
                      shingle_n: int = 3, buckets: int = 64) -> int:
-    """Create a persistent MinHash BAND index from a (near-deduped)
+    """Create a persistent two-tier MinHash index from a (near-deduped)
     corpus — the near-duplicate analog of :func:`write_hash_index`:
-    DISTINCT ``(band, band_key)`` rows partitioned by ``band_key %
-    buckets`` so a later incremental run reads only the bucket
-    directories its new docs hash to. The index stores no doc ids and no
-    signatures — its size is O(distinct band keys), ~``bands`` small rows
-    per indexed doc. ``_meta.json`` pins (k, bands, shingle_n, buckets):
-    a mismatched parameterisation would silently miss every
-    near-duplicate, so reuse reads the parameters from the meta rather
-    than trusting the caller. Returns the number of indexed band keys."""
+
+    - ``bands/`` — DISTINCT ``(band, band_key)`` rows partitioned by
+      ``band_key % buckets``: the LSH PROBE tier (per-band match
+      probability ~ jaccard^(k/bands));
+    - ``sets/`` — DISTINCT shingle-set hashes partitioned by ``set_hash %
+      buckets``: the exact CONFIRM tier (equal hash <=> equal shingle
+      set, hash-accident-free unlike any signature-equality test).
+
+    A later incremental run reads only the bucket directories its new
+    docs hash to. The index stores no doc ids, no text and no
+    signatures — its size is O(distinct band keys + distinct sets), ~
+    ``bands + 1`` small rows per indexed doc. ``_meta.json`` pins (k,
+    bands, shingle_n, buckets): a mismatched parameterisation would
+    silently miss every near-duplicate, so reuse reads the parameters
+    from the meta rather than trusting the caller. Returns the number of
+    indexed band keys."""
     import json
     import os
 
@@ -355,54 +429,72 @@ def write_band_index(ds, index_dir: str, id_col: str = "doc_id",
         raise FileExistsError(f"band index already exists at {index_dir}")
     rows = _band_rows(ds, text_col, id_col, k, bands, shingle_n, buckets)
 
-    def _distinct(group: pd.DataFrame) -> pd.DataFrame:
+    def _distinct_bands(group: pd.DataFrame) -> pd.DataFrame:
         return group.drop_duplicates(subset=["band", "band_key"])[
             ["band", "band_key", "bucket"]
         ]
 
-    distinct = rows.groupby("bucket").map_groups(_distinct, batch_format="pandas")
-    distinct.write_parquet(index_dir, partition_cols=["bucket"])
-    n = sum(
-        pads.dataset(os.path.join(index_dir, d)).count_rows()
-        for d in os.listdir(index_dir)
-        if d.startswith("bucket=")
-    )
+    def _distinct_sets(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(subset=["set_hash"])[["set_hash", "sbucket"]]
+
+    rows = rows.materialize()
+    rows.groupby("bucket").map_groups(
+        _distinct_bands, batch_format="pandas"
+    ).write_parquet(os.path.join(index_dir, "bands"), partition_cols=["bucket"])
+    rows.map_batches(_band0, batch_format="pyarrow").groupby("sbucket").map_groups(
+        _distinct_sets, batch_format="pandas"
+    ).write_parquet(os.path.join(index_dir, "sets"), partition_cols=["sbucket"])
+
+    def _tier_count(tier: str) -> int:
+        root = os.path.join(index_dir, tier)
+        return sum(
+            pads.dataset(os.path.join(root, d)).count_rows()
+            for d in os.listdir(root)
+        )
+
+    n_keys, n_sets = _tier_count("bands"), _tier_count("sets")
     with open(meta_path, "w") as f:
         json.dump({"k": k, "bands": bands, "shingle_n": shingle_n,
-                   "buckets": buckets, "n_keys": n,
-                   "scheme": "splitmix64 shingles / lsh band keys v1"}, f)
-    return n
+                   "buckets": buckets, "n_keys": n_keys, "n_sets": n_sets,
+                   "scheme": "splitmix64 shingles / lsh band keys / xor set hash v2"}, f)
+    return n_keys
 
 
 def incremental_near_dedup(new_ds, index_dir: str, id_col: str = "doc_id",
                            text_col: str = "text", match_bands_min: int = 1,
-                           update_index: bool = True,
+                           confirm: str = "none", update_index: bool = True,
                            loser_broadcast_max: int = 5_000_000):
     """Near-dedup a NEW corpus version against a persisted band index (and
     against itself, min-id-first) without touching the old corpus: per
-    bucket group, read only ``index_dir/bucket=<b>/`` and count each new
-    doc's matched bands; docs matching in at least ``match_bands_min``
-    bands (the standard LSH OR-construction at 1; raise for precision)
-    are dropped. ``update_index=True`` appends the survivors' band keys
-    so the next version dedupes against v1 ∪ v2 — append cost is
-    proportional to the new version, never the corpus.
+    bucket group, read only ``<index>/bands/bucket=<b>/`` and count each
+    new doc's matched bands; docs matching in at least ``match_bands_min``
+    bands (the standard LSH OR-construction at 1; raise toward ``bands``
+    for precision) are dropped. ``update_index=True`` appends the
+    survivors' band keys and set hashes so the next version dedupes
+    against v1 ∪ v2 — append cost is proportional to the new version,
+    never the corpus.
 
-    Banding is the production incremental GATE: collisions are the same
-    candidate semantics as :func:`minhash_candidates` (per-band match
-    probability ~ jaccard^(k/bands)); exact Jaccard verification against
-    the OLD corpus would need its shingles, which the index deliberately
-    does not store — run :func:`near_dedup_corpus` for in-version exact
-    verification. Internal matches count per (band, band_key) with the
-    min-id doc surviving, consistent with the anonymous index semantics.
+    ``confirm="set"`` intersects the band gate with the exact CONFIRM
+    tier: a doc drops only when it passed the band gate AND its
+    shingle-set hash matches an indexed (or earlier-in-version) set. That
+    drops exactly the set-identical docs — near-identical docs survive
+    regardless of signature accidents (any signature-equality gate
+    wrongly drops a jaccard-j near-dup with probability ~j^k, which is
+    ~20% at j=0.99, k=128) — while still exercising the banded probe
+    path end-to-end. ``confirm="none"`` is the production LSH gate:
+    collisions are the same candidate semantics as
+    :func:`minhash_candidates`; exact Jaccard verification against the
+    OLD corpus would need its shingles, which the index deliberately does
+    not store — run :func:`near_dedup_corpus` for in-version exact
+    verification.
 
     Returns the kept Dataset (original columns; text never shuffled)."""
     import json
-    import os
-
-    import pyarrow.dataset as pads
 
     from .partitioning import compact_blocks
 
+    if confirm not in ("none", "set"):
+        raise ValueError(f"confirm must be 'none' or 'set', got {confirm!r}")
     with open(_band_index_meta_path(index_dir)) as f:
         meta = json.load(f)
     k, bands = int(meta["k"]), int(meta["bands"])
@@ -413,14 +505,11 @@ def incremental_near_dedup(new_ds, index_dir: str, id_col: str = "doc_id",
         .materialize()
     )
 
-    def _hits(group: pd.DataFrame) -> pd.DataFrame:
+    def _band_hits(group: pd.DataFrame) -> pd.DataFrame:
         b = int(group["bucket"].iloc[0])
         g = group.sort_values(id_col)
-        bucket_dir = os.path.join(index_dir, f"bucket={b}")
-        if os.path.isdir(bucket_dir):
-            idx = pads.dataset(bucket_dir).to_table(
-                columns=["band", "band_key"]
-            ).to_pandas()
+        idx = _read_bucket(index_dir, "bands", b, ["band", "band_key"])
+        if len(idx):
             seen = pd.MultiIndex.from_frame(idx)
             in_index = pd.MultiIndex.from_frame(g[["band", "band_key"]]).isin(seen)
         else:
@@ -428,7 +517,7 @@ def incremental_near_dedup(new_ds, index_dir: str, id_col: str = "doc_id",
         internal = g.duplicated(subset=["band", "band_key"], keep="first").to_numpy()
         return g.loc[in_index | internal, [id_col, "band"]]
 
-    hits = slim.groupby("bucket").map_groups(_hits, batch_format="pandas")
+    hits = slim.groupby("bucket").map_groups(_band_hits, batch_format="pandas")
 
     def _gate(group: pd.DataFrame) -> pd.DataFrame:
         if group["band"].nunique() >= match_bands_min:
@@ -436,39 +525,96 @@ def incremental_near_dedup(new_ds, index_dir: str, id_col: str = "doc_id",
         return group.head(0)[[id_col]]
 
     losers = hits.groupby(id_col).map_groups(_gate, batch_format="pandas")
+
+    if confirm == "set":
+        def _set_hits(group: pd.DataFrame) -> pd.DataFrame:
+            b = int(group["sbucket"].iloc[0])
+            g = group.sort_values(id_col)
+            idx = _read_bucket(index_dir, "sets", b, ["set_hash"])
+            in_index = g["set_hash"].isin(idx["set_hash"]).to_numpy() \
+                if len(idx) else np.zeros(len(g), dtype=bool)
+            internal = g.duplicated(subset=["set_hash"], keep="first").to_numpy()
+            return g.loc[in_index | internal, [id_col]]
+
+        set_losers = slim.map_batches(_band0, batch_format="pyarrow").groupby(
+            "sbucket"
+        ).map_groups(_set_hits, batch_format="pandas")
+
+        # gate ∩ confirm: tag each side, require both per id — slim
+        # loser-scale rows only, one id-keyed reduce
+        def _tag(which: int):
+            def _f(batch: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        id_col: batch[id_col],
+                        "tag": pa.array(
+                            np.full(batch.num_rows, which, dtype=np.int8)
+                        ),
+                    }
+                )
+
+            return _f
+
+        tagged = losers.map_batches(_tag(0), batch_format="pyarrow").union(
+            set_losers.map_batches(_tag(1), batch_format="pyarrow")
+        )
+
+        def _both(group: pd.DataFrame) -> pd.DataFrame:
+            if group["tag"].nunique() == 2:
+                return group.head(1)[[id_col]]
+            return group.head(0)[[id_col]]
+
+        losers = tagged.groupby(id_col).map_groups(_both, batch_format="pandas")
+
     kept, n_losers = anti_filter_ids(new_ds, losers, id_col,
                                      loser_broadcast_max)
 
     if update_index:
+        import os
+
         if n_losers:
             kept_rows, _ = anti_filter_ids(slim, losers, id_col,
                                            loser_broadcast_max)
         else:
             kept_rows = slim
 
-        def _append(group: pd.DataFrame) -> pd.DataFrame:
+        def _append_bands(group: pd.DataFrame) -> pd.DataFrame:
             b = int(group["bucket"].iloc[0])
             fresh = group.drop_duplicates(subset=["band", "band_key"])[
                 ["band", "band_key", "bucket"]
             ]
-            bucket_dir = os.path.join(index_dir, f"bucket={b}")
-            if os.path.isdir(bucket_dir):
-                idx = pads.dataset(bucket_dir).to_table(
-                    columns=["band", "band_key"]
-                ).to_pandas()
+            idx = _read_bucket(index_dir, "bands", b, ["band", "band_key"])
+            if len(idx):
                 seen = pd.MultiIndex.from_frame(idx)
                 fresh = fresh.loc[
                     ~pd.MultiIndex.from_frame(fresh[["band", "band_key"]]).isin(seen)
                 ]
             return fresh
 
-        appended = kept_rows.groupby("bucket").map_groups(
-            _append, batch_format="pandas"
+        def _append_sets(group: pd.DataFrame) -> pd.DataFrame:
+            b = int(group["sbucket"].iloc[0])
+            fresh = group.drop_duplicates(subset=["set_hash"])[["set_hash", "sbucket"]]
+            idx = _read_bucket(index_dir, "sets", b, ["set_hash"])
+            if len(idx):
+                fresh = fresh.loc[~fresh["set_hash"].isin(idx["set_hash"])]
+            return fresh
+
+        kept_rows = kept_rows.materialize()
+        new_bands = kept_rows.groupby("bucket").map_groups(
+            _append_bands, batch_format="pandas"
         ).materialize()
-        n_new = appended.count()
-        if n_new:
-            appended.write_parquet(index_dir, partition_cols=["bucket"])
-        meta["n_keys"] = int(meta.get("n_keys", 0)) + int(n_new)
+        new_sets = kept_rows.map_batches(_band0, batch_format="pyarrow").groupby(
+            "sbucket"
+        ).map_groups(_append_sets, batch_format="pandas").materialize()
+        nb, ns = new_bands.count(), new_sets.count()
+        if nb:
+            new_bands.write_parquet(os.path.join(index_dir, "bands"),
+                                    partition_cols=["bucket"])
+        if ns:
+            new_sets.write_parquet(os.path.join(index_dir, "sets"),
+                                   partition_cols=["sbucket"])
+        meta["n_keys"] = int(meta.get("n_keys", 0)) + int(nb)
+        meta["n_sets"] = int(meta.get("n_sets", 0)) + int(ns)
         with open(_band_index_meta_path(index_dir), "w") as f:
             json.dump(meta, f)
     return kept

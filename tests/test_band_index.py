@@ -126,3 +126,54 @@ def test_band_index_refuses_double_create(ray_session, tmp_path):
     write_band_index(rd.from_arrow(v1), idx)
     with pytest.raises(FileExistsError):
         write_band_index(rd.from_arrow(v1), idx)
+
+
+def test_confirm_set_drops_only_set_identical(ray_session, tmp_path):
+    """confirm='set': exact shingle-set duplicates drop; near-identical
+    docs survive even when every LSH band collides (the hash-accident
+    case a raw signature gate cannot avoid)."""
+    import ray.data as rd
+
+    from pprl_ray.stages.dedup import incremental_near_dedup, write_band_index
+
+    rng = np.random.default_rng(55)
+    base = _doc(rng, n=80)
+    v1 = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                   "text": pa.array([base, _doc(rng)])})
+    idx = str(tmp_path / "idxset")
+    write_band_index(rd.from_arrow(v1), idx)
+
+    near = base.rsplit(" ", 1)[0] + " zz"   # j < 1: set differs
+    internal = _doc(rng)
+    v2 = pa.table({
+        "doc_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        "text": pa.array([base, near, internal, internal, _doc(rng)]),
+    })
+    kept = incremental_near_dedup(
+        rd.from_arrow(v2).repartition(3), idx,
+        match_bands_min=1, confirm="set",
+    ).to_pandas()
+    # 10 = exact copy of indexed doc -> drop; 11 = near-dup (bands fire,
+    # set differs) -> keep; 13 = internal set-dup of 12 -> drop; 14 novel
+    assert sorted(kept["doc_id"]) == [11, 12, 14]
+
+    # chained: the updated index now holds v2 survivors' sets
+    v3 = pa.table({"doc_id": pa.array([20, 21], pa.int64()),
+                   "text": pa.array([internal, near])})
+    kept3 = incremental_near_dedup(
+        rd.from_arrow(v3), idx, match_bands_min=1, confirm="set",
+    ).to_pandas()
+    assert len(kept3) == 0  # both now indexed (empty to_pandas drops schema)
+
+
+def test_confirm_rejects_unknown_mode(ray_session, tmp_path):
+    import ray.data as rd
+
+    from pprl_ray.stages.dedup import incremental_near_dedup, write_band_index
+
+    v1 = pa.table({"doc_id": pa.array([0], pa.int64()),
+                   "text": pa.array(["a b c d e"])})
+    idx = str(tmp_path / "idx4")
+    write_band_index(rd.from_arrow(v1), idx)
+    with pytest.raises(ValueError, match="confirm"):
+        incremental_near_dedup(rd.from_arrow(v1), idx, confirm="exact")
