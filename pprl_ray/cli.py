@@ -335,6 +335,36 @@ def cmd_dedup(args) -> None:
 
         out = duplicate_span_scrub(ds, text_col=args.text_column,
                                    id_col=args.id_column, n=args.span_n)
+    elif args.method == "lines":
+        from .stages.dedup import line_dedup
+
+        out = line_dedup(ds, text_col=args.text_column, id_col=args.id_column,
+                         sep=args.line_sep, words_per_line=args.words_per_line)
+    elif args.method == "incremental-near":
+        import os
+
+        from .stages.dedup import (incremental_near_dedup, near_dedup_corpus,
+                                   write_band_index)
+
+        if not args.index_dir:
+            raise SystemExit("--method incremental-near requires --index-dir")
+        if not os.path.exists(os.path.join(args.index_dir, "_meta.json")):
+            # founding run: near-dedup the corpus itself (exact-verified,
+            # in-version) before indexing — same reasoning as incremental
+            kept = near_dedup_corpus(ds, text_col=args.text_column,
+                                     id_col=args.id_column,
+                                     threshold=args.threshold).materialize()
+            n = write_band_index(kept, args.index_dir, id_col=args.id_column,
+                                 text_col=args.text_column)
+            print(json.dumps({"command": "dedup",
+                              "band_index_created": args.index_dir,
+                              "n_band_keys": n}))
+            out = kept
+        else:
+            out = incremental_near_dedup(
+                ds, args.index_dir, id_col=args.id_column,
+                text_col=args.text_column,
+                match_bands_min=args.match_bands_min, confirm=args.confirm)
     else:
         raise ValueError(args.method)
     n = _write(out, args.output, args.format)
@@ -862,12 +892,24 @@ def main(argv: list[str] | None = None) -> None:
     sp.set_defaults(fn=cmd_profile)
 
     sp = sub.add_parser("dedup",
-                        help="exact / minhash / simhash / ngram / near / spans dedup")
+                        help="exact / minhash / simhash / ngram / near / spans "
+                             "/ lines / incremental / incremental-near dedup")
     common(sp)
     sp.add_argument("--method",
                     choices=("exact", "minhash", "simhash", "incremental",
-                             "ngram", "near", "spans"),
+                             "ngram", "near", "spans", "lines",
+                             "incremental-near"),
                     default="exact")
+    sp.add_argument("--line-sep", default="\n",
+                    help="lines: line separator for corpus-wide line dedup")
+    sp.add_argument("--words-per-line", type=int, default=None,
+                    help="lines: chunk into fixed word windows instead of "
+                         "splitting on --line-sep")
+    sp.add_argument("--match-bands-min", type=int, default=1,
+                    help="incremental-near: LSH bands that must match to drop")
+    sp.add_argument("--confirm", choices=("none", "set"), default="none",
+                    help="incremental-near: intersect the band gate with the "
+                         "exact set-hash tier")
     sp.add_argument("--span-n", type=int, default=50,
                     help="spans: word n-gram size for exact-substring removal")
     sp.add_argument("--text-column", default="text")

@@ -725,3 +725,70 @@ def test_cli_media_dedup_all_types(ray_session, tmp_path, capsys):
     got = pq.read_table(str(tmp_path / "audpairs"))
     pairs = set(zip(got["id_a"].to_pylist(), got["id_b"].to_pylist()))
     assert {("a0", "b0"), ("a1", "b1")} <= pairs
+
+
+def test_cli_dedup_lines_and_incremental_near(ray_session, tmp_path, capsys):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pprl_ray.cli import main
+
+    rng = np.random.default_rng(11)
+
+    def doc(n=40):
+        return " ".join(f"t{j}" for j in rng.integers(0, 150, n))
+
+    # lines: two docs share a boilerplate line; later occurrence dropped
+    docs = tmp_path / "ld.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["boiler plate\nalpha", "boiler plate\nbeta"]),
+            }
+        ),
+        str(docs),
+    )
+    main(["dedup", "--method", "lines", "--input", str(docs),
+          "--id-column", "doc_id", "--output", str(tmp_path / "ld_out")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 2
+    got = pq.read_table(str(tmp_path / "ld_out")).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert list(got["text"]) == ["boiler plate\nalpha", "beta"]
+    assert list(got["n_dropped"]) == [0, 1]
+
+    # incremental-near: founding run self-near-dedupes + builds the band
+    # index; second run drops exact copies of v1 docs under confirm=set
+    v1_texts = [doc() for _ in range(12)]
+    v1 = tmp_path / "v1.parquet"
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(12), pa.int64()),
+                  "text": pa.array(v1_texts + [])}),
+        str(v1),
+    )
+    idx = tmp_path / "bandidx"
+    main(["dedup", "--method", "incremental-near", "--input", str(v1),
+          "--id-column", "doc_id", "--index-dir", str(idx),
+          "--output", str(tmp_path / "nv1")])
+    lines = capsys.readouterr().out.strip().splitlines()
+    created = json.loads(lines[0])
+    assert created["band_index_created"] == str(idx)
+    v2 = tmp_path / "v2.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(100, 104), pa.int64()),
+                "text": pa.array([v1_texts[0], v1_texts[3], doc(), doc()]),
+            }
+        ),
+        str(v2),
+    )
+    main(["dedup", "--method", "incremental-near", "--input", str(v2),
+          "--id-column", "doc_id", "--index-dir", str(idx),
+          "--confirm", "set", "--output", str(tmp_path / "nv2")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 2
+    kept = pq.read_table(str(tmp_path / "nv2")).to_pandas()
+    assert sorted(kept["doc_id"]) == [102, 103]
