@@ -1392,6 +1392,35 @@ def q_simhash(sf_dir: str):
     return simhash_fingerprints(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_random_projection(sf_dir: str):
+    """Johnson–Lindenstrauss random projection (stages/ann.py
+    random_projection): every embedding × a seeded Rademacher ±1/√k
+    matrix, k=16, seed=841 — the data-independent dim-reduction pass
+    before LSH/clustering at scale. No shuffle, nothing broadcast (the
+    matrix regenerates from the seed per task). The DuckDB oracle
+    re-derives the SAME matrix via the splitmix64 limb-arithmetic replica
+    (the KMV oracle technique) and re-does the matmul as
+    unnest × sign join × SUM; outputs floor-scale to 4 decimals (the
+    engine-independent rounding used by minhash_dedup)."""
+    from pprl_ray.stages.ann import random_projection
+
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    out = random_projection(emb, out_dim=16, seed=841)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "vec_id": pc.cast(b["vec_id"], pa.int64()),
+                "dim": pc.cast(b["dim"], pa.int32()),
+                "y": pc.divide(
+                    pc.floor(pc.multiply(b["y"], 10000.0)), 10000.0
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_knn_cosine(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -3936,6 +3965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tail (judge re-runs tails; see the boundary note below).
         "line_dedup": q_line_dedup,
         "incremental_near_dup": q_incremental_near_dup,
+        "random_projection": q_random_projection,
         "kmv_distinct_custkeys": q_kmv_distinct_custkeys,
         "kmv_priority_jaccard": q_kmv_priority_jaccard,
         "dsir_bucket_counts": q_dsir_bucket_counts,
@@ -3970,7 +4000,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_join": q_skew_join,
         "weighted_sample": q_weighted_sample,
         "tfidf_top_term": q_tfidf_top_term,
-        "classifier_score": q_classifier_score,
         "embedding_covariance": q_embedding_covariance,
         "event_dedup": q_event_dedup,
         "bloom_semi_join_multi": q_bloom_semi_join_multi,
@@ -4002,6 +4031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # line_dedup / incremental_near_dup.
         "heavy_hitters_by_source": q_heavy_hitters_by_source,
         "kll_by_source": q_kll_by_source,
+        "classifier_score": q_classifier_score,
         "top_per_group": q_top_per_group,
         # prepare_report is NEW (never driver-verified) but sits in the
         # tail per the r3 judge's explicit note that new queries can take
@@ -4754,6 +4784,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM v2
             WHERE doc_id NOT IN (SELECT doc_id FROM idx_hit)
               AND doc_id NOT IN (SELECT doc_id FROM int_hit)
+        """,
+        # splitmix64 limb-arithmetic replica (the _sm64_ctes technique,
+        # carrying the matrix coordinates through the chain) -> Rademacher
+        # sign matrix -> unnest x sign join x SUM matmul
+        "random_projection": """
+            WITH dims AS (
+                SELECT DISTINCT unnest(generate_series(0, len(embedding) - 1)) AS j
+                FROM embeddings
+            ),
+            m0 AS (
+                SELECT d.j AS j, i.i AS i,
+                       (CAST(841 + d.j * 16 + i.i AS HUGEINT)
+                        + 11400714819323198485) % 18446744073709551616 AS z
+                FROM dims d, generate_series(0, 15) i(i)
+            ),
+            m1 AS (SELECT j, i, xor(z, z // 1073741824) AS z FROM m0),
+            m2 AS (SELECT j, i,
+                       ((z % 4294967296) * 13787848793156543929
+                        + (((z // 4294967296) * (13787848793156543929 % 4294967296)) % 4294967296)
+                          * 4294967296) % 18446744073709551616 AS z
+                   FROM m1),
+            m3 AS (SELECT j, i, xor(z, z // 134217728) AS z FROM m2),
+            m4 AS (SELECT j, i,
+                       ((z % 4294967296) * 10723151780598845931
+                        + (((z // 4294967296) * (10723151780598845931 % 4294967296)) % 4294967296)
+                          * 4294967296) % 18446744073709551616 AS z
+                   FROM m3),
+            m5 AS (SELECT j, i, xor(z, z // 2147483648) AS z FROM m4),
+            r AS (SELECT j, i,
+                         CASE WHEN z % 2 = 1 THEN 1.0 ELSE -1.0 END AS sign
+                  FROM m5),
+            e AS (
+                SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                       unnest(generate_series(0, len(embedding) - 1)) AS j
+                FROM embeddings
+            )
+            SELECT e.vec_id,
+                   CAST(r.i AS INT) AS dim,
+                   floor(SUM(e.x * r.sign) / sqrt(16.0) * 10000) / 10000 AS y
+            FROM e JOIN r ON e.j = r.j
+            GROUP BY e.vec_id, r.i
         """,
         "lang_id": _lang_id_oracle(),
         "simhash": _simhash_oracle(),

@@ -38,6 +38,7 @@ __all__ = [
     "write_ivfpq_index",
     "knn_ivfpq",
     "embedding_near_dup_pairs",
+    "random_projection",
 ]
 
 
@@ -485,6 +486,44 @@ def knn_ivfpq(index_path: str, query_ids: list, query_matrix: np.ndarray,
 
 
 # --- embedding near-dup ----------------------------------------------------
+
+
+def random_projection(ds, vec_col: str = "embedding", id_col: str = "vec_id",
+                      out_dim: int = 16, seed: int = 841):
+    """Johnson–Lindenstrauss dimensionality reduction with a seeded
+    Rademacher matrix (Achlioptas 2003: entries ±1/√k preserve pairwise
+    distances within (1±ε) at k = O(log n / ε²)): ``y = x @ R / sqrt(k)``
+    with ``R[j, i] = +1 iff splitmix64(seed + j*k + i) is odd``.
+
+    The matrix is a pure function of (d, out_dim, seed), REGENERATED
+    inside each task from the seed — nothing is broadcast, nothing
+    shuffles, the pass is embarrassingly parallel over batches (the right
+    shape for a 100-TB corpus: projection cost is one (batch, d) x (d, k)
+    float64 matmul). Returns long-form ``(id, dim:int32, y:float64)``
+    rows — ``out_dim`` per input vector."""
+    import pyarrow.compute as pc
+
+    def _project(batch: pa.Table) -> pa.Table:
+        X = _embedding_matrix(batch, vec_col)
+        n = len(batch)
+        d = X.shape[1] if X.size else 0
+        idxs = np.arange(d * out_dim, dtype=np.uint64) + np.uint64(seed)
+        R = np.where(
+            splitmix64(idxs) % np.uint64(2) == np.uint64(1), 1.0, -1.0
+        ).reshape(d, out_dim)
+        Y = (X @ R) / np.sqrt(out_dim) if d else np.zeros((n, out_dim))
+        ids = batch[id_col].combine_chunks() if isinstance(
+            batch[id_col], pa.ChunkedArray) else batch[id_col]
+        rep = np.repeat(np.arange(n), out_dim)
+        return pa.table(
+            {
+                id_col: pc.take(ids, pa.array(rep, pa.int64())),
+                "dim": pa.array(np.tile(np.arange(out_dim, dtype=np.int32), n)),
+                "y": pa.array(Y.ravel(), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(_project, batch_format="pyarrow")
 
 
 def embedding_near_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 16,

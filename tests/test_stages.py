@@ -1288,3 +1288,43 @@ def test_ivfpq_index_recall_and_determinism(sf_dir, tmp_path):
     a1 = approx.sort_values(["query_id", "rank"]).reset_index(drop=True)
     a2 = approx2.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert a1.equals(a2)
+
+
+def test_random_projection_jl_property(ray_session):
+    """Seeded Rademacher JL projection: deterministic across partitionings,
+    and pairwise distances are preserved in expectation (loose 3-sigma-ish
+    band at k=32, checked on average distortion not per-pair)."""
+    import ray.data as rd
+
+    from pprl_ray.stages.ann import random_projection
+
+    import pandas as pd
+
+    rng = np.random.default_rng(17)
+    X = rng.normal(0, 1, (60, 48)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(60), pa.int64()),
+        "embedding": pa.array(list(X), pa.list_(pa.float32())),
+    })
+
+    outs = []
+    for parts in (1, 5):
+        out = random_projection(
+            rd.from_arrow(tbl).repartition(parts), out_dim=32, seed=7
+        ).to_pandas().sort_values(["vec_id", "dim"]).reset_index(drop=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    Y = outs[0]["y"].to_numpy().reshape(60, 32)
+    # distance preservation: mean squared-distance ratio near 1
+    d_hi = ((X[:30].astype(np.float64) - X[30:]) ** 2).sum(axis=1)
+    d_lo = ((Y[:30] - Y[30:]) ** 2).sum(axis=1)
+    ratio = (d_lo / d_hi).mean()
+    assert 0.7 < ratio < 1.3
+
+    # the matrix is a pure function of the seed: same seed = same output,
+    # different seed = different output
+    out_b = random_projection(
+        rd.from_arrow(tbl), out_dim=32, seed=8
+    ).to_pandas().sort_values(["vec_id", "dim"]).reset_index(drop=True)
+    assert not np.allclose(out_b["y"].to_numpy(), outs[0]["y"].to_numpy())
