@@ -2869,30 +2869,31 @@ def q_incremental_near_dup(sf_dir: str):
     def _even(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.equal(pc.bit_wise_and(batch["doc_id"], 1), 0))
 
-    def _odd(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.equal(pc.bit_wise_and(batch["doc_id"], 1), 1))
-
-    def _copies(offset: int, parity: int, below: int):
-        def _f(batch: pa.Table) -> pa.Table:
-            m = pc.and_(
-                pc.equal(pc.bit_wise_and(batch["doc_id"], 1), parity),
-                pc.less(batch["doc_id"], below),
-            )
-            src = batch.filter(m)
-            return pa.table(
-                {"doc_id": pc.add(src["doc_id"], offset), "text": src["text"]}
-            )
-
-        return _f
+    def _v2(batch: pa.Table) -> pa.Table:
+        # ONE scan emits all three v2 slices: odd docs, exact copies of
+        # even docs < 100 (+500000), internal dup pairs of odd docs < 41
+        # (+700000)
+        parity = pc.bit_wise_and(batch["doc_id"], 1)
+        odd = batch.filter(pc.equal(parity, 1))
+        ce = batch.filter(pc.and_(pc.equal(parity, 0),
+                                  pc.less(batch["doc_id"], 100)))
+        co = odd.filter(pc.less(odd["doc_id"], 41))
+        return pa.concat_tables(
+            [
+                odd.select(["doc_id", "text"]),
+                pa.table({"doc_id": pc.add(ce["doc_id"], 500_000),
+                          "text": ce["text"]}),
+                pa.table({"doc_id": pc.add(co["doc_id"], 700_000),
+                          "text": co["text"]}),
+            ]
+        )
 
     v1 = docs.map_batches(_even, batch_format="pyarrow")
-    v2 = (
-        docs.map_batches(_odd, batch_format="pyarrow")
-        .union(docs.map_batches(_copies(500_000, 0, 100), batch_format="pyarrow"))
-        .union(docs.map_batches(_copies(700_000, 1, 41), batch_format="pyarrow"))
-    )
+    v2 = docs.map_batches(_v2, batch_format="pyarrow")
     idx = tempfile.mkdtemp(prefix="bandidx_", dir="/tmp")
-    write_band_index(v1, idx)
+    # 16 buckets at driver scale: same pruned-read topology, 4x fewer
+    # tiny partition files than the 100-TB default of 64
+    write_band_index(v1, idx, buckets=16)
     kept = incremental_near_dedup(v2, idx, match_bands_min=1, confirm="set")
     return kept.map_batches(
         lambda b: pa.table({"doc_id": pc.cast(b["doc_id"], pa.int64())}),

@@ -93,6 +93,9 @@ BENCH_QUERIES = [
     "embedding_covariance",
     "event_dedup",
     "bloom_semi_join_multi",
+    "line_dedup",
+    "incremental_near_dup",
+    "random_projection",
 ]
 
 

@@ -519,12 +519,24 @@ def incremental_near_dedup(new_ds, index_dir: str, id_col: str = "doc_id",
 
     hits = slim.groupby("bucket").map_groups(_band_hits, batch_format="pandas")
 
-    def _gate(group: pd.DataFrame) -> pd.DataFrame:
-        if group["band"].nunique() >= match_bands_min:
-            return group.head(1)[[id_col]]
-        return group.head(0)[[id_col]]
+    # id-keyed reduces below run per PARTITION group (ids co-locate via an
+    # id-hash column) with ONE vectorised pandas groupby inside — not one
+    # Python call per id
+    def _gpart(batch: pa.Table) -> pa.Table:
+        import polars as pl
 
-    losers = hits.groupby(id_col).map_groups(_gate, batch_format="pandas")
+        hp = pl.from_arrow(batch[id_col].combine_chunks()).hash(seed=37).to_numpy()
+        return batch.append_column(
+            "gpart", pa.array((hp % np.uint64(buckets)).astype(np.int32))
+        )
+
+    def _gate(group: pd.DataFrame) -> pd.DataFrame:
+        n = group.groupby(id_col, sort=False)["band"].nunique()
+        return n[n >= match_bands_min].index.to_frame(index=False, name=id_col)
+
+    losers = hits.map_batches(_gpart, batch_format="pyarrow").groupby(
+        "gpart"
+    ).map_groups(_gate, batch_format="pandas")
 
     if confirm == "set":
         def _set_hits(group: pd.DataFrame) -> pd.DataFrame:
@@ -560,11 +572,12 @@ def incremental_near_dedup(new_ds, index_dir: str, id_col: str = "doc_id",
         )
 
         def _both(group: pd.DataFrame) -> pd.DataFrame:
-            if group["tag"].nunique() == 2:
-                return group.head(1)[[id_col]]
-            return group.head(0)[[id_col]]
+            n = group.groupby(id_col, sort=False)["tag"].nunique()
+            return n[n == 2].index.to_frame(index=False, name=id_col)
 
-        losers = tagged.groupby(id_col).map_groups(_both, batch_format="pandas")
+        losers = tagged.map_batches(_gpart, batch_format="pyarrow").groupby(
+            "gpart"
+        ).map_groups(_both, batch_format="pandas")
 
     kept, n_losers = anti_filter_ids(new_ds, losers, id_col,
                                      loser_broadcast_max)
