@@ -1421,6 +1421,46 @@ def q_random_projection(sf_dir: str):
     )
 
 
+def q_pagerank(sf_dir: str):
+    """Distributed PageRank (stages/graph.py pagerank, 5 power iterations,
+    d=0.85) over the undirected order↔part bipartite graph from lineitem
+    (partkeys offset +10M into their own id space). Edges are
+    de-duplicated, degree-annotated and written hash-partitioned by src
+    ONCE; each iteration ships only the slim rank table through that
+    partitioning and pre-aggregates per-destination inside the partition.
+    Output is rank × N (mean 1.0), floor-scaled to 4 decimals — the
+    engine-independent rounding. The DuckDB oracle chains the identical
+    recurrence through 5 CTEs."""
+    from pprl_ray.stages.graph import pagerank
+
+    li = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        o = pc.cast(batch["l_orderkey"], pa.int64())
+        p = pc.add(pc.cast(batch["l_partkey"], pa.int64()), 10_000_000)
+        return pa.concat_tables(
+            [pa.table({"src": o, "dst": p}), pa.table({"src": p, "dst": o})]
+        )
+
+    edges = li.map_batches(_edges, batch_format="pyarrow")
+    ranks = pagerank(edges, iters=5, damping=0.85)
+    n_nodes = ranks.count()
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": pc.cast(batch["id"], pa.int64()),
+                "pr": pc.divide(
+                    pc.floor(pc.multiply(batch["r"], 10000.0 * n_nodes)),
+                    10000.0,
+                ),
+            }
+        )
+
+    return ranks.map_batches(_finish, batch_format="pyarrow")
+
+
 def q_knn_cosine(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -3967,6 +4007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": q_line_dedup,
         "incremental_near_dup": q_incremental_near_dup,
         "random_projection": q_random_projection,
+        "pagerank": q_pagerank,
         "kmv_distinct_custkeys": q_kmv_distinct_custkeys,
         "kmv_priority_jaccard": q_kmv_priority_jaccard,
         "dsir_bucket_counts": q_dsir_bucket_counts,
@@ -4001,7 +4042,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_join": q_skew_join,
         "weighted_sample": q_weighted_sample,
         "tfidf_top_term": q_tfidf_top_term,
-        "embedding_covariance": q_embedding_covariance,
         "event_dedup": q_event_dedup,
         "bloom_semi_join_multi": q_bloom_semi_join_multi,
         "theta_parts_by_order": q_theta_parts_by_order,
@@ -4033,6 +4073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_by_source": q_heavy_hitters_by_source,
         "kll_by_source": q_kll_by_source,
         "classifier_score": q_classifier_score,
+        "embedding_covariance": q_embedding_covariance,
         "top_per_group": q_top_per_group,
         # prepare_report is NEW (never driver-verified) but sits in the
         # tail per the r3 judge's explicit note that new queries can take
@@ -4538,6 +4579,46 @@ _SUPP_SRC = ("SELECT DISTINCT l_suppkey AS grp, "
              "CAST(l_partkey AS HUGEINT) AS v FROM lineitem")
 
 
+def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
+    """Chained-CTE replica of q_pagerank's fixed-count power iteration:
+    the same simplified recurrence r'(v) = (1-d)/N + d·Σ r(u)/deg(u),
+    unrolled once per iteration."""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+            r{i} AS (
+                SELECT n.id,
+                       (SELECT {1.0 - damping} / n FROM cnt)
+                       + {damping} * coalesce(s.c, 0) AS r
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS id, SUM(r.r / dg.dg) AS c
+                    FROM edges e
+                    JOIN r{i - 1} r ON r.id = e.src
+                    JOIN deg dg ON dg.src = e.src
+                    GROUP BY e.dst
+                ) s ON s.id = n.id
+            )""")
+    return f"""
+            WITH e0 AS (
+                SELECT DISTINCT l_orderkey AS s, l_partkey + 10000000 AS d
+                FROM lineitem
+            ),
+            edges AS (
+                SELECT s AS src, d AS dst FROM e0
+                UNION ALL
+                SELECT d, s FROM e0
+            ),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            deg AS (SELECT src, count(*) AS dg FROM edges GROUP BY src),
+            cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            r0 AS (SELECT id, 1.0 / (SELECT n FROM cnt) AS r FROM nodes),
+            {','.join(steps)}
+            SELECT id,
+                   floor(r * (SELECT n FROM cnt) * 10000) / 10000 AS pr
+            FROM r{iters}
+        """
+
+
 def _sm64_ctes(src_sql: str) -> str:
     return _SM64_CTES_TEMPLATE.replace("__SRC__", src_sql)
 
@@ -4827,6 +4908,7 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN r ON e.j = r.j
             GROUP BY e.vec_id, r.i
         """,
+        "pagerank": _pagerank_oracle(),
         "lang_id": _lang_id_oracle(),
         "simhash": _simhash_oracle(),
         "clk_mask_md5": _mask_oracle("xor(i0, i1) + s.i * xor(i2, i3)", 1024, 5),

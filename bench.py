@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "line_dedup",
     "incremental_near_dup",
     "random_projection",
+    "pagerank",
 ]
 
 

@@ -1,0 +1,77 @@
+"""Distributed PageRank (stages/graph.py): dense numpy reference parity,
+partitioning invariance, duplicate-edge dedup, sink-node teleport mass."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _numpy_pagerank(edges, iters=5, damping=0.85):
+    """Dense reference for the same simplified recurrence (no dangling
+    redistribution)."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for u, _ in set(edges):
+        deg[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1.0 - damping) / n)
+        for u, v in set(edges):
+            nxt[idx[v]] += damping * r[idx[u]] / deg[idx[u]]
+        r = nxt
+    return {v: r[idx[v]] for v in nodes}
+
+
+def _run(edges, parts, distributed=False, **kw):
+    import ray.data as rd
+
+    from pprl_ray.stages.graph import pagerank
+
+    t = pa.table({
+        "src": pa.array([u for u, _ in edges], pa.int64()),
+        "dst": pa.array([v for _, v in edges], pa.int64()),
+    })
+    out = pagerank(rd.from_arrow(t).repartition(parts), partitions=4,
+                   local_max_edges=0 if distributed else 2_000_000, **kw)
+    df = out.to_pandas().sort_values("id").reset_index(drop=True)
+    return dict(zip(df["id"], df["r"]))
+
+
+def test_pagerank_matches_dense_reference(ray_session):
+    rng = np.random.default_rng(3)
+    edges = [(int(u), int(v)) for u, v in rng.integers(0, 40, (300, 2))
+             if u != v]
+    edges += edges[:25]  # duplicate edges must collapse before degree calc
+    want = _numpy_pagerank(edges)
+    for distributed in (False, True):  # both hybrid paths, same recurrence
+        got = _run(edges, parts=5, distributed=distributed)
+        assert set(got) == set(want)
+        for v in want:
+            assert got[v] == pytest.approx(want[v], rel=1e-9)
+        # probability mass <= 1 (sinks leak, never gain)
+        assert sum(got.values()) <= 1.0 + 1e-9
+
+
+def test_pagerank_partitioning_invariant(ray_session):
+    rng = np.random.default_rng(9)
+    edges = [(int(u), int(v)) for u, v in rng.integers(0, 25, (120, 2))
+             if u != v]
+    a = _run(edges, parts=1, distributed=True)
+    b = _run(edges, parts=7, distributed=True)
+    assert set(a) == set(b)
+    for v in a:
+        assert a[v] == pytest.approx(b[v], rel=1e-12)
+
+
+def test_pagerank_sink_keeps_teleport(ray_session):
+    # 0 -> 1 -> 2 (sink): the sink's outgoing mass leaks by design, but
+    # every node keeps at least the teleport term
+    got = _run([(0, 1), (1, 2)], parts=1, iters=10)
+    n = 3
+    t = 0.15 / n
+    assert got[2] > got[1] > got[0] >= t - 1e-12
+    want = _numpy_pagerank([(0, 1), (1, 2)], iters=10)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-9)
