@@ -1421,6 +1421,33 @@ def q_random_projection(sf_dir: str):
     )
 
 
+def q_cosine_pairs(sf_dir: str):
+    """Sparse TF-IDF cosine all-pairs similarity join (stages/text.py
+    cosine_pairs, Bayardo et al. 2007 plan): broadcast df table, batch-
+    local normalized vectors, token-partition self-merges into partial
+    dot products, pair-keyed reduce, threshold 0.8. Floor-scaled to 4
+    decimals (boundary pair at sf0.01 sits 3.6e-6 below the threshold —
+    engine float noise is ~1e-15)."""
+    from pprl_ray.stages.text import cosine_pairs
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    pairs = cosine_pairs(docs, threshold=0.8)
+    return pairs.map_batches(
+        lambda b: pa.table(
+            {
+                "id_a": pc.cast(b["id_a"], pa.int64()),
+                "id_b": pc.cast(b["id_b"], pa.int64()),
+                "cosine": pc.divide(
+                    pc.floor(pc.multiply(pc.cast(b["cosine"], pa.float64()),
+                                         10000.0)),
+                    10000.0,
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_pagerank(sf_dir: str):
     """Distributed PageRank (stages/graph.py pagerank, 5 power iterations,
     d=0.85) over the undirected order↔part bipartite graph from lineitem
@@ -4008,6 +4035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_near_dup": q_incremental_near_dup,
         "random_projection": q_random_projection,
         "pagerank": q_pagerank,
+        "cosine_pairs": q_cosine_pairs,
         "kmv_distinct_custkeys": q_kmv_distinct_custkeys,
         "kmv_priority_jaccard": q_kmv_priority_jaccard,
         "dsir_bucket_counts": q_dsir_bucket_counts,
@@ -4042,7 +4070,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_join": q_skew_join,
         "weighted_sample": q_weighted_sample,
         "tfidf_top_term": q_tfidf_top_term,
-        "event_dedup": q_event_dedup,
         "bloom_semi_join_multi": q_bloom_semi_join_multi,
         "theta_parts_by_order": q_theta_parts_by_order,
         # exact_dedup swapped in for knn_cosine late round 4: the dedup
@@ -4074,6 +4101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kll_by_source": q_kll_by_source,
         "classifier_score": q_classifier_score,
         "embedding_covariance": q_embedding_covariance,
+        "event_dedup": q_event_dedup,
         "top_per_group": q_top_per_group,
         # prepare_report is NEW (never driver-verified) but sits in the
         # tail per the r3 judge's explicit note that new queries can take
@@ -4909,6 +4937,39 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY e.vec_id, r.i
         """,
         "pagerank": _pagerank_oracle(),
+        "cosine_pairs": """
+            WITH words AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ),
+            ntok AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+            tf AS (
+                SELECT doc_id, token, count(*) AS c FROM words
+                GROUP BY doc_id, token
+            ),
+            dfp AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            w AS (
+                SELECT tf.doc_id, tf.token,
+                       (tf.c * 1.0 / ntok.n)
+                       * ln(((SELECT count(*) FROM documents) + 1.0)
+                            / (dfp.df + 1.0)) AS w
+                FROM tf JOIN ntok USING (doc_id) JOIN dfp USING (token)
+            ),
+            nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nm FROM w GROUP BY doc_id),
+            wn AS (
+                SELECT w.doc_id, w.token, w.w / nrm.nm AS wn
+                FROM w JOIN nrm USING (doc_id)
+            ),
+            dots AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       SUM(a.wn * b.wn) AS cos
+                FROM wn a JOIN wn b
+                  ON a.token = b.token AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, floor(cos * 10000) / 10000 AS cosine
+            FROM dots WHERE cos >= 0.8
+        """,
         "lang_id": _lang_id_oracle(),
         "simhash": _simhash_oracle(),
         "clk_mask_md5": _mask_oracle("xor(i0, i1) + s.i * xor(i2, i3)", 1024, 5),

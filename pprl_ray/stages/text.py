@@ -650,6 +650,136 @@ def tfidf_top_terms(ds, n_docs: int, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def cosine_pairs(ds, n_docs: int | None = None, threshold: float = 0.8,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 max_df: int | None = None, partitions: int | None = None):
+    """Sparse TF-IDF cosine ALL-PAIRS similarity join — the weighted
+    complement of :func:`~pprl_ray.stages.dedup.ngram_jaccard_pairs`:
+    every doc pair whose L2-normalized TF-IDF vectors (w = (tf/n_tok) ·
+    ln((N+1)/(df+1))) have cosine ≥ ``threshold``. The inverted-index
+    partial-dot-product plan (Bayardo et al., WWW 2007 'Scaling Up All
+    Pairs Similarity Search', without the prefix filter):
+
+    1. global df table (one slim :func:`document_frequency` exchange),
+       broadcast worker-assembled (the tfidf_top_terms pattern);
+    2. each batch computes its docs' FULL normalized vectors locally (a
+       doc's tokens never leave its batch — tf, n_tok and the L2 norm
+       are all batch-local) and emits slim ``(token, id, wn)`` postings;
+    3. token-hash partition groups self-merge per token (one vectorised
+       pandas merge per group) into per-pair partial dot products;
+    4. one pair-keyed reduce sums partials and applies the threshold.
+
+    Cost is O(Σ_t df(t)²) partial rows — bounded on zipfian corpora by
+    ``max_df`` (tokens in more than max_df docs are dropped from the
+    VECTORS entirely, weights and norms both, so the result stays the
+    exact cosine of the pruned vocabulary). On a degenerate tiny-vocab
+    corpus every token is ubiquitous and the pair space is genuinely
+    dense — there is no sub-quadratic exact answer to return.
+
+    Returns ``(id_a, id_b, cosine:float64)`` with ``id_a < id_b``."""
+    import pandas as pd
+    import polars as pl
+    import ray
+
+    from .partitioning import auto_partitions
+
+    if n_docs is None:
+        n_docs = ds.count()
+    if partitions is None:
+        partitions = auto_partitions(ds)
+
+    df_ds = document_frequency(ds, text_col=text_col, partitions=partitions)
+
+    def _select(b: pa.Table) -> pa.Table:
+        t = b.select(["token", "df"])
+        if max_df is not None:
+            import pyarrow.compute as pc
+
+            t = t.filter(pc.less_equal(t["df"], max_df))
+        return t
+
+    df_ds = df_ds.map_batches(_select, batch_format="pyarrow").materialize()
+    refs = df_ds.to_arrow_refs()
+    schema = pa.schema([("token", pa.large_string()), ("df", pa.uint32())])
+
+    def _assemble(*tables):
+        ts = [t for t in tables if t.num_rows > 0]
+        return pa.concat_tables(ts).combine_chunks() if ts else schema.empty_table()
+
+    ref = (ray.remote(num_cpus=1)(_assemble).remote(*refs)
+           if refs else ray.put(schema.empty_table()))
+
+    def _postings(batch: pa.Table) -> pa.Table:
+        df_map = pl.from_arrow(ray.get(ref))
+        d = pl.DataFrame(
+            {
+                "id": pl.from_arrow(batch[id_col].combine_chunks()),
+                "token": pl.from_arrow(batch[text_col].combine_chunks()).str.split(" "),
+            }
+        )
+        words = d.explode("token")
+        tf = words.group_by(["id", "token"]).len(name="c")
+        ntok = words.group_by("id").len(name="n")
+        w = (
+            tf.join(ntok, on="id")
+            .join(df_map, on="token")  # inner: max_df-pruned tokens drop out
+            .with_columns(
+                (
+                    (pl.col("c") * 1.0 / pl.col("n"))
+                    * ((n_docs + 1.0) / (pl.col("df") + 1.0)).log()
+                ).alias("w")
+            )
+        )
+        norms = w.group_by("id").agg(
+            (pl.col("w") ** 2).sum().sqrt().alias("nm")
+        )
+        wn = w.join(norms, on="id").with_columns(
+            (pl.col("w") / pl.col("nm")).alias("wn")
+        )
+        h = wn["token"].hash(seed=59).to_numpy()
+        return wn.select(["token", "id", "wn"]).to_arrow().append_column(
+            "part", pa.array((h % np.uint64(partitions)).astype(np.int32))
+        )
+
+    postings = ds.map_batches(_postings, batch_format="pyarrow")
+
+    def _partials(group: pd.DataFrame) -> pd.DataFrame:
+        m = group.merge(group, on="token", suffixes=("_a", "_b"))
+        m = m[m["id_a"] < m["id_b"]]
+        if m.empty:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=group["id"].dtype),
+                 "id_b": pd.Series(dtype=group["id"].dtype),
+                 "d": pd.Series(dtype="float64")}
+            )
+        m["d"] = m["wn_a"] * m["wn_b"]
+        return m.groupby(["id_a", "id_b"], sort=False)["d"].sum().reset_index()
+
+    partials = postings.groupby("part").map_groups(_partials, batch_format="pandas")
+
+    def _pair_part(batch: pa.Table) -> pa.Table:
+        df = pl.DataFrame(
+            {
+                "id_a": pl.from_arrow(batch["id_a"].combine_chunks()),
+                "id_b": pl.from_arrow(batch["id_b"].combine_chunks()),
+            }
+        )
+        hp = (df.hash_rows(seed=71).to_numpy() % np.uint64(partitions)).astype(np.int32)
+        return batch.append_column("ppart", pa.array(hp))
+
+    def _reduce(group: pd.DataFrame) -> pd.DataFrame:
+        s = group.groupby(["id_a", "id_b"], sort=False)["d"].sum().reset_index(
+            name="cosine"
+        )
+        return s[s["cosine"] >= threshold]
+
+    return (
+        partials.map_batches(_pair_part, batch_format="pyarrow")
+        .groupby("ppart")
+        .map_groups(_reduce, batch_format="pandas")
+    )
+
+
 class PiiScrubStage:
     """Actor-pool PII redaction: patterns compile ONCE per actor
     (``__init__``), each batch is scrubbed vectorised via polars'

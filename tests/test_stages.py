@@ -1328,3 +1328,77 @@ def test_random_projection_jl_property(ray_session):
         rd.from_arrow(tbl), out_dim=32, seed=8
     ).to_pandas().sort_values(["vec_id", "dim"]).reset_index(drop=True)
     assert not np.allclose(out_b["y"].to_numpy(), outs[0]["y"].to_numpy())
+
+
+def test_cosine_pairs_matches_dense_reference(ray_session):
+    """Sparse TF-IDF cosine all-pairs vs a dense numpy reference."""
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from pprl_ray.stages.text import cosine_pairs
+
+    docs = {
+        0: "apple banana apple cherry",
+        1: "apple banana apple cherry",     # identical -> cosine 1
+        2: "apple banana date cherry",      # near
+        3: "elder fig grape elder",         # disjoint content words
+        4: "fig grape elder elder",         # near of 3
+    }
+
+    def dense():
+        vocab = sorted({w for t in docs.values() for w in t.split()})
+        n = len(docs)
+        dfreq = {v: sum(v in t.split() for t in docs.values()) for v in vocab}
+        vecs = {}
+        for d, t in docs.items():
+            ws = t.split()
+            vec = np.array([
+                (ws.count(v) / len(ws)) * math.log((n + 1) / (dfreq[v] + 1))
+                for v in vocab
+            ])
+            vecs[d] = vec / np.linalg.norm(vec)
+        out = {}
+        for a in docs:
+            for b in docs:
+                if a < b:
+                    out[(a, b)] = float(vecs[a] @ vecs[b])
+        return out
+
+    want = {k: v for k, v in dense().items() if v >= 0.5}
+    t = pa.table({
+        "doc_id": pa.array(sorted(docs), pa.int64()),
+        "text": pa.array([docs[k] for k in sorted(docs)]),
+    })
+    for parts in (1, 4):
+        got_df = cosine_pairs(
+            rd.from_arrow(t).repartition(parts), threshold=0.5
+        ).to_pandas()
+        got = {(int(r.id_a), int(r.id_b)): r.cosine for r in got_df.itertuples()}
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], rel=1e-12)
+    assert got[(0, 1)] == pytest.approx(1.0)
+
+
+def test_cosine_pairs_max_df_prunes_vocabulary(ray_session):
+    """max_df drops ubiquitous tokens from weights AND norms: the result
+    is the exact cosine of the pruned vocabulary."""
+    import ray.data as rd
+
+    from pprl_ray.stages.text import cosine_pairs
+
+    # 'the' appears in all docs; with max_df=2 it vanishes, making docs
+    # 0/1 identical on the surviving vocabulary
+    docs = ["the alpha beta", "the alpha beta", "the gamma delta"]
+    t = pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(docs),
+    })
+    got = cosine_pairs(
+        rd.from_arrow(t), threshold=0.9, max_df=2
+    ).to_pandas()
+    pairs = {(int(r.id_a), int(r.id_b)): r.cosine for r in got.itertuples()}
+    assert set(pairs) == {(0, 1)}
+    assert pairs[(0, 1)] == pytest.approx(1.0)
