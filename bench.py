@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "hll_distinct_tokens",
     "cms_token_counts",
     "kll_ntok_quantiles",
+    "ddsketch_ntok",
     "bloom_sources",
     "theta_distinct_parts",
     "kmv_distinct_custkeys",

@@ -28,6 +28,7 @@ from ..sketches import (
     BloomSketch,
     CMSSketch,
     CountSketch,
+    DDSketch,
     HistogramSketch,
     HLLSketch,
     KLLSketch,
@@ -60,6 +61,7 @@ SKETCH_CLASSES: dict[str, type] = {
     "countsketch": CountSketch,
     "kmv": KMVSketch,
     "moments": MomentsSketch,
+    "ddsketch": DDSketch,
 }
 
 

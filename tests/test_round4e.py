@@ -1,0 +1,37 @@
+"""Round-4 second-session additions: DDSketch distributed plumbing."""
+
+import numpy as np
+
+
+def test_fused_profile_with_ddsketch(ray_session):
+    """DDSketch rides the fused one-pass profile bit-identically to a
+    standalone sketch_by_key build AND to a local single-pass sketch
+    (its counter-add merge is exactly topology-invariant)."""
+    from pprl_ray.pipelines.profile import (
+        ProfileSpec, corpus_profile, finalize_profile,
+    )
+    from pprl_ray.sketches import DDSketch
+    from pprl_ray.sources.corpus import synth_corpus
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    c = synth_corpus(3000, override_num_blocks=4)
+    specs = [ProfileSpec("ntok_dd", "ddsketch", DDSketch, "n_tok", "source")]
+    fused = finalize_profile(corpus_profile(c, specs), specs)
+    alone = finalize_sketches(
+        sketch_by_key(c, DDSketch, "n_tok", "source"), DDSketch
+    )
+    assert {k for _, k in fused} == set(alone)
+    for (_, key), sk in fused.items():
+        assert sk.to_bytes() == alone[key].to_bytes()
+
+    # and equals a driver-local single sketch over the gathered column
+    rows = c.select_columns(["source", "n_tok"]).to_pandas()
+    for key, sk in alone.items():
+        local = DDSketch()
+        local.update(rows.loc[rows["source"] == key, "n_tok"].to_numpy())
+        assert sk.to_bytes() == local.to_bytes()
+        # relative-error contract on the distributed sketch
+        vals = np.sort(rows.loc[rows["source"] == key, "n_tok"].to_numpy())
+        for q in (0.5, 0.95):
+            true = float(vals[int(np.floor(q * (len(vals) - 1)))])
+            assert abs(sk.quantile(q) - true) <= true / 9 + 1e-9

@@ -10,6 +10,7 @@ from pprl_ray.sketches import (
     BloomSketch,
     CMSSketch,
     CountSketch,
+    DDSketch,
     HistogramSketch,
     HLLSketch,
     KLLSketch,
@@ -145,6 +146,7 @@ def _partitions(vals, n_parts, seed):
     (ThetaSketch, {"k": 256}),
     (KMVSketch, {"k": 256}),
     (HistogramSketch, {"lo": 0, "hi": 1000, "bins": 32}),
+    (DDSketch, {}),
 ])
 def test_exact_merge_order_invariance(cls, kwargs):
     """Bloom/HLL/CMS/MinHash merges must be bit-exact under any merge order
@@ -207,6 +209,7 @@ def test_quantile_merge_order_invariance_within_bound(cls, kwargs, tol):
     (ThetaSketch, {"k": 64}),
     (KMVSketch, {"k": 64}),
     (HistogramSketch, {"lo": 0, "hi": 1000, "bins": 32}),
+    (DDSketch, {}),
 ])
 def test_serialization_roundtrip(cls, kwargs):
     sk = cls(**kwargs)
@@ -525,3 +528,74 @@ class TestHLLSparse:
         back = HLLSketch.from_bytes(old)
         assert back.estimate() == sk.estimate()
         assert back.to_bytes() == sk.to_bytes()  # re-canonicalised to sparse
+
+
+class TestDDSketch:
+    """Relative-error quantiles (Masson et al., VLDB 2019) with the exact
+    rational gamma=5/4 mapping (sketches/ddsketch.py)."""
+
+    def test_exact_bucket_mapping_matches_definition(self):
+        from pprl_ray.sketches.ddsketch import exact_log_buckets
+
+        xs = np.arange(1, 20_001)
+        got = exact_log_buckets(xs)
+        for x in (1, 2, 5, 124, 125, 126, 19_999):
+            i = int(got[x - 1])
+            assert 5**i >= x * 4**i, (x, i)
+            assert i == 0 or 5 ** (i - 1) < x * 4 ** (i - 1), (x, i)
+
+    def test_relative_error_bound_all_quantiles(self):
+        vals = _zipf_stream(200_000)
+        sk = DDSketch()
+        sk.update(vals)
+        alpha = DDSketch.alpha()
+        sv = np.sort(vals)
+        for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 0.999):
+            true = float(sv[int(np.floor(q * (len(sv) - 1)))])
+            est = sk.quantile(q)
+            assert abs(est - true) <= alpha * true + 1e-9, (q, est, true)
+
+    def test_rational_rank_matches_float_api(self):
+        vals = _zipf_stream(50_000)
+        sk = DDSketch()
+        sk.update(vals)
+        for num, den in ((1, 2), (19, 20), (99, 100), (3, 4)):
+            assert sk.quantile_rational(num, den) == sk.quantile(num / den)
+
+    def test_merge_equals_single_pass_bitexact(self):
+        vals = _zipf_stream(100_000)
+        parts = _partitions(vals, 16, seed=11)
+        merged = DDSketch()
+        for p in parts:
+            other = DDSketch()
+            other.update(p)
+            merged.merge(other)
+        single = DDSketch()
+        single.update(vals)
+        assert merged.to_bytes() == single.to_bytes()
+
+    def test_collapse_bounds_bins_and_keeps_upper_quantiles(self):
+        vals = _zipf_stream(100_000)
+        tight = DDSketch(max_bins=16)
+        tight.update(vals)
+        assert len(tight.counts) <= 16
+        loose = DDSketch()
+        loose.update(vals)
+        # collapse only merges the LOWEST buckets: high quantiles unchanged
+        assert tight.quantile(0.99) == loose.quantile(0.99)
+        assert tight.n == loose.n
+
+    def test_rejects_nonpositive_and_float(self):
+        sk = DDSketch()
+        with pytest.raises(ValueError):
+            sk.update(np.array([3, 0, 7]))
+        with pytest.raises(TypeError):
+            sk.update(np.array([1.5, 2.5]))
+
+    def test_weighted_update_equals_repeats(self):
+        xs = np.array([3, 17, 17, 900])
+        a = DDSketch()
+        a.update(np.array([3, 17, 900]), counts=np.array([1, 2, 1]))
+        b = DDSketch()
+        b.update(xs)
+        assert a.to_bytes() == b.to_bytes()
