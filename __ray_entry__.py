@@ -1141,6 +1141,31 @@ def q_ddsketch_ntok(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_ams_f2(sf_dir: str):
+    """AMS second-frequency-moment readout (sketches/countsketch.py:f2):
+    per-returnflag self-join size on l_partkey, estimated as the median
+    over CountSketch rows of Σ counter² (Alon-Matias-Szegedy, STOC 1996).
+    The oracle REPLICATES the estimator in SQL — seeded splitmix64 via
+    HUGEINT limb arithmetic, bucketed sign-sums, Σc², quantile_disc
+    median — so the driver hash-verifies the sketch estimate itself, not
+    an exact shortcut. Integer-exact end to end."""
+    from pprl_ray.sketches import CountSketch
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_partkey"]
+    )
+    merged = sketch_by_key(
+        li, lambda: CountSketch(width=1 << 14, depth=5), "l_partkey", "l_returnflag"
+    )
+    sketches = finalize_sketches(merged, CountSketch)
+    rows = [
+        {"l_returnflag": k, "f2_est": np.int64(sk.f2())}
+        for k, sk in sorted(sketches.items())
+    ]
+    return pd.DataFrame(rows)
+
+
 def q_ntok_moments(sf_dir: str):
     """Exact mergeable moments UDAF (sketches/moments.py): per-source
     document-length mean/variance/skewness/kurtosis from EXACT integer
@@ -4121,6 +4146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # second-session additions enter the tail directly (VERDICT r3 #5:
         # "new queries can take the tail since I re-run tails myself").
         "ddsketch_ntok": q_ddsketch_ntok,
+        "ams_f2": q_ams_f2,
         "heavy_hitters": q_heavy_hitters,
         # heavy_hitters_by_source / kll_by_source: r2-driver-verified,
         # judge-re-verified in r3, code-untouched since — rotated out for
@@ -5551,6 +5577,46 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked
             WHERE rn = least(cnt, 64)
             ORDER BY o_orderpriority
+        """,
+        "ams_f2": """
+            WITH src AS (
+                SELECT l_returnflag AS grp, CAST(l_partkey AS HUGEINT) AS v,
+                       CAST(count(*) AS HUGEINT) AS f
+                FROM lineitem GROUP BY 1, 2
+            ),
+            -- per-row seed constants: splitmix64(d) for d=1..4, identity for d=0
+            -- (hash_ints XORs the value with splitmix64(seed) before mixing)
+            seeds(d, c) AS (VALUES
+                (0, CAST(0 AS HUGEINT)),
+                (1, CAST(10451216379200822465 AS HUGEINT)),
+                (2, CAST(10905525725756348110 AS HUGEINT)),
+                (3, CAST(2092789425003139053 AS HUGEINT)),
+                (4, CAST(7958955049054603978 AS HUGEINT))),
+            s0 AS (SELECT grp, d, f, xor(v, c) AS z FROM src, seeds),
+            s1 AS (SELECT grp, d, f,
+                       (z + 11400714819323198485) % 18446744073709551616 AS z
+                   FROM s0),
+            s2 AS (SELECT grp, d, f, xor(z, z // 1073741824) AS z FROM s1),
+            s3 AS (SELECT grp, d, f,
+                       ((z % 4294967296) * 13787848793156543929
+                        + (((z // 4294967296) * (13787848793156543929 % 4294967296)) % 4294967296)
+                          * 4294967296) % 18446744073709551616 AS z
+                   FROM s2),
+            s4 AS (SELECT grp, d, f, xor(z, z // 134217728) AS z FROM s3),
+            s5 AS (SELECT grp, d, f,
+                       ((z % 4294967296) * 10723151780598845931
+                        + (((z // 4294967296) * (10723151780598845931 % 4294967296)) % 4294967296)
+                          * 4294967296) % 18446744073709551616 AS z
+                   FROM s4),
+            s6 AS (SELECT grp, d, f, xor(z, z // 2147483648) AS z FROM s5),
+            ctr AS (SELECT grp, d, z % 16384 AS bucket,
+                           sum(CASE WHEN z // 9223372036854775808 = 1
+                                    THEN f ELSE -f END) AS c
+                    FROM s6 GROUP BY 1, 2, 3),
+            rowest AS (SELECT grp, d, sum(c * c) AS f2 FROM ctr GROUP BY 1, 2)
+            SELECT grp AS l_returnflag,
+                   CAST(quantile_disc(f2, 0.5) AS BIGINT) AS f2_est
+            FROM rowest GROUP BY grp ORDER BY grp
         """,
         "ddsketch_ntok": """
             WITH RECURSIVE pows(i, p5, p4) AS (

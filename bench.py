@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "cms_token_counts",
     "kll_ntok_quantiles",
     "ddsketch_ntok",
+    "ams_f2",
     "bloom_sources",
     "theta_distinct_parts",
     "kmv_distinct_custkeys",

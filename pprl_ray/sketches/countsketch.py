@@ -71,6 +71,33 @@ class CountSketch:
         """|est - true| <= 3*l2/sqrt(width) w.h.p. (median over depth rows)."""
         return 3.0 * l2_norm / self.width**0.5
 
+    # -- AMS readouts (Alon-Matias-Szegedy, STOC 1996) -------------------------
+    # A CountSketch row IS an AMS sketch with bucketed sign-sums: the sum of
+    # squared counters is an unbiased F2 (= self-join size) estimator with
+    # variance <= 2*F2^2/width per row; the median over the odd `depth` rows
+    # amplifies confidence. Exact-integer arithmetic (object dtype) so the
+    # readout is bit-reproducible and SQL-replicable at any magnitude.
+
+    def f2(self) -> int:
+        """Second frequency moment Σ f(x)² — the self-join size."""
+        ests = []
+        for d in range(self.depth):
+            row = self.table[d].astype(object)
+            ests.append(int((row * row).sum()))
+        return sorted(ests)[self.depth // 2]
+
+    def inner_product(self, other: "CountSketch") -> int:
+        """Unbiased ⟨f, g⟩ estimate (equi-join size between two streams) —
+        median over rows of Σ_k A[d,k]·B[d,k]. Unlike the CMS inner product
+        (an upper bound), this is unbiased and can under- or overestimate."""
+        assert (self.width, self.depth, self.seed) == (other.width, other.depth, other.seed)
+        ests = []
+        for d in range(self.depth):
+            a = self.table[d].astype(object)
+            b = other.table[d].astype(object)
+            ests.append(int((a * b).sum()))
+        return sorted(ests)[self.depth // 2]
+
     def to_bytes(self) -> bytes:
         return (
             struct.pack("<qqqq", self.width, self.depth, self.seed, self.total)

@@ -599,3 +599,42 @@ class TestDDSketch:
         b = DDSketch()
         b.update(xs)
         assert a.to_bytes() == b.to_bytes()
+
+
+def test_countsketch_ams_f2_and_inner_product():
+    """AMS readouts: f2 (self-join size) unbiased within ~2F2/sqrt(width)
+    per row; inner_product tracks the exact equi-join size."""
+    rng = np.random.default_rng(13)
+    a = rng.zipf(1.3, 120_000).clip(1, 50_000)
+    b = rng.zipf(1.3, 80_000).clip(1, 50_000)
+    ska = CountSketch(width=1 << 14, depth=5)
+    skb = CountSketch(width=1 << 14, depth=5)
+    for chunk in np.array_split(a, 9):
+        ska.update(chunk)
+    for chunk in np.array_split(b, 5):
+        skb.update(chunk)
+
+    _, fa = np.unique(a, return_counts=True)
+    exact_f2 = int((fa.astype(object) ** 2).sum())
+    est = ska.f2()
+    # median-of-5 rows, per-row std <= sqrt(2)*F2/sqrt(width): allow 6 sigma
+    tol = 6 * (2**0.5) * exact_f2 / (1 << 7)
+    assert abs(est - exact_f2) <= tol, (est, exact_f2)
+
+    ua, fa = np.unique(a, return_counts=True)
+    ub, fb = np.unique(b, return_counts=True)
+    common, ia, ib = np.intersect1d(ua, ub, return_indices=True)
+    exact_join = int((fa[ia].astype(object) * fb[ib].astype(object)).sum())
+    est_join = ska.inner_product(skb)
+    l2a = float(np.sqrt((fa.astype(np.float64) ** 2).sum()))
+    l2b = float(np.sqrt((fb.astype(np.float64) ** 2).sum()))
+    tol_j = 6 * l2a * l2b / (1 << 7)
+    assert abs(est_join - exact_join) <= tol_j, (est_join, exact_join)
+
+    # merge-then-read equals single-pass read (exact counter-add merge)
+    half1, half2 = a[: len(a) // 2], a[len(a) // 2 :]
+    s1 = CountSketch(width=1 << 14, depth=5)
+    s2 = CountSketch(width=1 << 14, depth=5)
+    s1.update(half1)
+    s2.update(half2)
+    assert s1.merge(s2).f2() == est
