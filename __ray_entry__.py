@@ -1141,6 +1141,19 @@ def q_ddsketch_ntok(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_domain_cap(sf_dir: str):
+    """Per-source cap sampling (stages/sample.py:cap_per_group): keep at
+    most 15 docs per source as the 15 smallest splitmix64(doc_id) keys —
+    uniform within-group without replacement, partitioning-invariant
+    (bijective hash = total order, no ties). Oracle: row_number() OVER
+    (PARTITION BY source ORDER BY z) with the splitmix64 limb replica."""
+    from pprl_ray.stages.sample import cap_per_group
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+    out = cap_per_group(ds, "source", "doc_id", 15).to_pandas()
+    return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+
 def q_ams_f2(sf_dir: str):
     """AMS second-frequency-moment readout (sketches/countsketch.py:f2):
     per-returnflag self-join size on l_partkey, estimated as the median
@@ -4147,6 +4160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # "new queries can take the tail since I re-run tails myself").
         "ddsketch_ntok": q_ddsketch_ntok,
         "ams_f2": q_ams_f2,
+        "domain_cap": q_domain_cap,
         "heavy_hitters": q_heavy_hitters,
         # heavy_hitters_by_source / kll_by_source: r2-driver-verified,
         # judge-re-verified in r3, code-untouched since — rotated out for
@@ -5577,6 +5591,32 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked
             WHERE rn = least(cnt, 64)
             ORDER BY o_orderpriority
+        """,
+        "domain_cap": """
+            WITH s0 AS (SELECT doc_id, source,
+                               CAST(doc_id AS HUGEINT) AS z FROM documents),
+            s1 AS (SELECT doc_id, source,
+                       (z + 11400714819323198485) % 18446744073709551616 AS z
+                   FROM s0),
+            s2 AS (SELECT doc_id, source, xor(z, z // 1073741824) AS z FROM s1),
+            s3 AS (SELECT doc_id, source,
+                       ((z % 4294967296) * 13787848793156543929
+                        + (((z // 4294967296) * (13787848793156543929 % 4294967296)) % 4294967296)
+                          * 4294967296) % 18446744073709551616 AS z
+                   FROM s2),
+            s4 AS (SELECT doc_id, source, xor(z, z // 134217728) AS z FROM s3),
+            s5 AS (SELECT doc_id, source,
+                       ((z % 4294967296) * 10723151780598845931
+                        + (((z // 4294967296) * (10723151780598845931 % 4294967296)) % 4294967296)
+                          * 4294967296) % 18446744073709551616 AS z
+                   FROM s4),
+            s6 AS (SELECT doc_id, source, xor(z, z // 2147483648) AS z FROM s5),
+            ranked AS (SELECT doc_id, source,
+                              row_number() OVER (PARTITION BY source
+                                                 ORDER BY z) AS rn
+                       FROM s6)
+            SELECT doc_id, source FROM ranked WHERE rn <= 15
+            ORDER BY source, doc_id
         """,
         "ams_f2": """
             WITH src AS (

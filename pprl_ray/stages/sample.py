@@ -34,7 +34,7 @@ import pyarrow as pa
 
 from ..functions.digest import md5_bucket32
 
-__all__ = ["weighted_sample_es", "hash_split", "temperature_mix"]
+__all__ = ["weighted_sample_es", "hash_split", "temperature_mix", "cap_per_group"]
 
 _U_DENOM = float(1 << 32)
 
@@ -94,6 +94,54 @@ def weighted_sample_es(ds, id_col: str, weight_col: str, k: int):
     top.sort(key=lambda r: r[id_col])
     df = pd.DataFrame(top)
     return df.drop(columns=["_es_key"])
+
+
+def cap_per_group(ds, group_col: str, id_col: str, k: int):
+    """Per-group cap ("domain balancing", the CommonCrawl-pipeline step
+    that stops one domain/source dominating a training mix): keep AT MOST
+    ``k`` rows per group, selected as the k SMALLEST ``splitmix64(id)``
+    keys — a uniform without-replacement sample within each group,
+    deterministic across runs, partitionings and cluster sizes (splitmix64
+    is bijective on the unique int ids, so the order is total and needs no
+    tie-break).
+
+    Scale shape: per-batch partial keeps ≤k per group (vectorised lexsort
+    + run-length cut, no Python loop), a bundled combiner pass shrinks the
+    candidate stream, and a tiny ``groupby(group).map_groups`` reduce —
+    over O(bundles · k) rows PER GROUP, never the corpus — picks the
+    global k. The full dataset streams through exactly once and is never
+    shuffled; only candidates move. Replicable in SQL as
+    ``row_number() OVER (PARTITION BY group ORDER BY splitmix64(id))``.
+    """
+    from ..sketches.hashing import splitmix64
+
+    def _candidates(batch: pa.Table) -> pa.Table:
+        if "_cap_key" in batch.column_names:
+            batch = batch.drop_columns(["_cap_key"])
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        if ids.dtype.kind not in "iu":
+            raise TypeError("cap_per_group needs an integer id column")
+        keys = splitmix64(ids.astype(np.uint64))
+        codes_arr = batch[group_col].combine_chunks().dictionary_encode()
+        codes = codes_arr.indices.to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, codes))  # group asc, key asc
+        sc = codes[order]
+        first = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        starts = np.repeat(first, np.diff(np.r_[first, len(sc)]))
+        take = order[np.arange(len(sc)) - starts < k]
+        out = batch.take(pa.array(take))
+        return out.append_column("_cap_key", pa.array(keys[take], pa.uint64()))
+
+    def _final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("_cap_key").head(k)
+        return g.drop(columns=["_cap_key"])
+
+    return (
+        ds.map_batches(_candidates, batch_format="pyarrow")
+        .map_batches(_candidates, batch_format="pyarrow", batch_size=8192)
+        .groupby(group_col)
+        .map_groups(_final, batch_format="pandas")
+    )
 
 
 def hash_split(ds, id_col: str, fractions: dict[str, float], salt: str = ""):

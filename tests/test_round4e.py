@@ -35,3 +35,33 @@ def test_fused_profile_with_ddsketch(ray_session):
         for q in (0.5, 0.95):
             true = float(vals[int(np.floor(q * (len(vals) - 1)))])
             assert abs(sk.quantile(q) - true) <= true / 9 + 1e-9
+
+
+def test_cap_per_group_partitioning_invariant(ray_session):
+    """Same sample under any block count; caps respected; small groups
+    pass through whole."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pprl_ray.stages.sample import cap_per_group
+
+    n = 5000
+    src = ["s%d" % (i % 7) for i in range(n)]
+    src[:3] = ["tiny"] * 3  # a group smaller than k
+    t = pa.table({"doc_id": list(range(n)), "source": src})
+
+    outs = []
+    for blocks in (2, 16):
+        ds = rd.from_arrow(t).repartition(blocks)
+        out = (
+            cap_per_group(ds, "source", "doc_id", 20)
+            .to_pandas()
+            .sort_values(["source", "doc_id"])
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    counts = outs[0].groupby("source").size()
+    assert (counts <= 20).all()
+    assert counts["tiny"] == 3
