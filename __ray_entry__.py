@@ -1141,6 +1141,45 @@ def q_ddsketch_ntok(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_window_heavy_hitters(sf_dir: str):
+    """Sketch × window composition: one mergeable Misra-Gries summary per
+    tumbling 1-day window over events (sketch_by_key keyed on the window),
+    top-10 user_ids per window by (estimate desc, user asc). MG capacity
+    4096 exceeds the fixture's per-window user cardinality (1356 max at
+    sf0.1), so no decrement fires and the estimates ARE the exact counts —
+    the oracle is plain windowed SQL top-k; the over-capacity undercount
+    bound is gated in tests/test_sketches.py."""
+    from pprl_ray.sketches import MGSketch
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def _win(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "win_day": pc.divide(us, 86_400_000_000),
+                "user_id": batch["user_id"],
+            }
+        )
+
+    merged = sketch_by_key(
+        ev.map_batches(_win, batch_format="pyarrow"),
+        lambda: MGSketch(4096),
+        "user_id",
+        "win_day",
+    )
+    sketches = finalize_sketches(merged, MGSketch)
+    rows = []
+    for win, sk in sorted(sketches.items(), key=lambda kv: int(kv[0])):
+        top = sorted(sk.counters.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        rows.extend(
+            {"win_day": np.int64(int(win)), "user_id": np.int64(u), "mg_estimate": np.int64(c)}
+            for u, c in top
+        )
+    return pd.DataFrame(rows)
+
+
 def q_domain_cap(sf_dir: str):
     """Per-source cap sampling (stages/sample.py:cap_per_group): keep at
     most 15 docs per source as the 15 smallest splitmix64(doc_id) keys —
@@ -4161,6 +4200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ddsketch_ntok": q_ddsketch_ntok,
         "ams_f2": q_ams_f2,
         "domain_cap": q_domain_cap,
+        "window_heavy_hitters": q_window_heavy_hitters,
         "heavy_hitters": q_heavy_hitters,
         # heavy_hitters_by_source / kll_by_source: r2-driver-verified,
         # judge-re-verified in r3, code-untouched since — rotated out for
@@ -5591,6 +5631,20 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked
             WHERE rn = least(cnt, 64)
             ORDER BY o_orderpriority
+        """,
+        "window_heavy_hitters": """
+            WITH w AS (
+                SELECT epoch_us(ts) // 86400000000 AS win_day, user_id
+                FROM events
+            ),
+            c AS (SELECT win_day, user_id, count(*) AS n
+                  FROM w GROUP BY 1, 2),
+            r AS (SELECT win_day, user_id, n,
+                         row_number() OVER (PARTITION BY win_day
+                                            ORDER BY n DESC, user_id) AS rn
+                  FROM c)
+            SELECT win_day, user_id, CAST(n AS BIGINT) AS mg_estimate
+            FROM r WHERE rn <= 10 ORDER BY win_day, mg_estimate DESC, user_id
         """,
         "domain_cap": """
             WITH s0 AS (SELECT doc_id, source,
