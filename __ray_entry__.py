@@ -1141,6 +1141,43 @@ def q_ddsketch_ntok(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_zipf_fit(sf_dir: str):
+    """Zipf power-law fit of the corpus rank-frequency curve: least-squares
+    slope/intercept of ln(count) vs ln(rank) over the top-2000 terms.
+    Distributed shape: the _word_counts pre-aggregated exchange, then each
+    partition group emits only its own top-2000 COUNTS (a mergeable
+    partial top-k of ints — token strings never leave the workers); the
+    driver merges O(partitions*2000) integers. Numeric determinism: ln via
+    math.log (bit-identical to DuckDB's libm ln, verified over 1..2e6,
+    unlike numpy's SIMD log), quantised to floor(ln*1e6) BIGINTs so every
+    regression sum is EXACT integer arithmetic — no float-summation-order
+    hazard — and the final slope/intercept divisions are performed in the
+    same expression order on both sides. Tie pairing is order-free: equal
+    counts swap ranks but produce the same (rank, count) pair multiset."""
+    import math
+
+    TOPN = 2000
+    counts = _word_counts(sf_dir)
+
+    def _topc(batch: pa.Table) -> pa.Table:
+        c = np.sort(batch["cnt"].to_numpy(zero_copy_only=False))[::-1][:TOPN]
+        return pa.table({"cnt": pa.array(c, pa.int64())})
+
+    cand = counts.map_batches(_topc, batch_format="pyarrow").take_all()
+    top = np.sort(np.array([r["cnt"] for r in cand], dtype=np.int64))[::-1][:TOPN]
+    n = len(top)
+    ys = [math.floor(math.log(float(c)) * 1e6) for c in top.tolist()]
+    xs = [math.floor(math.log(float(r)) * 1e6) for r in range(1, n + 1)]
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    intercept = (float(sy) - slope * float(sx)) / float(n) / 1e6
+    return pd.DataFrame(
+        [{"n_terms": np.int64(n), "zipf_slope": slope, "zipf_intercept": intercept}]
+    )
+
+
 def q_window_heavy_hitters(sf_dir: str):
     """Sketch × window composition: one mergeable Misra-Gries summary per
     tumbling 1-day window over events (sketch_by_key keyed on the window),
@@ -4201,6 +4238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ams_f2": q_ams_f2,
         "domain_cap": q_domain_cap,
         "window_heavy_hitters": q_window_heavy_hitters,
+        "zipf_fit": q_zipf_fit,
         "heavy_hitters": q_heavy_hitters,
         # heavy_hitters_by_source / kll_by_source: r2-driver-verified,
         # judge-re-verified in r3, code-untouched since — rotated out for
@@ -5631,6 +5669,32 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked
             WHERE rn = least(cnt, 64)
             ORDER BY o_orderpriority
+        """,
+        "zipf_fit": """
+            WITH counts AS (
+                SELECT count(*) AS c
+                FROM (SELECT unnest(string_split(text, ' ')) AS w
+                      FROM documents)
+                GROUP BY w
+            ),
+            top AS (SELECT c, row_number() OVER (ORDER BY c DESC) AS r
+                    FROM counts ORDER BY c DESC LIMIT 2000),
+            q AS (SELECT
+                    CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+                    CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y
+                  FROM top),
+            s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                         sum(x * y) AS sxy, sum(x * x) AS sxx
+                  FROM q)
+            SELECT CAST(n AS BIGINT) AS n_terms,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope,
+                   (CAST(sy AS DOUBLE)
+                    - (CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE))
+                      * CAST(sx AS DOUBLE))
+                       / CAST(n AS DOUBLE) / 1000000.0 AS zipf_intercept
+            FROM s
         """,
         "window_heavy_hitters": """
             WITH w AS (
