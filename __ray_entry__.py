@@ -1493,6 +1493,41 @@ def q_theta_source_overlap(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_theta_novel_tokens(sf_dir: str):
+    """Theta A-NOT-B set difference (sketches/theta.py:difference_estimate,
+    the canonical theta difference readout): per source, the number of
+    vocabulary tokens present in the full corpus (v2) but absent from the
+    v1 subset (doc_id % 7 != 0, corpus_drift's version simulation) — i.e.
+    vocabulary novelty introduced by the %7==0 docs. Exact below capacity
+    (31-word per-source vocab << k=4096), so the oracle is the exact SQL
+    anti-join word-set count; sources with no novelty emit 0."""
+    from pprl_ray.sketches import ThetaSketch
+    from pprl_ray.sources.corpus import derive_corpus, tokenize_words_batch
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    def _v1(t: pa.Table) -> pa.Table:
+        mod7 = pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 7), 7))
+        return t.filter(pc.not_equal(mod7, 0))
+
+    v2 = derive_corpus(sf_dir)
+    v1 = (
+        _docs(sf_dir, ["doc_id", "text", "source"])
+        .map_batches(_v1, batch_format="pyarrow")
+        .map_batches(tokenize_words_batch, batch_format="pyarrow")
+    )
+    s2 = finalize_sketches(
+        sketch_by_key(v2, lambda: ThetaSketch(4096), "tokens", "source"), ThetaSketch
+    )
+    s1 = finalize_sketches(
+        sketch_by_key(v1, lambda: ThetaSketch(4096), "tokens", "source"), ThetaSketch
+    )
+    rows = [
+        {"source": k, "theta_novel": round(s2[k].difference_estimate(s1[k]), 2)}
+        for k in sorted(s2)
+    ]
+    return pd.DataFrame(rows)
+
+
 def q_minhash_dedup(sf_dir: str):
     from pprl_ray.stages.dedup import minhash_dedup_pairs
 
@@ -4239,6 +4274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_cap": q_domain_cap,
         "window_heavy_hitters": q_window_heavy_hitters,
         "zipf_fit": q_zipf_fit,
+        "theta_novel_tokens": q_theta_novel_tokens,
         "heavy_hitters": q_heavy_hitters,
         # heavy_hitters_by_source / kll_by_source: r2-driver-verified,
         # judge-re-verified in r3, code-untouched since — rotated out for
@@ -5669,6 +5705,30 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked
             WHERE rn = least(cnt, 64)
             ORDER BY o_orderpriority
+        """,
+        "theta_novel_tokens": """
+            WITH w2 AS (
+                SELECT DISTINCT source, w
+                FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+                      FROM documents)
+            ),
+            w1 AS (
+                SELECT DISTINCT source, w
+                FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+                      FROM documents WHERE doc_id % 7 <> 0)
+            ),
+            novel AS (
+                SELECT source, count(*) AS c FROM w2
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM w1
+                    WHERE w1.source = w2.source AND w1.w = w2.w)
+                GROUP BY source
+            )
+            SELECT s.source,
+                   round(CAST(coalesce(n.c, 0) AS DOUBLE), 2) AS theta_novel
+            FROM (SELECT DISTINCT source FROM documents) s
+            LEFT JOIN novel n USING (source)
+            ORDER BY s.source
         """,
         "zipf_fit": """
             WITH counts AS (

@@ -165,6 +165,19 @@ class ThetaSketch:
         frac = float(t) / _SPACE if t != _FULL else 1.0
         return len(common) / frac
 
+    def difference_estimate(self, other: "ThetaSketch") -> float:
+        """A-NOT-B estimate |self \\ other| at the common threshold
+        (the canonical theta set-difference readout): count of self's
+        retained hashes below t that other did not retain, scaled by the
+        sampling fraction. Exact when both sketches are exact (bijective
+        hash => set relations over hashes equal set relations over
+        values)."""
+        t = self._common_threshold(self, other)
+        a = self.retained[self.retained < t]
+        only = np.setdiff1d(a, other.retained, assume_unique=True)
+        frac = float(t) / _SPACE if t != _FULL else 1.0
+        return len(only) / frac
+
     def jaccard_estimate(self, other: "ThetaSketch") -> float:
         """|A ∩ B| / |A ∪ B| ratio estimator at the common threshold.
 

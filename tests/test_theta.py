@@ -107,3 +107,25 @@ def test_empty_sketch():
     other = ThetaSketch(k=64)
     other.update(np.arange(5, dtype=np.int64))
     assert sk.merge(other).estimate() == 5.0
+
+
+def test_difference_estimate_exact_and_sampled():
+    import numpy as np
+
+    from pprl_ray.sketches import ThetaSketch
+
+    # exact regime: below capacity the A-NOT-B count is exact
+    a, b = ThetaSketch(4096), ThetaSketch(4096)
+    a.update(np.arange(0, 1000))
+    b.update(np.arange(400, 1400))
+    assert a.difference_estimate(b) == 400.0
+    assert b.difference_estimate(a) == 400.0
+    # degenerate: self-difference is zero
+    assert a.difference_estimate(a) == 0.0
+
+    # sampled regime: within ~3/sqrt(k-2) relative error of the truth
+    big_a, big_b = ThetaSketch(1024), ThetaSketch(1024)
+    big_a.update(np.arange(0, 200_000))
+    big_b.update(np.arange(120_000, 320_000))
+    est = big_a.difference_estimate(big_b)
+    assert abs(est - 120_000) / 120_000 < 3 / (1022) ** 0.5
