@@ -1493,6 +1493,24 @@ def q_theta_source_overlap(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_stratified_split(sf_dir: str):
+    """EXACT stratified 90/5/5 split (stages/sample.py:
+    stratified_split_exact): every source receives exactly (n*90)//100
+    train rows etc. — per-group proportions hold exactly, not just in
+    expectation like hash_split. Computed without any per-group sort:
+    distributed order statistics (per-group histograms of the splitmix64
+    key's top bits -> boundary-bucket gather -> broadcast thresholds).
+    Oracle: row_number() OVER (PARTITION BY source ORDER BY z) rank bands
+    over the splitmix64 limb replica."""
+    from pprl_ray.stages.sample import stratified_split_exact
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+    out = stratified_split_exact(
+        ds, "source", "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05}
+    )
+    return out.to_pandas().sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+
 def q_theta_novel_tokens(sf_dir: str):
     """Theta A-NOT-B set difference (sketches/theta.py:difference_estimate,
     the canonical theta difference readout): per source, the number of
@@ -4275,6 +4293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_heavy_hitters": q_window_heavy_hitters,
         "zipf_fit": q_zipf_fit,
         "theta_novel_tokens": q_theta_novel_tokens,
+        "stratified_split": q_stratified_split,
         "heavy_hitters": q_heavy_hitters,
         # heavy_hitters_by_source / kll_by_source: r2-driver-verified,
         # judge-re-verified in r3, code-untouched since — rotated out for
@@ -5705,6 +5724,35 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked
             WHERE rn = least(cnt, 64)
             ORDER BY o_orderpriority
+        """,
+        "stratified_split": """
+            WITH s0 AS (SELECT doc_id, source,
+                               CAST(doc_id AS HUGEINT) AS z FROM documents),
+            s1 AS (SELECT doc_id, source,
+                       (z + 11400714819323198485) % 18446744073709551616 AS z
+                   FROM s0),
+            s2 AS (SELECT doc_id, source, xor(z, z // 1073741824) AS z FROM s1),
+            s3 AS (SELECT doc_id, source,
+                       ((z % 4294967296) * 13787848793156543929
+                        + (((z // 4294967296) * (13787848793156543929 % 4294967296)) % 4294967296)
+                          * 4294967296) % 18446744073709551616 AS z
+                   FROM s2),
+            s4 AS (SELECT doc_id, source, xor(z, z // 134217728) AS z FROM s3),
+            s5 AS (SELECT doc_id, source,
+                       ((z % 4294967296) * 10723151780598845931
+                        + (((z // 4294967296) * (10723151780598845931 % 4294967296)) % 4294967296)
+                          * 4294967296) % 18446744073709551616 AS z
+                   FROM s4),
+            s6 AS (SELECT doc_id, source, xor(z, z // 2147483648) AS z FROM s5),
+            r AS (SELECT doc_id, source,
+                         row_number() OVER (PARTITION BY source ORDER BY z) AS rn,
+                         count(*) OVER (PARTITION BY source) AS n
+                  FROM s6)
+            SELECT doc_id, source,
+                   CASE WHEN rn <= (n * 90) // 100 THEN 'train'
+                        WHEN rn <= (n * 95) // 100 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM r ORDER BY source, doc_id
         """,
         "theta_novel_tokens": """
             WITH w2 AS (

@@ -34,7 +34,13 @@ import pyarrow as pa
 
 from ..functions.digest import md5_bucket32
 
-__all__ = ["weighted_sample_es", "hash_split", "temperature_mix", "cap_per_group"]
+__all__ = [
+    "weighted_sample_es",
+    "hash_split",
+    "temperature_mix",
+    "cap_per_group",
+    "stratified_split_exact",
+]
 
 _U_DENOM = float(1 << 32)
 
@@ -180,6 +186,156 @@ def hash_split(ds, id_col: str, fractions: dict[str, float], salt: str = ""):
             lab[(bucket >= lo) & (bucket < hi)] = name
             lo = hi
         return batch.append_column("split", pa.array(lab, pa.string()))
+
+    return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def stratified_split_exact(ds, group_col: str, id_col: str,
+                           fractions: dict[str, float], hist_bits: int = 12):
+    """EXACT stratified train/val/test split: every group receives exactly
+    ``(n_g * pct) // 100`` rows per band (cumulative integer bands over the
+    group's rows ranked by ``splitmix64(id)``) — unlike ``hash_split``,
+    where per-group proportions hold only in expectation.
+
+    Equivalent to ``row_number() OVER (PARTITION BY group ORDER BY
+    splitmix64(id)) <= (n*pct)//100`` — but computed WITHOUT any per-group
+    sort or shuffle of the data, via distributed order statistics:
+
+    1. one streaming pass builds per-(group, top-``hist_bits``-of-z) count
+       histograms (mergeable integer partials; ``groups × 2^hist_bits``
+       cells at most — a source taxonomy is small by construction, the
+       only thing the driver holds);
+    2. each band boundary rank is located in its histogram bucket; a second
+       streaming pass gathers ONLY the rows landing in boundary buckets
+       (expected ``n / 2^hist_bits`` rows per boundary) whose sorted keys
+       pin the exact threshold key of each boundary rank;
+    3. a third streaming pass assigns each row its band by binary search
+       against the broadcast per-group thresholds.
+
+    The corpus streams three times and never shuffles; only histograms and
+    boundary-bucket keys (tiny) move. The assignment is a pure function of
+    the row id — deterministic across runs, partitionings and cluster
+    sizes (splitmix64 is bijective on unique int ids: total order, no
+    ties). Like ``hash_split``, fractions must be whole percents summing
+    to 1 so the band edges are exact integers on any engine."""
+    from ..sketches.hashing import splitmix64
+
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    names = list(fractions)
+    pcts = [fractions[n] * 100 for n in names]
+    if any(abs(p - round(p)) > 1e-6 for p in pcts):
+        raise ValueError("fractions must be expressible in whole percent")
+    cum_pcts = np.cumsum([int(round(p)) for p in pcts]).tolist()  # ends at 100
+    shift = np.uint64(64 - hist_bits)
+
+    def _keys(batch: pa.Table) -> np.ndarray:
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        if ids.dtype.kind not in "iu":
+            raise TypeError("stratified_split_exact needs an integer id column")
+        return splitmix64(ids.astype(np.uint64))
+
+    # -- pass 1: per-(group, bucket) histograms ------------------------------
+    def _hist(batch: pa.Table) -> pa.Table:
+        z = _keys(batch)
+        bucket = (z >> shift).astype(np.int64)
+        g = batch[group_col].combine_chunks().dictionary_encode()
+        codes = g.indices.to_numpy(zero_copy_only=False)
+        uniques = g.dictionary.to_pylist()
+        pair = codes.astype(np.int64) * (1 << hist_bits) + bucket
+        up, cnt = np.unique(pair, return_counts=True)
+        unames = np.array([str(u) for u in uniques], dtype=object)
+        return pa.table(
+            {
+                "group": pa.array(unames[up >> hist_bits], pa.string()),
+                "bucket": pa.array(up & ((1 << hist_bits) - 1), pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    parts = pd.DataFrame(
+        ds.map_batches(_hist, batch_format="pyarrow").take_all()
+    )
+    hist = parts.groupby(["group", "bucket"])["cnt"].sum()
+
+    # boundary ranks per group: cumulative (n*pct)//100, last band = n
+    boundary_buckets: dict[tuple[str, int], list[tuple[str, int, int]]] = {}
+    group_sizes = hist.groupby(level=0).sum()
+    for grp, n in group_sizes.items():
+        buckets = hist.loc[grp]
+        cum = buckets.cumsum()
+        for j, cp in enumerate(cum_pcts[:-1]):  # the last edge is n itself
+            r = (int(n) * cp) // 100
+            if r == 0:
+                continue  # empty prefix band: sentinel threshold 0
+            bidx = int(cum.searchsorted(r))  # first bucket with cum >= r
+            bucket_id = int(cum.index[bidx])
+            before = int(cum.iloc[bidx - 1]) if bidx else 0
+            boundary_buckets.setdefault((grp, bucket_id), []).append(
+                (grp, j, r - before)  # offset-th smallest key in the bucket
+            )
+
+    # -- pass 2: gather only boundary-bucket keys -----------------------------
+    bmap: dict[str, np.ndarray] = {}
+    for g_, b_ in boundary_buckets:
+        bmap.setdefault(g_, []).append(b_)
+    bmap = {g_: np.array(sorted(bs), dtype=np.int64) for g_, bs in bmap.items()}
+
+    def _gather(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        z = _keys(batch)
+        bucket = (z >> shift).astype(np.int64)
+        genc = batch[group_col].combine_chunks().dictionary_encode()
+        codes = genc.indices.to_numpy(zero_copy_only=False)
+        uniques = genc.dictionary.to_pylist()
+        keep = np.zeros(len(z), dtype=bool)
+        for code, grp in enumerate(uniques):
+            bs = bmap.get(str(grp))
+            if bs is not None:
+                m = codes == code
+                keep[m] = np.isin(bucket[m], bs)
+        idx = np.flatnonzero(keep)
+        return pa.table(
+            {
+                "group": pc.take(
+                    batch[group_col].combine_chunks().cast(pa.string()), pa.array(idx)
+                ),
+                "bucket": pa.array(bucket[idx], pa.int64()),
+                "z": pa.array(z[idx], pa.uint64()),
+            }
+        )
+
+    cand = pd.DataFrame(ds.map_batches(_gather, batch_format="pyarrow").take_all())
+    thresholds: dict[str, np.ndarray] = {
+        str(g): np.zeros(len(cum_pcts) - 1, dtype=np.uint64) for g in group_sizes.index
+    }
+    if len(cand):
+        for (grp, bucket_id), wants in boundary_buckets.items():
+            zs = np.sort(
+                cand.loc[
+                    (cand["group"] == grp) & (cand["bucket"] == bucket_id), "z"
+                ].to_numpy().astype(np.uint64)
+            )
+            for _, j, off in wants:
+                thresholds[grp][j] = zs[off - 1]
+
+    # -- pass 3: assign bands by binary search against the thresholds ---------
+    name_arr = list(names)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        z = _keys(batch)
+        g = batch[group_col].combine_chunks().dictionary_encode()
+        codes = g.indices.to_numpy(zero_copy_only=False)
+        uniques = g.dictionary.to_pylist()
+        band = np.zeros(len(z), dtype=np.int64)
+        for code, grp in enumerate(uniques):
+            mask = codes == code
+            th = thresholds[str(grp)]
+            band[mask] = np.searchsorted(th, z[mask], side="left")
+        lab = pa.array([name_arr[b] for b in band.tolist()], pa.string())
+        return batch.append_column("split", lab)
 
     return ds.map_batches(_assign, batch_format="pyarrow")
 
