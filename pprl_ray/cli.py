@@ -422,14 +422,20 @@ def cmd_mix(args) -> None:
 
 
 def cmd_split(args) -> None:
-    from .stages.sample import hash_split
+    from .stages.sample import hash_split, stratified_split_exact
 
     fractions = {}
     for part in args.fractions.split(","):
         name, _, frac = part.partition("=")
         fractions[name.strip()] = float(frac)
     ds = _read(args.input)
-    out = hash_split(ds, args.id_column, fractions, salt=args.salt)
+    if args.stratified:
+        if args.salt:
+            raise SystemExit("--salt applies to the hash split only")
+        out = stratified_split_exact(ds, args.group_column, args.id_column,
+                                     fractions)
+    else:
+        out = hash_split(ds, args.id_column, fractions, salt=args.salt)
     if args.partition_output:
         out.write_parquet(args.output, partition_cols=["split"])
         n = out.count()
@@ -571,12 +577,22 @@ def cmd_index(args) -> None:
 
 
 def cmd_sample(args) -> None:
-    """Deterministic weighted sample (Efraimidis–Spirakis, md5-keyed)."""
+    """Deterministic weighted sample (Efraimidis–Spirakis, md5-keyed), or —
+    with --per-group — a uniform ≤k-per-group cap (domain balancing)."""
     import ray.data as rd
 
-    from .stages.sample import weighted_sample_es
+    from .stages.sample import cap_per_group, weighted_sample_es
 
     ds = _read(args.input)
+    if args.per_group:
+        out = cap_per_group(ds, group_col=args.group_column,
+                            id_col=args.id_column, k=args.k)
+        n = _write(out, args.output, args.format)
+        print(json.dumps({"command": "sample", "mode": "cap-per-group",
+                          "k": args.k, "rows": n, "output": args.output}))
+        return
+    if not args.weight_column:
+        raise SystemExit("--weight-column is required without --per-group")
     df = weighted_sample_es(ds, id_col=args.id_column,
                             weight_col=args.weight_column, k=args.k)
     n = _write(rd.from_pandas(df), args.output, args.format)
@@ -955,6 +971,10 @@ def main(argv: list[str] | None = None) -> None:
                                                "touching ids")
     sp.add_argument("--partition-output", action="store_true",
                     help="write parquet partitioned by split= directories")
+    sp.add_argument("--stratified", action="store_true",
+                    help="EXACT per-group proportions (distributed order "
+                         "statistics) instead of in-expectation hash bands")
+    sp.add_argument("--group-column", default="source")
     sp.set_defaults(fn=cmd_split)
 
     sp = sub.add_parser("search", help="BM25 top-k retrieval for a fixed query")
@@ -1021,8 +1041,12 @@ def main(argv: list[str] | None = None) -> None:
     sp = sub.add_parser("sample",
                         help="deterministic weighted sample without replacement")
     common(sp)
-    sp.add_argument("--weight-column", required=True)
+    sp.add_argument("--weight-column", default=None)
     sp.add_argument("-k", type=int, default=100)
+    sp.add_argument("--per-group", action="store_true",
+                    help="keep <= k rows PER GROUP (uniform by splitmix64 "
+                         "rank) instead of a global weighted sample")
+    sp.add_argument("--group-column", default="source")
     sp.set_defaults(fn=cmd_sample)
 
     sp = sub.add_parser("dsir",

@@ -792,3 +792,37 @@ def test_cli_dedup_lines_and_incremental_near(ray_session, tmp_path, capsys):
     assert out["rows"] == 2
     kept = pq.read_table(str(tmp_path / "nv2")).to_pandas()
     assert sorted(kept["doc_id"]) == [102, 103]
+
+
+def test_cli_stratified_split_and_group_cap(ray_session, tmp_path, capsys):
+    docs = tmp_path / "d.parquet"
+    n = 400
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "source": pa.array(["s%d" % (i % 4) for i in range(n)]),
+            }
+        ),
+        str(docs),
+    )
+
+    main(["split", "--input", str(docs), "--id-column", "doc_id",
+          "--stratified", "--group-column", "source",
+          "--fractions", "train=0.9,val=0.05,test=0.05",
+          "--output", str(tmp_path / "strat")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == n
+    tagged = pq.read_table(str(tmp_path / "strat")).to_pandas()
+    counts = tagged.groupby(["source", "split"]).size().unstack(fill_value=0)
+    assert (counts["train"] == 90).all()  # EXACT per group, not expected
+    assert (counts["val"] == 5).all()
+    assert (counts["test"] == 5).all()
+
+    main(["sample", "--input", str(docs), "--id-column", "doc_id",
+          "--per-group", "--group-column", "source", "-k", "7",
+          "--output", str(tmp_path / "capped")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "cap-per-group"
+    capped = pq.read_table(str(tmp_path / "capped")).to_pandas()
+    assert (capped.groupby("source").size() == 7).all()
