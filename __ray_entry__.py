@@ -1493,6 +1493,25 @@ def q_theta_source_overlap(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+_DECAY_HORIZON_US = 1_706_745_600_000_000  # 2024-02-01T00:00:00Z, past all events
+
+
+def q_decayed_sum(sf_dir: str):
+    """Recency-weighted aggregate (stages/window.py:decayed_sum): per
+    event_type, sum of value * 0.5^age_days against a fixed horizon —
+    computed EXACTLY (micro-unit ints, per-(key, age) mergeable sums,
+    big-int 2^(64-d) fold), so the float readout is bit-reproducible and
+    the oracle replicates it with a HUGEINT powers CTE. The only exchange
+    is the keys x 64 ages partial table."""
+    from pprl_ray.stages.window import decayed_sum
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    out = decayed_sum(ev, "event_type", "ts", "value", _DECAY_HORIZON_US)
+    return out.to_pandas().sort_values("event_type").reset_index(drop=True)
+
+
 def q_stratified_split(sf_dir: str):
     """EXACT stratified 90/5/5 split (stages/sample.py:
     stratified_split_exact): every source receives exactly (n*90)//100
@@ -4294,6 +4313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_fit": q_zipf_fit,
         "theta_novel_tokens": q_theta_novel_tokens,
         "stratified_split": q_stratified_split,
+        "decayed_sum": q_decayed_sum,
         "heavy_hitters": q_heavy_hitters,
         # heavy_hitters_by_source / kll_by_source: r2-driver-verified,
         # judge-re-verified in r3, code-untouched since — rotated out for
@@ -5724,6 +5744,25 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked
             WHERE rn = least(cnt, 64)
             ORDER BY o_orderpriority
+        """,
+        "decayed_sum": """
+            WITH RECURSIVE pw(d, p) AS (
+                SELECT 0, CAST(1 AS HUGEINT)
+                UNION ALL SELECT d + 1, p * 2 FROM pw WHERE d < 64
+            ),
+            e AS (SELECT event_type,
+                         least((1706745600000000 - epoch_us(ts))
+                               // 86400000000, 63) AS age,
+                         CAST(round(value * 1000000, 0) AS BIGINT) AS vu
+                  FROM events),
+            s AS (SELECT event_type, age, sum(vu) AS su FROM e GROUP BY 1, 2),
+            t AS (SELECT event_type,
+                         sum(CAST(su AS HUGEINT) * pw.p) AS total
+                  FROM s JOIN pw ON pw.d = 64 - s.age GROUP BY 1)
+            SELECT event_type,
+                   CAST(total AS DOUBLE) / 18446744073709551616.0 / 1000000.0
+                       AS decayed_value
+            FROM t ORDER BY event_type
         """,
         "stratified_split": """
             WITH s0 AS (SELECT doc_id, source,

@@ -19,7 +19,13 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["sessionize", "running_aggregate", "hop_windows", "latest_by_key"]
+__all__ = [
+    "sessionize",
+    "running_aggregate",
+    "hop_windows",
+    "latest_by_key",
+    "decayed_sum",
+]
 
 
 def _hash_partition(col: "pa.ChunkedArray | pa.Array", partitions: int) -> "np.ndarray":
@@ -204,4 +210,69 @@ def latest_by_key(ds, key_col: str, order_cols, partitions: int | None = None,
         ds.map_batches(_partial, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(_reduce, batch_format="pandas")
+    )
+
+
+def decayed_sum(ds, key_col: str, ts_col: str, val_col: str,
+                horizon_us: int, half_life_days: int = 1,
+                max_days: int = 64):
+    """Exponentially-decayed (time-weighted) sum per key: each event
+    contributes ``value * 0.5 ** (age_days / half_life_days)`` where
+    ``age_days = (horizon_us - ts_us) // 86400_000_000`` — the classic
+    recency-weighted aggregate of feature stores / trending metrics,
+    computed EXACTLY.
+
+    Exact-arithmetic design (no float pow, no summation-order hazard):
+    values are quantised to integer micro-units, ages to whole half-life
+    periods; the streaming pass reduces per ``(key, age)`` integer sums
+    (mergeable, at most ``max_days`` ages per key ever held), and the
+    closing fold computes ``sum_u(key, d) * 2**(max_days - d)`` in exact
+    big-int arithmetic — ``2**-d`` is exactly representable, so the final
+    ``/ 2**max_days / 1e6`` float readout is bit-reproducible on any
+    engine (replicated in SQL via a HUGEINT powers CTE).
+
+    Scale shape: the only exchange is the tiny ``(key, age, sum)`` table —
+    ``keys × max_days`` rows regardless of corpus size. Events older than
+    ``max_days`` half-lives are clamped to the oldest age (weight already
+    ~5e-20 at the default 64)."""
+    import pyarrow.compute as pc
+
+    day_us = 86_400_000_000 * int(half_life_days)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch[ts_col], pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        age = np.minimum((int(horizon_us) - us) // day_us, max_days - 1)
+        if age.min() < 0:
+            raise ValueError("event timestamp after the horizon")
+        vu = (
+            pc.cast(pc.round(pc.multiply(batch[val_col], 1_000_000)), pa.int64())
+            .to_numpy()
+        )
+        keys = batch[key_col].combine_chunks().dictionary_encode()
+        codes = keys.indices.to_numpy(zero_copy_only=False)
+        uniques = np.array([str(u) for u in keys.dictionary.to_pylist()], dtype=object)
+        pair = codes.astype(np.int64) * max_days + age
+        up, inv = np.unique(pair, return_inverse=True)
+        sums = np.zeros(len(up), dtype=np.int64)
+        np.add.at(sums, inv, vu)
+        return pa.table(
+            {
+                key_col: pa.array(uniques[up // max_days], pa.string()),
+                "age": pa.array(up % max_days, pa.int64()),
+                "sum_u": pa.array(sums, pa.int64()),
+            }
+        )
+
+    def _fold(group: pd.DataFrame) -> pd.DataFrame:
+        total = 0
+        for age, s in zip(group["age"].tolist(), group["sum_u"].tolist()):
+            total += int(s) << (max_days - int(age))
+        value = float(total) / float(1 << max_days) / 1e6
+        return pd.DataFrame({key_col: [group[key_col].iloc[0]],
+                             "decayed_value": [value]})
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(_fold, batch_format="pandas")
     )

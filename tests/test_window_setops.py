@@ -281,3 +281,60 @@ def test_new_operators_handle_empty_and_degenerate_inputs(ray_session):
                   "text": pa.array(["q r s t u v"])})
     )
     assert contamination_pairs(t, e, shingle_n=5, partitions=2).count() == 0
+
+
+def test_decayed_sum_exact_and_invariant(ray_session):
+    """Decayed sum equals a local float reference within exactness of the
+    rational weights, and is bit-identical across block counts."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pprl_ray.stages.window import decayed_sum
+
+    n = 3000
+    rng = np.random.default_rng(5)
+    base = 1_700_000_000_000_000
+    ts = base - rng.integers(0, 40 * 86_400_000_000, n)  # up to 40 days old
+    vals = np.round(rng.normal(10, 3, n), 3)
+    keys = ["k%d" % (i % 3) for i in range(n)]
+    t = pa.table(
+        {
+            "k": pa.array(keys),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "v": pa.array(vals, pa.float64()),
+        }
+    )
+
+    outs = []
+    for blocks in (2, 11):
+        out = (
+            decayed_sum(rd.from_arrow(t).repartition(blocks), "k", "ts", "v", base)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    # local reference: exact same quantisation, float weights
+    age = np.minimum((base - ts) // 86_400_000_000, 63)
+    vu = np.round(vals * 1e6).astype(np.int64)
+    ref = pd.DataFrame({"k": keys, "term": vu * 0.5 ** age.astype(np.float64)})
+    ref = ref.groupby("k")["term"].sum() / 1e6
+    got = outs[0].set_index("k")["decayed_value"]
+    assert np.allclose(got.to_numpy(), ref.to_numpy(), rtol=1e-12)
+
+    # horizon violation raises
+    import pytest
+
+    bad = pa.table(
+        {
+            "k": pa.array(["a"]),
+            "ts": pa.array([base + 1], pa.timestamp("us")),
+            "v": pa.array([1.0]),
+        }
+    )
+    with pytest.raises(Exception):
+        decayed_sum(rd.from_arrow(bad), "k", "ts", "v", base).to_pandas()
