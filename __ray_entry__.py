@@ -1682,7 +1682,9 @@ def q_pagerank(sf_dir: str):
         )
 
     edges = li.map_batches(_edges, batch_format="pyarrow")
-    ranks = pagerank(edges, iters=5, damping=0.85)
+    # materialize: count() would otherwise execute the lazy rank plan once
+    # and the _finish consumption would execute it a second time
+    ranks = pagerank(edges, iters=5, damping=0.85).materialize()
     n_nodes = ranks.count()
 
     def _finish(batch: pa.Table) -> pa.Table:

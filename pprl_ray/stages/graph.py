@@ -32,8 +32,14 @@ def _local_pagerank(iters: int, damping: float):
         if len(src) == 0:
             return pa.table({"id": pa.array([], pa.int64()),
                              "r": pa.array([], pa.float64())})
-        pairs = np.unique(np.stack([src, dst], axis=1), axis=0)
-        s, d = pairs[:, 0], pairs[:, 1]
+        if src.max() < (1 << 31) and dst.max() < (1 << 31) and src.min() >= 0 and dst.min() >= 0:
+            # pack the pair into one int64: unique on a flat int array is
+            # ~10x np.unique(axis=0)'s void-dtype sort
+            packed = np.unique((src.astype(np.int64) << 31) | dst.astype(np.int64))
+            s, d = packed >> 31, packed & ((1 << 31) - 1)
+        else:
+            pairs = np.unique(np.stack([src, dst], axis=1), axis=0)
+            s, d = pairs[:, 0], pairs[:, 1]
         ids = np.unique(np.concatenate([s, d]))
         si = np.searchsorted(ids, s)
         di = np.searchsorted(ids, d)
