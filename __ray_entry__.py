@@ -1493,6 +1493,42 @@ def q_theta_source_overlap(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_kmv_grouping_sets(sf_dir: str):
+    """Multi-level sketch aggregation in ONE corpus scan (the GROUPING SETS
+    pattern): per-source, per-lang and global distinct-token KMV sketches
+    ride the same fused MultiSketchPartials pass (pipelines/profile.py) —
+    three grouping levels cost one read and one tiny partial exchange, not
+    three scans. Exact below k=4096 (620-word vocab), so the oracle is
+    COUNT(DISTINCT w) per grouping set; at scale the same code yields
+    bottom-k estimates."""
+    from pprl_ray.pipelines.profile import (
+        ProfileSpec,
+        corpus_profile,
+        finalize_profile,
+    )
+    from pprl_ray.sketches import KMVSketch
+    from pprl_ray.sources.corpus import tokenize_words_batch
+
+    def _tok(batch: pa.Table) -> pa.Table:
+        out = tokenize_words_batch(batch)
+        return out.append_column("lang", batch["lang"].combine_chunks().cast(pa.string()))
+
+    corpus = _docs(sf_dir, ["doc_id", "text", "source", "lang"]).map_batches(
+        _tok, batch_format="pyarrow"
+    )
+    specs = [
+        ProfileSpec("by_source", "kmv", lambda: KMVSketch(4096), "tokens", "source"),
+        ProfileSpec("by_lang", "kmv", lambda: KMVSketch(4096), "tokens", "lang"),
+        ProfileSpec("global", "kmv", lambda: KMVSketch(4096), "tokens", None),
+    ]
+    prof = finalize_profile(corpus_profile(corpus, specs), specs)
+    rows = [
+        {"grp_set": name, "key": key, "kmv_distinct": np.int64(sk.estimate_int())}
+        for (name, key), sk in prof.items()
+    ]
+    return pd.DataFrame(sorted(rows, key=lambda r: (r["grp_set"], r["key"])))
+
+
 _DECAY_HORIZON_US = 1_706_745_600_000_000  # 2024-02-01T00:00:00Z, past all events
 
 
@@ -4316,6 +4352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theta_novel_tokens": q_theta_novel_tokens,
         "stratified_split": q_stratified_split,
         "decayed_sum": q_decayed_sum,
+        "kmv_grouping_sets": q_kmv_grouping_sets,
         "heavy_hitters": q_heavy_hitters,
         # heavy_hitters_by_source / kll_by_source: r2-driver-verified,
         # judge-re-verified in r3, code-untouched since — rotated out for
@@ -5746,6 +5783,20 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked
             WHERE rn = least(cnt, 64)
             ORDER BY o_orderpriority
+        """,
+        "kmv_grouping_sets": """
+            WITH w AS (SELECT source, lang,
+                              unnest(string_split(text, ' ')) AS w
+                       FROM documents)
+            SELECT 'by_source' AS grp_set, source AS key,
+                   CAST(count(DISTINCT w) AS BIGINT) AS kmv_distinct
+            FROM w GROUP BY source
+            UNION ALL
+            SELECT 'by_lang', lang, CAST(count(DISTINCT w) AS BIGINT)
+            FROM w GROUP BY lang
+            UNION ALL
+            SELECT 'global', '', CAST(count(DISTINCT w) AS BIGINT) FROM w
+            ORDER BY grp_set, key
         """,
         "decayed_sum": """
             WITH RECURSIVE pw(d, p) AS (
