@@ -1493,6 +1493,39 @@ def q_theta_source_overlap(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_bbit_minhash(sf_dir: str):
+    """b-bit MinHash (Li & Koenig WWW 2010, sketches/lsh.py:bbit_jaccard):
+    pairwise Jaccard between the returnflags' partkey sets from k=64
+    signatures compressed to their lowest 8 bits (8x storage reduction),
+    corrected for the 2^-b collision floor via the exact integer ratio
+    (eq*2^b - k)/(k*(2^b - 1)). The oracle recomputes the SIGNATURES
+    themselves in SQL — the library's own permutation seeds (computed, not
+    pinned) + two splitmix64 limb chains + per-(group, permutation) min —
+    so the driver hash-verifies the compressed estimate end to end."""
+    from pprl_ray.sketches import MinHashSketch
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_partkey"]
+    )
+    merged = sketch_by_key(
+        li, lambda: MinHashSketch(64), "l_partkey", "l_returnflag"
+    )
+    sketches = finalize_sketches(merged, MinHashSketch)
+    keys = sorted(sketches)
+    rows = []
+    for i, a in enumerate(keys):
+        for b in keys[i + 1:]:
+            rows.append(
+                {
+                    "flag_a": a,
+                    "flag_b": b,
+                    "bbit_jaccard": sketches[a].bbit_jaccard(sketches[b], b=8),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
 def q_kmv_grouping_sets(sf_dir: str):
     """Multi-level sketch aggregation in ONE corpus scan (the GROUPING SETS
     pattern): per-source, per-lang and global distinct-token KMV sketches
@@ -4353,6 +4386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_split": q_stratified_split,
         "decayed_sum": q_decayed_sum,
         "kmv_grouping_sets": q_kmv_grouping_sets,
+        "bbit_minhash": q_bbit_minhash,
         "heavy_hitters": q_heavy_hitters,
         # heavy_hitters_by_source / kll_by_source: r2-driver-verified,
         # judge-re-verified in r3, code-untouched since — rotated out for
@@ -4909,6 +4943,40 @@ def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
 
 def _sm64_ctes(src_sql: str) -> str:
     return _SM64_CTES_TEMPLATE.replace("__SRC__", src_sql)
+
+
+def _sm64_chain(carry: str, src: str, prefix: str) -> str:
+    """Six CTE steps applying the splitmix64 mix to column ``z`` of CTE
+    ``src``, carrying ``carry`` columns through; the finished value is in
+    CTE ``{prefix}6``. The limb arithmetic matches _SM64_CTES_TEMPLATE."""
+    c = f"{carry}, " if carry else ""
+    return f"""
+            {prefix}1 AS (SELECT {c}
+                       (z + 11400714819323198485) % 18446744073709551616 AS z
+                   FROM {src}),
+            {prefix}2 AS (SELECT {c}xor(z, z // 1073741824) AS z FROM {prefix}1),
+            {prefix}3 AS (SELECT {c}
+                       ((z % 4294967296) * 13787848793156543929
+                        + (((z // 4294967296) * (13787848793156543929 % 4294967296)) % 4294967296)
+                          * 4294967296) % 18446744073709551616 AS z
+                   FROM {prefix}2),
+            {prefix}4 AS (SELECT {c}xor(z, z // 134217728) AS z FROM {prefix}3),
+            {prefix}5 AS (SELECT {c}
+                       ((z % 4294967296) * 10723151780598845931
+                        + (((z // 4294967296) * (10723151780598845931 % 4294967296)) % 4294967296)
+                          * 4294967296) % 18446744073709551616 AS z
+                   FROM {prefix}4),
+            {prefix}6 AS (SELECT {c}xor(z, z // 2147483648) AS z FROM {prefix}5)"""
+
+
+def _minhash_seed_values(k: int) -> str:
+    """(j, seed) VALUES rows of the library's own MinHash permutation seeds
+    (sketches/lsh.py:_seeds) — computed, not hand-pinned."""
+    from pprl_ray.sketches.lsh import _seeds
+
+    return ",\n                ".join(
+        f"({j}, CAST({int(s)} AS HUGEINT))" for j, s in enumerate(_seeds(k, 0))
+    )
 
 
 _SM64_CTES_TEMPLATE = """
@@ -5783,6 +5851,27 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked
             WHERE rn = least(cnt, 64)
             ORDER BY o_orderpriority
+        """,
+        "bbit_minhash": f"""
+            WITH seeds(j, c) AS (VALUES
+                {_minhash_seed_values(64)}),
+            src AS (SELECT DISTINCT l_returnflag AS grp,
+                           CAST(l_partkey AS HUGEINT) AS z FROM lineitem),
+            {_sm64_chain("grp", "src", "h")},
+            x0 AS (SELECT grp, j, xor(h6.z, seeds.c) AS z FROM h6, seeds),
+            {_sm64_chain("grp, j", "x0", "x")},
+            sig AS (SELECT grp, j, min(z) AS m FROM x6 GROUP BY 1, 2),
+            pairs AS (
+                SELECT a.grp AS flag_a, b.grp AS flag_b,
+                       sum(CASE WHEN (a.m % 256) = (b.m % 256)
+                                THEN 1 ELSE 0 END) AS eq
+                FROM sig a JOIN sig b ON a.j = b.j AND a.grp < b.grp
+                GROUP BY 1, 2
+            )
+            SELECT flag_a, flag_b,
+                   CAST(eq * 256 - 64 AS DOUBLE) / CAST(64 * 255 AS DOUBLE)
+                       AS bbit_jaccard
+            FROM pairs ORDER BY flag_a, flag_b
         """,
         "kmv_grouping_sets": """
             WITH w AS (SELECT source, lang,

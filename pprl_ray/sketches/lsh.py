@@ -84,6 +84,19 @@ class MinHashSketch:
     def jaccard(self, other: "MinHashSketch") -> float:
         return float((self.mins == other.mins).mean())
 
+    def bbit_jaccard(self, other: "MinHashSketch", b: int = 8) -> float:
+        """b-bit MinHash Jaccard (Li & Koenig, WWW 2010): keep only the
+        lowest b bits of each minimum — a 64/b-fold signature compression —
+        and correct the 2^-b accidental-collision floor:
+        J ≈ (eq_frac - 2^-b) / (1 - 2^-b). Computed as an exact integer
+        ratio (eq*2^b - k) / (k*(2^b - 1)) so the float estimate is
+        bit-reproducible and SQL-replicable. Storage-accuracy trade:
+        var grows by ~1/(1-2^-b) while signatures shrink 64/b-fold."""
+        assert (self.k, self.seed) == (other.k, other.seed)
+        mask = np.uint64((1 << b) - 1)
+        eq = int(((self.mins & mask) == (other.mins & mask)).sum())
+        return float(eq * (1 << b) - self.k) / float(self.k * ((1 << b) - 1))
+
     def to_bytes(self) -> bytes:
         return struct.pack("<qq", self.k, self.seed) + self.mins.tobytes()
 

@@ -638,3 +638,22 @@ def test_countsketch_ams_f2_and_inner_product():
     s1.update(half1)
     s2.update(half2)
     assert s1.merge(s2).f2() == est
+
+
+def test_bbit_minhash_tracks_jaccard():
+    """b-bit compression keeps the Jaccard estimate within the widened
+    variance bound: sd ~ sqrt(j(1-j)/k) / (1-2^-b)."""
+    a = np.arange(0, 3000)
+    b = np.arange(1000, 4000)  # true J = 2000/4000 = 0.5
+    sa, sb = MinHashSketch(256), MinHashSketch(256)
+    sa.update(a)
+    sb.update(b)
+    true = 0.5
+    for bits in (4, 8, 16):
+        est = sa.bbit_jaccard(sb, b=bits)
+        sd = (true * (1 - true) / 256) ** 0.5 / (1 - 2**-bits)
+        assert abs(est - true) < 5 * sd, (bits, est)
+    # full-width agreement: 64-bit mask degenerates to the plain estimator
+    assert abs(sa.bbit_jaccard(sb, b=64) - sa.jaccard(sb)) < 1e-12
+    # identical sets -> exactly 1.0 at any width
+    assert sa.bbit_jaccard(sa, b=8) == 1.0
