@@ -1526,6 +1526,46 @@ def q_bbit_minhash(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_wjaccard_priorities(sf_dir: str):
+    """Weighted Jaccard between order priorities' customer-count vectors
+    via WeightedMinHashSketch (sketches/lsh.py): each (priority, custkey)
+    pair weighted by its order count expands into count occurrence slots,
+    k=64 integer MinHash permutations sample slots consistently, and the
+    matching-minima fraction estimates sum(min)/sum(max) of the count
+    vectors. Counts aggregate FIRST (one groupby), so each item's final
+    weight is presented once — the sketch's merge contract. The oracle
+    replicates the slot expansion (generate_series) and the three
+    splitmix64 chains in exact HUGEINT arithmetic, so the estimate is
+    hash-verified end to end."""
+    from pprl_ray.sketches import WeightedMinHashSketch
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_custkey"]
+    )
+    counts = orders.groupby(["o_orderpriority", "o_custkey"]).count()
+    merged = sketch_by_key(
+        counts,
+        lambda: WeightedMinHashSketch(64),
+        "o_custkey",
+        "o_orderpriority",
+        weight_col="count()",
+    )
+    sketches = finalize_sketches(merged, WeightedMinHashSketch)
+    keys = sorted(sketches)
+    rows = []
+    for i, a in enumerate(keys):
+        for b in keys[i + 1:]:
+            rows.append(
+                {
+                    "prio_a": a,
+                    "prio_b": b,
+                    "wjaccard": sketches[a].jaccard(sketches[b]),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
 def q_kmv_grouping_sets(sf_dir: str):
     """Multi-level sketch aggregation in ONE corpus scan (the GROUPING SETS
     pattern): per-source, per-lang and global distinct-token KMV sketches
@@ -4387,6 +4427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_sum": q_decayed_sum,
         "kmv_grouping_sets": q_kmv_grouping_sets,
         "bbit_minhash": q_bbit_minhash,
+        "wjaccard_priorities": q_wjaccard_priorities,
         "heavy_hitters": q_heavy_hitters,
         # heavy_hitters_by_source / kll_by_source: r2-driver-verified,
         # judge-re-verified in r3, code-untouched since — rotated out for
@@ -5872,6 +5913,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(eq * 256 - 64 AS DOUBLE) / CAST(64 * 255 AS DOUBLE)
                        AS bbit_jaccard
             FROM pairs ORDER BY flag_a, flag_b
+        """,
+        "wjaccard_priorities": f"""
+            WITH seeds(j, c) AS (VALUES
+                {_minhash_seed_values(64)}),
+            cnt AS (SELECT o_orderpriority AS grp,
+                           CAST(o_custkey AS HUGEINT) AS z, count(*) AS w
+                    FROM orders GROUP BY 1, 2),
+            occ AS (SELECT grp, z, unnest(generate_series(1, w)) AS i
+                    FROM cnt),
+            {_sm64_chain("grp, i", "occ", "h")},
+            s0 AS (SELECT grp, xor(z, CAST(i AS HUGEINT)) AS z FROM h6),
+            {_sm64_chain("grp", "s0", "s")},
+            x0 AS (SELECT grp, j, xor(s6.z, seeds.c) AS z FROM s6, seeds),
+            {_sm64_chain("grp, j", "x0", "x")},
+            sig AS (SELECT grp, j, min(z) AS m FROM x6 GROUP BY 1, 2),
+            pairs AS (
+                SELECT a.grp AS prio_a, b.grp AS prio_b,
+                       sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS eq
+                FROM sig a JOIN sig b ON a.j = b.j AND a.grp < b.grp
+                GROUP BY 1, 2
+            )
+            SELECT prio_a, prio_b, CAST(eq AS DOUBLE) / 64 AS wjaccard
+            FROM pairs ORDER BY prio_a, prio_b
         """,
         "kmv_grouping_sets": """
             WITH w AS (SELECT source, lang,

@@ -10,6 +10,13 @@ from .hashing import hash_ints, hash_strings, splitmix64  # noqa: F401
 from .hll import HLLSketch  # noqa: F401
 from .kmv import KMVSketch  # noqa: F401
 from .moments import MomentsSketch  # noqa: F401
-from .lsh import MinHashSketch, band_keys, hamming64, minhash_signatures, simhash64  # noqa: F401
+from .lsh import (  # noqa: F401
+    MinHashSketch,
+    WeightedMinHashSketch,
+    band_keys,
+    hamming64,
+    minhash_signatures,
+    simhash64,
+)
 from .quantiles import KLLSketch, TDigestSketch  # noqa: F401
 from .theta import ThetaSketch  # noqa: F401

@@ -22,7 +22,8 @@ import numpy as np
 from .base import register
 from .hashing import hash_ints, splitmix64
 
-__all__ = ["MinHashSketch", "minhash_signatures", "band_keys", "simhash64", "hamming64"]
+__all__ = ["MinHashSketch", "WeightedMinHashSketch", "minhash_signatures",
+           "band_keys", "simhash64", "hamming64"]
 
 
 def _seeds(k: int, seed: int) -> np.ndarray:
@@ -102,6 +103,77 @@ class MinHashSketch:
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "MinHashSketch":
+        k, seed = struct.unpack_from("<qq", data)
+        sk = cls(k, seed)
+        sk.mins = np.frombuffer(data, dtype=np.uint64, count=k, offset=16).copy()
+        return sk
+
+
+@register("weighted_minhash")
+class WeightedMinHashSketch:
+    """Weighted MinHash over integer-weighted items via slot expansion
+    (the classic reduction: an item with weight ``w`` becomes ``w``
+    occurrence slots ``(item, 1..w)`` and plain MinHash runs over the slot
+    set — Broder 1997 applied to multisets; see also Haveliwala et al.,
+    "Scalable techniques for clustering the web", WebDB 2000).
+    ``jaccard`` then estimates the WEIGHTED Jaccard similarity
+    ``sum_t min(a_t, b_t) / sum_t max(a_t, b_t)``: shared slots are exactly
+    the ``min`` counts, the slot union is the ``max`` counts, and a
+    permutation's two minima agree iff the winning slot is shared.
+
+    Every op is 64-bit integer (splitmix64 chains), so signatures are
+    bit-reproducible and SQL-replicable. Cost is O(total weight) per
+    update — right for count-like weights (token frequencies, click
+    counts), not for huge weights; rescale those first.
+
+    MERGE CONTRACT: element-wise min assumes each item's FINAL weight is
+    presented once (aggregate counts per item first, e.g. a groupby, then
+    sketch the count table — partials over value-partitioned rows are
+    fine). Presenting partial weights w1, w2 of the same item to two
+    partials merges to slot coverage max(w1, w2), not w1 + w2."""
+
+    def __init__(self, k: int = 32, seed: int = 0):
+        self.k = int(k)
+        self.seed = int(seed)
+        self.mins = np.full(self.k, np.iinfo(np.uint64).max, dtype=np.uint64)
+
+    def update(self, values: np.ndarray, weights: np.ndarray) -> None:
+        values = np.asarray(values)
+        w = np.asarray(weights).astype(np.int64)
+        if len(values) == 0:
+            return
+        if (w <= 0).any():
+            raise ValueError("weights must be positive integers")
+        # occurrence slots: item v with weight w -> (v, 1), ..., (v, w)
+        rep = np.repeat(values.astype(np.uint64), w)
+        total = int(w.sum())
+        ends = np.cumsum(w)
+        occ = (np.arange(1, total + 1, dtype=np.uint64)
+               - np.repeat((ends - w).astype(np.uint64), w))
+        with np.errstate(over="ignore"):
+            slots = splitmix64(splitmix64(rep) ^ occ)
+            # per-permutation minima; chunk the k loop, not the slots
+            for j, s in enumerate(_seeds(self.k, self.seed)):
+                m = splitmix64(slots ^ s).min()
+                if m < self.mins[j]:
+                    self.mins[j] = m
+
+    def merge(self, other: "WeightedMinHashSketch") -> "WeightedMinHashSketch":
+        assert (self.k, self.seed) == (other.k, other.seed)
+        np.minimum(self.mins, other.mins, out=self.mins)
+        return self
+
+    def jaccard(self, other: "WeightedMinHashSketch") -> float:
+        """Estimate of sum(min)/sum(max) over the two weight vectors:
+        exact integer ratio eq/k, bit-reproducible."""
+        assert (self.k, self.seed) == (other.k, other.seed)
+        return float((self.mins == other.mins).sum()) / float(self.k)
+
+    def to_bytes(self) -> bytes:
+        return struct.pack("<qq", self.k, self.seed) + self.mins.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "WeightedMinHashSketch":
         k, seed = struct.unpack_from("<qq", data)
         sk = cls(k, seed)
         sk.mins = np.frombuffer(data, dtype=np.uint64, count=k, offset=16).copy()

@@ -72,6 +72,18 @@ class SketchPartials:
         else:
             values = col.to_numpy(zero_copy_only=False)
             lengths = None
+        weights = None
+        if self.weight_col is not None:
+            if is_list:
+                raise ValueError("weight_col requires a scalar value column")
+            weights = batch[self.weight_col].to_numpy(zero_copy_only=False)
+
+        def _update(sk, mask=None):
+            if weights is None:
+                sk.update(values if mask is None else values[mask])
+            else:
+                sk.update(values if mask is None else values[mask],
+                          weights if mask is None else weights[mask])
 
         keys_out: list[str] = []
         blobs_out: list[bytes] = []
@@ -79,7 +91,7 @@ class SketchPartials:
 
         if self.key_col is None:
             sk = self.sketch_factory()
-            sk.update(values)
+            _update(sk)
             keys_out.append("")
             blobs_out.append(zlib.compress(sk.to_bytes(), 1))
             rows_out.append(batch.num_rows)
@@ -96,7 +108,7 @@ class SketchPartials:
                 value_codes = codes
             for code, key in enumerate(uniques):
                 sk = self.sketch_factory()
-                sk.update(values[value_codes == code])
+                _update(sk, value_codes == code)
                 keys_out.append(str(key))
                 blobs_out.append(zlib.compress(sk.to_bytes(), 1))
                 rows_out.append(int((codes == code).sum()))
@@ -274,6 +286,7 @@ def sketch_by_key(
     value_col: str,
     key_col: str | None = None,
     *,
+    weight_col: str | None = None,
     merge: str | None = "combine",
     salt: int = 0,
     batch_size: int | None = None,
@@ -302,7 +315,7 @@ def sketch_by_key(
     bit-identical under every topology (property-tested)."""
     sketch_cls = type(sketch_factory())
     partials = ds.map_batches(
-        SketchPartials(sketch_factory, value_col, key_col),
+        SketchPartials(sketch_factory, value_col, key_col, weight_col),
         batch_format="pyarrow",
         batch_size=batch_size,
         **({"concurrency": concurrency} if concurrency else {}),

@@ -657,3 +657,67 @@ def test_bbit_minhash_tracks_jaccard():
     assert abs(sa.bbit_jaccard(sb, b=64) - sa.jaccard(sb)) < 1e-12
     # identical sets -> exactly 1.0 at any width
     assert sa.bbit_jaccard(sa, b=8) == 1.0
+
+
+def test_weighted_minhash_estimates_weighted_jaccard():
+    """Matching-minima fraction tracks sum(min)/sum(max) of the weight
+    vectors within the binomial bound sd = sqrt(J(1-J)/k)."""
+    from pprl_ray.sketches import WeightedMinHashSketch
+
+    rng = np.random.default_rng(7)
+    items = np.arange(2000)
+    wa = rng.integers(0, 6, len(items))
+    wb = rng.integers(0, 6, len(items))
+    true = np.minimum(wa, wb).sum() / np.maximum(wa, wb).sum()
+    k = 512
+    sa, sb = WeightedMinHashSketch(k), WeightedMinHashSketch(k)
+    sa.update(items[wa > 0], wa[wa > 0])
+    sb.update(items[wb > 0], wb[wb > 0])
+    est = sa.jaccard(sb)
+    sd = (true * (1 - true) / k) ** 0.5
+    assert abs(est - true) < 5 * sd, (est, true)
+
+
+def test_weighted_minhash_merge_value_partitioned():
+    """Merging partials over disjoint item ranges (the value-partitioned
+    topology) is bit-identical to one update with the full table."""
+    from pprl_ray.sketches import WeightedMinHashSketch
+
+    items = np.arange(500)
+    w = (items % 4) + 1
+    whole = WeightedMinHashSketch(64)
+    whole.update(items, w)
+    parts = [WeightedMinHashSketch(64) for _ in range(4)]
+    for p, lo in zip(parts, range(0, 500, 125)):
+        sl = slice(lo, lo + 125)
+        p.update(items[sl], w[sl])
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    assert (merged.mins == whole.mins).all()
+    # round-trip
+    back = WeightedMinHashSketch.from_bytes(merged.to_bytes())
+    assert (back.mins == merged.mins).all() and back.k == 64
+
+
+def test_weighted_minhash_weight_semantics():
+    """Weight w covers slots (v,1..w): identical vectors -> J == 1.0 at any
+    k; doubling every weight keeps containment (slots are prefixes), and
+    unit weights degenerate to plain set semantics."""
+    from pprl_ray.sketches import WeightedMinHashSketch
+
+    items = np.arange(300)
+    a, b = WeightedMinHashSketch(128), WeightedMinHashSketch(128)
+    a.update(items, np.full(len(items), 3))
+    b.update(items, np.full(len(items), 3))
+    assert a.jaccard(b) == 1.0
+    # w=1 vs w=2 everywhere: true weighted J = sum(1)/sum(2) = 0.5
+    c, d = WeightedMinHashSketch(512), WeightedMinHashSketch(512)
+    c.update(items, np.ones(len(items), dtype=np.int64))
+    d.update(items, np.full(len(items), 2))
+    est = c.jaccard(d)
+    assert abs(est - 0.5) < 5 * (0.25 / 512) ** 0.5
+    import pytest
+
+    with pytest.raises(ValueError):
+        c.update(items[:2], np.array([1, 0]))
