@@ -1566,6 +1566,38 @@ def q_wjaccard_priorities(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_srp_cosine_types(sf_dir: str):
+    """Pairwise angular similarity between event types' user-activity
+    count vectors via the group-level signed-random-projection sketch
+    (sketches/lsh.py:SrpCosineSketch). Each batch adds ±1 projections of
+    its raw rows into 64 int64 accumulators — additive merge, so no
+    count pre-aggregation is needed; the sign vector is the group's
+    simhash and the matching-bit fraction estimates 1 - theta/pi. The
+    readout stays an exact rational (eq/64) so the oracle — which
+    recomputes the accumulators from SQL counts and the same splitmix64
+    chains in HUGEINT arithmetic — hash-matches end to end."""
+    from pprl_ray.sketches import SrpCosineSketch
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    merged = sketch_by_key(ev, lambda: SrpCosineSketch(64), "user_id", "event_type")
+    sketches = finalize_sketches(merged, SrpCosineSketch)
+    keys = sorted(sketches)
+    rows = []
+    for i, a in enumerate(keys):
+        for b in keys[i + 1:]:
+            rows.append(
+                {
+                    "type_a": a,
+                    "type_b": b,
+                    "srp_match": sketches[a].match_frac(sketches[b]),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
 def q_kmv_grouping_sets(sf_dir: str):
     """Multi-level sketch aggregation in ONE corpus scan (the GROUPING SETS
     pattern): per-source, per-lang and global distinct-token KMV sketches
@@ -4428,6 +4460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_grouping_sets": q_kmv_grouping_sets,
         "bbit_minhash": q_bbit_minhash,
         "wjaccard_priorities": q_wjaccard_priorities,
+        "srp_cosine_types": q_srp_cosine_types,
         "heavy_hitters": q_heavy_hitters,
         # heavy_hitters_by_source / kll_by_source: r2-driver-verified,
         # judge-re-verified in r3, code-untouched since — rotated out for
@@ -5008,6 +5041,13 @@ def _sm64_chain(carry: str, src: str, prefix: str) -> str:
                           * 4294967296) % 18446744073709551616 AS z
                    FROM {prefix}4),
             {prefix}6 AS (SELECT {c}xor(z, z // 2147483648) AS z FROM {prefix}5)"""
+
+
+def _srp_seed0() -> int:
+    """The SrpCosineSketch word-0 seed (sketches/lsh.py:_seeds(1, 0))."""
+    from pprl_ray.sketches.lsh import _seeds
+
+    return int(_seeds(1, 0)[0])
 
 
 def _minhash_seed_values(k: int) -> str:
@@ -5936,6 +5976,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT prio_a, prio_b, CAST(eq AS DOUBLE) / 64 AS wjaccard
             FROM pairs ORDER BY prio_a, prio_b
+        """,
+        "srp_cosine_types": f"""
+            WITH js(j, p) AS (VALUES
+                {", ".join(f"({j}, CAST({1 << j} AS HUGEINT))" for j in range(64))}),
+            cnt AS (SELECT event_type AS grp,
+                           CAST(user_id AS HUGEINT) AS z, count(*) AS w
+                    FROM events GROUP BY 1, 2),
+            {_sm64_chain("grp, w", "cnt", "h")},
+            x0 AS (SELECT grp, w,
+                          xor(z, CAST({_srp_seed0()} AS HUGEINT)) AS z
+                   FROM h6),
+            {_sm64_chain("grp, w", "x0", "x")},
+            acc AS (SELECT grp, j,
+                           sum(w * (CASE WHEN (z // p) % 2 = 1
+                                         THEN 1 ELSE -1 END)) AS a
+                    FROM x6, js GROUP BY 1, 2),
+            sig AS (SELECT grp, j,
+                           CASE WHEN a > 0 THEN 1 ELSE 0 END AS bit
+                    FROM acc),
+            pairs AS (
+                SELECT a.grp AS type_a, b.grp AS type_b,
+                       sum(CASE WHEN a.bit = b.bit THEN 1 ELSE 0 END) AS eq
+                FROM sig a JOIN sig b ON a.j = b.j AND a.grp < b.grp
+                GROUP BY 1, 2
+            )
+            SELECT type_a, type_b, CAST(eq AS DOUBLE) / 64 AS srp_match
+            FROM pairs ORDER BY type_a, type_b
         """,
         "kmv_grouping_sets": """
             WITH w AS (SELECT source, lang,

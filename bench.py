@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "bloom_sources",
     "theta_distinct_parts",
     "kmv_distinct_custkeys",
+    "wjaccard_priorities",
+    "srp_cosine_types",
+    "bbit_minhash",
     "dsir_select",
     "ntok_moments",
     "collocations",

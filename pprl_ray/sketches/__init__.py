@@ -12,6 +12,7 @@ from .kmv import KMVSketch  # noqa: F401
 from .moments import MomentsSketch  # noqa: F401
 from .lsh import (  # noqa: F401
     MinHashSketch,
+    SrpCosineSketch,
     WeightedMinHashSketch,
     band_keys,
     hamming64,

@@ -22,8 +22,8 @@ import numpy as np
 from .base import register
 from .hashing import hash_ints, splitmix64
 
-__all__ = ["MinHashSketch", "WeightedMinHashSketch", "minhash_signatures",
-           "band_keys", "simhash64", "hamming64"]
+__all__ = ["MinHashSketch", "WeightedMinHashSketch", "SrpCosineSketch",
+           "minhash_signatures", "band_keys", "simhash64", "hamming64"]
 
 
 def _seeds(k: int, seed: int) -> np.ndarray:
@@ -177,6 +177,80 @@ class WeightedMinHashSketch:
         k, seed = struct.unpack_from("<qq", data)
         sk = cls(k, seed)
         sk.mins = np.frombuffer(data, dtype=np.uint64, count=k, offset=16).copy()
+        return sk
+
+
+@register("srp_cosine")
+class SrpCosineSketch:
+    """Group-level signed-random-projection (SimHash) cosine sketch
+    (Charikar, STOC 2002) over weighted items — the mergeable-UDAF analog
+    of the per-doc :func:`simhash64` fingerprints. State is ``bits``
+    signed int64 accumulators ``acc_j = sum_t w_t * s_j(t)`` where
+    ``s_j(t) = ±1`` is bit ``j`` of a splitmix64 chain of the item hash.
+
+    Merge is accumulator ADDITION, so duplicate items across partials sum
+    exactly — no pre-aggregation contract (contrast
+    :class:`WeightedMinHashSketch`): update straight from raw rows with
+    weight 1 per occurrence and the sketch accumulates counts itself.
+    ``sign(acc)`` is the group's simhash; between two groups the
+    matching-bit fraction ``f`` estimates ``1 - theta/pi`` where theta is
+    the angle between the groups' weight vectors, so ``cos(pi*(1-f))``
+    estimates their cosine similarity. All state and the match fraction
+    are exact integers/rationals (SQL-replicable); only :meth:`cosine`
+    applies a float transcendental."""
+
+    def __init__(self, bits: int = 64, seed: int = 0):
+        if bits % 64 != 0:
+            raise ValueError("bits must be a multiple of 64")
+        self.bits = int(bits)
+        self.seed = int(seed)
+        self.acc = np.zeros(self.bits, dtype=np.int64)
+
+    def update(self, values: np.ndarray, weights: np.ndarray | None = None) -> None:
+        values = np.asarray(values)
+        if len(values) == 0:
+            return
+        w = (np.ones(len(values), dtype=np.int64) if weights is None
+             else np.asarray(weights).astype(np.int64))
+        shifts = np.arange(64, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            base = splitmix64(values.astype(np.uint64))
+            for wi, s in enumerate(_seeds(self.bits // 64, self.seed)):
+                h = splitmix64(base ^ s)
+                signs = (((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+                         * 2 - 1)
+                self.acc[wi * 64:(wi + 1) * 64] += (signs * w[:, None]).sum(axis=0)
+
+    def merge(self, other: "SrpCosineSketch") -> "SrpCosineSketch":
+        assert (self.bits, self.seed) == (other.bits, other.seed)
+        self.acc += other.acc
+        return self
+
+    def signature(self) -> np.ndarray:
+        """Sign bits (acc > 0, zero ties -> 0) as a 0/1 int8 vector."""
+        return (self.acc > 0).astype(np.int8)
+
+    def match_frac(self, other: "SrpCosineSketch") -> float:
+        """Matching-sign fraction: exact rational eq/bits, estimates
+        1 - theta/pi."""
+        assert (self.bits, self.seed) == (other.bits, other.seed)
+        eq = int((self.signature() == other.signature()).sum())
+        return float(eq) / float(self.bits)
+
+    def cosine(self, other: "SrpCosineSketch") -> float:
+        """Cosine-similarity estimate cos(pi * (1 - match_frac))."""
+        import math
+
+        return math.cos(math.pi * (1.0 - self.match_frac(other)))
+
+    def to_bytes(self) -> bytes:
+        return struct.pack("<qq", self.bits, self.seed) + self.acc.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "SrpCosineSketch":
+        bits, seed = struct.unpack_from("<qq", data)
+        sk = cls(bits, seed)
+        sk.acc = np.frombuffer(data, dtype=np.int64, count=bits, offset=16).copy()
         return sk
 
 

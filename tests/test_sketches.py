@@ -721,3 +721,49 @@ def test_weighted_minhash_weight_semantics():
 
     with pytest.raises(ValueError):
         c.update(items[:2], np.array([1, 0]))
+
+
+def test_srp_cosine_tracks_cosine():
+    """cos(pi*(1-match_frac)) tracks true cosine of the weight vectors;
+    match_frac concentrates around 1 - theta/pi (binomial sd)."""
+    from pprl_ray.sketches import SrpCosineSketch
+
+    rng = np.random.default_rng(11)
+    items = np.arange(4000)
+    wa = rng.integers(1, 10, len(items))
+    wb = (wa + rng.integers(0, 8, len(items))).astype(np.int64)
+    cos_true = float(wa @ wb / (np.linalg.norm(wa) * np.linalg.norm(wb)))
+    bits = 1024
+    sa, sb = SrpCosineSketch(bits), SrpCosineSketch(bits)
+    sa.update(items, wa)
+    sb.update(items, wb)
+    f_true = 1 - np.arccos(cos_true) / np.pi
+    sd = (f_true * (1 - f_true) / bits) ** 0.5
+    assert abs(sa.match_frac(sb) - f_true) < 5 * sd
+    assert abs(sa.cosine(sb) - cos_true) < 0.1
+    # orthogonal-ish: disjoint supports -> cosine ~ 0, match ~ 0.5
+    sc, sd2 = SrpCosineSketch(bits), SrpCosineSketch(bits)
+    sc.update(np.arange(0, 2000))
+    sd2.update(np.arange(10000, 12000))
+    assert abs(sc.match_frac(sd2) - 0.5) < 5 * (0.25 / bits) ** 0.5
+
+
+def test_srp_cosine_additive_merge():
+    """Merging partials with OVERLAPPING items sums weights exactly — the
+    contract WeightedMinHashSketch lacks; update order and batch split are
+    irrelevant; serialization round-trips."""
+    from pprl_ray.sketches import SrpCosineSketch
+
+    items = np.arange(1000)
+    whole = SrpCosineSketch(128)
+    whole.update(items, np.full(1000, 3))
+    parts = []
+    for _ in range(3):  # 3 partials x weight 1 over the SAME items
+        p = SrpCosineSketch(128)
+        p.update(items)
+        parts.append(p)
+    merged = parts[0].merge(parts[1]).merge(parts[2])
+    assert (merged.acc == whole.acc).all()
+    back = SrpCosineSketch.from_bytes(merged.to_bytes())
+    assert (back.acc == merged.acc).all() and back.bits == 128
+    assert merged.match_frac(whole) == 1.0
