@@ -137,11 +137,12 @@ class WeightedMinHashSketch:
         self.seed = int(seed)
         self.mins = np.full(self.k, np.iinfo(np.uint64).max, dtype=np.uint64)
 
-    def update(self, values: np.ndarray, weights: np.ndarray) -> None:
+    def update(self, values: np.ndarray, weights: np.ndarray | None = None) -> None:
         values = np.asarray(values)
-        w = np.asarray(weights).astype(np.int64)
         if len(values) == 0:
             return
+        w = (np.ones(len(values), dtype=np.int64) if weights is None
+             else np.asarray(weights).astype(np.int64))
         if (w <= 0).any():
             raise ValueError("weights must be positive integers")
         # occurrence slots: item v with weight w -> (v, 1), ..., (v, w)
