@@ -505,22 +505,72 @@ def incremental_near_dedup(new_ds, index_dir: str, id_col: str = "doc_id",
         .materialize()
     )
 
-    def _band_hits(group: pd.DataFrame) -> pd.DataFrame:
-        b = int(group["bucket"].iloc[0])
-        g = group.sort_values(id_col)
-        idx = _read_bucket(index_dir, "bands", b, ["band", "band_key"])
-        if len(idx):
-            seen = pd.MultiIndex.from_frame(idx)
-            in_index = pd.MultiIndex.from_frame(g[["band", "band_key"]]).isin(seen)
-        else:
-            in_index = np.zeros(len(g), dtype=bool)
-        internal = g.duplicated(subset=["band", "band_key"], keep="first").to_numpy()
-        return g.loc[in_index | internal, [id_col, "band"]]
+    # ONE tier-tagged probe exchange: band rows keyed by ``bucket``
+    # (tier 0) and — with confirm="set" — the per-doc set rows keyed by
+    # ``sbucket`` (tier 1) ride the SAME groupby; each partition group
+    # reads both of its index-tier directories once and emits slim hit
+    # rows, then ONE id-keyed reduce applies the band gate and the set
+    # confirm together. This halves the stage count of the previous
+    # two-probe/two-reduce topology — the exchanges are all slim, so at
+    # bench scale fixed per-stage latency dominated this operator.
+    def _make_tiered(with_sets: bool):
+        def _tiered(batch: pa.Table) -> pa.Table:
+            a = pa.table(
+                {
+                    id_col: batch[id_col],
+                    "band": batch["band"],
+                    "key": batch["band_key"],
+                    "part": batch["bucket"],
+                    "tier": pa.array(np.zeros(batch.num_rows, np.int8)),
+                }
+            )
+            if not with_sets:
+                return a
+            b0 = _band0(batch)
+            b = pa.table(
+                {
+                    id_col: b0[id_col],
+                    "band": pa.array(np.zeros(b0.num_rows, np.int32), pa.int32()),
+                    "key": b0["set_hash"],
+                    "part": b0["sbucket"],
+                    "tier": pa.array(np.ones(b0.num_rows, np.int8)),
+                }
+            )
+            return pa.concat_tables([a, b])
 
-    hits = slim.groupby("bucket").map_groups(_band_hits, batch_format="pandas")
+        return _tiered
 
-    # id-keyed reduces below run per PARTITION group (ids co-locate via an
-    # id-hash column) with ONE vectorised pandas groupby inside — not one
+    def _probe(group: pd.DataFrame) -> pd.DataFrame:
+        b = int(group["part"].iloc[0])
+        out = []
+        g0 = group[group["tier"] == 0].sort_values(id_col)
+        if len(g0):
+            idx = _read_bucket(index_dir, "bands", b, ["band", "band_key"])
+            if len(idx):
+                seen = pd.MultiIndex.from_frame(idx)
+                in_index = pd.MultiIndex.from_arrays(
+                    [g0["band"], g0["key"]]).isin(seen)
+            else:
+                in_index = np.zeros(len(g0), dtype=bool)
+            internal = g0.duplicated(subset=["band", "key"], keep="first").to_numpy()
+            out.append(g0.loc[in_index | internal, [id_col, "band", "tier"]])
+        g1 = group[group["tier"] == 1].sort_values(id_col)
+        if len(g1):
+            idx = _read_bucket(index_dir, "sets", b, ["set_hash"])
+            in_index = g1["key"].isin(idx["set_hash"]).to_numpy() \
+                if len(idx) else np.zeros(len(g1), dtype=bool)
+            internal = g1.duplicated(subset=["key"], keep="first").to_numpy()
+            out.append(g1.loc[in_index | internal, [id_col, "band", "tier"]])
+        if not out:
+            return group.iloc[0:0][[id_col, "band", "tier"]]
+        return pd.concat(out)
+
+    hits = slim.map_batches(
+        _make_tiered(confirm == "set"), batch_format="pyarrow"
+    ).groupby("part").map_groups(_probe, batch_format="pandas")
+
+    # the id-keyed reduce runs per PARTITION group (ids co-locate via an
+    # id-hash column) with vectorised pandas groupbys inside — not one
     # Python call per id
     def _gpart(batch: pa.Table) -> pa.Table:
         import polars as pl
@@ -531,53 +581,18 @@ def incremental_near_dedup(new_ds, index_dir: str, id_col: str = "doc_id",
         )
 
     def _gate(group: pd.DataFrame) -> pd.DataFrame:
-        n = group.groupby(id_col, sort=False)["band"].nunique()
-        return n[n >= match_bands_min].index.to_frame(index=False, name=id_col)
+        g0 = group[group["tier"] == 0]
+        n = g0.groupby(id_col, sort=False)["band"].nunique()
+        losers_idx = n[n >= match_bands_min].index
+        if confirm == "set":
+            losers_idx = losers_idx.intersection(
+                pd.Index(group.loc[group["tier"] == 1, id_col].unique())
+            )
+        return losers_idx.to_frame(index=False, name=id_col)
 
     losers = hits.map_batches(_gpart, batch_format="pyarrow").groupby(
         "gpart"
     ).map_groups(_gate, batch_format="pandas")
-
-    if confirm == "set":
-        def _set_hits(group: pd.DataFrame) -> pd.DataFrame:
-            b = int(group["sbucket"].iloc[0])
-            g = group.sort_values(id_col)
-            idx = _read_bucket(index_dir, "sets", b, ["set_hash"])
-            in_index = g["set_hash"].isin(idx["set_hash"]).to_numpy() \
-                if len(idx) else np.zeros(len(g), dtype=bool)
-            internal = g.duplicated(subset=["set_hash"], keep="first").to_numpy()
-            return g.loc[in_index | internal, [id_col]]
-
-        set_losers = slim.map_batches(_band0, batch_format="pyarrow").groupby(
-            "sbucket"
-        ).map_groups(_set_hits, batch_format="pandas")
-
-        # gate ∩ confirm: tag each side, require both per id — slim
-        # loser-scale rows only, one id-keyed reduce
-        def _tag(which: int):
-            def _f(batch: pa.Table) -> pa.Table:
-                return pa.table(
-                    {
-                        id_col: batch[id_col],
-                        "tag": pa.array(
-                            np.full(batch.num_rows, which, dtype=np.int8)
-                        ),
-                    }
-                )
-
-            return _f
-
-        tagged = losers.map_batches(_tag(0), batch_format="pyarrow").union(
-            set_losers.map_batches(_tag(1), batch_format="pyarrow")
-        )
-
-        def _both(group: pd.DataFrame) -> pd.DataFrame:
-            n = group.groupby(id_col, sort=False)["tag"].nunique()
-            return n[n == 2].index.to_frame(index=False, name=id_col)
-
-        losers = tagged.map_batches(_gpart, batch_format="pyarrow").groupby(
-            "gpart"
-        ).map_groups(_both, batch_format="pandas")
 
     kept, n_losers = anti_filter_ids(new_ds, losers, id_col,
                                      loser_broadcast_max)
@@ -591,34 +606,59 @@ def incremental_near_dedup(new_ds, index_dir: str, id_col: str = "doc_id",
         else:
             kept_rows = slim
 
-        def _append_bands(group: pd.DataFrame) -> pd.DataFrame:
-            b = int(group["bucket"].iloc[0])
-            fresh = group.drop_duplicates(subset=["band", "band_key"])[
-                ["band", "band_key", "bucket"]
-            ]
-            idx = _read_bucket(index_dir, "bands", b, ["band", "band_key"])
-            if len(idx):
-                seen = pd.MultiIndex.from_frame(idx)
-                fresh = fresh.loc[
-                    ~pd.MultiIndex.from_frame(fresh[["band", "band_key"]]).isin(seen)
+        # BOTH tiers' fresh keys come out of ONE partition-grouped reduce
+        # (the same tier-tagged exchange as the probe), then split into the
+        # two partitioned tier directories from the materialized result
+        def _append_both(group: pd.DataFrame) -> pd.DataFrame:
+            b = int(group["part"].iloc[0])
+            out = []
+            g0 = group[group["tier"] == 0]
+            if len(g0):
+                fresh = g0.drop_duplicates(subset=["band", "key"])[
+                    ["band", "key", "part", "tier"]
                 ]
-            return fresh
+                idx = _read_bucket(index_dir, "bands", b, ["band", "band_key"])
+                if len(idx):
+                    seen = pd.MultiIndex.from_frame(idx)
+                    fresh = fresh.loc[
+                        ~pd.MultiIndex.from_arrays(
+                            [fresh["band"], fresh["key"]]).isin(seen)
+                    ]
+                out.append(fresh)
+            g1 = group[group["tier"] == 1]
+            if len(g1):
+                fresh = g1.drop_duplicates(subset=["key"])[
+                    ["band", "key", "part", "tier"]
+                ]
+                idx = _read_bucket(index_dir, "sets", b, ["set_hash"])
+                if len(idx):
+                    fresh = fresh.loc[~fresh["key"].isin(idx["set_hash"])]
+                out.append(fresh)
+            if not out:
+                return group.iloc[0:0][["band", "key", "part", "tier"]]
+            return pd.concat(out)
 
-        def _append_sets(group: pd.DataFrame) -> pd.DataFrame:
-            b = int(group["sbucket"].iloc[0])
-            fresh = group.drop_duplicates(subset=["set_hash"])[["set_hash", "sbucket"]]
-            idx = _read_bucket(index_dir, "sets", b, ["set_hash"])
-            if len(idx):
-                fresh = fresh.loc[~fresh["set_hash"].isin(idx["set_hash"])]
-            return fresh
-
-        kept_rows = kept_rows.materialize()
-        new_bands = kept_rows.groupby("bucket").map_groups(
-            _append_bands, batch_format="pandas"
+        fresh = kept_rows.map_batches(
+            _make_tiered(True), batch_format="pyarrow"
+        ).groupby("part").map_groups(
+            _append_both, batch_format="pandas"
         ).materialize()
-        new_sets = kept_rows.map_batches(_band0, batch_format="pyarrow").groupby(
-            "sbucket"
-        ).map_groups(_append_sets, batch_format="pandas").materialize()
+
+        def _split(tier: int, names: dict[str, str]):
+            def _f(batch: pa.Table) -> pa.Table:
+                t = batch.filter(pc.equal(batch["tier"], tier))
+                return pa.table({new: t[old] for old, new in names.items()})
+
+            return _f
+
+        new_bands = fresh.map_batches(
+            _split(0, {"band": "band", "key": "band_key", "part": "bucket"}),
+            batch_format="pyarrow",
+        ).materialize()
+        new_sets = fresh.map_batches(
+            _split(1, {"key": "set_hash", "part": "sbucket"}),
+            batch_format="pyarrow",
+        ).materialize()
         nb, ns = new_bands.count(), new_sets.count()
         if nb:
             new_bands.write_parquet(os.path.join(index_dir, "bands"),
