@@ -1532,24 +1532,21 @@ def q_wjaccard_priorities(sf_dir: str):
     pair weighted by its order count expands into count occurrence slots,
     k=64 integer MinHash permutations sample slots consistently, and the
     matching-minima fraction estimates sum(min)/sum(max) of the count
-    vectors. Counts aggregate FIRST (one groupby), so each item's final
-    weight is presented once — the sketch's merge contract. The oracle
+    vectors. Count aggregation and sketch partials fuse into ONE
+    custkey-partitioned exchange (weighted_sketch_by_key) — value-disjoint
+    reduce groups present each item's final weight once, the sketch's
+    merge contract. The oracle
     replicates the slot expansion (generate_series) and the three
     splitmix64 chains in exact HUGEINT arithmetic, so the estimate is
     hash-verified end to end."""
     from pprl_ray.sketches import WeightedMinHashSketch
-    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+    from pprl_ray.state.aggregate import finalize_sketches, weighted_sketch_by_key
 
     orders = read_parquet_sized(
         f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_custkey"]
     )
-    counts = orders.groupby(["o_orderpriority", "o_custkey"]).count()
-    merged = sketch_by_key(
-        counts,
-        lambda: WeightedMinHashSketch(64),
-        "o_custkey",
-        "o_orderpriority",
-        weight_col="count()",
+    merged = weighted_sketch_by_key(
+        orders, lambda: WeightedMinHashSketch(64), "o_custkey", "o_orderpriority"
     )
     sketches = finalize_sketches(merged, WeightedMinHashSketch)
     keys = sorted(sketches)

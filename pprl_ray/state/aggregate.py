@@ -28,6 +28,7 @@ import pyarrow as pa
 __all__ = [
     "SketchPartials",
     "sketch_by_key",
+    "weighted_sketch_by_key",
     "merge_blob_rows",
     "finalize_sketches",
     "sketch_estimate_table",
@@ -339,6 +340,74 @@ def sketch_by_key(
     if merge is None:
         return partials
     raise ValueError(f"unknown merge mode {merge!r}")
+
+
+def weighted_sketch_by_key(
+    ds,
+    sketch_factory: Callable[[], Any],
+    value_col: str,
+    key_col: str,
+    *,
+    partitions: int = 32,
+):
+    """Count-weighted sketch per key for sketches whose merge contract
+    needs each item's FINAL weight presented once (e.g.
+    ``WeightedMinHashSketch``): fuses the count aggregation and the
+    sketch-partial extraction into ONE value-partitioned exchange instead
+    of a full sort-aggregate followed by a separate partial pass.
+
+    Per batch, a polars groupby pre-combines ``(key, value)`` counts
+    (map-side combine — the exchange carries at most one row per distinct
+    pair per block); rows then co-locate by ``hash(value) % partitions``,
+    so each reduce group holds a DISJOINT value range with every partial
+    count for it. The group task finishes the counts and folds them
+    straight into one sketch partial per key — value-disjointness is
+    exactly the weighted-merge contract. Consume with
+    :func:`finalize_sketches`."""
+    import polars as pl
+
+    def _precount(batch: pa.Table) -> pa.Table:
+        df = pl.DataFrame(
+            {
+                "k": pl.from_arrow(batch[key_col].combine_chunks()),
+                "v": pl.from_arrow(batch[value_col].combine_chunks()),
+            }
+        )
+        g = df.group_by(["k", "v"]).len()
+        vpart = (g["v"].hash(seed=59).to_numpy() % np.uint64(partitions)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "k": g["k"].to_arrow(),
+                "v": g["v"].to_arrow(),
+                "n": g["len"].cast(pl.Int64).to_arrow(),
+                "vpart": pa.array(vpart),
+            }
+        )
+
+    def _reduce(group) -> pa.Table:
+        counts = group.groupby(["k", "v"], sort=False)["n"].sum().reset_index()
+        keys_out, blobs_out, rows_out = [], [], []
+        for key, sub in counts.groupby("k", sort=False):
+            sk = sketch_factory()
+            sk.update(sub["v"].to_numpy(), sub["n"].to_numpy())
+            keys_out.append(str(key))
+            blobs_out.append(zlib.compress(sk.to_bytes(), 1))
+            rows_out.append(int(sub["n"].sum()))
+        return pa.table(
+            {
+                "key": pa.array(keys_out, pa.string()),
+                "blob": pa.array(blobs_out, pa.large_binary()),
+                "rows": pa.array(rows_out, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_precount, batch_format="pyarrow")
+        .groupby("vpart")
+        .map_groups(_reduce, batch_format="pandas")
+    )
 
 
 def finalize_sketches(merged_ds, sketch_cls) -> dict[str, Any]:

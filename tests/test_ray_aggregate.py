@@ -208,3 +208,39 @@ def test_merge_group_is_row_order_independent():
             )
             outs.add(bytes(_merge_group(df, cls)["blob"].iloc[0]))
         assert len(outs) == 1, cls.__name__
+
+
+def test_weighted_sketch_by_key_matches_preaggregated(ray_session):
+    """The fused count+sketch exchange is bit-identical to aggregating
+    counts first and sketching the count table (the two presentations of
+    the same final weights), under any block split."""
+    import ray.data as rd
+
+    from pprl_ray.sketches import WeightedMinHashSketch
+    from pprl_ray.state.aggregate import (
+        finalize_sketches,
+        weighted_sketch_by_key,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    rows = {
+        "grp": rng.choice(["a", "b", "c"], n).tolist(),
+        "item": rng.integers(0, 300, n).tolist(),
+    }
+    ds = rd.from_pandas(__import__("pandas").DataFrame(rows)).repartition(7)
+    fused = finalize_sketches(
+        weighted_sketch_by_key(
+            ds, lambda: WeightedMinHashSketch(64), "item", "grp", partitions=5
+        ),
+        WeightedMinHashSketch,
+    )
+    # reference: exact pandas count table, one sketch per group
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    counts = df.groupby(["grp", "item"]).size().reset_index(name="n")
+    for g, sub in counts.groupby("grp"):
+        ref = WeightedMinHashSketch(64)
+        ref.update(sub["item"].to_numpy(), sub["n"].to_numpy())
+        assert (fused[g].mins == ref.mins).all(), g
