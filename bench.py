@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "incremental_near_dup",
     "random_projection",
     "pagerank",
+    "bpe_vocab",
+    "bpe_encode",
 ]
 
 
