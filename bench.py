@@ -104,6 +104,9 @@ BENCH_QUERIES = [
     "pagerank",
     "bpe_vocab",
     "bpe_encode",
+    "seeded_shuffle",
+    "balanced_shards",
+    "rolling_window",
 ]
 
 

@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["range_boundaries", "range_bucket", "range_partitioned_sort", "bucket_summaries", "range_sorted_rank", "global_running_sum", "token_budget_pack"]
+__all__ = ["range_boundaries", "range_bucket", "range_partitioned_sort", "bucket_summaries", "range_sorted_rank", "global_running_sum", "token_budget_pack", "seeded_permutation", "balanced_shards"]
 
 
 def range_boundaries(ds, col: str, partitions: int, k: int = 200) -> np.ndarray:
@@ -200,6 +200,86 @@ def global_running_sum(ds, col: str, tiebreak: str, value_col: str,
         return g
 
     return tagged.groupby("bucket").map_groups(_scan, batch_format="pandas")
+
+
+def seeded_permutation(ds, id_col: str, seed: int, partitions: int | None = None,
+                       pos_col: str = "pos"):
+    """Deterministic global training-order shuffle: every row gets a
+    pseudo-random but fully reproducible position ``1..N`` — the
+    epoch-shuffle primitive of a training-data pipeline (same seed =>
+    byte-identical example order on any cluster size, any partitioning,
+    any engine; new seed => an independent permutation, no reshuffle of
+    the stored corpus needed).
+
+    Mechanics: shuffle key = ``splitmix64(id ^ splitmix64(seed))``
+    (:func:`..sketches.hashing.hash_ints` — bijective, so unique ids give
+    unique keys), mapped order-preservingly to signed int64; the exact
+    global position is then :func:`range_sorted_rank` over the key — one
+    KLL boundary pass + ONE range shuffle + per-bucket vectorised sorts.
+    No ``random_shuffle`` materialization, no driver-side permutation
+    array: state per task is the P-1 boundaries.
+
+    Scale shape: identical to the distributed sort — the hash keys are
+    uniform by construction, so KLL range buckets are tight and no bucket
+    exceeds ~(1/P + eps) of the corpus regardless of id skew."""
+    from ..sketches.hashing import hash_ints
+
+    def _key(batch: pa.Table) -> pa.Table:
+        v = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        z = hash_ints(v.astype(np.uint64, copy=False), seed)
+        # order-preserving signed view: flip the top bit so unsigned order
+        # survives the int64 reinterpretation (KLL/sort work on int64)
+        zs = (z ^ np.uint64(1 << 63)).view(np.int64)
+        return batch.append_column("_shuffle_key", pa.array(zs, pa.int64()))
+
+    keyed = ds.map_batches(_key, batch_format="pyarrow")
+    ranked = range_sorted_rank(keyed, "_shuffle_key", id_col, partitions=partitions)
+
+    def _out(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_columns(["_shuffle_key"])
+        names = [pos_col if c == "rank" else c for c in batch.column_names]
+        return batch.rename_columns(names)
+
+    return ranked.map_batches(_out, batch_format="pyarrow")
+
+
+def balanced_shards(ds, weight_col: str, id_col: str, num_shards: int,
+                    partitions: int | None = None, shard_col: str = "shard"):
+    """Deterministic weight-balanced sharding: rows are ranked by
+    ``(weight DESC, id)`` and dealt round-robin — ``shard = (rank-1) %
+    num_shards`` — so every shard receives one row per "round" of the
+    ``num_shards`` next-heaviest rows. Consecutive rounds have
+    monotonically shrinking weights, so shard totals are balanced to
+    within roughly one maximum row weight — the training-shard layout
+    (equal token budgets per file) without any bin-packing state.
+
+    The assignment is a pure function of the sorted order
+    (``row_number() OVER (ORDER BY weight DESC, id)``), hence reproducible
+    on any engine/partitioning and SQL-verifiable row-for-row.
+
+    Scale shape: one KLL pass + one range shuffle (:func:`range_sorted_rank`
+    over the negated weight); the shard tag is a vectorised map over the
+    ranked stream."""
+
+    def _neg(batch: pa.Table) -> pa.Table:
+        w = batch[weight_col].combine_chunks().to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_neg_w", pa.array(-w.astype(np.int64, copy=False), pa.int64())
+        )
+
+    ranked = range_sorted_rank(
+        ds.map_batches(_neg, batch_format="pyarrow"), "_neg_w", id_col,
+        partitions=partitions,
+    )
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        r = batch["rank"].combine_chunks().to_numpy(zero_copy_only=False)
+        batch = batch.drop_columns(["_neg_w"])
+        return batch.append_column(
+            shard_col, pa.array((r - 1) % num_shards, pa.int64())
+        )
+
+    return ranked.map_batches(_tag, batch_format="pyarrow")
 
 
 def token_budget_pack(ds, value_col: str, order_col: str, tiebreak: str,

@@ -22,6 +22,7 @@ import pyarrow as pa
 __all__ = [
     "sessionize",
     "running_aggregate",
+    "rolling_aggregate",
     "hop_windows",
     "latest_by_key",
     "decayed_sum",
@@ -124,6 +125,61 @@ def running_aggregate(ds, key_col: str, order_cols, val_col: str,
         return g.drop(columns=["part"])
 
     return parted.groupby("part").map_groups(_running, batch_format="pandas")
+
+
+def rolling_aggregate(ds, key_col: str, order_cols, val_col: str,
+                      window: int, partitions: int | None = None):
+    """Per-key ROLLING aggregate over the last ``window`` rows — the
+    ``SUM(v) OVER (PARTITION BY key ORDER BY ... ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW)`` operator (moving averages / trailing
+    feature windows over an event stream).
+
+    Scale shape: identical to :func:`running_aggregate` — ONE hash-by-key
+    shuffle co-locates each key's rows, then each partition group runs a
+    single vectorised pass: per-key integer cumsum, a per-key ``shift`` by
+    ``window``, and a subtraction. Per-group Python overhead is
+    O(partitions), not O(keys); no key ever needs more memory than its own
+    rows. Use an integer ``val_col`` (fixed-point upstream) for an exact,
+    engine-independent result.
+
+    Output: all input columns + ``rolling_sum`` (sum of the last
+    ``window`` values incl. current) + ``n_in_window`` (how many rows the
+    window actually holds — < ``window`` near the key's start).
+
+    Reference parity: none (no windowed semantics in the reference,
+    SURVEY.md §2.8) — windowed-aggregate extension surface."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    if partitions is None:
+        from .partitioning import auto_partitions
+
+        partitions = auto_partitions(ds)
+
+    def _part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part", pa.array(_hash_partition(batch[key_col], partitions))
+        )
+
+    parted = ds.map_batches(_part, batch_format="pyarrow")
+
+    def _roll(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, *order_cols], kind="mergesort").reset_index(drop=True)
+        grp = g.groupby(key_col, sort=False)
+        cs = grp[val_col].cumsum().to_numpy(dtype=np.int64)
+        # cumsum lagged by `window` WITHIN each key (0 before the key has
+        # `window` rows); NaN fill keeps exactness — cumsums here stay far
+        # below 2**53 per key, and we cast straight back to int64
+        g["_cs"] = cs
+        lag = grp["_cs"].shift(window)
+        lag_i = np.where(np.isnan(lag.to_numpy(dtype=np.float64)), 0,
+                         lag.to_numpy(dtype=np.float64)).astype(np.int64)
+        row_in_key = (grp.cumcount() + 1).to_numpy(dtype=np.int64)
+        g["rolling_sum"] = cs - lag_i
+        g["n_in_window"] = np.minimum(row_in_key, window)
+        return g.drop(columns=["part", "_cs"])
+
+    return parted.groupby("part").map_groups(_roll, batch_format="pandas")
 
 
 def hop_windows(ds, ts_col: str, length_s: int, step_s: int, cols=None):

@@ -1,0 +1,134 @@
+"""Third round-4 session: seeded global shuffle, balanced shards, rolling
+window aggregate."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _perm_positions(df, seed, parts):
+    import ray.data as rd
+
+    from pprl_ray.stages.sort import seeded_permutation
+
+    ds = rd.from_pandas(df).repartition(parts)
+    out = seeded_permutation(ds, "id", seed, partitions=4).to_pandas()
+    return out.sort_values("id").reset_index(drop=True)
+
+
+def test_seeded_permutation_matches_numpy_reference(ray_session):
+    from pprl_ray.sketches.hashing import hash_ints
+
+    rng = np.random.default_rng(3)
+    ids = rng.choice(10_000, size=400, replace=False).astype(np.int64)
+    df = pd.DataFrame({"id": ids, "payload": ids * 2})
+    out = _perm_positions(df, seed=42, parts=5)
+
+    z = hash_ints(ids.astype(np.uint64), 42)
+    order = np.lexsort((ids, z))  # (z, id) ascending, z unsigned
+    pos = np.empty(len(ids), dtype=np.int64)
+    pos[order] = np.arange(1, len(ids) + 1)
+    ref = pd.DataFrame({"id": ids, "pos": pos}).sort_values("id").reset_index(drop=True)
+    assert out["pos"].tolist() == ref["pos"].tolist()
+    # payload columns ride through
+    assert (out["payload"] == out["id"] * 2).all()
+
+
+def test_seeded_permutation_is_a_permutation_and_partition_invariant(ray_session):
+    df = pd.DataFrame({"id": np.arange(300, dtype=np.int64)})
+    a = _perm_positions(df, seed=7, parts=1)
+    b = _perm_positions(df, seed=7, parts=6)
+    assert sorted(a["pos"]) == list(range(1, 301))
+    assert a["pos"].tolist() == b["pos"].tolist()
+    # a different seed yields a genuinely different order
+    c = _perm_positions(df, seed=8, parts=6)
+    assert c["pos"].tolist() != a["pos"].tolist()
+
+
+def test_balanced_shards_round_robin_and_balance(ray_session):
+    import ray.data as rd
+
+    from pprl_ray.stages.sort import balanced_shards
+
+    rng = np.random.default_rng(5)
+    n, s = 500, 8
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "w": rng.integers(1, 1000, n).astype(np.int64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(7)
+    out = (
+        balanced_shards(ds, "w", "id", num_shards=s, partitions=4)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+
+    # reference: rank by (w DESC, id), deal round-robin
+    order = np.lexsort((df["id"].to_numpy(), -df["w"].to_numpy()))
+    shard = np.empty(n, dtype=np.int64)
+    shard[order] = np.arange(n) % s
+    assert out["shard"].tolist() == shard.tolist()
+
+    # shard sizes differ by at most 1; totals by at most one max weight
+    # (desc-sorted round-robin telescoping bound)
+    sizes = out.groupby("shard").size()
+    assert sizes.max() - sizes.min() <= 1
+    totals = out.groupby("shard")["w"].sum()
+    assert totals.max() - totals.min() <= df["w"].max()
+
+
+def test_rolling_aggregate_matches_pandas_reference(ray_session):
+    import ray.data as rd
+
+    from pprl_ray.stages.window import rolling_aggregate
+
+    rng = np.random.default_rng(11)
+    n, w = 400, 5
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 6, n).astype(np.int64),
+            "ts": rng.permutation(n).astype(np.int64),
+            "v": rng.integers(-100, 100, n).astype(np.int64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(5)
+    out = (
+        rolling_aggregate(ds, "k", ["ts"], "v", window=w, partitions=3)
+        .to_pandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["k", "ts"]).reset_index(drop=True)
+    grp = ref.groupby("k", sort=False)
+    ref["rolling_sum"] = (
+        grp["v"].rolling(w, min_periods=1).sum().reset_index(drop=True).astype(np.int64)
+    )
+    ref["n_in_window"] = np.minimum(grp.cumcount() + 1, w)
+    pd.testing.assert_frame_equal(
+        out[["k", "ts", "v", "rolling_sum", "n_in_window"]].astype("int64"),
+        ref.astype("int64"),
+    )
+
+
+def test_rolling_aggregate_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from pprl_ray.stages.window import rolling_aggregate
+
+    df = pd.DataFrame(
+        {"k": [1, 1, 2, 2, 1, 1], "ts": [3, 1, 5, 2, 2, 4], "v": [10, 20, 30, 40, 50, 5]}
+    )
+
+    def run(parts):
+        ds = rd.from_pandas(df).repartition(parts)
+        return (
+            rolling_aggregate(ds, "k", ["ts"], "v", window=2, partitions=parts)
+            .to_pandas()
+            .sort_values(["k", "ts"])
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run(1), run(4))
