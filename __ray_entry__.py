@@ -1797,6 +1797,63 @@ def q_cosine_pairs(sf_dir: str):
     )
 
 
+def q_word_triangles(sf_dir: str):
+    """Triangle census of the word-adjacency graph (stages/graph.py
+    triangle_counts — degree-ordered node-iterator, wedge-check exchange):
+    nodes are words, edges are DISTINCT undirected adjacent-word pairs
+    across the corpus (self-pairs dropped). Returns the top-15 words by
+    exact triangle participation plus the global triangle count; the
+    DuckDB oracle enumerates triangles with the canonical u<v<w
+    3-way self-join."""
+    from pprl_ray.stages.graph import triangle_counts
+    from pprl_ray.stages.tokens import _list_view
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        col = batch["ws"]
+        offs, values = _list_view(col)
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        total = len(values)
+        if total < 2:
+            return pa.table({"u": values.slice(0, 0), "v": values.slice(0, 0)})
+        starts = np.zeros(total, bool)
+        starts[offs[:-1] - offs[0]] = True
+        keep = ~starts[1:]
+        flat = pl.from_arrow(values)
+        pairs = (
+            pl.DataFrame({"u": flat.slice(0, total - 1), "v": flat.slice(1)})
+            .filter(pl.Series(keep))
+            .unique()
+        )
+        return pairs.to_arrow()
+
+    pairs = _doc_words(sf_dir).map_batches(_pairs, batch_format="pyarrow")
+    tri = triangle_counts(pairs, "u", "v").materialize()
+    total = int(tri.sum("triangles") or 0) // 3
+
+    def _top(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["triangles", "node"], ascending=[False, True]
+        ).head(15)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = tri.map_batches(_top, batch_format="pyarrow").take_all()
+    top = (
+        pd.DataFrame(partials)
+        .sort_values(["triangles", "node"], ascending=[False, True])
+        .head(15)
+    )
+    return pa.table(
+        {
+            "node": pa.array(top["node"].astype(str)),
+            "triangles": pa.array(top["triangles"].astype("int64")),
+            "total_triangles": pa.array([total] * len(top), pa.int64()),
+        }
+    )
+
+
 def q_pagerank(sf_dir: str):
     """Distributed PageRank (stages/graph.py pagerank, 5 power iterations,
     d=0.85) over the undirected order↔part bipartite graph from lineitem
@@ -4609,6 +4666,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_windows": q_event_windows,
         "bucket_join": q_bucket_join,
         "knn_ivfpq": q_knn_ivfpq,
+        # third-session new queries enter the tail directly (VERDICT r3 #5)
+        "word_triangles": q_word_triangles,
         "bpe_vocab": q_bpe_vocab,
         "bpe_encode": q_bpe_encode,
         "ddsketch_ntok": q_ddsketch_ntok,
@@ -6970,6 +7029,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source,
                    row_number() OVER (ORDER BY z, doc_id) AS pos
             FROM s6
+        """,
+        "word_triangles": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, unnest(ws) AS wd,
+                       unnest(generate_series(1, len(ws))) AS p
+                FROM w
+            ),
+            big AS (
+                SELECT a.wd AS w1, b.wd AS w2
+                FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+                WHERE a.wd <> b.wd
+            ),
+            e AS (SELECT DISTINCT least(w1, w2) AS u, greatest(w1, w2) AS v
+                  FROM big),
+            tri AS (
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM e e1
+                JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+            ),
+            pernode AS (
+                SELECT node, count(*) AS triangles FROM (
+                    SELECT a AS node FROM tri
+                    UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri
+                ) GROUP BY node
+            ),
+            ranked AS (
+                SELECT node, triangles,
+                       row_number() OVER (ORDER BY triangles DESC, node) AS rn
+                FROM pernode
+            )
+            SELECT node, triangles,
+                   (SELECT count(*) FROM tri) AS total_triangles
+            FROM ranked WHERE rn <= 15
         """,
         "balanced_shards": """
             WITH r AS (

@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "seeded_shuffle",
     "balanced_shards",
     "rolling_window",
+    "word_triangles",
 ]
 
 

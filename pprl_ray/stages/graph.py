@@ -18,7 +18,81 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_counts"]
+
+
+def _wedge_pairs(nb_sorted: np.ndarray, group_starts: np.ndarray,
+                 group_sizes: np.ndarray):
+    """All within-group ordered pairs (i<j) of a flat, group-sorted
+    neighbor array — vectorised by looping over DISTINCT group sizes
+    (np.triu_indices once per size, fancy-indexed across all groups of
+    that size), so Python overhead is O(#distinct sizes), not O(#groups).
+    Yields (group_index_array, a_array, b_array) chunks."""
+    for size in np.unique(group_sizes[group_sizes >= 2]):
+        sel = np.flatnonzero(group_sizes == size)
+        idx = group_starts[sel][:, None] + np.arange(size)[None, :]
+        nb = nb_sorted[idx]  # (n_groups_of_size, size), sorted rows
+        iu, ju = np.triu_indices(int(size), 1)
+        g = np.repeat(sel, len(iu))
+        yield g, nb[:, iu].ravel(), nb[:, ju].ravel()
+
+
+def _local_triangles(src_col: str, dst_col: str):
+    """Single-task exact triangle counting over a coalesced edge batch:
+    dense-code the nodes, dedup canonical pairs packed into int64,
+    degree-ordered orientation, per-size-vectorised wedge enumeration,
+    sorted-array membership for the closing edge. Exact for any node
+    dtype (strings included — np.unique dense-codes them)."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        su = batch[src_col].to_numpy(zero_copy_only=False)
+        sv = batch[dst_col].to_numpy(zero_copy_only=False)
+        empty = pa.table({"node": pa.array([], batch.schema.field(src_col).type),
+                          "triangles": pa.array([], pa.int64())})
+        if len(su) == 0:
+            return empty
+        nodes, codes = np.unique(np.concatenate([su, sv]), return_inverse=True)
+        n = len(nodes)
+        cu, cv = codes[: len(su)], codes[len(su):]
+        keep = cu != cv
+        lo = np.minimum(cu[keep], cv[keep]).astype(np.int64)
+        hi = np.maximum(cu[keep], cv[keep]).astype(np.int64)
+        if len(lo) == 0:
+            return empty
+        packed = np.unique(lo * n + hi)
+        lo, hi = packed // n, packed % n
+        deg = np.bincount(lo, minlength=n) + np.bincount(hi, minlength=n)
+        # orientation rank: position in the (degree, id) total order
+        order = np.lexsort((np.arange(n), deg))
+        rank = np.empty(n, np.int64)
+        rank[order] = np.arange(n)
+        fwd = rank[lo] < rank[hi]
+        a = np.where(fwd, lo, hi)
+        b = np.where(fwd, hi, lo)
+        ra, rb = rank[a], rank[b]
+        o2 = np.lexsort((rb, ra))
+        a, b, ra, rb = a[o2], b[o2], ra[o2], rb[o2]
+        edge_keys = ra * n + rb  # sorted ascending by construction
+        starts = np.flatnonzero(np.diff(ra, prepend=-1))
+        sizes = np.diff(np.append(starts, len(ra)))
+        tri = np.zeros(n, np.int64)
+        for g, wa_r, wb_r in _wedge_pairs(rb, starts, sizes):
+            wkey = wa_r * n + wb_r  # wa_r < wb_r: rows are rank-sorted
+            pos = np.searchsorted(edge_keys, wkey)
+            pos_c = np.minimum(pos, len(edge_keys) - 1)
+            hit = edge_keys[pos_c] == wkey
+            if not hit.any():
+                continue
+            centers = a[starts[g[hit]]]
+            np.add.at(tri, centers, 1)
+            # wedge endpoints back to code space via the rank inverse
+            np.add.at(tri, order[wa_r[hit]], 1)
+            np.add.at(tri, order[wb_r[hit]], 1)
+        nz = np.flatnonzero(tri)
+        return pa.table({"node": pa.array(nodes[nz]),
+                         "triangles": pa.array(tri[nz], pa.int64())})
+
+    return _f
 
 
 def _local_pagerank(iters: int, damping: float):
@@ -53,6 +127,193 @@ def _local_pagerank(iters: int, damping: float):
         return pa.table({"id": pa.array(ids), "r": pa.array(r, pa.float64())})
 
     return _f
+
+
+def triangle_counts(edges_ds, src_col: str = "src", dst_col: str = "dst",
+                    partitions: int | None = None,
+                    local_max_edges: int = 2_000_000):
+    """Exact distributed triangle counting with per-node participation —
+    the node-iterator with degree-ordered orientation (Schank & Wagner
+    2005), in the MapReduce wedge-check shape (Suri & Vassilvitskii,
+    WWW 2011; Cohen, CiSE 2009). Input: an edge-list Dataset (directed or
+    undirected, duplicates/self-loops tolerated — canonicalized away).
+    Output: ``(node, triangles)`` for every node in ≥1 triangle; the
+    global triangle count is ``sum(triangles) / 3``.
+
+    Scale shape (all exchanges are slim id/pair tables; node payloads
+    never move):
+    1. ONE pair-keyed exchange canonicalizes + dedups undirected edges
+       (per-batch combine first, so the shuffle carries ~unique pairs);
+    2. a node-keyed count reduce computes exact degrees; two
+       :func:`~.join.bucket_join` passes attach them to both endpoints;
+    3. every edge is oriented from its (degree, id)-smaller endpoint to
+       the larger — forward-degrees are then O(sqrt(m)) even on
+       power-law hubs, bounding the wedge fan-out Σ d+(u)²;
+    4. a src-keyed group emits each node's forward-neighbor pairs
+       (wedges, canonically ordered by the same (degree, id) rule);
+    5. one pair-keyed bucket_join matches wedges against the oriented
+       edge set — each match is exactly one triangle, found exactly once;
+    6. a final node-keyed fold sums the three participants per triangle.
+
+    Hybrid execution (the pagerank/connected-components small-side
+    guard): at or under ``local_max_edges`` raw edge rows the compact
+    edge list coalesces into ONE vectorised task; pass
+    ``local_max_edges=0`` to force the distributed path."""
+    import polars as pl
+
+    from .join import bucket_join
+    from .partitioning import auto_partitions
+
+    compact = edges_ds.map_batches(
+        lambda b: pa.table({"u": b[src_col], "v": b[dst_col]}),
+        batch_format="pyarrow",
+    ).materialize()
+    if compact.count() <= local_max_edges:
+        return compact.repartition(1).map_batches(
+            _local_triangles("u", "v"), batch_size=None, batch_format="pyarrow"
+        )
+
+    if partitions is None:
+        partitions = auto_partitions(compact)
+    nparts = int(partitions)
+
+    def _pair_part(df: pl.DataFrame) -> np.ndarray:
+        h = df.select(pl.struct(["lo", "hi"]).hash(seed=71).alias("h"))["h"].to_numpy()
+        return (h % np.uint64(nparts)).astype(np.int32)
+
+    def _node_part(col) -> np.ndarray:
+        h = pl.from_arrow(col).hash(seed=73).to_numpy()
+        return (h % np.uint64(nparts)).astype(np.int32)
+
+    # 1. canonical + per-batch combine + pair-keyed exact dedup
+    def _canon(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        df = df.filter(pl.col("u") != pl.col("v")).select(
+            pl.min_horizontal("u", "v").alias("lo"),
+            pl.max_horizontal("u", "v").alias("hi"),
+        ).unique()
+        out = df.to_arrow()
+        return out.append_column("part", pa.array(_pair_part(df)))
+
+    def _dedup(group: pa.Table) -> pa.Table:
+        # arrow-format group (bucket_join downstream needs Arrow schemas)
+        return pl.from_arrow(group).unique(subset=["lo", "hi"]).select(
+            ["lo", "hi"]
+        ).to_arrow()
+
+    edges = (
+        compact.map_batches(_canon, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_dedup, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # 2. exact degrees: per-batch combine, node-keyed sum
+    def _deg_partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        both = pl.concat(
+            [df.select(pl.col("lo").alias("node")),
+             df.select(pl.col("hi").alias("node"))]
+        )
+        g = both.group_by("node").agg(pl.len().alias("c"))
+        out = g.to_arrow()
+        return out.append_column("npart", pa.array(_node_part(out["node"])))
+
+    def _deg_sum(group: pa.Table) -> pa.Table:
+        return pl.from_arrow(group).group_by("node").agg(
+            pl.col("c").sum().alias("deg")
+        ).to_arrow()
+
+    degrees = (
+        edges.map_batches(_deg_partial, batch_format="pyarrow")
+        .groupby("npart")
+        .map_groups(_deg_sum, batch_format="pyarrow")
+    )
+
+    # 3. attach degrees to both endpoints, orient by (deg, id)
+    with_lo = bucket_join(edges, degrees, keys="lo", right_keys="node",
+                          partitions=nparts,
+                          post=lambda t: t.rename_columns(
+                              ["deg_lo" if c == "deg" else c for c in t.column_names]))
+    both = bucket_join(with_lo, degrees, keys="hi", right_keys="node",
+                       partitions=nparts,
+                       post=lambda t: t.rename_columns(
+                           ["deg_hi" if c == "deg" else c for c in t.column_names]))
+
+    def _orient(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        fwd = (pl.col("deg_lo") < pl.col("deg_hi")) | (
+            (pl.col("deg_lo") == pl.col("deg_hi")) & (pl.col("lo") < pl.col("hi"))
+        )
+        df = df.select(
+            pl.when(fwd).then(pl.col("lo")).otherwise(pl.col("hi")).alias("src"),
+            pl.when(fwd).then(pl.col("hi")).otherwise(pl.col("lo")).alias("dst"),
+            pl.when(fwd).then(pl.col("deg_hi")).otherwise(pl.col("deg_lo")).alias("deg_dst"),
+        )
+        out = df.to_arrow()
+        return out.append_column("spart", pa.array(_node_part(out["src"])))
+
+    oriented = both.map_batches(_orient, batch_format="pyarrow").materialize()
+
+    # 4. wedge emission: per src, all forward-neighbor pairs in (deg, id)
+    #    canonical order (matches the orientation rule, so the closing
+    #    edge — if present — is stored exactly as (a, b))
+    def _wedges(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["src", "deg_dst", "dst"], kind="mergesort")
+        src_codes, starts = np.unique(
+            pd.factorize(g["src"], sort=False)[0], return_index=True
+        )
+        sizes = np.diff(np.append(starts, len(g)))
+        nb = g["dst"].to_numpy()
+        srcs = g["src"].to_numpy()
+        out_a, out_b, out_u = [], [], []
+        for grp_idx, wa, wb in _wedge_pairs(nb, starts, sizes):
+            out_a.append(wa)
+            out_b.append(wb)
+            out_u.append(srcs[starts[grp_idx]])
+        if not out_a:
+            df = pd.DataFrame({"a": pd.Series(dtype=g["dst"].dtype),
+                               "b": pd.Series(dtype=g["dst"].dtype),
+                               "u": pd.Series(dtype=g["src"].dtype)})
+        else:
+            df = pd.DataFrame(
+                {"a": np.concatenate(out_a), "b": np.concatenate(out_b),
+                 "u": np.concatenate(out_u)}
+            )
+        # arrow block out: the wedge-closing bucket_join needs Arrow schemas
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    wedges = oriented.groupby("spart").map_groups(_wedges, batch_format="pandas")
+
+    # 5. close wedges against the oriented edge set — inner join on the
+    #    canonical pair; each surviving row is one triangle (u, a, b)
+    closing = oriented.map_batches(
+        lambda b: pa.table({"a": b["src"], "b": b["dst"]}), batch_format="pyarrow"
+    )
+    tris = bucket_join(wedges, closing, keys=["a", "b"], partitions=nparts,
+                       join_type="left semi")
+
+    # 6. per-node participation: slim node-keyed count fold
+    def _emit_nodes(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        allnodes = pl.concat(
+            [df.select(pl.col("u").alias("node")),
+             df.select(pl.col("a").alias("node")),
+             df.select(pl.col("b").alias("node"))]
+        )
+        g = allnodes.group_by("node").agg(pl.len().alias("c"))
+        out = g.to_arrow()
+        return out.append_column("npart", pa.array(_node_part(out["node"])))
+
+    def _count(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("node", sort=False, as_index=False)["c"].sum()
+        return g.rename(columns={"c": "triangles"})
+
+    return (
+        tris.map_batches(_emit_nodes, batch_format="pyarrow")
+        .groupby("npart")
+        .map_groups(_count, batch_format="pandas")
+    )
 
 
 def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",

@@ -2,6 +2,7 @@
 partitioning invariance, duplicate-edge dedup, sink-node teleport mass."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -75,3 +76,67 @@ def test_pagerank_sink_keeps_teleport(ray_session):
     want = _numpy_pagerank([(0, 1), (1, 2)], iters=10)
     for v in want:
         assert got[v] == pytest.approx(want[v], rel=1e-9)
+
+
+# --- triangle counting ------------------------------------------------------
+
+
+def _tri_run(edges, node_type=np.int64, local=True, parts=None):
+    import ray.data as rd
+
+    from pprl_ray.stages.graph import triangle_counts
+
+    df = pd.DataFrame({"src": [e[0] for e in edges], "dst": [e[1] for e in edges]})
+    if node_type is str:
+        df = df.astype({"src": str, "dst": str})
+    ds = rd.from_pandas(df).repartition(4)
+    out = triangle_counts(
+        ds, local_max_edges=(10**9 if local else 0), partitions=parts
+    ).to_pandas()
+    return dict(zip(out["node"], out["triangles"].astype(int)))
+
+
+def _tri_reference(edges):
+    """Brute-force per-node triangle counts via adjacency sets."""
+    adj = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    counts = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in adj[u]:
+            if v <= u:
+                continue
+            for w in adj[u] & adj[v]:
+                if w > v:
+                    for x in (u, v, w):
+                        counts[x] = counts.get(x, 0) + 1
+    return counts
+
+
+def test_triangles_k4_plus_pendant(ray_session):
+    # K4 has 4 triangles; each K4 node sits in 3; the pendant node in 0
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = _tri_run(k4 + [(3, 9)])
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert sum(got.values()) // 3 == 4
+
+
+def test_triangles_random_graph_local_vs_distributed_vs_reference(ray_session):
+    rng = np.random.default_rng(17)
+    edges = [(int(u), int(v)) for u, v in rng.integers(0, 40, (300, 2))]
+    ref = _tri_reference(edges)
+    # duplicates, reversed duplicates and self-loops must be tolerated
+    noisy = edges + [(v, u) for u, v in edges[:50]] + [(7, 7)]
+    assert _tri_run(noisy, local=True) == ref
+    assert _tri_run(noisy, local=False, parts=5) == ref
+
+
+def test_triangles_string_nodes_both_paths(ray_session):
+    edges = [("ab", "cd"), ("cd", "ef"), ("ef", "ab"), ("ab", "zz")]
+    want = {"ab": 1, "cd": 1, "ef": 1}
+    assert _tri_run(edges, node_type=str, local=True) == want
+    assert _tri_run(edges, node_type=str, local=False, parts=3) == want
