@@ -1797,6 +1797,57 @@ def q_cosine_pairs(sf_dir: str):
     )
 
 
+_NEG_SEED = 9119
+
+
+def q_negative_sample(sf_dir: str):
+    """Deterministic contrastive negative mining (stages/sort.py
+    negative_samples, k=3): each doc pairs with 3 pseudo-random OTHER docs
+    via seeded ring offsets over the id-sorted order — never self-paired,
+    every doc serves as a negative exactly k times (offsets are cyclic
+    shifts). One exact-rank pass + one slim position bucket-join; the
+    oracle replicates the splitmix64 offset constants and the modular
+    ring arithmetic over row_number()."""
+    from pprl_ray.stages.sort import negative_samples
+
+    docs = _docs(sf_dir, ["doc_id"])
+    out = negative_samples(docs, "doc_id", k=3, seed=_NEG_SEED, partitions=8)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "j": pc.cast(b["j"], pa.int64()),
+                "neg_doc_id": pc.cast(b["neg_doc_id"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_source_percentiles(sf_dir: str):
+    """EXACT per-source doc-length percentiles (stages/sort.py
+    group_quantiles_exact, percentile_disc semantics: element at
+    ceil(q*n)) — the exact companion to the KLL sketch quantiles
+    (`kll_by_source`): one hash-by-key shuffle, one vectorized
+    sort + fancy-index per partition."""
+    from pprl_ray.stages.sort import group_quantiles_exact
+
+    docs = _docs(sf_dir, ["source", "n_chars"])
+    out = group_quantiles_exact(docs, "source", "n_chars", [0.25, 0.5, 0.75, 0.9])
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "source": b["source"],
+                "q_0_25": pc.cast(b["q_0_25"], pa.int64()),
+                "q_0_5": pc.cast(b["q_0_5"], pa.int64()),
+                "q_0_75": pc.cast(b["q_0_75"], pa.int64()),
+                "q_0_9": pc.cast(b["q_0_9"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_word_triangles(sf_dir: str):
     """Triangle census of the word-adjacency graph (stages/graph.py
     triangle_counts — degree-ordered node-iterator, wedge-check exchange):
@@ -4668,6 +4719,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivfpq": q_knn_ivfpq,
         # third-session new queries enter the tail directly (VERDICT r3 #5)
         "word_triangles": q_word_triangles,
+        "negative_sample": q_negative_sample,
+        "source_percentiles": q_source_percentiles,
         "bpe_vocab": q_bpe_vocab,
         "bpe_encode": q_bpe_encode,
         "ddsketch_ntok": q_ddsketch_ntok,
@@ -5262,6 +5315,20 @@ def _sm64_chain(carry: str, src: str, prefix: str) -> str:
                           * 4294967296) % 18446744073709551616 AS z
                    FROM {prefix}4),
             {prefix}6 AS (SELECT {c}xor(z, z // 2147483648) AS z FROM {prefix}5)"""
+
+
+def _neg_offset_consts(k: int) -> str:
+    """(j, splitmix64(j ^ splitmix64(seed))) VALUES rows — the pre-modulo
+    ring-offset constants of negative_samples, computed from the library."""
+    from pprl_ray.sketches.hashing import splitmix64
+
+    mixed = int(splitmix64(np.array([_NEG_SEED], dtype=np.uint64))[0])
+    vals = [
+        int(splitmix64(np.array([j ^ mixed], dtype=np.uint64))[0]) for j in range(k)
+    ]
+    return ",\n                ".join(
+        f"({j}, CAST({z} AS HUGEINT))" for j, z in enumerate(vals)
+    )
 
 
 def _shuffle_mixed_seed() -> int:
@@ -7029,6 +7096,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source,
                    row_number() OVER (ORDER BY z, doc_id) AS pos
             FROM s6
+        """,
+        "negative_sample": f"""
+            WITH nn AS (SELECT count(*) AS cnt FROM documents),
+            r AS (
+                SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rk
+                FROM documents
+            ),
+            offs(j, z) AS (VALUES
+                {_neg_offset_consts(3)}),
+            o2 AS (
+                SELECT j,
+                       1 + CAST(z % ((SELECT cnt FROM nn) - 1) AS BIGINT) AS off
+                FROM offs
+            ),
+            tgt AS (
+                SELECT r.doc_id, o2.j,
+                       ((r.rk - 1 + o2.off) % (SELECT cnt FROM nn)) + 1 AS tpos
+                FROM r CROSS JOIN o2
+            )
+            SELECT t.doc_id, CAST(t.j AS BIGINT) AS j,
+                   r2.doc_id AS neg_doc_id
+            FROM tgt t JOIN r r2 ON r2.rk = t.tpos
+        """,
+        "source_percentiles": """
+            WITH r AS (
+                SELECT source, n_chars,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY n_chars) AS rk,
+                       count(*) OVER (PARTITION BY source) AS n
+                FROM documents
+            )
+            SELECT source,
+                   max(CASE WHEN rk = greatest(CAST(ceil(0.25 * n) AS BIGINT), 1)
+                            THEN n_chars END) AS q_0_25,
+                   max(CASE WHEN rk = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
+                            THEN n_chars END) AS q_0_5,
+                   max(CASE WHEN rk = greatest(CAST(ceil(0.75 * n) AS BIGINT), 1)
+                            THEN n_chars END) AS q_0_75,
+                   max(CASE WHEN rk = greatest(CAST(ceil(0.9 * n) AS BIGINT), 1)
+                            THEN n_chars END) AS q_0_9
+            FROM r GROUP BY source
         """,
         "word_triangles": """
             WITH w AS (

@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "balanced_shards",
     "rolling_window",
     "word_triangles",
+    "negative_sample",
+    "source_percentiles",
 ]
 
 

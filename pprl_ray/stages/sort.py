@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["range_boundaries", "range_bucket", "range_partitioned_sort", "bucket_summaries", "range_sorted_rank", "global_running_sum", "token_budget_pack", "seeded_permutation", "balanced_shards"]
+__all__ = ["range_boundaries", "range_bucket", "range_partitioned_sort", "bucket_summaries", "range_sorted_rank", "global_running_sum", "token_budget_pack", "seeded_permutation", "balanced_shards", "negative_samples", "group_quantiles_exact"]
 
 
 def range_boundaries(ds, col: str, partitions: int, k: int = 200) -> np.ndarray:
@@ -280,6 +280,126 @@ def balanced_shards(ds, weight_col: str, id_col: str, num_shards: int,
         )
 
     return ranked.map_batches(_tag, batch_format="pyarrow")
+
+
+def negative_samples(ds, id_col: str, k: int, seed: int,
+                     partitions: int | None = None):
+    """Deterministic contrastive negative sampling: each row gets ``k``
+    pseudo-random OTHER rows as negatives — the in-batch-negatives /
+    contrastive-pair mining step of embedding training, made global and
+    reproducible. Negatives are drawn by RING OFFSETS over the id-sorted
+    order: row at global position ``p`` pairs with positions
+    ``(p - 1 + off_j) mod n + 1`` where ``off_j = 1 + splitmix64(j ^
+    splitmix64(seed)) mod (n-1)``. Properties: never self-paired
+    (offsets are in [1, n-1]); every row serves as a negative EXACTLY k
+    times (each offset is a cyclic shift — a permutation), so no
+    popularity bias; fully engine-reproducible (plain modular arithmetic
+    over row_number()).
+
+    Scale shape: one :func:`range_sorted_rank` pass for exact positions,
+    a k-fold vectorised flat-map of slim ``(id, j, target_pos)`` rows,
+    and ONE pair bucket-join back to the position table. No corpus
+    payloads move.
+
+    Output: ``(id_col, j, neg_<id_col>)`` — k rows per input row."""
+    from ..sketches.hashing import splitmix64
+    from .join import bucket_join
+
+    n = ds.count()
+    if n < 2:
+        raise ValueError("need at least 2 rows to sample negatives")
+    mixed = int(splitmix64(np.array([seed], dtype=np.uint64))[0])
+    offs = [
+        1 + int(splitmix64(np.array([j ^ mixed], dtype=np.uint64))[0]) % (n - 1)
+        for j in range(k)
+    ]
+
+    def _copy_id(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_tb", batch[id_col])
+
+    ranked = range_sorted_rank(
+        ds.map_batches(_copy_id, batch_format="pyarrow"), id_col, "_tb",
+        partitions=partitions,
+    ).map_batches(
+        lambda b: pa.table({id_col: b[id_col], "rank": b["rank"]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    offs_arr = np.array(offs, dtype=np.int64)
+
+    def _targets(batch: pa.Table) -> pa.Table:
+        r = batch["rank"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = batch[id_col].combine_chunks()
+        rep = np.repeat(np.arange(len(r)), k)
+        j = np.tile(np.arange(k, dtype=np.int64), len(r))
+        tpos = (r[rep] - 1 + offs_arr[j]) % n + 1
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(rep)),
+                "j": pa.array(j, pa.int64()),
+                "tpos": pa.array(tpos, pa.int64()),
+            }
+        )
+
+    targets = ranked.map_batches(_targets, batch_format="pyarrow")
+    lookup = ranked.map_batches(
+        lambda b: pa.table({"tpos": b["rank"], f"neg_{id_col}": b[id_col]}),
+        batch_format="pyarrow",
+    )
+    joined = bucket_join(targets, lookup, keys="tpos", partitions=partitions)
+    return joined.map_batches(
+        lambda b: b.select([id_col, "j", f"neg_{id_col}"]), batch_format="pyarrow"
+    )
+
+
+def group_quantiles_exact(ds, key_col: str, val_col: str, qs,
+                          partitions: int | None = None):
+    """EXACT per-group quantiles (``percentile_disc`` semantics: the
+    element at 1-based position ``ceil(q * n)`` of the group's sorted
+    values) — the exact companion to the KLL per-key sketch quantiles
+    (`kll_by_source`): use this when groups fit a worker, the sketch when
+    a single group outgrows one.
+
+    Scale shape: ONE hash-by-key shuffle co-locates each group (classic
+    exact-quantile requirement), then each partition does a single
+    vectorised pass: sort by (key, value), per-group offsets, fancy-index
+    the ceil(q*n) positions. Per-group Python overhead is O(partitions).
+
+    Output: one row per key — ``(key_col, q_<q> ...)`` columns."""
+    if partitions is None:
+        from .partitioning import auto_partitions
+
+        partitions = auto_partitions(ds)
+    qs = list(qs)
+    names = [f"q_{str(q).replace('.', '_')}" for q in qs]
+
+    def _part(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        h = pl.from_arrow(batch[key_col].combine_chunks()).hash(seed=29).to_numpy()
+        return batch.append_column(
+            "part", pa.array((h % np.uint64(partitions)).astype(np.int32))
+        )
+
+    def _quant(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, val_col], kind="mergesort")
+        v = g[val_col].to_numpy()
+        keys, starts = np.unique(g[key_col].to_numpy(), return_index=True)
+        sizes = np.diff(np.append(starts, len(g)))
+        out = {key_col: keys}
+        for q, name in zip(qs, names):
+            # ceil(q*n) as exact integer arithmetic for float-safe cuts
+            pos = starts + np.minimum(
+                np.ceil(q * sizes).astype(np.int64) - 1, sizes - 1
+            ).clip(0)
+            out[name] = v[pos]
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_quant, batch_format="pandas")
+    )
 
 
 def token_budget_pack(ds, value_col: str, order_col: str, tiebreak: str,

@@ -132,3 +132,63 @@ def test_rolling_aggregate_partition_invariant(ray_session):
         )
 
     pd.testing.assert_frame_equal(run(1), run(4))
+
+
+def test_negative_samples_properties(ray_session):
+    import ray.data as rd
+
+    from pprl_ray.stages.sort import negative_samples
+
+    ids = np.array([3, 7, 11, 20, 21, 40, 55, 56, 70, 99], dtype=np.int64)
+    df = pd.DataFrame({"id": ids})
+
+    def run(parts):
+        ds = rd.from_pandas(df).repartition(parts)
+        return (
+            negative_samples(ds, "id", k=3, seed=5, partitions=3)
+            .to_pandas()
+            .sort_values(["id", "j"])
+            .reset_index(drop=True)
+        )
+
+    out = run(2)
+    # k rows per id, never self-paired
+    assert len(out) == 3 * len(ids)
+    assert (out.groupby("id").size() == 3).all()
+    assert (out["id"] != out["neg_id"]).all()
+    # each offset is a cyclic shift: every id serves as a negative exactly
+    # once per j (no popularity bias)
+    for j in range(3):
+        negs = out.loc[out["j"] == j, "neg_id"]
+        assert sorted(negs) == sorted(ids)
+    # deterministic across partitionings
+    pd.testing.assert_frame_equal(out, run(5))
+
+
+def test_group_quantiles_exact_matches_reference(ray_session):
+    import ray.data as rd
+
+    from pprl_ray.stages.sort import group_quantiles_exact
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], 200),
+            "v": rng.integers(0, 1000, 200).astype(np.int64),
+        }
+    )
+    qs = [0.25, 0.5, 0.9]
+    ds = rd.from_pandas(df).repartition(4)
+    out = (
+        group_quantiles_exact(ds, "k", "v", qs, partitions=3)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    for _, row in out.iterrows():
+        vals = np.sort(df.loc[df["k"] == row["k"], "v"].to_numpy())
+        n = len(vals)
+        for q, name in zip(qs, ["q_0_25", "q_0_5", "q_0_9"]):
+            # percentile_disc: element at 1-based position ceil(q*n)
+            want = vals[max(int(np.ceil(q * n)) - 1, 0)]
+            assert row[name] == want, (row["k"], q)
