@@ -1848,15 +1848,10 @@ def q_source_percentiles(sf_dir: str):
     )
 
 
-def q_word_triangles(sf_dir: str):
-    """Triangle census of the word-adjacency graph (stages/graph.py
-    triangle_counts — degree-ordered node-iterator, wedge-check exchange):
-    nodes are words, edges are DISTINCT undirected adjacent-word pairs
-    across the corpus (self-pairs dropped). Returns the top-15 words by
-    exact triangle participation plus the global triangle count; the
-    DuckDB oracle enumerates triangles with the canonical u<v<w
-    3-way self-join."""
-    from pprl_ray.stages.graph import triangle_counts
+def _word_edges(sf_dir: str):
+    """(u, v) raw adjacent-word pairs per doc (locally uniqued) — the
+    word-adjacency edge stream feeding the graph operators; downstream
+    canonicalizes/dedups exactly."""
     from pprl_ray.stages.tokens import _list_view
 
     def _pairs(batch: pa.Table) -> pa.Table:
@@ -1880,8 +1875,38 @@ def q_word_triangles(sf_dir: str):
         )
         return pairs.to_arrow()
 
-    pairs = _doc_words(sf_dir).map_batches(_pairs, batch_format="pyarrow")
-    tri = triangle_counts(pairs, "u", "v").materialize()
+    return _doc_words(sf_dir).map_batches(_pairs, batch_format="pyarrow")
+
+
+def q_word_kcore(sf_dir: str):
+    """Bounded-round k-core of the word-adjacency graph (stages/graph.py
+    k_core, k=8, 4 synchronous peels): nodes whose degree within the
+    surviving subgraph stays >= 8 across the peels — the dense-subgraph
+    extraction step of graph-based corpus analysis. Output (node, deg in
+    the surviving subgraph); the oracle chains the identical peels
+    through 4 CTE rounds."""
+    from pprl_ray.stages.graph import k_core
+
+    out = k_core(_word_edges(sf_dir), k=8, rounds=4, src_col="u", dst_col="v")
+    return out.map_batches(
+        lambda b: pa.table(
+            {"node": b["node"], "deg": pc.cast(b["deg"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_word_triangles(sf_dir: str):
+    """Triangle census of the word-adjacency graph (stages/graph.py
+    triangle_counts — degree-ordered node-iterator, wedge-check exchange):
+    nodes are words, edges are DISTINCT undirected adjacent-word pairs
+    across the corpus (self-pairs dropped). Returns the top-15 words by
+    exact triangle participation plus the global triangle count; the
+    DuckDB oracle enumerates triangles with the canonical u<v<w
+    3-way self-join."""
+    from pprl_ray.stages.graph import triangle_counts
+
+    tri = triangle_counts(_word_edges(sf_dir), "u", "v").materialize()
     total = int(tri.sum("triangles") or 0) // 3
 
     def _top(batch: pa.Table) -> pa.Table:
@@ -4721,6 +4746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_triangles": q_word_triangles,
         "negative_sample": q_negative_sample,
         "source_percentiles": q_source_percentiles,
+        "word_kcore": q_word_kcore,
         "bpe_vocab": q_bpe_vocab,
         "bpe_encode": q_bpe_encode,
         "ddsketch_ntok": q_ddsketch_ntok,
@@ -5315,6 +5341,28 @@ def _sm64_chain(carry: str, src: str, prefix: str) -> str:
                           * 4294967296) % 18446744073709551616 AS z
                    FROM {prefix}4),
             {prefix}6 AS (SELECT {c}xor(z, z // 2147483648) AS z FROM {prefix}5)"""
+
+
+def _kcore_ctes(k: int, rounds: int) -> str:
+    """CTE chain replicating k_core's synchronous peels over an ``e0``
+    (u, v) distinct-edge CTE; the final SELECT emits the surviving
+    subgraph's (node, deg)."""
+    steps = []
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+            d{i} AS (SELECT node, count(*) AS deg FROM (
+                SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}
+            ) GROUP BY node),
+            n{i} AS (SELECT node FROM d{i} WHERE deg >= {k}),
+            e{i} AS (SELECT u, v FROM {prev}
+                     WHERE u IN (SELECT node FROM n{i})
+                       AND v IN (SELECT node FROM n{i}))""")
+        prev = f"e{i}"
+    return ",".join(steps) + f"""
+            SELECT node, count(*) AS deg FROM (
+                SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}
+            ) GROUP BY node"""
 
 
 def _neg_offset_consts(k: int) -> str:
@@ -7096,6 +7144,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source,
                    row_number() OVER (ORDER BY z, doc_id) AS pos
             FROM s6
+        """,
+        "word_kcore": f"""
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, unnest(ws) AS wd,
+                       unnest(generate_series(1, len(ws))) AS p
+                FROM w
+            ),
+            big AS (
+                SELECT a.wd AS w1, b.wd AS w2
+                FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+                WHERE a.wd <> b.wd
+            ),
+            e0 AS (SELECT DISTINCT least(w1, w2) AS u, greatest(w1, w2) AS v
+                   FROM big),
+            {_kcore_ctes(8, 4)}
         """,
         "negative_sample": f"""
             WITH nn AS (SELECT count(*) AS cnt FROM documents),

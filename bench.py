@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "word_triangles",
     "negative_sample",
     "source_percentiles",
+    "word_kcore",
 ]
 
 

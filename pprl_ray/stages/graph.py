@@ -18,7 +18,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["pagerank", "triangle_counts"]
+__all__ = ["pagerank", "triangle_counts", "k_core"]
 
 
 def _wedge_pairs(nb_sorted: np.ndarray, group_starts: np.ndarray,
@@ -129,6 +129,71 @@ def _local_pagerank(iters: int, damping: float):
     return _f
 
 
+def _canon_dedup_edges(compact, nparts: int):
+    """Distinct undirected edges ``(lo, hi)`` from a raw ``(u, v)`` edge
+    Dataset: per-batch canonicalize (min/max) + local unique, then ONE
+    pair-keyed exchange finishes the exact dedup. Arrow blocks out (the
+    downstream bucket_joins need Arrow schemas). Materialized — callers
+    reuse it across passes."""
+    import polars as pl
+
+    def _pair_part(df: "pl.DataFrame") -> np.ndarray:
+        h = df.select(pl.struct(["lo", "hi"]).hash(seed=71).alias("h"))["h"].to_numpy()
+        return (h % np.uint64(nparts)).astype(np.int32)
+
+    def _canon(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        df = df.filter(pl.col("u") != pl.col("v")).select(
+            pl.min_horizontal("u", "v").alias("lo"),
+            pl.max_horizontal("u", "v").alias("hi"),
+        ).unique()
+        out = df.to_arrow()
+        return out.append_column("part", pa.array(_pair_part(df)))
+
+    def _dedup(group: pa.Table) -> pa.Table:
+        return pl.from_arrow(group).unique(subset=["lo", "hi"]).select(
+            ["lo", "hi"]
+        ).to_arrow()
+
+    return (
+        compact.map_batches(_canon, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_dedup, batch_format="pyarrow")
+        .materialize()
+    )
+
+
+def _exact_degrees(edges, nparts: int):
+    """Exact undirected degrees of a distinct ``(lo, hi)`` edge Dataset:
+    per-batch combine, then a node-keyed sum — the only exchange is the
+    slim (node, count) table."""
+    import polars as pl
+
+    def _deg_partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        both = pl.concat(
+            [df.select(pl.col("lo").alias("node")),
+             df.select(pl.col("hi").alias("node"))]
+        )
+        g = both.group_by("node").agg(pl.len().alias("c"))
+        out = g.to_arrow()
+        h = pl.from_arrow(out["node"]).hash(seed=73).to_numpy()
+        return out.append_column(
+            "npart", pa.array((h % np.uint64(nparts)).astype(np.int32))
+        )
+
+    def _deg_sum(group: pa.Table) -> pa.Table:
+        return pl.from_arrow(group).group_by("node").agg(
+            pl.col("c").sum().alias("deg")
+        ).to_arrow()
+
+    return (
+        edges.map_batches(_deg_partial, batch_format="pyarrow")
+        .groupby("npart")
+        .map_groups(_deg_sum, batch_format="pyarrow")
+    )
+
+
 def triangle_counts(edges_ds, src_col: str = "src", dst_col: str = "dst",
                     partitions: int | None = None,
                     local_max_edges: int = 2_000_000):
@@ -177,58 +242,15 @@ def triangle_counts(edges_ds, src_col: str = "src", dst_col: str = "dst",
         partitions = auto_partitions(compact)
     nparts = int(partitions)
 
-    def _pair_part(df: pl.DataFrame) -> np.ndarray:
-        h = df.select(pl.struct(["lo", "hi"]).hash(seed=71).alias("h"))["h"].to_numpy()
-        return (h % np.uint64(nparts)).astype(np.int32)
-
     def _node_part(col) -> np.ndarray:
         h = pl.from_arrow(col).hash(seed=73).to_numpy()
         return (h % np.uint64(nparts)).astype(np.int32)
 
     # 1. canonical + per-batch combine + pair-keyed exact dedup
-    def _canon(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch)
-        df = df.filter(pl.col("u") != pl.col("v")).select(
-            pl.min_horizontal("u", "v").alias("lo"),
-            pl.max_horizontal("u", "v").alias("hi"),
-        ).unique()
-        out = df.to_arrow()
-        return out.append_column("part", pa.array(_pair_part(df)))
-
-    def _dedup(group: pa.Table) -> pa.Table:
-        # arrow-format group (bucket_join downstream needs Arrow schemas)
-        return pl.from_arrow(group).unique(subset=["lo", "hi"]).select(
-            ["lo", "hi"]
-        ).to_arrow()
-
-    edges = (
-        compact.map_batches(_canon, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(_dedup, batch_format="pyarrow")
-        .materialize()
-    )
+    edges = _canon_dedup_edges(compact, nparts)
 
     # 2. exact degrees: per-batch combine, node-keyed sum
-    def _deg_partial(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch)
-        both = pl.concat(
-            [df.select(pl.col("lo").alias("node")),
-             df.select(pl.col("hi").alias("node"))]
-        )
-        g = both.group_by("node").agg(pl.len().alias("c"))
-        out = g.to_arrow()
-        return out.append_column("npart", pa.array(_node_part(out["node"])))
-
-    def _deg_sum(group: pa.Table) -> pa.Table:
-        return pl.from_arrow(group).group_by("node").agg(
-            pl.col("c").sum().alias("deg")
-        ).to_arrow()
-
-    degrees = (
-        edges.map_batches(_deg_partial, batch_format="pyarrow")
-        .groupby("npart")
-        .map_groups(_deg_sum, batch_format="pyarrow")
-    )
+    degrees = _exact_degrees(edges, nparts)
 
     # 3. attach degrees to both endpoints, orient by (deg, id)
     with_lo = bucket_join(edges, degrees, keys="lo", right_keys="node",
@@ -313,6 +335,99 @@ def triangle_counts(edges_ds, src_col: str = "src", dst_col: str = "dst",
         tris.map_batches(_emit_nodes, batch_format="pyarrow")
         .groupby("npart")
         .map_groups(_count, batch_format="pandas")
+    )
+
+
+def _local_kcore(k: int, rounds: int):
+    """Single-task vectorised k-core peel over a coalesced edge batch:
+    dense-code, canonical int64-packed dedup, then `rounds` bincount
+    peels (early exit at the fixpoint — identical output, extra rounds
+    are no-ops)."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        su = batch["u"].to_numpy(zero_copy_only=False)
+        sv = batch["v"].to_numpy(zero_copy_only=False)
+        empty = pa.table({"node": pa.array([], batch.schema.field("u").type),
+                          "deg": pa.array([], pa.int64())})
+        if len(su) == 0:
+            return empty
+        nodes, codes = np.unique(np.concatenate([su, sv]), return_inverse=True)
+        n = len(nodes)
+        cu, cv = codes[: len(su)], codes[len(su):]
+        keep = cu != cv
+        lo = np.minimum(cu[keep], cv[keep]).astype(np.int64)
+        hi = np.maximum(cu[keep], cv[keep]).astype(np.int64)
+        if len(lo) == 0:
+            return empty
+        packed = np.unique(lo * n + hi)
+        lo, hi = packed // n, packed % n
+        for _ in range(int(rounds)):
+            deg = np.bincount(lo, minlength=n) + np.bincount(hi, minlength=n)
+            good = deg >= k
+            m = good[lo] & good[hi]
+            if m.all():
+                break
+            lo, hi = lo[m], hi[m]
+        if len(lo) == 0:
+            return empty
+        deg = np.bincount(lo, minlength=n) + np.bincount(hi, minlength=n)
+        nz = np.flatnonzero(deg)
+        return pa.table({"node": pa.array(nodes[nz]),
+                         "deg": pa.array(deg[nz], pa.int64())})
+
+    return _f
+
+
+def k_core(edges_ds, k: int, rounds: int = 4, src_col: str = "src",
+           dst_col: str = "dst", partitions: int | None = None,
+           local_max_edges: int = 2_000_000):
+    """Bounded-round k-core peeling (Seidman 1983 coreness; the
+    synchronous peel of Montresor et al. 2013 "Distributed k-Core
+    Decomposition"): repeatedly drop nodes whose CURRENT degree is below
+    ``k`` — after ``rounds`` synchronous peels the surviving subgraph is
+    returned as ``(node, deg)`` (deg measured IN the surviving subgraph).
+    A fixed round count keeps the operator engine-reproducible (chained
+    SQL CTEs replicate it exactly); rounds beyond the fixpoint are no-ops,
+    and real graphs converge in a few peels.
+
+    Scale shape: ONE pair-keyed exchange dedups the undirected edges
+    (then they stay put); each round costs one slim node-keyed degree
+    fold plus two pair-bucket semi-joins filtering edges on surviving
+    endpoints — all exchanged tables are (node) or (pair) ids, never
+    payloads. Hybrid: under ``local_max_edges`` raw rows the peel loop
+    runs vectorised in one task."""
+    from .join import bucket_join
+    from .partitioning import auto_partitions
+
+    compact = edges_ds.map_batches(
+        lambda b: pa.table({"u": b[src_col], "v": b[dst_col]}),
+        batch_format="pyarrow",
+    ).materialize()
+    if compact.count() <= local_max_edges:
+        return compact.repartition(1).map_batches(
+            _local_kcore(k, rounds), batch_size=None, batch_format="pyarrow"
+        )
+
+    if partitions is None:
+        partitions = auto_partitions(compact)
+    nparts = int(partitions)
+
+    edges = _canon_dedup_edges(compact, nparts)
+    for _ in range(int(rounds)):
+        good = _exact_degrees(edges, nparts).map_batches(
+            lambda b: b.filter(pc.greater_equal(b["deg"], k)).select(["node"]),
+            batch_format="pyarrow",
+        ).materialize()
+        kept = bucket_join(edges, good, keys="lo", right_keys="node",
+                           partitions=nparts, join_type="left semi")
+        edges = bucket_join(kept, good, keys="hi", right_keys="node",
+                            partitions=nparts, join_type="left semi").materialize()
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return batch.select(["node", "deg"])
+
+    return _exact_degrees(edges, nparts).map_batches(
+        _rename, batch_format="pyarrow"
     )
 
 

@@ -140,3 +140,67 @@ def test_triangles_string_nodes_both_paths(ray_session):
     want = {"ab": 1, "cd": 1, "ef": 1}
     assert _tri_run(edges, node_type=str, local=True) == want
     assert _tri_run(edges, node_type=str, local=False, parts=3) == want
+
+
+# --- k-core -----------------------------------------------------------------
+
+
+def _kcore_run(edges, k, rounds=4, local=True, parts=None):
+    import ray.data as rd
+
+    from pprl_ray.stages.graph import k_core
+
+    df = pd.DataFrame({"src": [e[0] for e in edges], "dst": [e[1] for e in edges]})
+    ds = rd.from_pandas(df).repartition(3)
+    out = k_core(
+        ds, k=k, rounds=rounds,
+        local_max_edges=(10**9 if local else 0), partitions=parts,
+    ).to_pandas()
+    if out.empty:
+        return {}
+    return dict(zip(out["node"], out["deg"].astype(int)))
+
+
+def _kcore_reference(edges, k, rounds):
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    for _ in range(rounds):
+        deg = {}
+        for u, v in es:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = {(u, v) for u, v in es if u in keep and v in keep}
+        if nxt == es:
+            break
+        es = nxt
+    deg = {}
+    for u, v in es:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    return deg
+
+
+def test_kcore_clique_with_pendants(ray_session):
+    # K5 survives a 4-core forever; pendants peel off in round 1
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    got = _kcore_run(k5 + [(0, 10), (10, 11)], k=4)
+    assert got == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}
+
+
+def test_kcore_random_graph_local_vs_distributed_vs_reference(ray_session):
+    rng = np.random.default_rng(31)
+    edges = [(int(u), int(v)) for u, v in rng.integers(0, 30, (200, 2))]
+    for k in (3, 6):
+        ref = _kcore_reference(edges, k, rounds=4)
+        assert _kcore_run(edges, k=k, local=True) == ref
+        assert _kcore_run(edges, k=k, local=False, parts=4) == ref
+
+
+def test_kcore_chain_needs_multiple_rounds(ray_session):
+    # a path graph peels one layer per round: after r rounds of 2-core
+    # peeling a 6-path loses both endpoints each round until empty
+    path = [(i, i + 1) for i in range(6)]
+    ref1 = _kcore_reference(path, 2, rounds=1)
+    got1 = _kcore_run(path, k=2, rounds=1)
+    assert got1 == ref1 and len(got1) > 0
+    assert _kcore_run(path, k=2, rounds=4) == {}
