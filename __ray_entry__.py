@@ -1797,6 +1797,55 @@ def q_cosine_pairs(sf_dir: str):
     )
 
 
+def q_funnel(sf_dir: str):
+    """Ordered product-analytics funnel (stages/window.py funnel_counts):
+    per-user strictly-ordered view -> click -> purchase completion counts
+    — step i matched by the earliest event strictly after step i-1. One
+    hash-by-user shuffle of the pre-filtered step events; per-partition
+    vectorized min-chaining; 3-row output. The oracle chains the same
+    min-after-previous logic through per-step CTEs."""
+    from pprl_ray.stages.window import funnel_counts
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    out = funnel_counts(ds, "user_id", "ts", "event_type",
+                        ["view", "click", "purchase"])
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "step": pc.cast(b["step"], pa.int64()),
+                "step_type": b["step_type"],
+                "n_keys": pc.cast(b["n_keys"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention triangle (stages/window.py cohort_retention):
+    users cohorted by first active epoch-day; per (cohort_day, offset<=7)
+    the distinct active users — slim (user, day) exchange, per-partition
+    vectorized cohorting, tiny pair-keyed fold."""
+    from pprl_ray.stages.window import cohort_retention
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    out = cohort_retention(ds, "user_id", "ts", max_offset=7)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "cohort_day": pc.cast(b["cohort_day"], pa.int64()),
+                "day_offset": pc.cast(b["day_offset"], pa.int64()),
+                "n_active": pc.cast(b["n_active"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 _NEG_SEED = 9119
 
 
@@ -4747,6 +4796,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "negative_sample": q_negative_sample,
         "source_percentiles": q_source_percentiles,
         "word_kcore": q_word_kcore,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
         "bpe_vocab": q_bpe_vocab,
         "bpe_encode": q_bpe_encode,
         "ddsketch_ntok": q_ddsketch_ntok,
@@ -7144,6 +7195,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source,
                    row_number() OVER (ORDER BY z, doc_id) AS pos
             FROM s6
+        """,
+        "funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t
+                GROUP BY e.user_id
+            ),
+            s3 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                GROUP BY e.user_id
+            )
+            SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_type,
+                   (SELECT count(*) FROM s1) AS n_keys
+            UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+            UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        """,
+        "cohort_retention": """
+            WITH d AS (
+                SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+            ),
+            c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id),
+            a AS (
+                SELECT DISTINCT d.user_id, d.day, c.cohort
+                FROM d JOIN c ON d.user_id = c.user_id
+            )
+            SELECT cohort AS cohort_day, day - cohort AS day_offset,
+                   count(*) AS n_active
+            FROM a WHERE day - cohort BETWEEN 0 AND 7
+            GROUP BY 1, 2
         """,
         "word_kcore": f"""
             WITH w AS (

@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "negative_sample",
     "source_percentiles",
     "word_kcore",
+    "funnel",
+    "cohort_retention",
 ]
 
 

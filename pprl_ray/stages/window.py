@@ -26,6 +26,8 @@ __all__ = [
     "hop_windows",
     "latest_by_key",
     "decayed_sum",
+    "funnel_counts",
+    "cohort_retention",
 ]
 
 
@@ -266,6 +268,136 @@ def latest_by_key(ds, key_col: str, order_cols, partitions: int | None = None,
         ds.map_batches(_partial, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(_reduce, batch_format="pandas")
+    )
+
+
+def funnel_counts(ds, key_col: str, ts_col: str, type_col: str, steps,
+                  partitions: int | None = None):
+    """Ordered funnel analysis: for each prefix of ``steps``, how many
+    keys completed it IN ORDER — step i is matched by the key's EARLIEST
+    event of that type with a timestamp STRICTLY after its step i-1 match
+    (the standard product-analytics funnel; unordered completions don't
+    count).
+
+    Scale shape: ONE hash-by-key shuffle co-locates each key's events
+    (only rows of the step types move — pre-filtered); each partition
+    runs ``len(steps)`` vectorised passes (per-key min of qualifying
+    timestamps), emitting just ``len(steps)`` partial counts; a tiny
+    step-keyed fold finishes. Output: ``(step, step_type, n_keys)``."""
+    steps = list(steps)
+    if partitions is None:
+        from .partitioning import auto_partitions
+
+        partitions = auto_partitions(ds)
+
+    stepset = set(steps)
+
+    def _part(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(batch[type_col],
+                        value_set=pa.array(sorted(stepset)))
+        batch = batch.filter(mask)
+        return batch.append_column(
+            "part", pa.array(_hash_partition(batch[key_col], partitions))
+        )
+
+    parted = ds.map_batches(_part, batch_format="pyarrow")
+
+    def _funnel(group: pd.DataFrame) -> pd.DataFrame:
+        counts = []
+        cur = None  # per-key completion time of the previous step
+        for s in steps:
+            sub = group[group[type_col] == s]
+            if cur is not None:
+                sub = sub.merge(cur.rename("prev"), left_on=key_col,
+                                right_index=True)
+                sub = sub[sub[ts_col] > sub["prev"]]
+            cur = sub.groupby(key_col)[ts_col].min()
+            counts.append(len(cur))
+        return pd.DataFrame(
+            {"step": np.arange(1, len(steps) + 1, dtype=np.int64),
+             "step_type": steps, "n_keys": np.array(counts, np.int64)}
+        )
+
+    partials = parted.groupby("part").map_groups(_funnel, batch_format="pandas")
+
+    def _fold(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "step": [int(group["step"].iloc[0])],
+                "step_type": [group["step_type"].iloc[0]],
+                "n_keys": [int(group["n_keys"].sum())],
+            }
+        )
+
+    return partials.groupby("step").map_groups(_fold, batch_format="pandas")
+
+
+def cohort_retention(ds, key_col: str, ts_col: str, max_offset: int = 7,
+                     partitions: int | None = None):
+    """Cohort retention table: keys are cohorted by their FIRST active
+    day; for each (cohort_day, day_offset ≤ max_offset) the number of
+    cohort keys active that day — the classic growth-analytics triangle.
+    Days are epoch days (``us // 86_400_000_000``), engine-reproducible.
+
+    Scale shape: ONE hash-by-key shuffle (slim ``(key, day)`` rows,
+    per-batch deduped); each partition computes per-key cohorts and
+    distinct active days vectorised and emits partial ``(cohort_day,
+    day_offset, count)`` rows; a tiny pair-keyed fold finishes."""
+    if partitions is None:
+        from .partitioning import auto_partitions
+
+        partitions = auto_partitions(ds)
+
+    def _days(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())
+        day = pc.divide(us, 86_400_000_000)
+        t = pa.table({key_col: batch[key_col], "day": day})
+        import polars as pl
+
+        df = pl.from_arrow(t).unique()
+        out = df.to_arrow()
+        return out.append_column(
+            "part", pa.array(_hash_partition(out[key_col], partitions))
+        )
+
+    parted = ds.map_batches(_days, batch_format="pyarrow")
+
+    def _cohort(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates([key_col, "day"])
+        cohort = g.groupby(key_col)["day"].transform("min")
+        off = g["day"] - cohort
+        keep = off <= max_offset
+        out = pd.DataFrame({"cohort_day": cohort[keep], "day_offset": off[keep]})
+        agg = out.groupby(["cohort_day", "day_offset"], as_index=False).size()
+        return agg.rename(columns={"size": "n_active"})
+
+    partials = parted.groupby("part").map_groups(_cohort, batch_format="pandas")
+
+    def _fold(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cohort_day": [int(group["cohort_day"].iloc[0])],
+                "day_offset": [int(group["day_offset"].iloc[0])],
+                "n_active": [int(group["n_active"].sum())],
+            }
+        )
+
+    def _pair(batch: pa.Table) -> pa.Table:
+        key = pa.array(
+            batch["cohort_day"].to_numpy(zero_copy_only=False) * 1000
+            + batch["day_offset"].to_numpy(zero_copy_only=False),
+            pa.int64(),
+        )
+        return batch.append_column("pairkey", key)
+
+    return (
+        partials.map_batches(_pair, batch_format="pyarrow")
+        .groupby("pairkey")
+        .map_groups(_fold, batch_format="pandas")
     )
 
 

@@ -192,3 +192,82 @@ def test_group_quantiles_exact_matches_reference(ray_session):
             # percentile_disc: element at 1-based position ceil(q*n)
             want = vals[max(int(np.ceil(q * n)) - 1, 0)]
             assert row[name] == want, (row["k"], q)
+
+
+def test_funnel_order_semantics(ray_session):
+    import ray.data as rd
+
+    from pprl_ray.stages.window import funnel_counts
+
+    # u1 completes A->B->C in order; u2 has C before B (stops at A->B);
+    # u3 only A; u4 has B first then A (counts for A only, no B after A... 
+    # actually B exists only BEFORE its A -> step2 not matched)
+    rows = [
+        (1, 10, "A"), (1, 20, "B"), (1, 30, "C"),
+        (2, 10, "A"), (2, 15, "C"), (2, 20, "B"),
+        (3, 10, "A"),
+        (4, 10, "B"), (4, 20, "A"),
+    ]
+    df = pd.DataFrame(rows, columns=["u", "ts", "t"])
+    ds = rd.from_pandas(df).repartition(3)
+    out = (
+        funnel_counts(ds, "u", "ts", "t", ["A", "B", "C"], partitions=2)
+        .to_pandas()
+        .sort_values("step")
+        .reset_index(drop=True)
+    )
+    assert out["step_type"].tolist() == ["A", "B", "C"]
+    # A: u1,u2,u3,u4; B-after-A: u1,u2; C-after-that-B: u1 only
+    assert out["n_keys"].tolist() == [4, 2, 1]
+
+
+def test_funnel_strictly_after(ray_session):
+    import ray.data as rd
+
+    from pprl_ray.stages.window import funnel_counts
+
+    # equal timestamps do NOT satisfy "strictly after"
+    df = pd.DataFrame([(1, 10, "A"), (1, 10, "B")], columns=["u", "ts", "t"])
+    out = (
+        funnel_counts(rd.from_pandas(df), "u", "ts", "t", ["A", "B"], partitions=1)
+        .to_pandas()
+        .sort_values("step")
+    )
+    assert out["n_keys"].tolist() == [1, 0]
+
+
+def test_cohort_retention_matches_pandas_reference(ray_session):
+    import ray.data as rd
+
+    from pprl_ray.stages.window import cohort_retention
+
+    rng = np.random.default_rng(7)
+    n = 600
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 40, n),
+            "ts": base + pd.to_timedelta(rng.integers(0, 20 * 86400, n), unit="s"),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(5)
+    out = (
+        cohort_retention(ds, "u", "ts", max_offset=7, partitions=3)
+        .to_pandas()
+        .sort_values(["cohort_day", "day_offset"])
+        .reset_index(drop=True)
+    )
+    ref = df.copy()
+    ref["day"] = (ref["ts"].astype("int64") // 1000) // 86_400_000_000
+    ref = ref[["u", "day"]].drop_duplicates()
+    ref["cohort_day"] = ref.groupby("u")["day"].transform("min")
+    ref["day_offset"] = ref["day"] - ref["cohort_day"]
+    ref = ref[ref["day_offset"] <= 7]
+    want = (
+        ref.groupby(["cohort_day", "day_offset"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_active"})
+        .sort_values(["cohort_day", "day_offset"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out.astype("int64"), want.astype("int64"))
