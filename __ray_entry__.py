@@ -1945,6 +1945,17 @@ def q_word_kcore(sf_dir: str):
     )
 
 
+def q_word_assortativity(sf_dir: str):
+    """Degree assortativity of the word-adjacency graph (stages/graph.py
+    degree_assortativity — Newman 2002 Pearson degree correlation,
+    exact integer sums, one deterministic float division at the end).
+    Canonical edge dedup + degree fold + two slim bucket joins; only
+    4-number partial rows exchange after that."""
+    from pprl_ray.stages.graph import degree_assortativity
+
+    return degree_assortativity(_word_edges(sf_dir), src_col="u", dst_col="v")
+
+
 def q_word_triangles(sf_dir: str):
     """Triangle census of the word-adjacency graph (stages/graph.py
     triangle_counts — degree-ordered node-iterator, wedge-check exchange):
@@ -4798,6 +4809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_kcore": q_word_kcore,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
+        "word_assortativity": q_word_assortativity,
         "bpe_vocab": q_bpe_vocab,
         "bpe_encode": q_bpe_encode,
         "ddsketch_ntok": q_ddsketch_ntok,
@@ -7231,6 +7243,44 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_active
             FROM a WHERE day - cohort BETWEEN 0 AND 7
             GROUP BY 1, 2
+        """,
+        "word_assortativity": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, unnest(ws) AS wd,
+                       unnest(generate_series(1, len(ws))) AS p
+                FROM w
+            ),
+            big AS (
+                SELECT a.wd AS w1, b.wd AS w2
+                FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+                WHERE a.wd <> b.wd
+            ),
+            e AS (SELECT DISTINCT least(w1, w2) AS u, greatest(w1, w2) AS v
+                  FROM big),
+            d AS (
+                SELECT node, count(*) AS deg FROM (
+                    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+                ) GROUP BY node
+            ),
+            jd AS (
+                SELECT dl.deg AS dj, dh.deg AS dk
+                FROM e JOIN d dl ON dl.node = e.u JOIN d dh ON dh.node = e.v
+            ),
+            s AS (
+                SELECT CAST(count(*) AS HUGEINT) AS m,
+                       CAST(sum(dj * dk) AS HUGEINT) AS s1,
+                       CAST(sum(dj + dk) AS HUGEINT) AS s2,
+                       CAST(sum(dj * dj + dk * dk) AS HUGEINT) AS s3
+                FROM jd
+            )
+            SELECT CAST(m AS BIGINT) AS m_edges, CAST(s1 AS BIGINT) AS s1,
+                   CAST(s2 AS BIGINT) AS s2, CAST(s3 AS BIGINT) AS s3,
+                   CAST(4 * m * s1 - s2 * s2 AS DOUBLE)
+                       / CAST(2 * m * s3 - s2 * s2 AS DOUBLE) AS assortativity
+            FROM s
         """,
         "word_kcore": f"""
             WITH w AS (

@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "word_kcore",
     "funnel",
     "cohort_retention",
+    "word_assortativity",
 ]
 
 

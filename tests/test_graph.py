@@ -204,3 +204,42 @@ def test_kcore_chain_needs_multiple_rounds(ray_session):
     got1 = _kcore_run(path, k=2, rounds=1)
     assert got1 == ref1 and len(got1) > 0
     assert _kcore_run(path, k=2, rounds=4) == {}
+
+
+# --- assortativity ----------------------------------------------------------
+
+
+def test_assortativity_matches_pearson_reference(ray_session):
+    import ray.data as rd
+
+    from pprl_ray.stages.graph import degree_assortativity
+
+    rng = np.random.default_rng(41)
+    edges = {tuple(sorted((int(u), int(v))))
+             for u, v in rng.integers(0, 30, (150, 2)) if u != v}
+    edges = sorted(edges)
+    df = pd.DataFrame({"src": [u for u, _ in edges], "dst": [v for _, v in edges]})
+
+    def run(local):
+        ds = rd.from_pandas(df).repartition(4)
+        out = degree_assortativity(
+            ds, local_max_edges=(10**9 if local else 0), partitions=4
+        ).to_pandas()
+        assert len(out) == 1
+        return out.iloc[0]
+
+    # independent reference: Pearson correlation over the SYMMETRIZED
+    # endpoint-degree pairs (Newman 2002 definition)
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    xs = [deg[u] for u, v in edges] + [deg[v] for u, v in edges]
+    ys = [deg[v] for u, v in edges] + [deg[u] for u, v in edges]
+    want = np.corrcoef(xs, ys)[0, 1]
+
+    a, b = run(True), run(False)
+    assert a["m_edges"] == b["m_edges"] == len(edges)
+    for col in ("s1", "s2", "s3", "assortativity"):
+        assert a[col] == b[col]
+    assert a["assortativity"] == pytest.approx(want, rel=1e-9)
