@@ -1797,6 +1797,18 @@ def q_cosine_pairs(sf_dir: str):
     )
 
 
+def q_lang_source_chi2(sf_dir: str):
+    """Chi-square independence scan of lang x source (stages/stats.py
+    crosstab_chi2): exact cell counts via one map-side-combined slim
+    exchange, then per-cell Pearson X^2 terms in exact fixed-point
+    big-int arithmetic (floor divisions of positive integers — bit-
+    identical on any engine; the SQL replica uses HUGEINT //)."""
+    from pprl_ray.stages.stats import crosstab_chi2
+
+    docs = _docs(sf_dir, ["lang", "source"])
+    return crosstab_chi2(docs, "lang", "source")
+
+
 def q_funnel(sf_dir: str):
     """Ordered product-analytics funnel (stages/window.py funnel_counts):
     per-user strictly-ordered view -> click -> purchase completion counts
@@ -4810,6 +4822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "word_assortativity": q_word_assortativity,
+        "lang_source_chi2": q_lang_source_chi2,
         "bpe_vocab": q_bpe_vocab,
         "bpe_encode": q_bpe_encode,
         "ddsketch_ntok": q_ddsketch_ntok,
@@ -7207,6 +7220,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source,
                    row_number() OVER (ORDER BY z, doc_id) AS pos
             FROM s6
+        """,
+        "lang_source_chi2": """
+            WITH cnt AS (
+                SELECT lang, source, CAST(count(*) AS HUGEINT) AS n
+                FROM documents GROUP BY 1, 2
+            ),
+            rm AS (SELECT lang, sum(n) AS rn FROM cnt GROUP BY lang),
+            cm AS (SELECT source, sum(n) AS cn FROM cnt GROUP BY source),
+            tot AS (SELECT sum(n) AS nn FROM cnt)
+            SELECT cnt.lang, cnt.source, CAST(cnt.n AS BIGINT) AS n,
+                   CAST((1000000 * rm.rn * cm.cn) // (SELECT nn FROM tot)
+                        AS BIGINT) AS expected_u,
+                   CAST((1000000
+                         * (cnt.n * (SELECT nn FROM tot) - rm.rn * cm.cn)
+                         * (cnt.n * (SELECT nn FROM tot) - rm.rn * cm.cn))
+                        // (rm.rn * cm.cn * (SELECT nn FROM tot))
+                        AS BIGINT) AS chi2_contrib_u
+            FROM cnt
+            JOIN rm ON cnt.lang = rm.lang
+            JOIN cm ON cnt.source = cm.source
         """,
         "funnel": """
             WITH s1 AS (

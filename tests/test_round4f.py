@@ -271,3 +271,49 @@ def test_cohort_retention_matches_pandas_reference(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out.astype("int64"), want.astype("int64"))
+
+
+def test_crosstab_chi2_exact_reference(ray_session):
+    import ray.data as rd
+
+    from pprl_ray.stages.stats import crosstab_chi2
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "r": rng.choice(["x", "y", "z"], 500, p=[0.5, 0.3, 0.2]),
+            "c": rng.choice(["a", "b"], 500, p=[0.6, 0.4]),
+        }
+    )
+
+    def run(parts):
+        ds = rd.from_pandas(df).repartition(parts)
+        return (
+            crosstab_chi2(ds, "r", "c", partitions=3)
+            .to_pandas()
+            .sort_values(["r", "c"])
+            .reset_index(drop=True)
+        )
+
+    out = run(4)
+    pd.testing.assert_frame_equal(out, run(1))  # partition-invariant
+
+    # exact big-int reference
+    counts = df.groupby(["r", "c"]).size()
+    total = len(df)
+    rm = df.groupby("r").size()
+    cm = df.groupby("c").size()
+    for _, row in out.iterrows():
+        n = int(counts[(row["r"], row["c"])])
+        rc = int(rm[row["r"]]) * int(cm[row["c"]])
+        assert row["n"] == n
+        assert row["expected_u"] == 1_000_000 * rc // total
+        d = n * total - rc
+        assert row["chi2_contrib_u"] == 1_000_000 * d * d // (rc * total)
+    # the summed statistic approximates float chi2 within 1 ULP/cell
+    chi2_float = sum(
+        (int(counts[(r, c)]) - int(rm[r]) * int(cm[c]) / total) ** 2
+        / (int(rm[r]) * int(cm[c]) / total)
+        for r, c in counts.index
+    )
+    assert abs(out["chi2_contrib_u"].sum() / 1e6 - chi2_float) < 1e-4
