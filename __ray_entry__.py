@@ -1809,6 +1809,55 @@ def q_lang_source_chi2(sf_dir: str):
     return crosstab_chi2(docs, "lang", "source")
 
 
+def q_dup_spans(sf_dir: str):
+    """Exact substring-duplication spans (stages/dedup.py dup_spans, the
+    Lee-et-al.-2022 exact-substring dedup readout): the corpus is augmented
+    with planted partial copies (words 6..41 of every doc_id < 40, shifted
+    ids), then every doc pair sharing an 8-word window is reported with its
+    window count and longest merged span. Keys are md5-prefix64 of the
+    window text, so the DuckDB oracle replicates the whole operator —
+    windowing, per-(window,doc) position cap, boilerplate cap, diagonal
+    run-merge — exactly."""
+    import polars as pl
+
+    from pprl_ray.stages.dedup import dup_spans
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _mk_copy(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less(batch["doc_id"], 40))
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+            )
+        txt = (
+            pl.from_arrow(t["text"].combine_chunks())
+            .str.split(" ")
+            .list.slice(5, 36)
+            .list.join(" ")
+        )
+        return pa.table(
+            {
+                "doc_id": pc.add(t["doc_id"], 900_000),
+                "text": txt.to_arrow().cast(pa.string()),
+            }
+        )
+
+    aug = docs.union(docs.map_batches(_mk_copy, batch_format="pyarrow"))
+    out = dup_spans(aug, window=8)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "a_id": pc.cast(b["a_id"], pa.int64()),
+                "b_id": pc.cast(b["b_id"], pa.int64()),
+                "n_windows": pc.cast(b["n_windows"], pa.int64()),
+                "max_span": pc.cast(b["max_span"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_funnel(sf_dir: str):
     """Ordered product-analytics funnel (stages/window.py funnel_counts):
     per-user strictly-ordered view -> click -> purchase completion counts
@@ -4823,6 +4872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": q_cohort_retention,
         "word_assortativity": q_word_assortativity,
         "lang_source_chi2": q_lang_source_chi2,
+        "dup_spans": q_dup_spans,
         "bpe_vocab": q_bpe_vocab,
         "bpe_encode": q_bpe_encode,
         "ddsketch_ntok": q_ddsketch_ntok,
@@ -7240,6 +7290,48 @@ def oracle_sql() -> dict[str, str]:
             FROM cnt
             JOIN rm ON cnt.lang = rm.lang
             JOIN cm ON cnt.source = cm.source
+        """,
+        "dup_spans": """
+            WITH base AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 900000 AS doc_id,
+                       array_to_string(
+                           list_slice(string_split(text, ' '), 6, 41), ' ') AS text
+                FROM documents WHERE doc_id < 40
+            ),
+            words AS (SELECT doc_id, string_split(text, ' ') AS w FROM base),
+            win AS (
+                SELECT doc_id, i,
+                       ('0x' || substr(md5(array_to_string(
+                            list_slice(w, i, i + 7), ' ')), 1, 16))::UBIGINT AS h
+                FROM words, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i)
+            ),
+            capped AS (
+                SELECT * FROM win
+                QUALIFY row_number() OVER (PARTITION BY h, doc_id ORDER BY i) <= 8
+            ),
+            ok AS (
+                SELECT h FROM capped GROUP BY h
+                HAVING count(DISTINCT doc_id) <= 256
+            ),
+            p AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, a.i AS ia, b.i AS ib
+                FROM capped a
+                JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+                JOIN ok ON ok.h = a.h
+            ),
+            isl AS (
+                SELECT a, b, ia - ib AS d,
+                       ia - row_number() OVER (PARTITION BY a, b, ia - ib
+                                               ORDER BY ia) AS g
+                FROM p
+            ),
+            runs AS (SELECT a, b, count(*) AS run FROM isl GROUP BY a, b, d, g),
+            nw AS (SELECT a, b, count(*) AS n_windows FROM p GROUP BY a, b),
+            ms AS (SELECT a, b, max(run) + 7 AS max_span FROM runs GROUP BY a, b)
+            SELECT nw.a AS a_id, nw.b AS b_id, nw.n_windows, ms.max_span
+            FROM nw JOIN ms ON nw.a = ms.a AND nw.b = ms.b
         """,
         "funnel": """
             WITH s1 AS (

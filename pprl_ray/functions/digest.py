@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["md5_hex", "md5_bucket32"]
+__all__ = ["md5_hex", "md5_bucket32", "md5_prefix64"]
 
 _CON = None
 
@@ -69,3 +69,15 @@ def md5_bucket32(values, modulus: int) -> np.ndarray:
     buckets = out["b"].combine_chunks().to_numpy(zero_copy_only=False)
     res = np.where(np.isnan(buckets), -1, np.nan_to_num(buckets) % modulus) if buckets.dtype.kind == "f" else buckets % modulus
     return res.astype(np.int64)
+
+
+def md5_prefix64(values) -> np.ndarray:
+    """First 64 bits of ``md5(str(v))`` as uint64 numpy, vectorised — the
+    slim SQL-exact join key for content-keyed exchanges: DuckDB recomputes
+    it as ``('0x' || substr(md5(v), 1, 16))::UBIGINT``. Collisions are
+    2^-64-negligible; use :func:`md5_hex` when the full digest must ride."""
+    tbl = pa.table({"v": _as_string_array(values)})  # noqa: F841
+    out = _connection().execute(
+        "SELECT ('0x' || substring(md5(v), 1, 16))::UBIGINT AS h FROM tbl"
+    ).arrow()
+    return out["h"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)

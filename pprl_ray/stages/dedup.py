@@ -39,6 +39,7 @@ __all__ = [
     "simhash_candidates",
     "connected_components_collapse",
     "contamination_pairs",
+    "dup_spans",
     "ngram_jaccard_pairs",
     "near_dedup_corpus",
 ]
@@ -2362,3 +2363,152 @@ def array_jaccard_pairs(ds, arr_col: str, id_col: str = "media_id", k: int = 64,
         .map_groups(_pairs, batch_format="pandas")
     )
     return _dedupe_pair_rows(pairs, "jaccard", partitions, value_agg="max")
+
+
+# --- exact substring-duplication spans --------------------------------------
+
+
+def dup_spans(ds, text_col: str = "text", id_col: str = "doc_id",
+              window: int = 8, max_docs: int = 256, pos_cap: int = 8,
+              partitions: int | None = None):
+    """Exact substring-duplication detection: every doc pair sharing at
+    least one ``window``-word run, with adjacent shared windows merged into
+    maximal spans — the document-pair readout of the exact-substring dedup
+    recipe (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better": duplicated token runs, not whole-document hashes, are
+    the unit of web-corpus duplication). Per pair it reports how many
+    ``window``-word windows match and the longest merged span in words.
+
+    Keys are the first 64 bits of ``md5`` of the window TEXT
+    (:func:`~pprl_ray.functions.digest.md5_prefix64`), so equality is
+    content-exact (2^-64 collisions) and any SQL engine can recompute the
+    key — the whole operator is DuckDB-oracle-able end to end.
+
+    Scale shape: one vectorised pass turns each doc into slim
+    ``(h, id, pos)`` rows — window strings are transient per batch char
+    slices of the original text (never shipped); the exchange carries 16
+    bytes per window. Two bounded reduces follow: (1) group by key hash —
+    windows in more than ``max_docs`` docs are dropped (boilerplate is not
+    a duplication signal and the cap bounds the per-key cross product),
+    and a doc contributes at most ``pos_cap`` positions per distinct
+    window (repeated-window pathologies); (2) group by pair — merge the
+    pair's matches into maximal diagonal runs (vectorised islands over
+    ``ia - ib``). The corpus text never shuffles.
+
+    Returns ``(a_id, b_id, n_windows, max_span)`` with ``a_id < b_id``;
+    ``max_span`` is in words (= longest run + window - 1)."""
+    import polars as pl
+
+    from ..functions.digest import md5_prefix64
+    from .partitioning import auto_partitions
+
+    if partitions is None:
+        partitions = auto_partitions(ds)
+    nparts = int(partitions)
+    L = int(window)
+
+    def _windows(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        texts = pl.Series("t", pl.from_arrow(col)).fill_null("")
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        words = texts.str.split(" ")
+        nwords = words.list.len().to_numpy().astype(np.int64)
+        # per-word char lengths, flat (explode of an all-empty batch is
+        # handled by the nwin==0 early-exit below)
+        wl = words.explode().str.len_chars().fill_null(0).to_numpy().astype(np.int64)
+        n_rows = len(nwords)
+        nwin = np.maximum(nwords - L + 1, 0)
+        total_win = int(nwin.sum())
+        empty = pa.table({
+            "h": pa.array([], pa.uint64()), "id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int32()), "part": pa.array([], pa.int32()),
+        })
+        if total_win == 0:
+            return empty
+        if len(wl) != int(nwords.sum()):  # polars explode: empty list -> one null row
+            nwords = np.maximum(nwords, 1)
+        off = np.concatenate([[0], np.cumsum(nwords)])  # word-index row offsets
+        # char start of each word within its row: global cumsum of (len+1)
+        # separators, rebased per row
+        gstart = np.concatenate([[0], np.cumsum(wl + 1)[:-1]])
+        gstart = gstart - np.repeat(gstart[off[:-1]], nwords)
+        win_row = np.repeat(np.arange(n_rows), nwin)
+        woff = np.concatenate([[0], np.cumsum(nwin)])
+        win_pos = (np.arange(total_win) - np.repeat(woff[:-1], nwin)).astype(np.int64)
+        first = off[win_row] + win_pos          # flat idx of window's first word
+        last = first + L - 1                    # flat idx of its last word
+        c_off = gstart[first]
+        c_len = gstart[last] + wl[last] - c_off
+        # transient window strings: char slices of the (replicated) text
+        wtab = pl.DataFrame({
+            "t": texts.gather(win_row), "o": c_off, "l": c_len,
+        }).select(pl.col("t").str.slice(pl.col("o"), pl.col("l")).alias("s"))
+        h = md5_prefix64(wtab["s"].to_arrow())
+        return pa.table({
+            "h": pa.array(h, pa.uint64()),
+            "id": pa.array(ids[win_row], pa.int64()),
+            "pos": pa.array(win_pos.astype(np.int32), pa.int32()),
+            "part": pa.array((h % np.uint64(nparts)).astype(np.int32), pa.int32()),
+        })
+
+    slim = ds.map_batches(_windows, batch_format="pyarrow")
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["h", "id", "pos"], kind="stable")
+        # a doc contributes at most pos_cap positions per distinct window
+        g = g[g.groupby(["h", "id"], sort=False).cumcount() < pos_cap]
+        # windows shared by too many docs are boilerplate, not duplication
+        ndocs = g.groupby("h", sort=False)["id"].nunique()
+        g = g[g["h"].map(ndocs) <= max_docs]
+        if g.empty:
+            return pd.DataFrame({"a": [], "b": [], "ia": [], "ib": [], "ppart": []}).astype(
+                {"a": "int64", "b": "int64", "ia": "int32", "ib": "int32", "ppart": "int32"})
+        m = g.merge(g, on="h", suffixes=("_a", "_b"))
+        m = m[m["id_a"] < m["id_b"]]
+        out = pd.DataFrame({
+            "a": m["id_a"].to_numpy(), "b": m["id_b"].to_numpy(),
+            "ia": m["pos_a"].to_numpy(), "ib": m["pos_b"].to_numpy(),
+        })
+        key = (out["a"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+               ^ out["b"].to_numpy().astype(np.uint64))
+        out["ppart"] = (key % np.uint64(nparts)).astype(np.int32)
+        return out
+
+    matches = slim.groupby("part").map_groups(_pairs, batch_format="pandas")
+
+    def _spans(group: pd.DataFrame) -> pd.DataFrame:
+        a = group["a"].to_numpy().astype(np.int64)
+        b = group["b"].to_numpy().astype(np.int64)
+        ia = group["ia"].to_numpy().astype(np.int64)
+        ib = group["ib"].to_numpy().astype(np.int64)
+        if len(a) == 0:
+            return pd.DataFrame({"a_id": [], "b_id": [], "n_windows": [],
+                                 "max_span": []}).astype("int64")
+        d = ia - ib
+        order = np.lexsort((ia, d, b, a))
+        a, b, ia, d = a[order], b[order], ia[order], d[order]
+        n = len(a)
+        new_run = np.ones(n, dtype=bool)
+        if n > 1:
+            new_run[1:] = ((a[1:] != a[:-1]) | (b[1:] != b[:-1])
+                           | (d[1:] != d[:-1]) | (ia[1:] != ia[:-1] + 1))
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        new_pair = np.ones(n, dtype=bool)
+        if n > 1:
+            new_pair[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        pair_id = np.cumsum(new_pair) - 1
+        n_windows = np.bincount(pair_id)
+        # max run per pair (runs nest within pairs under this sort order)
+        run_pair = pair_id[new_run]
+        max_run = np.zeros(int(pair_id[-1]) + 1, dtype=np.int64)
+        np.maximum.at(max_run, run_pair, run_len)
+        return pd.DataFrame({
+            "a_id": a[new_pair], "b_id": b[new_pair],
+            "n_windows": n_windows.astype(np.int64),
+            "max_span": (max_run + L - 1).astype(np.int64),
+        })
+
+    return matches.groupby("ppart").map_groups(_spans, batch_format="pandas")

@@ -317,3 +317,68 @@ def test_crosstab_chi2_exact_reference(ray_session):
         for r, c in counts.index
     )
     assert abs(out["chi2_contrib_u"].sum() / 1e6 - chi2_float) < 1e-4
+
+
+def test_dup_spans_matches_bruteforce(ray_session):
+    import itertools
+
+    import ray.data as rd
+
+    from pprl_ray.stages.dedup import dup_spans
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "a b c d e f g h i j k l",
+                "x y a b c d e f g h i z",   # shares the a..i run with doc 1
+                "nothing in common with anything else at all here now",
+                "a b c d e f g h i j k l",   # exact duplicate of doc 1
+                "too short",
+            ],
+        }
+    )
+    L = 4
+
+    def run(parts):
+        ds = rd.from_pandas(docs).repartition(parts)
+        return (
+            dup_spans(ds, window=L, partitions=3)
+            .to_pandas()
+            .sort_values(["a_id", "b_id"])
+            .reset_index(drop=True)
+        )
+
+    out = run(3)
+    pd.testing.assert_frame_equal(out, run(1))  # partition-invariant
+
+    def windows(t):
+        w = t.split(" ")
+        return [(i, " ".join(w[i : i + L])) for i in range(len(w) - L + 1)]
+
+    ref = {}
+    for x, y in itertools.combinations(range(len(docs)), 2):
+        matches = [
+            (i, j)
+            for i, s in windows(docs.text[x])
+            for j, t in windows(docs.text[y])
+            if s == t
+        ]
+        if not matches:
+            continue
+        best = 0
+        by_diag = {}
+        for i, j in matches:
+            by_diag.setdefault(i - j, []).append(i)
+        for iis in by_diag.values():
+            iis = sorted(iis)
+            run_len = 1
+            for k in range(1, len(iis)):
+                run_len = run_len + 1 if iis[k] == iis[k - 1] + 1 else 1
+                best = max(best, run_len)
+            best = max(best, run_len, 1)
+        ref[(docs.doc_id[x], docs.doc_id[y])] = (len(matches), best + L - 1)
+
+    assert len(out) == len(ref)
+    for _, r in out.iterrows():
+        assert ref[(r.a_id, r.b_id)] == (r.n_windows, r.max_span)
