@@ -1809,6 +1809,18 @@ def q_lang_source_chi2(sf_dir: str):
     return crosstab_chi2(docs, "lang", "source")
 
 
+def q_vocab_growth(sf_dir: str):
+    """Exact Heaps-law vocabulary-growth curve (stages/text.py
+    vocab_growth): cumulative token occurrences vs cumulative distinct
+    word types per doc_id//50 bucket. One slim md5-prefix-keyed exchange
+    (min-bucket per type is associative); the SQL replica computes the
+    identical first-appearance histogram."""
+    from pprl_ray.stages.text import vocab_growth
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return vocab_growth(docs, bucket_size=50)
+
+
 def q_dup_spans(sf_dir: str):
     """Exact substring-duplication spans (stages/dedup.py dup_spans, the
     Lee-et-al.-2022 exact-substring dedup readout): the corpus is augmented
@@ -4873,6 +4885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_assortativity": q_word_assortativity,
         "lang_source_chi2": q_lang_source_chi2,
         "dup_spans": q_dup_spans,
+        "vocab_growth": q_vocab_growth,
         "bpe_vocab": q_bpe_vocab,
         "bpe_encode": q_bpe_encode,
         "ddsketch_ntok": q_ddsketch_ntok,
@@ -7290,6 +7303,29 @@ def oracle_sql() -> dict[str, str]:
             FROM cnt
             JOIN rm ON cnt.lang = rm.lang
             JOIN cm ON cnt.source = cm.source
+        """,
+        "vocab_growth": """
+            WITH t AS (
+                SELECT doc_id // 50 AS bucket,
+                       unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ),
+            h AS (
+                SELECT bucket,
+                       ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS th
+                FROM t
+            ),
+            firstb AS (SELECT th, min(bucket) AS fb FROM h GROUP BY th),
+            newt AS (SELECT fb AS bucket, count(*) AS new_types
+                     FROM firstb GROUP BY fb),
+            occ AS (SELECT bucket, count(*) AS n_occ FROM h GROUP BY bucket)
+            SELECT occ.bucket,
+                   CAST(sum(occ.n_occ) OVER (ORDER BY occ.bucket)
+                        AS BIGINT) AS n_tokens,
+                   CAST(sum(coalesce(newt.new_types, 0))
+                        OVER (ORDER BY occ.bucket) AS BIGINT) AS n_types
+            FROM occ LEFT JOIN newt ON occ.bucket = newt.bucket
+            ORDER BY occ.bucket
         """,
         "dup_spans": """
             WITH base AS (

@@ -12,7 +12,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["LangIdStage", "quality_batch", "repetition_batch", "token_count_batch", "fingerprint_batch", "rolling_fingerprint64", "document_frequency", "bm25_topk", "tfidf_top_terms", "PiiScrubStage", "ClassifierScoreStage"]
+__all__ = ["LangIdStage", "quality_batch", "repetition_batch", "token_count_batch", "fingerprint_batch", "rolling_fingerprint64", "document_frequency", "bm25_topk", "tfidf_top_terms", "PiiScrubStage", "ClassifierScoreStage", "vocab_growth"]
 
 _STOPWORDS = {
     "en": {"the", "a", "of", "and", "to", "in", "is", "it", "that", "was", "for", "on", "with"},
@@ -767,7 +767,9 @@ def cosine_pairs(ds, n_docs: int | None = None, threshold: float = 0.8,
         hp = (df.hash_rows(seed=71).to_numpy() % np.uint64(partitions)).astype(np.int32)
         return batch.append_column("ppart", pa.array(hp))
 
-    def _reduce(group: pd.DataFrame) -> pd.DataFrame:
+    def _reduce(group):
+        import pandas as pd
+
         s = group.groupby(["id_a", "id_b"], sort=False)["d"].sum().reset_index(
             name="cosine"
         )
@@ -1058,3 +1060,91 @@ def collocation_lift(ds, text_col: str = "text", min_count: int = 5, k: int = 50
     df = df.sort_values(["lift_fx", "w1", "w2"], ascending=[False, True, True],
                         kind="mergesort")
     return df.head(k).reset_index(drop=True).astype({"c12": "int64", "lift_fx": "int64"})
+
+
+def vocab_growth(ds, text_col: str = "text", id_col: str = "doc_id",
+                 bucket_size: int = 100, partitions: int | None = None):
+    """Exact vocabulary-growth (Heaps-law) curve: cumulative token
+    occurrences vs cumulative distinct word types, bucketed by
+    ``doc_id // bucket_size`` — the dataset-diversity readout (a flattening
+    type curve means new data stops contributing vocabulary).
+
+    A type's bucket of first appearance is ``min(bucket)`` over its
+    occurrences — an associative reduce, so the curve is exact with ONE slim
+    exchange: a vectorised pass turns each batch into per-(token-hash,
+    bucket) partial counts (16-byte md5-prefix keys, SQL-recomputable;
+    text never ships), the hash-partitioned reduce derives both per-bucket
+    new-type counts (min-bucket per hash) and per-bucket occurrence sums,
+    and the final cumulative sum runs in one task over the tiny
+    (n_buckets x partitions) table.
+
+    Returns ``(bucket, n_tokens, n_types)`` int64, cumulative, bucket-ascending.
+    """
+    import polars as pl
+
+    from ..functions.digest import md5_prefix64
+    from .partitioning import auto_partitions
+
+    if partitions is None:
+        partitions = auto_partitions(ds)
+    nparts = int(partitions)
+    bsz = int(bucket_size)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        texts = pl.Series(pl.from_arrow(batch[text_col].combine_chunks())).fill_null("")
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        words = texts.str.split(" ")
+        lens = words.list.len().to_numpy().astype(np.int64)
+        flat = words.explode()
+        if len(flat) != int(lens.sum()):  # explode of an empty list -> one null row
+            lens = np.maximum(lens, 1)
+        h = md5_prefix64(flat.fill_null("").to_arrow())
+        bucket = np.repeat(ids // bsz, lens).astype(np.int64)
+        g = (
+            pl.DataFrame({"h": h, "bucket": bucket})
+            .group_by(["h", "bucket"])
+            .agg(pl.len().alias("n"))
+        )
+        hh = g["h"].to_numpy()
+        return pa.table({
+            "h": pa.array(hh, pa.uint64()),
+            "bucket": pa.array(g["bucket"].to_numpy(), pa.int64()),
+            "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+            "part": pa.array((hh % np.uint64(nparts)).astype(np.int32), pa.int32()),
+        })
+
+    def _reduce(group):
+        import pandas as pd
+
+        occ = group.groupby("bucket", sort=False)["n"].sum()
+        firstb = group.groupby("h", sort=False)["bucket"].min()
+        newt = firstb.value_counts()
+        buckets = occ.index.union(newt.index)
+        return pd.DataFrame({
+            "bucket": buckets.to_numpy().astype(np.int64),
+            "occ": occ.reindex(buckets, fill_value=0).to_numpy().astype(np.int64),
+            "newt": newt.reindex(buckets, fill_value=0).to_numpy().astype(np.int64),
+        })
+
+    partials = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_reduce, batch_format="pandas")
+    )
+
+    def _cumsum(batch: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(batch)
+            .group_by("bucket")
+            .agg(pl.col("occ").sum(), pl.col("newt").sum())
+            .sort("bucket")
+        )
+        return pa.table({
+            "bucket": df["bucket"].to_arrow().cast(pa.int64()),
+            "n_tokens": pa.array(np.cumsum(df["occ"].to_numpy()), pa.int64()),
+            "n_types": pa.array(np.cumsum(df["newt"].to_numpy()), pa.int64()),
+        })
+
+    return partials.repartition(1).map_batches(
+        _cumsum, batch_size=None, batch_format="pyarrow"
+    )

@@ -382,3 +382,45 @@ def test_dup_spans_matches_bruteforce(ray_session):
     assert len(out) == len(ref)
     for _, r in out.iterrows():
         assert ref[(r.a_id, r.b_id)] == (r.n_windows, r.max_span)
+
+
+def test_vocab_growth_matches_pandas_reference(ray_session):
+    import ray.data as rd
+
+    from pprl_ray.stages.text import vocab_growth
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(150)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(240),
+            "text": [
+                " ".join(rng.choice(vocab, rng.integers(1, 12)))
+                for _ in range(240)
+            ],
+        }
+    )
+
+    def run(parts):
+        ds = rd.from_pandas(docs).repartition(parts)
+        return (
+            vocab_growth(ds, bucket_size=60, partitions=3)
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+
+    out = run(5)
+    pd.testing.assert_frame_equal(out, run(1))  # partition-invariant
+
+    seen, rows, ntok, ntyp = set(), [], 0, 0
+    for b in range(4):
+        for t in docs[(docs.doc_id // 60) == b].text:
+            ws = t.split(" ")
+            ntok += len(ws)
+            for w in ws:
+                if w not in seen:
+                    seen.add(w)
+                    ntyp += 1
+        rows.append((b, ntok, ntyp))
+    ref = pd.DataFrame(rows, columns=["bucket", "n_tokens", "n_types"]).astype("int64")
+    pd.testing.assert_frame_equal(out, ref)
