@@ -1809,6 +1809,20 @@ def q_lang_source_chi2(sf_dir: str):
     return crosstab_chi2(docs, "lang", "source")
 
 
+def q_source_tv(sf_dir: str):
+    """Exact total-variation distance between per-source word distributions
+    (stages/stats.py source_tv_distance): the rational drift metric —
+    sum_t |c_A(t)*N_B - c_B(t)*N_A| / (2*N_A*N_B) — in big-int arithmetic,
+    floored to 1e-9 fixed point. One light totals scan + one slim
+    md5-prefix-keyed count exchange; the SQL replica cross-joins the
+    token-hash vocabulary against source pairs and computes the identical
+    HUGEINT numerator."""
+    from pprl_ray.stages.stats import source_tv_distance
+
+    docs = _docs(sf_dir, ["source", "text"])
+    return source_tv_distance(docs, group_col="source")
+
+
 def q_vocab_growth(sf_dir: str):
     """Exact Heaps-law vocabulary-growth curve (stages/text.py
     vocab_growth): cumulative token occurrences vs cumulative distinct
@@ -4886,6 +4900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_chi2": q_lang_source_chi2,
         "dup_spans": q_dup_spans,
         "vocab_growth": q_vocab_growth,
+        "source_tv": q_source_tv,
         "bpe_vocab": q_bpe_vocab,
         "bpe_encode": q_bpe_encode,
         "ddsketch_ntok": q_ddsketch_ntok,
@@ -7303,6 +7318,35 @@ def oracle_sql() -> dict[str, str]:
             FROM cnt
             JOIN rm ON cnt.lang = rm.lang
             JOIN cm ON cnt.source = cm.source
+        """,
+        "source_tv": """
+            WITH t AS (
+                SELECT source,
+                       ('0x' || substr(md5(unnest(string_split(text, ' '))),
+                                       1, 16))::UBIGINT AS th
+                FROM documents
+            ),
+            cnt AS (SELECT source, th, CAST(count(*) AS HUGEINT) AS c
+                    FROM t GROUP BY 1, 2),
+            tot AS (SELECT source, sum(c) AS n FROM cnt GROUP BY source),
+            pairs AS (
+                SELECT a.source AS sa, b.source AS sb, a.n AS na, b.n AS nb
+                FROM tot a JOIN tot b ON a.source < b.source
+            ),
+            vocab AS (SELECT DISTINCT th FROM cnt),
+            m AS (
+                SELECT p.sa, p.sb, p.na, p.nb,
+                       coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+                FROM pairs p
+                CROSS JOIN vocab v
+                LEFT JOIN cnt ca ON ca.source = p.sa AND ca.th = v.th
+                LEFT JOIN cnt cb ON cb.source = p.sb AND cb.th = v.th
+            )
+            SELECT sa AS group_a, sb AS group_b,
+                   CAST(1000000000 * sum(abs(ca * nb - cb * na))
+                        // (2 * na * nb) AS BIGINT) AS tv_u
+            FROM m GROUP BY sa, sb, na, nb
+            ORDER BY sa, sb
         """,
         "vocab_growth": """
             WITH t AS (

@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["crosstab_chi2"]
+__all__ = ["crosstab_chi2", "source_tv_distance"]
 
 
 def crosstab_chi2(ds, row_col: str, col_col: str, scale: int = 1_000_000,
@@ -98,4 +98,134 @@ def crosstab_chi2(ds, row_col: str, col_col: str, scale: int = 1_000_000,
 
     return cells.repartition(1).map_batches(
         _stats, batch_size=None, batch_format="pyarrow"
+    )
+
+
+def source_tv_distance(ds, group_col: str = "source", text_col: str = "text",
+                       scale: int = 1_000_000_000, partitions: int | None = None):
+    """Exact total-variation distance between every pair of per-group word
+    distributions — the drift / source-divergence readout:
+
+        TV(A, B) = 1/2 * sum_t | c_A(t)/N_A - c_B(t)/N_B |
+                 = sum_t | c_A(t)*N_B - c_B(t)*N_A |  /  (2*N_A*N_B)
+
+    computed entirely in big-int arithmetic (the numerator is an exact
+    integer; the output is ``floor(scale * num / (2*N_A*N_B))``), so the
+    result is engine-reproducible bit-for-bit — unlike KL/JS divergences,
+    TV needs no logarithms and stays rational.
+
+    Scale shape: group totals come from one light word-count scan (a tiny
+    per-group aggregate, broadcast via closure). The main pass reduces the
+    corpus to slim per-(token-hash, group) partial counts (16-byte
+    md5-prefix keys, SQL-recomputable) and ONE hash-partitioned exchange;
+    each partition pivots its token slice and folds the pairwise numerator
+    partials — exact because a token absent from a partition contributes
+    zero. Per-partition partials ride as decimal strings (arbitrary
+    precision survives 10^12-token counts); the final fold over the
+    (pairs x partitions) tiny table runs in one task.
+
+    Returns ``(group_a, group_b, tv_u)`` with ``group_a < group_b``;
+    ``tv_u / scale`` is the exact-floored TV distance in [0, 1]."""
+    import polars as pl
+
+    from ..functions.digest import md5_prefix64
+    from .partitioning import auto_partitions
+
+    if partitions is None:
+        partitions = auto_partitions(ds)
+    nparts = int(partitions)
+
+    # --- pass 1: exact word totals per group (tiny result) ---------------
+    def _count_words(batch: pa.Table) -> pa.Table:
+        texts = pl.Series(pl.from_arrow(batch[text_col].combine_chunks())).fill_null("")
+        nw = texts.str.split(" ").list.len().to_numpy().astype(np.int64)
+        g = (
+            pl.DataFrame({"g": pl.from_arrow(batch[group_col].combine_chunks()), "n": nw})
+            .group_by("g").agg(pl.col("n").sum())
+        )
+        return pa.table({"g": g["g"].to_arrow(), "n": g["n"].to_arrow().cast(pa.int64())})
+
+    totals_tbl = (
+        ds.map_batches(_count_words, batch_format="pyarrow")
+        .groupby("g").sum("n")
+        .to_pandas()
+    )
+    totals = {r["g"]: int(r["sum(n)"]) for _, r in totals_tbl.iterrows()}
+    groups = sorted(totals)
+    if len(groups) < 2:
+        raise ValueError("source_tv_distance needs at least two groups")
+
+    # --- pass 2: slim (token-hash, group, count) partials + one exchange --
+    def _partial(batch: pa.Table) -> pa.Table:
+        texts = pl.Series(pl.from_arrow(batch[text_col].combine_chunks())).fill_null("")
+        gs = batch[group_col].combine_chunks().to_numpy(zero_copy_only=False)
+        words = texts.str.split(" ")
+        lens = words.list.len().to_numpy().astype(np.int64)
+        flat = words.explode()
+        if len(flat) != int(lens.sum()):  # explode of an empty list -> one null row
+            lens = np.maximum(lens, 1)
+        h = md5_prefix64(flat.fill_null("").to_arrow())
+        t = (
+            pl.DataFrame({"h": h, "g": np.repeat(gs, lens)})
+            .group_by(["h", "g"]).agg(pl.len().alias("n"))
+        )
+        hh = t["h"].to_numpy()
+        return pa.table({
+            "h": pa.array(hh, pa.uint64()),
+            "g": t["g"].to_arrow(),
+            "n": pa.array(t["n"].to_numpy().astype(np.int64), pa.int64()),
+            "part": pa.array((hh % np.uint64(nparts)).astype(np.int32), pa.int32()),
+        })
+
+    idx = {g: i for i, g in enumerate(groups)}
+    n_groups = len(groups)
+
+    def _pair_partials(group):
+        import pandas as pd
+
+        df = pl.from_arrow(pa.Table.from_pandas(group[["h", "g", "n"]]))
+        agg = df.group_by(["h", "g"]).agg(pl.col("n").sum())
+        hcode = agg["h"].to_numpy()
+        _, hids = np.unique(hcode, return_inverse=True)
+        gids = np.array([idx[g] for g in agg["g"].to_list()], dtype=np.int64)
+        M = np.zeros((int(hids.max()) + 1 if len(hids) else 0, n_groups), dtype=np.int64)
+        if len(hids):
+            M[hids, gids] = agg["n"].to_numpy().astype(np.int64)
+        ga, gb, nums = [], [], []
+        max_c = int(M.max()) if M.size else 0
+        for i in range(n_groups):
+            for j in range(i + 1, n_groups):
+                na, nb = totals[groups[i]], totals[groups[j]]
+                if max_c and max_c * max(na, nb) < 2 ** 62 and M.shape[0] * max_c * max(na, nb) < 2 ** 63:
+                    num = int(np.abs(M[:, i] * nb - M[:, j] * na).sum())
+                else:  # exact big-int path for counts beyond int64 headroom
+                    num = int(np.abs(M[:, i].astype(object) * nb
+                                     - M[:, j].astype(object) * na).sum())
+                ga.append(groups[i]); gb.append(groups[j]); nums.append(str(num))
+        return pd.DataFrame({"group_a": ga, "group_b": gb, "num": nums})
+
+    partials = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_pair_partials, batch_format="pandas")
+    )
+
+    def _fold(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        acc: dict = {}
+        for a, b, s in zip(df["group_a"], df["group_b"], df["num"]):
+            acc[(a, b)] = acc.get((a, b), 0) + int(s)
+        rows = sorted(acc)
+        tv = [int(scale) * acc[k] // (2 * totals[k[0]] * totals[k[1]]) for k in rows]
+        out = pd.DataFrame({
+            "group_a": [k[0] for k in rows],
+            "group_b": [k[1] for k in rows],
+            "tv_u": np.array(tv, dtype=np.int64),
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return partials.repartition(1).map_batches(
+        _fold, batch_size=None, batch_format="pyarrow"
     )

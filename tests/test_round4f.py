@@ -424,3 +424,50 @@ def test_vocab_growth_matches_pandas_reference(ray_session):
         rows.append((b, ntok, ntyp))
     ref = pd.DataFrame(rows, columns=["bucket", "n_tokens", "n_types"]).astype("int64")
     pd.testing.assert_frame_equal(out, ref)
+
+
+def test_source_tv_distance_exact_reference(ray_session):
+    import itertools
+    from collections import Counter
+
+    import ray.data as rd
+
+    from pprl_ray.stages.stats import source_tv_distance
+
+    rng = np.random.default_rng(19)
+    srcs = ["web", "book", "code"]
+    docs = pd.DataFrame(
+        {
+            "source": rng.choice(srcs, 300, p=[0.5, 0.3, 0.2]),
+            "text": [
+                " ".join(rng.choice([f"w{i}" for i in range(60)], rng.integers(1, 9)))
+                for _ in range(300)
+            ],
+        }
+    )
+
+    def run(parts):
+        ds = rd.from_pandas(docs).repartition(parts)
+        return (
+            source_tv_distance(ds, partitions=3)
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+
+    out = run(4)
+    pd.testing.assert_frame_equal(out, run(1))  # partition-invariant
+
+    cnt = {s: Counter() for s in srcs}
+    for _, r in docs.iterrows():
+        cnt[r.source].update(r.text.split(" "))
+    tot = {s: sum(cnt[s].values()) for s in srcs}
+    for a, b in itertools.combinations(sorted(srcs), 2):
+        toks = set(cnt[a]) | set(cnt[b])
+        num = sum(abs(cnt[a][t] * tot[b] - cnt[b][t] * tot[a]) for t in toks)
+        want = 10**9 * num // (2 * tot[a] * tot[b])
+        got = out[(out.group_a == a) & (out.group_b == b)].tv_u.iloc[0]
+        assert got == want
+    # identical distributions have TV 0; disjoint ones have TV ~ 1
+    same = pd.concat([docs.assign(source="p"), docs.assign(source="q")])
+    z = source_tv_distance(rd.from_pandas(same), partitions=2).to_pandas()
+    assert (z.tv_u == 0).all()
