@@ -1809,6 +1809,74 @@ def q_lang_source_chi2(sf_dir: str):
     return crosstab_chi2(docs, "lang", "source")
 
 
+def _one_chunk(arr):
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+
+def q_blocking_eval(sf_dir: str):
+    """Blocking-scheme evaluation (stages/match.py blocking_metrics —
+    Christen's reduction ratio + pairs completeness): the range side is a
+    deterministically perturbed copy of customer (last name char -> 'x'
+    for custkey%7, digit 7 -> 'q' for custkey%13), blocked under two
+    passes (last-3-chars and chars 15-17 of the name); truth is custkey
+    equality. Records whose perturbation breaks BOTH keys (%91) are the
+    planted completeness misses. Only (id, key) rows shuffle; the SQL
+    oracle recomputes the identical candidate set and exact fixed-point
+    metrics."""
+    import polars as pl
+
+    from pprl_ray.stages.match import blocking_metrics
+
+    cust = read_parquet_sized(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_name"])
+
+    def _left_keys(batch: pa.Table) -> pa.Table:
+        df = pl.DataFrame({
+            "id": pl.from_arrow(batch["c_custkey"].combine_chunks()),
+            "nm": pl.from_arrow(batch["c_name"].combine_chunks()),
+        }).with_columns(L=pl.col("nm").str.len_chars().cast(pl.Int64))
+        k1 = df.select(pl.col("nm").str.slice(pl.col("L") - 3, 3))["nm"]
+        k2 = df.select(pl.col("nm").str.slice(14, 3))["nm"]
+        ids = _one_chunk(df["id"].to_arrow().cast(pa.int64()))
+        return pa.table({
+            "id": pa.concat_arrays([ids, ids]),
+            "block_key": pa.concat_arrays([
+                _one_chunk(k1.to_arrow().cast(pa.string())),
+                _one_chunk(k2.to_arrow().cast(pa.string())),
+            ]),
+        })
+
+    def _right_keys(batch: pa.Table) -> pa.Table:
+        df = pl.DataFrame({
+            "id": pl.from_arrow(batch["c_custkey"].combine_chunks()),
+            "nm": pl.from_arrow(batch["c_name"].combine_chunks()),
+        }).with_columns(L=pl.col("nm").str.len_chars().cast(pl.Int64))
+        df = df.with_columns(
+            n1=pl.when(pl.col("id") % 7 == 0)
+            .then(pl.col("nm").str.slice(0, pl.col("L") - 1) + pl.lit("x"))
+            .otherwise(pl.col("nm"))
+        ).with_columns(
+            name=pl.when(pl.col("id") % 13 == 0)
+            .then(pl.col("n1").str.slice(0, 15) + pl.lit("q")
+                  + pl.col("n1").str.slice(16))
+            .otherwise(pl.col("n1"))
+        ).with_columns(L2=pl.col("name").str.len_chars().cast(pl.Int64))
+        k1 = df.select(pl.col("name").str.slice(pl.col("L2") - 3, 3))["name"]
+        k2 = df.select(pl.col("name").str.slice(14, 3))["name"]
+        ids = _one_chunk(df["id"].to_arrow().cast(pa.int64()))
+        return pa.table({
+            "id": pa.concat_arrays([ids, ids]),
+            "block_key": pa.concat_arrays([
+                _one_chunk(k1.to_arrow().cast(pa.string())),
+                _one_chunk(k2.to_arrow().cast(pa.string())),
+            ]),
+        })
+
+    left = cust.map_batches(_left_keys, batch_format="pyarrow")
+    right = cust.map_batches(_right_keys, batch_format="pyarrow")
+    return blocking_metrics(left, right)
+
+
 def q_source_tv(sf_dir: str):
     """Exact total-variation distance between per-source word distributions
     (stages/stats.py source_tv_distance): the rational drift metric —
@@ -4901,6 +4969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": q_dup_spans,
         "vocab_growth": q_vocab_growth,
         "source_tv": q_source_tv,
+        "blocking_eval": q_blocking_eval,
         "bpe_vocab": q_bpe_vocab,
         "bpe_encode": q_bpe_encode,
         "ddsketch_ntok": q_ddsketch_ntok,
@@ -7318,6 +7387,52 @@ def oracle_sql() -> dict[str, str]:
             FROM cnt
             JOIN rm ON cnt.lang = rm.lang
             JOIN cm ON cnt.source = cm.source
+        """,
+        "blocking_eval": """
+            WITH r1 AS (
+                SELECT c_custkey AS id,
+                       CASE WHEN c_custkey % 7 = 0
+                            THEN substr(c_name, 1, length(c_name) - 1) || 'x'
+                            ELSE c_name END AS n1
+                FROM customer
+            ),
+            rp AS (
+                SELECT id,
+                       CASE WHEN id % 13 = 0
+                            THEN substr(n1, 1, 15) || 'q' || substr(n1, 17)
+                            ELSE n1 END AS name
+                FROM r1
+            ),
+            lkeys AS (
+                SELECT c_custkey AS id,
+                       substr(c_name, length(c_name) - 2, 3) AS block_key
+                FROM customer
+                UNION ALL
+                SELECT c_custkey, substr(c_name, 15, 3) FROM customer
+            ),
+            rkeys AS (
+                SELECT id, substr(name, length(name) - 2, 3) AS block_key FROM rp
+                UNION ALL
+                SELECT id, substr(name, 15, 3) FROM rp
+            ),
+            cand AS (
+                SELECT DISTINCT l.id AS ia, r.id AS ib
+                FROM lkeys l JOIN rkeys r ON l.block_key = r.block_key
+            ),
+            stats AS (
+                SELECT (SELECT count(DISTINCT id) FROM lkeys) AS n_left,
+                       (SELECT count(DISTINCT id) FROM rkeys) AS n_right,
+                       (SELECT count(*) FROM cand) AS n_candidates,
+                       (SELECT count(*) FROM (
+                            SELECT DISTINCT l.id FROM lkeys l
+                            JOIN rkeys r ON l.id = r.id)) AS n_true,
+                       (SELECT count(*) FROM cand WHERE ia = ib) AS n_found
+            )
+            SELECT n_left, n_right, n_candidates, n_true, n_found,
+                   1000000000 * (n_left * n_right - n_candidates)
+                       // (n_left * n_right) AS rr_u,
+                   1000000000 * n_found // n_true AS pc_u
+            FROM stats
         """,
         "source_tv": """
             WITH t AS (

@@ -471,3 +471,56 @@ def test_source_tv_distance_exact_reference(ray_session):
     same = pd.concat([docs.assign(source="p"), docs.assign(source="q")])
     z = source_tv_distance(rd.from_pandas(same), partitions=2).to_pandas()
     assert (z.tv_u == 0).all()
+
+
+def test_blocking_metrics_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from pprl_ray.stages.match import blocking_metrics
+
+    ids = np.arange(80)
+    left = pd.DataFrame(
+        {
+            "id": np.tile(ids, 2),
+            "block_key": ["k%d" % (i % 8) for i in ids]
+            + ["m%d" % (i // 8) for i in ids],
+        }
+    )
+    rk = ["k99" if i % 5 == 0 else "k%d" % (i % 8) for i in ids]
+    rm = ["m99" if i % 9 == 0 else "m%d" % (i // 8) for i in ids]
+    right = pd.DataFrame({"id": np.tile(ids, 2), "block_key": rk + rm})
+
+    def run(pl_, pr_, parts):
+        return blocking_metrics(
+            rd.from_pandas(left).repartition(pl_),
+            rd.from_pandas(right).repartition(pr_),
+            partitions=parts,
+        ).to_pandas()
+
+    out = run(3, 2, 3)
+    pd.testing.assert_frame_equal(out, run(1, 1, 1))  # partition-invariant
+
+    lk, rkk = {}, {}
+    for _, r in left.iterrows():
+        lk.setdefault(r.block_key, set()).add(r.id)
+    for _, r in right.iterrows():
+        rkk.setdefault(r.block_key, set()).add(r.id)
+    cand = {
+        (a, b)
+        for k in set(lk) & set(rkk)
+        for a in lk[k]
+        for b in rkk[k]
+    }
+    n_cand = len(cand)
+    n_found = sum(1 for a, b in cand if a == b)
+    r = out.iloc[0]
+    assert (r.n_left, r.n_right, r.n_true) == (80, 80, 80)
+    assert r.n_candidates == n_cand and r.n_found == n_found
+    assert r.rr_u == 10**9 * (6400 - n_cand) // 6400
+    assert r.pc_u == 10**9 * n_found // 80
+
+    # max_block drops oversized blocks from the candidate set
+    capped = blocking_metrics(
+        rd.from_pandas(left), rd.from_pandas(right), max_block=3, partitions=2
+    ).to_pandas().iloc[0]
+    assert capped.n_candidates < n_cand
