@@ -4687,6 +4687,32 @@ def q_embedding_covariance(sf_dir: str):
     )
 
 
+def q_fd_spectrum(sf_dir: str):
+    """Frequent-Directions matrix sketch (sketches/fd.py — Liberty 2013 /
+    GLPW 2016): the mergeable O(ell*d) low-rank summary of the embedding
+    table; readout is the top-8 eigenvalues of B^T B, each provably within
+    ||A||_F^2 / ell of the true Gram spectrum (the exact counterpart is
+    q_embedding_covariance's GramSketch). Rows-only check by construction
+    (eigenvalues are not SQL-expressible); the bound itself is asserted
+    against the exact spectrum in tests/test_round4f.py."""
+    from pprl_ray.sketches import FrequentDirectionsSketch
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    merged = sketch_by_key(
+        ds, lambda: FrequentDirectionsSketch(64, ell=16), "embedding", None
+    )
+    sk = finalize_sketches(merged, FrequentDirectionsSketch)[""]
+    eig = sk.spectrum(8)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, 9, dtype=np.int64),
+            "eigval_u": np.floor(eig * 1e6).astype(np.int64),
+            "bound_u": np.full(8, int(sk.error_bound() * 1e6), dtype=np.int64),
+        }
+    )
+
+
 def q_event_dedup(sf_dir: str):
     """Windowed event dedup: FIRST event per (user, event_type, hour)
     wins, later duplicates/replays drop — latest_by_key(keep='min')
@@ -4970,6 +4996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": q_vocab_growth,
         "source_tv": q_source_tv,
         "blocking_eval": q_blocking_eval,
+        "fd_spectrum": q_fd_spectrum,
         "bpe_vocab": q_bpe_vocab,
         "bpe_encode": q_bpe_encode,
         "ddsketch_ntok": q_ddsketch_ntok,

@@ -3,6 +3,7 @@ from .bloom import BloomSketch  # noqa: F401
 from .cms import CMSSketch  # noqa: F401
 from .countsketch import CountSketch  # noqa: F401
 from .ddsketch import DDSketch  # noqa: F401
+from .fd import FrequentDirectionsSketch  # noqa: F401
 from .gram import GramSketch  # noqa: F401
 from .heavyhitters import MGSketch  # noqa: F401
 from .histogram import HistogramSketch  # noqa: F401

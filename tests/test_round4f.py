@@ -524,3 +524,63 @@ def test_blocking_metrics_matches_bruteforce(ray_session):
         rd.from_pandas(left), rd.from_pandas(right), max_block=3, partitions=2
     ).to_pandas().iloc[0]
     assert capped.n_candidates < n_cand
+
+
+def test_frequent_directions_bound_and_merge(ray_session):
+    from pprl_ray.sketches import FrequentDirectionsSketch as FD
+
+    rng = np.random.default_rng(3)
+    d, n, ell = 32, 4000, 8
+    A = rng.normal(size=(n, 4)) @ rng.normal(size=(4, d)) + 0.05 * rng.normal(
+        size=(n, d)
+    )
+    AtA = A.T @ A
+
+    sk = FD(d, ell)
+    sk.update(A.ravel())
+    assert np.linalg.norm(AtA - sk.gram(), 2) <= sk.error_bound()
+
+    # mergeable, order-invariant within the bound, counters exact
+    parts = np.array_split(A, 7)
+    for order in (range(7), reversed(range(7))):
+        m = FD(d, ell)
+        for i in order:
+            p = FD(d, ell)
+            p.update(parts[i].ravel())
+            m.merge(p)
+        assert np.linalg.norm(AtA - m.gram(), 2) <= m.error_bound()
+        assert m.n == n
+        assert abs(m.fnorm2 - (A * A).sum()) < 1e-6 * (A * A).sum()
+
+    # serialisation roundtrip
+    rt = FD.from_bytes(sk.to_bytes())
+    assert rt.n == sk.n and np.allclose(rt.gram(), sk.gram())
+
+    # no compaction => exact
+    small = rng.normal(size=(2 * ell, d))
+    s3 = FD(d, ell)
+    s3.update(small.ravel())
+    assert np.allclose(s3.gram(), small.T @ small)
+
+    # spectrum readout within bound of the exact eigenvalues
+    exact = np.sort(np.linalg.eigvalsh(AtA))[::-1][:4]
+    approx = sk.spectrum(4)
+    assert np.all(np.abs(exact - approx) <= sk.error_bound() + 1e-9)
+
+
+def test_fd_sketch_distributed_by_key(ray_session):
+    import ray.data as rd
+
+    from pprl_ray.sketches import FrequentDirectionsSketch as FD
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    rng = np.random.default_rng(9)
+    d = 16
+    vecs = rng.normal(size=(500, d))
+    df = pd.DataFrame({"embedding": [v.tolist() for v in vecs]})
+    ds = rd.from_pandas(df).repartition(6)
+    merged = sketch_by_key(ds, lambda: FD(d, ell=6), "embedding", None)
+    sk = finalize_sketches(merged, FD)[""]
+    assert sk.n == 500
+    AtA = vecs.T @ vecs
+    assert np.linalg.norm(AtA - sk.gram(), 2) <= sk.error_bound()
