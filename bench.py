@@ -114,6 +114,12 @@ BENCH_QUERIES = [
     "funnel",
     "cohort_retention",
     "word_assortativity",
+    "lang_source_chi2",
+    "source_tv",
+    "dup_spans",
+    "vocab_growth",
+    "blocking_eval",
+    "fd_spectrum",
 ]
 
 
