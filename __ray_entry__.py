@@ -4151,6 +4151,50 @@ def q_window_distinct_users(sf_dir: str):
     return pd.DataFrame(sorted(rows, key=lambda r: r["day"]))
 
 
+def q_sliding_distinct_users(sf_dir: str):
+    """Sliding-window cardinality (trailing 7-day distinct users — the WAU
+    shape): per-day Theta sketches from ONE scan (sketch_by_key keyed by
+    day), then each day's window readout is the union of its trailing 7
+    calendar days' sketches — set-union is the theta merge, so the sliding
+    windows cost nothing extra over the tumbling pass and the corpus is
+    never re-read per window. k=4096 >> the 150-user population, so every
+    estimate is provably exact and COUNT(DISTINCT) oracles it; at real
+    scale the same composition rides the estimator."""
+    from datetime import date, timedelta
+
+    from pprl_ray.sketches import ThetaSketch
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def _win(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.strftime(batch["ts"], format="%Y-%m-%d"),
+                "user_id": batch["user_id"],
+            }
+        )
+
+    merged = sketch_by_key(
+        ds.map_batches(_win, batch_format="pyarrow"),
+        lambda: ThetaSketch(4096),
+        "user_id",
+        "day",
+    )
+    sketches = finalize_sketches(merged, ThetaSketch)
+    days = sorted(sketches)
+    dts = {k: date.fromisoformat(k) for k in days}
+    rows = []
+    for k in days:
+        lo = dts[k] - timedelta(days=6)
+        u = ThetaSketch(4096)
+        for j in days:
+            if lo <= dts[j] <= dts[k]:
+                u.merge(ThetaSketch.from_bytes(sketches[j].to_bytes()))
+        rows.append({"day": k, "distinct_users_7d": int(round(u.estimate()))})
+    return pd.DataFrame(rows)
+
+
 def q_label_centroids(sf_dir: str):
     """Vector-valued grouped aggregate (stages/cluster.py group_centroids):
     exact per-label mean embedding — vectors never shuffle, one fixed-point
@@ -4997,6 +5041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_tv": q_source_tv,
         "blocking_eval": q_blocking_eval,
         "fd_spectrum": q_fd_spectrum,
+        "sliding_distinct_users": q_sliding_distinct_users,
         "bpe_vocab": q_bpe_vocab,
         "bpe_encode": q_bpe_encode,
         "ddsketch_ntok": q_ddsketch_ntok,
@@ -7414,6 +7459,15 @@ def oracle_sql() -> dict[str, str]:
             FROM cnt
             JOIN rm ON cnt.lang = rm.lang
             JOIN cm ON cnt.source = cm.source
+        """,
+        "sliding_distinct_users": """
+            WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+            SELECT strftime(day, '%Y-%m-%d') AS day,
+                   (SELECT count(DISTINCT user_id) FROM events e
+                    WHERE CAST(e.ts AS DATE)
+                          BETWEEN day - INTERVAL 6 DAY AND day)
+                       AS distinct_users_7d
+            FROM d ORDER BY day
         """,
         "blocking_eval": """
             WITH r1 AS (

@@ -584,3 +584,24 @@ def test_fd_sketch_distributed_by_key(ray_session):
     assert sk.n == 500
     AtA = vecs.T @ vecs
     assert np.linalg.norm(AtA - sk.gram(), 2) <= sk.error_bound()
+
+
+def test_sliding_theta_union_exact_below_capacity(ray_session):
+    # trailing-window union of per-day theta sketches == exact distinct
+    from pprl_ray.sketches import ThetaSketch
+
+    rng = np.random.default_rng(23)
+    days = [f"2026-01-{d:02d}" for d in range(1, 15)]
+    by_day = {d: set(rng.choice(500, rng.integers(5, 60)).tolist()) for d in days}
+    sk = {}
+    for d, users in by_day.items():
+        t = ThetaSketch(4096)
+        t.update(np.array(sorted(users), dtype=np.int64))
+        sk[d] = t
+    for i, d in enumerate(days):
+        u = ThetaSketch(4096)
+        want = set()
+        for j in range(max(0, i - 6), i + 1):
+            u.merge(ThetaSketch.from_bytes(sk[days[j]].to_bytes()))
+            want |= by_day[days[j]]
+        assert int(round(u.estimate())) == len(want)
