@@ -361,9 +361,12 @@ def blocking_metrics(a_ds, b_ds, id_col: str = "id", key_col: str = "block_key",
             })
         return _f
 
+    # the slim (id, key-hash, side) table feeds BOTH the pair and the id
+    # exchange — materialize it once (16-byte rows; the object store spills
+    # at scale) instead of re-executing the upstream reads per consumer
     both = a_ds.map_batches(_emit(0), batch_format="pyarrow").union(
         b_ds.map_batches(_emit(1), batch_format="pyarrow")
-    )
+    ).materialize()
 
     def _pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates(["id", "k", "side"])
