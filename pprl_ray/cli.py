@@ -335,6 +335,11 @@ def cmd_dedup(args) -> None:
 
         out = duplicate_span_scrub(ds, text_col=args.text_column,
                                    id_col=args.id_column, n=args.span_n)
+    elif args.method == "span-pairs":
+        from .stages.dedup import dup_spans
+
+        out = dup_spans(ds, text_col=args.text_column,
+                        id_col=args.id_column, window=args.span_n)
     elif args.method == "lines":
         from .stages.dedup import line_dedup
 
@@ -638,6 +643,25 @@ def cmd_collocate(args) -> None:
                       "output": args.output}))
 
 
+def cmd_stats(args) -> None:
+    """Exact fixed-point statistics (stages/stats.py): chi-square
+    cross-tab or pairwise total-variation distance."""
+    ds = _read(args.input)
+    if args.mode == "chi2":
+        from .stages.stats import crosstab_chi2
+
+        out = crosstab_chi2(ds, args.row_column, args.col_column,
+                            scale=args.scale)
+    else:
+        from .stages.stats import source_tv_distance
+
+        out = source_tv_distance(ds, group_col=args.group_column,
+                                 text_col=args.text_column, scale=args.scale)
+    n = _write(out, args.output, args.format)
+    print(json.dumps({"command": "stats", "mode": args.mode, "rows": n,
+                      "scale": args.scale, "output": args.output}))
+
+
 def cmd_media_dedup(args) -> None:
     """Near-dup pairs over a media payload table: image (DCT pHash +
     banded Hamming), audio (Haitsma-Kalker frame words + array Jaccard),
@@ -913,7 +937,7 @@ def main(argv: list[str] | None = None) -> None:
     common(sp)
     sp.add_argument("--method",
                     choices=("exact", "minhash", "simhash", "incremental",
-                             "ngram", "near", "spans", "lines",
+                             "ngram", "near", "spans", "span-pairs", "lines",
                              "incremental-near"),
                     default="exact")
     sp.add_argument("--line-sep", default="\n",
@@ -927,7 +951,7 @@ def main(argv: list[str] | None = None) -> None:
                     help="incremental-near: intersect the band gate with the "
                          "exact set-hash tier")
     sp.add_argument("--span-n", type=int, default=50,
-                    help="spans: word n-gram size for exact-substring removal")
+                    help="spans / span-pairs: word n-gram window size")
     sp.add_argument("--text-column", default="text")
     sp.add_argument("--threshold", type=float, default=0.8)
     sp.add_argument("--max-hamming", type=int, default=3)
@@ -1062,6 +1086,23 @@ def main(argv: list[str] | None = None) -> None:
     sp.add_argument("--mode", choices=("rank", "gumbel"), default="rank")
     sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=cmd_dsir)
+
+    sp = sub.add_parser("stats",
+                        help="exact fixed-point stats: chi2 cross-tab / "
+                             "total-variation drift")
+    common(sp)
+    sp.add_argument("--mode", choices=("chi2", "tv"), required=True)
+    sp.add_argument("--row-column", default="lang",
+                    help="chi2: row category column")
+    sp.add_argument("--col-column", default="source",
+                    help="chi2: column category column")
+    sp.add_argument("--group-column", default="source",
+                    help="tv: distribution grouping column")
+    sp.add_argument("--text-column", default="text",
+                    help="tv: tokenized-by-whitespace text column")
+    sp.add_argument("--scale", type=int, default=1_000_000,
+                    help="fixed-point output scale")
+    sp.set_defaults(fn=cmd_stats)
 
     sp = sub.add_parser("collocate",
                         help="top-k word collocations by exact integer PMI lift")

@@ -826,3 +826,52 @@ def test_cli_stratified_split_and_group_cap(ray_session, tmp_path, capsys):
     assert out["mode"] == "cap-per-group"
     capped = pq.read_table(str(tmp_path / "capped")).to_pandas()
     assert (capped.groupby("source").size() == 7).all()
+
+
+def test_cli_stats_and_span_pairs(ray_session, tmp_path, capsys):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(4)
+    src = tmp_path / "docs.parquet"
+    pd.DataFrame(
+        {
+            "id": np.arange(120),
+            "lang": rng.choice(["en", "de", "fr"], 120),
+            "source": rng.choice(["web", "book"], 120),
+            "text": [
+                " ".join(rng.choice([f"w{i}" for i in range(40)], rng.integers(3, 15)))
+                for _ in range(120)
+            ],
+        }
+    ).to_parquet(src)
+
+    chi2_out = tmp_path / "chi2"
+    main(["stats", "--mode", "chi2", "--input", str(src),
+          "--output", str(chi2_out), "--row-column", "lang",
+          "--col-column", "source"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["mode"] == "chi2" and rep["rows"] == 6
+    got = pq.read_table(str(chi2_out)).to_pandas()
+    assert set(got.columns) == {"lang", "source", "n", "expected_u",
+                                "chi2_contrib_u"}
+    assert got["n"].sum() == 120
+
+    tv_out = tmp_path / "tv"
+    main(["stats", "--mode", "tv", "--input", str(src),
+          "--output", str(tv_out), "--group-column", "source"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["mode"] == "tv" and rep["rows"] == 1
+    tv = pq.read_table(str(tv_out)).to_pandas()
+    assert 0 <= tv["tv_u"].iloc[0] <= 10**6
+
+    pairs_out = tmp_path / "pairs"
+    main(["dedup", "--method", "span-pairs", "--span-n", "3",
+          "--input", str(src), "--output", str(pairs_out),
+          "--id-column", "id"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    pairs = pq.read_table(str(pairs_out)).to_pandas()
+    assert rep["rows"] == len(pairs)
+    assert set(pairs.columns) == {"a_id", "b_id", "n_windows", "max_span"}
+    assert (pairs["a_id"] < pairs["b_id"]).all()
+    assert (pairs["max_span"] >= 3).all()
