@@ -822,6 +822,47 @@ def q_bloom_sources(sf_dir: str):
     )
 
 
+def q_cuckoo_parts(sf_dir: str):
+    """Deletable membership via Cuckoo filters (sketches/cuckoo.py — Fan
+    et al. 2014): per-brand filters over p_partkey built distributed
+    (insert-only partials merge associatively by re-inserting stored
+    (bucket, fp) entries), then keys with partkey%10==0 are DELETED from
+    the merged filters and the kept keys probed. The oracle is the
+    structure's contract, SQL-exact: counts are exact, deletion removes
+    exactly the requested members, and kept keys can never false-negative
+    — so kept_found == n_parts - n_deleted row for row. The
+    false-positive side (probing deleted keys) is bound-tested in pytest,
+    not hashed here."""
+    from pprl_ray.sketches import CuckooSketch
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    parts = read_parquet_sized(f"{sf_dir}/part.parquet",
+                               columns=["p_partkey", "p_brand"])
+    merged = sketch_by_key(
+        parts, lambda: CuckooSketch(1 << 12, 4, 16), "p_partkey", "p_brand"
+    )
+    sketches = finalize_sketches(merged, CuckooSketch)
+    # deletions are an ordered post-merge op; the (brand, key) table is the
+    # slim readout side (keys only, 16 bytes/row)
+    keys = parts.to_pandas()
+    rows = []
+    for brand in sorted(sketches):
+        sk = sketches[brand]
+        k = keys[keys["p_brand"] == brand]["p_partkey"].to_numpy()
+        dele = k[k % 10 == 0]
+        kept = k[k % 10 != 0]
+        n_deleted = sk.delete(dele)
+        rows.append(
+            {
+                "brand": brand,
+                "n_parts": int(len(k)),
+                "n_deleted": int(n_deleted),
+                "kept_found": int(sk.contains(kept).sum()),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction as an actor-pool stage (text.py PiiScrubStage:
     patterns compile once per actor, RE2-safe so polars / Python re /
@@ -5042,6 +5083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocking_eval": q_blocking_eval,
         "fd_spectrum": q_fd_spectrum,
         "sliding_distinct_users": q_sliding_distinct_users,
+        "cuckoo_parts": q_cuckoo_parts,
         "bpe_vocab": q_bpe_vocab,
         "bpe_encode": q_bpe_encode,
         "ddsketch_ntok": q_ddsketch_ntok,
@@ -7459,6 +7501,13 @@ def oracle_sql() -> dict[str, str]:
             FROM cnt
             JOIN rm ON cnt.lang = rm.lang
             JOIN cm ON cnt.source = cm.source
+        """,
+        "cuckoo_parts": """
+            SELECT p_brand AS brand,
+                   count(*) AS n_parts,
+                   count(*) FILTER (p_partkey % 10 = 0) AS n_deleted,
+                   count(*) FILTER (p_partkey % 10 <> 0) AS kept_found
+            FROM part GROUP BY 1 ORDER BY 1
         """,
         "sliding_distinct_users": """
             WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)

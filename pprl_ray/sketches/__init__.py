@@ -2,6 +2,7 @@ from .base import SKETCHES, Sketch, register  # noqa: F401
 from .bloom import BloomSketch  # noqa: F401
 from .cms import CMSSketch  # noqa: F401
 from .countsketch import CountSketch  # noqa: F401
+from .cuckoo import CuckooSketch  # noqa: F401
 from .ddsketch import DDSketch  # noqa: F401
 from .fd import FrequentDirectionsSketch  # noqa: F401
 from .gram import GramSketch  # noqa: F401

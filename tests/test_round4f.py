@@ -605,3 +605,48 @@ def test_sliding_theta_union_exact_below_capacity(ray_session):
             u.merge(ThetaSketch.from_bytes(sk[days[j]].to_bytes()))
             want |= by_day[days[j]]
         assert int(round(u.estimate())) == len(want)
+
+
+def test_cuckoo_filter_contract(ray_session):
+    from pprl_ray.sketches import CuckooSketch
+
+    rng = np.random.default_rng(0)
+    keys = rng.choice(10**9, 20000, replace=False)
+    sk = CuckooSketch(1 << 13, 4, 16)  # capacity 32768, load ~0.61
+    sk.update(keys)
+    assert sk.contains(keys).all()  # no false negatives
+    assert sk.count == len(keys)
+
+    absent = np.setdiff1d(rng.choice(10**9, 50000, replace=False), keys)
+    assert sk.contains(absent).mean() <= sk.fpr_bound()  # 8 / 2^16
+
+    # exact deletion; kept keys never false-negative afterwards
+    dele, kept = keys[::2], keys[1::2]
+    assert sk.delete(dele) == len(np.unique(dele))
+    assert sk.contains(kept).all()
+    assert sk.contains(dele).mean() <= 10 * sk.fpr_bound()  # FP-only now
+
+    # merge = re-insert stored entries; membership of the union preserved
+    a, b = CuckooSketch(1 << 13), CuckooSketch(1 << 13)
+    a.update(keys[:10000])
+    b.update(keys[10000:])
+    a.merge(b)
+    assert a.contains(keys).all() and a.count == len(keys)
+
+    # order-independent membership (not layout): reversed merge agrees
+    c, d = CuckooSketch(1 << 13), CuckooSketch(1 << 13)
+    c.update(keys[10000:])
+    d.update(keys[:10000])
+    c.merge(d)
+    assert c.contains(keys).all()
+
+    # serialisation roundtrip (incl. stash + counters)
+    rt = CuckooSketch.from_bytes(sk.to_bytes())
+    assert (rt.table == sk.table).all() and rt.stash == sk.stash
+    assert rt.count == sk.count
+
+    # stash catches overflow beyond max kicks: cram to load factor ~0.97
+    tiny = CuckooSketch(1 << 6, 4, 16, max_kicks=20)
+    many = rng.choice(10**9, 248, replace=False)
+    tiny.update(many)
+    assert tiny.contains(many).all()  # stash keeps the contract
