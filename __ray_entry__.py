@@ -1944,6 +1944,54 @@ def q_vocab_growth(sf_dir: str):
     return vocab_growth(docs, bucket_size=50)
 
 
+def q_novelty(sf_dir: str):
+    """Per-document novelty scoring (stages/dedup.py window_novelty — the
+    ExactSubstr per-doc readout): fraction of each doc's 8-word windows
+    first seen in a lower-doc_id document, exact-rational fixed point.
+    The corpus is augmented with the same planted partial copies as
+    q_dup_spans, whose windows all pre-exist -> novelty 0. min(doc_id)
+    first-occurrence makes the score order- and partitioning-invariant;
+    the SQL replica joins windows against their min-doc table."""
+    import polars as pl
+
+    from pprl_ray.stages.dedup import window_novelty
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _mk_copy(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less(batch["doc_id"], 40))
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+            )
+        txt = (
+            pl.from_arrow(t["text"].combine_chunks())
+            .str.split(" ")
+            .list.slice(5, 36)
+            .list.join(" ")
+        )
+        return pa.table(
+            {
+                "doc_id": pc.add(t["doc_id"], 900_000),
+                "text": txt.to_arrow().cast(pa.string()),
+            }
+        )
+
+    aug = docs.union(docs.map_batches(_mk_copy, batch_format="pyarrow"))
+    out = window_novelty(aug, window=8)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "n_windows": pc.cast(b["n_windows"], pa.int64()),
+                "n_dup": pc.cast(b["n_dup"], pa.int64()),
+                "novelty_u": pc.cast(b["novelty_u"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_dup_spans(sf_dir: str):
     """Exact substring-duplication spans (stages/dedup.py dup_spans, the
     Lee-et-al.-2022 exact-substring dedup readout): the corpus is augmented
@@ -5078,6 +5126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_assortativity": q_word_assortativity,
         "lang_source_chi2": q_lang_source_chi2,
         "dup_spans": q_dup_spans,
+        "novelty": q_novelty,
         "vocab_growth": q_vocab_growth,
         "source_tv": q_source_tv,
         "blocking_eval": q_blocking_eval,
@@ -7615,6 +7664,30 @@ def oracle_sql() -> dict[str, str]:
                         OVER (ORDER BY occ.bucket) AS BIGINT) AS n_types
             FROM occ LEFT JOIN newt ON occ.bucket = newt.bucket
             ORDER BY occ.bucket
+        """,
+        "novelty": """
+            WITH base AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 900000 AS doc_id,
+                       array_to_string(
+                           list_slice(string_split(text, ' '), 6, 41), ' ') AS text
+                FROM documents WHERE doc_id < 40
+            ),
+            words AS (SELECT doc_id, string_split(text, ' ') AS w FROM base),
+            win AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(array_to_string(
+                            list_slice(w, i, i + 7), ' ')), 1, 16))::UBIGINT AS h
+                FROM words, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i)
+            ),
+            firstd AS (SELECT h, min(doc_id) AS fd FROM win GROUP BY h)
+            SELECT win.doc_id, count(*) AS n_windows,
+                   count(*) FILTER (win.doc_id > f.fd) AS n_dup,
+                   1000000 * (count(*) - count(*) FILTER (win.doc_id > f.fd))
+                       // count(*) AS novelty_u
+            FROM win JOIN firstd f ON win.h = f.h
+            GROUP BY win.doc_id
         """,
         "dup_spans": """
             WITH base AS (

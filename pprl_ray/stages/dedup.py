@@ -40,6 +40,8 @@ __all__ = [
     "connected_components_collapse",
     "contamination_pairs",
     "dup_spans",
+    "word_window_hashes",
+    "window_novelty",
     "ngram_jaccard_pairs",
     "near_dedup_corpus",
 ]
@@ -2368,6 +2370,65 @@ def array_jaccard_pairs(ds, arr_col: str, id_col: str = "media_id", k: int = 64,
 # --- exact substring-duplication spans --------------------------------------
 
 
+def word_window_hashes(batch: pa.Table, text_col: str, id_col: str,
+                       L: int, nparts: int) -> pa.Table:
+    """Per-batch kernel shared by :func:`dup_spans` and
+    :func:`window_novelty`: every L-word window of every row as a slim
+    ``(h, id, pos, part)`` table. Window strings are TRANSIENT char slices
+    of the original text (never shipped); ``h`` is
+    :func:`~pprl_ray.functions.digest.md5_prefix64` of the window text, so
+    equality is content-exact and SQL-recomputable; ``part = h % nparts``.
+    Fully vectorised (one polars split + numpy offset arithmetic + one
+    expression slice; no Python loop over rows or words)."""
+    import polars as pl
+
+    from ..functions.digest import md5_prefix64
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    texts = pl.Series("t", pl.from_arrow(col)).fill_null("")
+    ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+    words = texts.str.split(" ")
+    nwords = words.list.len().to_numpy().astype(np.int64)
+    # per-word char lengths, flat (explode of an all-empty batch is
+    # handled by the nwin==0 early-exit below)
+    wl = words.explode().str.len_chars().fill_null(0).to_numpy().astype(np.int64)
+    n_rows = len(nwords)
+    nwin = np.maximum(nwords - L + 1, 0)
+    total_win = int(nwin.sum())
+    if total_win == 0:
+        return pa.table({
+            "h": pa.array([], pa.uint64()), "id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int32()), "part": pa.array([], pa.int32()),
+        })
+    if len(wl) != int(nwords.sum()):  # polars explode: empty list -> one null row
+        nwords = np.maximum(nwords, 1)
+    off = np.concatenate([[0], np.cumsum(nwords)])  # word-index row offsets
+    # char start of each word within its row: global cumsum of (len+1)
+    # separators, rebased per row
+    gstart = np.concatenate([[0], np.cumsum(wl + 1)[:-1]])
+    gstart = gstart - np.repeat(gstart[off[:-1]], nwords)
+    win_row = np.repeat(np.arange(n_rows), nwin)
+    woff = np.concatenate([[0], np.cumsum(nwin)])
+    win_pos = (np.arange(total_win) - np.repeat(woff[:-1], nwin)).astype(np.int64)
+    first = off[win_row] + win_pos          # flat idx of window's first word
+    last = first + L - 1                    # flat idx of its last word
+    c_off = gstart[first]
+    c_len = gstart[last] + wl[last] - c_off
+    # transient window strings: char slices of the (replicated) text
+    wtab = pl.DataFrame({
+        "t": texts.gather(win_row), "o": c_off, "l": c_len,
+    }).select(pl.col("t").str.slice(pl.col("o"), pl.col("l")).alias("s"))
+    h = md5_prefix64(wtab["s"].to_arrow())
+    return pa.table({
+        "h": pa.array(h, pa.uint64()),
+        "id": pa.array(ids[win_row], pa.int64()),
+        "pos": pa.array(win_pos.astype(np.int32), pa.int32()),
+        "part": pa.array((h % np.uint64(nparts)).astype(np.int32), pa.int32()),
+    })
+
+
 def dup_spans(ds, text_col: str = "text", id_col: str = "doc_id",
               window: int = 8, max_docs: int = 256, pos_cap: int = 8,
               partitions: int | None = None):
@@ -2397,9 +2458,6 @@ def dup_spans(ds, text_col: str = "text", id_col: str = "doc_id",
 
     Returns ``(a_id, b_id, n_windows, max_span)`` with ``a_id < b_id``;
     ``max_span`` is in words (= longest run + window - 1)."""
-    import polars as pl
-
-    from ..functions.digest import md5_prefix64
     from .partitioning import auto_partitions
 
     if partitions is None:
@@ -2407,53 +2465,10 @@ def dup_spans(ds, text_col: str = "text", id_col: str = "doc_id",
     nparts = int(partitions)
     L = int(window)
 
-    def _windows(batch: pa.Table) -> pa.Table:
-        col = batch[text_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        texts = pl.Series("t", pl.from_arrow(col)).fill_null("")
-        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
-        words = texts.str.split(" ")
-        nwords = words.list.len().to_numpy().astype(np.int64)
-        # per-word char lengths, flat (explode of an all-empty batch is
-        # handled by the nwin==0 early-exit below)
-        wl = words.explode().str.len_chars().fill_null(0).to_numpy().astype(np.int64)
-        n_rows = len(nwords)
-        nwin = np.maximum(nwords - L + 1, 0)
-        total_win = int(nwin.sum())
-        empty = pa.table({
-            "h": pa.array([], pa.uint64()), "id": pa.array([], pa.int64()),
-            "pos": pa.array([], pa.int32()), "part": pa.array([], pa.int32()),
-        })
-        if total_win == 0:
-            return empty
-        if len(wl) != int(nwords.sum()):  # polars explode: empty list -> one null row
-            nwords = np.maximum(nwords, 1)
-        off = np.concatenate([[0], np.cumsum(nwords)])  # word-index row offsets
-        # char start of each word within its row: global cumsum of (len+1)
-        # separators, rebased per row
-        gstart = np.concatenate([[0], np.cumsum(wl + 1)[:-1]])
-        gstart = gstart - np.repeat(gstart[off[:-1]], nwords)
-        win_row = np.repeat(np.arange(n_rows), nwin)
-        woff = np.concatenate([[0], np.cumsum(nwin)])
-        win_pos = (np.arange(total_win) - np.repeat(woff[:-1], nwin)).astype(np.int64)
-        first = off[win_row] + win_pos          # flat idx of window's first word
-        last = first + L - 1                    # flat idx of its last word
-        c_off = gstart[first]
-        c_len = gstart[last] + wl[last] - c_off
-        # transient window strings: char slices of the (replicated) text
-        wtab = pl.DataFrame({
-            "t": texts.gather(win_row), "o": c_off, "l": c_len,
-        }).select(pl.col("t").str.slice(pl.col("o"), pl.col("l")).alias("s"))
-        h = md5_prefix64(wtab["s"].to_arrow())
-        return pa.table({
-            "h": pa.array(h, pa.uint64()),
-            "id": pa.array(ids[win_row], pa.int64()),
-            "pos": pa.array(win_pos.astype(np.int32), pa.int32()),
-            "part": pa.array((h % np.uint64(nparts)).astype(np.int32), pa.int32()),
-        })
-
-    slim = ds.map_batches(_windows, batch_format="pyarrow")
+    slim = ds.map_batches(
+        lambda b: word_window_hashes(b, text_col, id_col, L, nparts),
+        batch_format="pyarrow",
+    )
 
     def _pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["h", "id", "pos"], kind="stable")
@@ -2512,3 +2527,69 @@ def dup_spans(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return matches.groupby("ppart").map_groups(_spans, batch_format="pandas")
+
+
+def window_novelty(ds, text_col: str = "text", id_col: str = "doc_id",
+                   window: int = 8, scale: int = 1_000_000,
+                   partitions: int | None = None):
+    """Per-document novelty scoring — the per-doc readout of exact
+    substring deduplication: for every doc, how many of its L-word windows
+    were already seen in a LOWER-doc_id document, and the exact-rational
+    novelty ratio
+
+        novelty_u = floor(scale * (n_windows - n_dup) / n_windows).
+
+    The canonical filter signal for "this doc is mostly boilerplate /
+    already in the corpus" (ExactSubstr scoring, Lee et al. 2022 shape).
+    First-occurrence is defined by min(doc_id) per window content, so the
+    score is partitioning- and order-invariant.
+
+    Scale shape: one :func:`word_window_hashes` pass (slim 16-byte rows,
+    text never ships), a key-hash exchange deriving min(id) per window,
+    then a doc-keyed exchange folding per-doc totals. Ubiquitous windows
+    need no cap — only (min, count) aggregates ride, never cross products.
+
+    Returns ``(doc_id, n_windows, n_dup, novelty_u)`` — one row per doc
+    that has at least one L-word window."""
+    import polars as pl
+
+    from .partitioning import auto_partitions
+
+    if partitions is None:
+        partitions = auto_partitions(ds)
+    nparts = int(partitions)
+    L = int(window)
+
+    slim = ds.map_batches(
+        lambda b: word_window_hashes(b, text_col, id_col, L, nparts),
+        batch_format="pyarrow",
+    )
+
+    def _mark(group: pd.DataFrame) -> pd.DataFrame:
+        first = group.groupby("h", sort=False)["id"].min()
+        dup = group["id"].to_numpy() > first[group["h"]].to_numpy()
+        out = pl.DataFrame({"id": group["id"].to_numpy(), "dup": dup}) \
+            .group_by("id").agg(pl.len().alias("n"), pl.col("dup").sum().alias("nd"))
+        ids = out["id"].to_numpy()
+        return pd.DataFrame({
+            "id": ids,
+            "n": out["n"].to_numpy().astype(np.int64),
+            "nd": out["nd"].to_numpy().astype(np.int64),
+            "dpart": (ids.astype(np.uint64) % np.uint64(nparts)).astype(np.int32),
+        })
+
+    def _fold(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("id", sort=False)[["n", "nd"]].sum().reset_index()
+        n = g["n"].to_numpy().astype(np.int64)
+        nd = g["nd"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": g["id"].to_numpy().astype(np.int64),
+            "n_windows": n,
+            "n_dup": nd,
+            "novelty_u": int(scale) * (n - nd) // n,
+        })
+
+    return (
+        slim.groupby("part").map_groups(_mark, batch_format="pandas")
+        .groupby("dpart").map_groups(_fold, batch_format="pandas")
+    )

@@ -650,3 +650,52 @@ def test_cuckoo_filter_contract(ray_session):
     many = rng.choice(10**9, 248, replace=False)
     tiny.update(many)
     assert tiny.contains(many).all()  # stash keeps the contract
+
+
+def test_window_novelty_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from pprl_ray.stages.dedup import window_novelty
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a b c d e f",               # all novel (first carrier)
+                "a b c d x y z w",           # window 'a b c d' is a dup
+                "a b c d e f",               # exact copy: 0 novel
+                "totally fresh words here",  # all novel
+            ],
+        }
+    )
+    L = 4
+
+    def run(parts):
+        ds = rd.from_pandas(docs).repartition(parts)
+        return (
+            window_novelty(ds, window=L, partitions=3)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    out = run(3)
+    pd.testing.assert_frame_equal(out, run(1))  # partition-invariant
+
+    # brute force
+    first = {}
+    wins = {}
+    for _, r in docs.iterrows():
+        w = r.text.split(" ")
+        ws = [" ".join(w[i : i + L]) for i in range(len(w) - L + 1)]
+        wins[r.doc_id] = ws
+        for s in ws:
+            first.setdefault(s, r.doc_id)
+    for _, r in out.iterrows():
+        ws = wins[r.doc_id]
+        nd = sum(1 for s in ws if first[s] < r.doc_id)
+        assert r.n_windows == len(ws)
+        assert r.n_dup == nd
+        assert r.novelty_u == 10**6 * (len(ws) - nd) // len(ws)
+    assert out.loc[out.doc_id == 3, "novelty_u"].iloc[0] == 0
+    assert out.loc[out.doc_id == 1, "novelty_u"].iloc[0] == 10**6
