@@ -120,6 +120,9 @@ BENCH_QUERIES = [
     "vocab_growth",
     "blocking_eval",
     "fd_spectrum",
+    "sliding_distinct_users",
+    "cuckoo_parts",
+    "novelty",
 ]
 
 
