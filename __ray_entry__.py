@@ -822,6 +822,31 @@ def q_bloom_sources(sf_dir: str):
     )
 
 
+def q_event_transitions(sf_dir: str):
+    """First-order Markov transition counts over per-user event sequences
+    (stages/window.py event_transitions): adjacent (from, to) event-type
+    pairs under the total order (ts, event_id) — the "what happens after
+    X" clickstream readout. One hash-by-key shuffle of slim rows + a tiny
+    pair fold; the SQL replica is lead() OVER the same total order."""
+    from pprl_ray.stages.window import event_transitions
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    out = event_transitions(ev, order_break="event_id")
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "from_type": pc.cast(b["from_type"], pa.string()),
+                "to_type": pc.cast(b["to_type"], pa.string()),
+                "n": pc.cast(b["n"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_cuckoo_parts(sf_dir: str):
     """Deletable membership via Cuckoo filters (sketches/cuckoo.py — Fan
     et al. 2014): per-brand filters over p_partkey built distributed
@@ -5133,6 +5158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_spectrum": q_fd_spectrum,
         "sliding_distinct_users": q_sliding_distinct_users,
         "cuckoo_parts": q_cuckoo_parts,
+        "event_transitions": q_event_transitions,
         "bpe_vocab": q_bpe_vocab,
         "bpe_encode": q_bpe_encode,
         "ddsketch_ntok": q_ddsketch_ntok,
@@ -7550,6 +7576,17 @@ def oracle_sql() -> dict[str, str]:
             FROM cnt
             JOIN rm ON cnt.lang = rm.lang
             JOIN cm ON cnt.source = cm.source
+        """,
+        "event_transitions": """
+            WITH o AS (
+                SELECT user_id, event_type,
+                       lead(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS nxt
+                FROM events
+            )
+            SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+            FROM o WHERE nxt IS NOT NULL
+            GROUP BY 1, 2
         """,
         "cuckoo_parts": """
             SELECT p_brand AS brand,

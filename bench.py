@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "sliding_distinct_users",
     "cuckoo_parts",
     "novelty",
+    "event_transitions",
 ]
 
 

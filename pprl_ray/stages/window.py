@@ -464,3 +464,87 @@ def decayed_sum(ds, key_col: str, ts_col: str, val_col: str,
         .groupby(key_col)
         .map_groups(_fold, batch_format="pandas")
     )
+
+
+def event_transitions(ds, key_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type", order_break=None,
+                      partitions: int | None = None):
+    """Per-key ordered transition counts — the Markov-chain matrix of a
+    clickstream: for every key's event sequence ordered by
+    ``(ts, order_break)``, count each adjacent ``(from_type, to_type)``
+    pair across the whole corpus (the product-analytics "what happens
+    after X" readout; row-normalising the output gives the first-order
+    Markov transition probabilities).
+
+    ``order_break`` (default none) is a tie-break column making the order
+    total — pass the event id so the result is deterministic when
+    timestamps collide, and use the same tie-break in any replica.
+
+    Scale shape: ONE hash-by-key shuffle of slim (key, ts, type[, brk])
+    rows co-locates each key's events; each partition does one vectorised
+    lexsort + shift to emit adjacent pairs, pre-reduced to per-partition
+    (from, to, n) partials; a tiny pair-keyed fold finishes. Output:
+    ``(from_type, to_type, n)``."""
+    import polars as pl
+
+    if partitions is None:
+        from .partitioning import auto_partitions
+
+        partitions = auto_partitions(ds)
+    nparts = int(partitions)
+
+    def _part(batch: pa.Table) -> pa.Table:
+        cols = {key_col: batch[key_col], ts_col: batch[ts_col],
+                type_col: batch[type_col]}
+        if order_break is not None:
+            cols[order_break] = batch[order_break]
+        out = pa.table(cols)
+        return out.append_column(
+            "part", pa.array(_hash_partition(batch[key_col], nparts))
+        )
+
+    parted = ds.map_batches(_part, batch_format="pyarrow")
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        keys = group[key_col].to_numpy()
+        ts = group[ts_col].to_numpy()
+        brk = (group[order_break].to_numpy() if order_break is not None
+               else np.zeros(len(group), dtype=np.int64))
+        order = np.lexsort((brk, ts, keys))
+        k = keys[order]
+        t = group[type_col].to_numpy()[order]
+        if len(k) < 2:
+            return pd.DataFrame({"from_type": [], "to_type": [], "n": []}).astype(
+                {"from_type": "object", "to_type": "object", "n": "int64"})
+        same = k[1:] == k[:-1]
+        out = (
+            pl.DataFrame({"from_type": t[:-1][same], "to_type": t[1:][same]})
+            .group_by(["from_type", "to_type"]).agg(pl.len().alias("n"))
+        )
+        return pd.DataFrame({
+            "from_type": out["from_type"].to_list(),
+            "to_type": out["to_type"].to_list(),
+            "n": out["n"].to_numpy().astype(np.int64),
+        })
+
+    partials = parted.groupby("part").map_groups(_pairs, batch_format="pandas")
+
+    def _fold_part(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        h = np.array(
+            [zlib.crc32(f"{a}\x00{b}".encode()) % nparts
+             for a, b in zip(batch["from_type"].to_pylist(),
+                             batch["to_type"].to_pylist())],
+            dtype=np.int32,
+        )
+        return batch.append_column("fpart", pa.array(h))
+
+    def _sum(group: pd.DataFrame) -> pd.DataFrame:
+        return (group.groupby(["from_type", "to_type"], sort=False)["n"]
+                .sum().reset_index())
+
+    return (
+        partials.map_batches(_fold_part, batch_format="pyarrow")
+        .groupby("fpart").map_groups(_sum, batch_format="pandas")
+    )

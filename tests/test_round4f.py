@@ -699,3 +699,46 @@ def test_window_novelty_matches_bruteforce(ray_session):
         assert r.novelty_u == 10**6 * (len(ws) - nd) // len(ws)
     assert out.loc[out.doc_id == 3, "novelty_u"].iloc[0] == 0
     assert out.loc[out.doc_id == 1, "novelty_u"].iloc[0] == 10**6
+
+
+def test_event_transitions_matches_pandas_reference(ray_session):
+    import ray.data as rd
+
+    from pprl_ray.stages.window import event_transitions
+
+    rng = np.random.default_rng(31)
+    n = 600
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "user_id": rng.integers(0, 40, n),
+            "ts": rng.integers(0, 500, n),  # collisions exercise the tie-break
+            "event_type": rng.choice(["view", "click", "buy"], n),
+        }
+    )
+
+    def run(parts):
+        ds = rd.from_pandas(ev).repartition(parts)
+        return (
+            event_transitions(ds, order_break="event_id", partitions=3)
+            .to_pandas()
+            .sort_values(["from_type", "to_type"])
+            .reset_index(drop=True)
+        )
+
+    out = run(4)
+    pd.testing.assert_frame_equal(out, run(1))  # partition-invariant
+
+    ref = (
+        ev.sort_values(["user_id", "ts", "event_id"])
+        .assign(nxt=lambda d: d.groupby("user_id")["event_type"].shift(-1))
+        .dropna(subset=["nxt"])
+        .groupby(["event_type", "nxt"])
+        .size()
+        .reset_index(name="n")
+        .rename(columns={"event_type": "from_type", "nxt": "to_type"})
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    ref["n"] = ref["n"].astype("int64")
+    pd.testing.assert_frame_equal(out, ref)
