@@ -847,6 +847,76 @@ def q_event_transitions(sf_dir: str):
     )
 
 
+def q_fs_weights(sf_dir: str):
+    """Fellegi-Sunter m/u agreement estimation (stages/match.py
+    fs_agreement_counts): the range side is a deterministically perturbed
+    customer copy (name last-char for %7, segment blanked for %5,
+    nationkey shifted for %3); labeled candidate pairs are (k,k) matches
+    and (k,k+1) nonmatches. Two bucket joins pull attributes onto the
+    pairs; per-attribute agreement rates come out as exact fixed-point
+    m_u / u_u with raw counts, replicated row-for-row in SQL."""
+    import polars as pl
+
+    from pprl_ray.stages.match import fs_agreement_counts
+
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment", "c_nationkey"],
+    )
+
+    def _perturb(batch: pa.Table) -> pa.Table:
+        df = pl.DataFrame({
+            "id": pl.from_arrow(batch["c_custkey"].combine_chunks()),
+            "nm": pl.from_arrow(batch["c_name"].combine_chunks()),
+            "seg": pl.from_arrow(batch["c_mktsegment"].combine_chunks()),
+            "nat": pl.from_arrow(batch["c_nationkey"].combine_chunks()).cast(pl.Int64),
+        }).with_columns(L=pl.col("nm").str.len_chars().cast(pl.Int64))
+        df = df.with_columns(
+            nm=pl.when(pl.col("id") % 7 == 0)
+            .then(pl.col("nm").str.slice(0, pl.col("L") - 1) + pl.lit("x"))
+            .otherwise(pl.col("nm")),
+            seg=pl.when(pl.col("id") % 5 == 0)
+            .then(pl.lit("XX")).otherwise(pl.col("seg")),
+            nat=pl.when(pl.col("id") % 3 == 0)
+            .then(pl.col("nat") + 1).otherwise(pl.col("nat")),
+        )
+        return pa.table({
+            "c_custkey": _one_chunk(df["id"].to_arrow().cast(pa.int64())),
+            "c_name": _one_chunk(df["nm"].to_arrow().cast(pa.string())),
+            "c_mktsegment": _one_chunk(df["seg"].to_arrow().cast(pa.string())),
+            "c_nationkey": _one_chunk(df["nat"].to_arrow().cast(pa.int64())),
+        })
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(batch["c_custkey"], pa.int64()),
+            "c_name": pc.cast(batch["c_name"], pa.string()),
+            "c_mktsegment": pc.cast(batch["c_mktsegment"], pa.string()),
+            "c_nationkey": pc.cast(batch["c_nationkey"], pa.int64()),
+        })
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        k = _one_chunk(pc.cast(batch["c_custkey"], pa.int64()))
+        one = _one_chunk(pc.add(k, 1))
+        return pa.table({
+            "a_id": pa.concat_arrays([k, k]),
+            "b_id": pa.concat_arrays([k, one]),
+            "label": pa.concat_arrays([
+                pa.array(np.ones(len(k), np.int8), pa.int8()),
+                pa.array(np.zeros(len(k), np.int8), pa.int8()),
+            ]),
+        })
+
+    a_side = cust.map_batches(_norm, batch_format="pyarrow")
+    b_side = cust.map_batches(_perturb, batch_format="pyarrow")
+    pairs = cust.map_batches(_pairs, batch_format="pyarrow")
+    return fs_agreement_counts(
+        a_side, b_side, pairs,
+        ["c_name", "c_mktsegment", "c_nationkey"],
+        a_id="c_custkey", b_id="c_custkey",
+    )
+
+
 def q_cuckoo_parts(sf_dir: str):
     """Deletable membership via Cuckoo filters (sketches/cuckoo.py — Fan
     et al. 2014): per-brand filters over p_partkey built distributed
@@ -5159,6 +5229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_distinct_users": q_sliding_distinct_users,
         "cuckoo_parts": q_cuckoo_parts,
         "event_transitions": q_event_transitions,
+        "fs_weights": q_fs_weights,
         "bpe_vocab": q_bpe_vocab,
         "bpe_encode": q_bpe_encode,
         "ddsketch_ntok": q_ddsketch_ntok,
@@ -7587,6 +7658,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
             FROM o WHERE nxt IS NOT NULL
             GROUP BY 1, 2
+        """,
+        "fs_weights": """
+            WITH b AS (
+                SELECT c_custkey,
+                       CASE WHEN c_custkey % 7 = 0
+                            THEN substr(c_name, 1, length(c_name) - 1) || 'x'
+                            ELSE c_name END AS c_name,
+                       CASE WHEN c_custkey % 5 = 0 THEN 'XX'
+                            ELSE c_mktsegment END AS c_mktsegment,
+                       CAST(c_nationkey AS BIGINT)
+                           + CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END
+                           AS c_nationkey
+                FROM customer
+            ),
+            pairs AS (
+                SELECT c_custkey AS a_id, c_custkey AS b_id, 1 AS label
+                FROM customer
+                UNION ALL
+                SELECT c_custkey, c_custkey + 1, 0 FROM customer
+            ),
+            j AS (
+                SELECT p.label,
+                       a.c_name = bb.c_name AS eq_name,
+                       a.c_mktsegment = bb.c_mktsegment AS eq_seg,
+                       CAST(a.c_nationkey AS BIGINT) = bb.c_nationkey AS eq_nat
+                FROM pairs p
+                JOIN customer a ON a.c_custkey = p.a_id
+                JOIN b bb ON bb.c_custkey = p.b_id
+            ),
+            per AS (
+                SELECT 'c_name' AS attribute, label, count(*) AS n,
+                       count(*) FILTER (eq_name) AS na FROM j GROUP BY label
+                UNION ALL
+                SELECT 'c_mktsegment', label, count(*),
+                       count(*) FILTER (eq_seg) FROM j GROUP BY label
+                UNION ALL
+                SELECT 'c_nationkey', label, count(*),
+                       count(*) FILTER (eq_nat) FROM j GROUP BY label
+            )
+            SELECT attribute,
+                   CAST(sum(n) FILTER (label = 1) AS BIGINT) AS n_match,
+                   CAST(sum(na) FILTER (label = 1) AS BIGINT) AS n_match_agree,
+                   CAST(sum(n) FILTER (label = 0) AS BIGINT) AS n_nonmatch,
+                   CAST(sum(na) FILTER (label = 0) AS BIGINT)
+                       AS n_nonmatch_agree,
+                   CAST(1000000 * sum(na) FILTER (label = 1)
+                       // sum(n) FILTER (label = 1) AS BIGINT) AS m_u,
+                   CAST(1000000 * sum(na) FILTER (label = 0)
+                       // sum(n) FILTER (label = 0) AS BIGINT) AS u_u
+            FROM per GROUP BY attribute ORDER BY attribute
         """,
         "cuckoo_parts": """
             SELECT p_brand AS brand,

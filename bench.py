@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "cuckoo_parts",
     "novelty",
     "event_transitions",
+    "fs_weights",
 ]
 
 

@@ -24,7 +24,7 @@ from ..functions.similarity import crosswise_similarity, pairwise_similarity
 from ..sketches.hashing import hash_strings
 from .mask import decode_b64_column
 
-__all__ = ["match_crosswise", "match_pairwise", "match_blocked", "match_many", "BroadcastMatcher", "blocking_metrics"]
+__all__ = ["match_crosswise", "match_pairwise", "match_blocked", "match_many", "BroadcastMatcher", "blocking_metrics", "fs_agreement_counts"]
 
 
 class BroadcastMatcher:
@@ -442,3 +442,86 @@ def blocking_metrics(a_ds, b_ds, id_col: str = "id", key_col: str = "block_key",
     import ray.data as rd
 
     return rd.from_pandas(out)
+
+
+def fs_agreement_counts(a_ds, b_ds, pairs_ds, attrs, a_id: str = "id",
+                        b_id: str = "id", scale: int = 1_000_000,
+                        partitions: int | None = None):
+    """Fellegi-Sunter m/u agreement estimation over labeled candidate
+    pairs — the weight-estimation step of probabilistic record linkage
+    (Fellegi & Sunter 1969; the reference's `estimate` tooling computes
+    the entropy side of attribute weights, `pprl_client/cli.py:566-628` —
+    this adds the match/nonmatch agreement side).
+
+    Inputs: two record tables and a pairs table ``(a_id, b_id,
+    label:int)`` (1 = known match, 0 = known nonmatch). For every
+    attribute in ``attrs``: m = P(values agree | match) and
+    u = P(values agree | nonmatch), as exact fixed-point floors
+    ``m_u = floor(scale * n_agree / n)`` plus the raw counts (so callers
+    can form log2(m/u) weights at whatever precision they need).
+
+    Scale shape: two :func:`~pprl_ray.stages.join.bucket_join` passes pull
+    each side's attribute columns onto the pairs (only ``attrs`` columns
+    ride — prune upstream), then a vectorised per-batch comparison folds
+    into per-(attribute, label) partial counts and ONE tiny fold finishes.
+
+    Returns ``(attribute, n_match, n_match_agree, n_nonmatch,
+    n_nonmatch_agree, m_u, u_u)`` — one row per attribute."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .join import bucket_join
+
+    attrs = list(attrs)
+    a_cols = a_ds.select_columns([a_id] + attrs)
+    b_cols = b_ds.select_columns([b_id] + attrs)
+    j1 = bucket_join(pairs_ds, a_cols, keys="a_id", right_keys=a_id,
+                     join_type="inner", partitions=partitions, suffix="_a")
+    # after join 1 the a-side attrs may carry no suffix (no collision with
+    # pairs columns) — rename them explicitly so join 2's suffix logic
+    # can't collide
+    def _tag_a(batch: pa.Table) -> pa.Table:
+        names = [c + "_a" if c in attrs else c for c in batch.schema.names]
+        return batch.rename_columns(names)
+
+    j1 = j1.map_batches(_tag_a, batch_format="pyarrow")
+    j2 = bucket_join(j1, b_cols, keys="b_id", right_keys=b_id,
+                     join_type="inner", partitions=partitions, suffix="_b")
+
+    def _tag_b(batch: pa.Table) -> pa.Table:
+        names = [c + "_b" if c in attrs else c for c in batch.schema.names]
+        return batch.rename_columns(names)
+
+    j2 = j2.map_batches(_tag_b, batch_format="pyarrow")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        lab = batch["label"].combine_chunks().to_numpy(zero_copy_only=False) != 0
+        rows = []
+        for c in attrs:
+            eq = pc.equal(batch[c + "_a"], batch[c + "_b"])
+            eq = pc.fill_null(eq, False).combine_chunks().to_numpy(zero_copy_only=False)
+            rows.append((c, int(lab.sum()), int((eq & lab).sum()),
+                         int((~lab).sum()), int((eq & ~lab).sum())))
+        return pa.table({
+            "attribute": pa.array([r[0] for r in rows]),
+            "n_match": pa.array([r[1] for r in rows], pa.int64()),
+            "n_match_agree": pa.array([r[2] for r in rows], pa.int64()),
+            "n_nonmatch": pa.array([r[3] for r in rows], pa.int64()),
+            "n_nonmatch_agree": pa.array([r[4] for r in rows], pa.int64()),
+        })
+
+    partials = j2.map_batches(_partial, batch_format="pyarrow")
+
+    def _fold(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("attribute", sort=True).sum().reset_index()
+        m_u = [int(scale) * int(a) // int(n) if n else 0
+               for a, n in zip(df["n_match_agree"], df["n_match"])]
+        u_u = [int(scale) * int(a) // int(n) if n else 0
+               for a, n in zip(df["n_nonmatch_agree"], df["n_nonmatch"])]
+        out = df.assign(m_u=np.array(m_u, dtype=np.int64),
+                        u_u=np.array(u_u, dtype=np.int64))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return partials.repartition(1).map_batches(
+        _fold, batch_size=None, batch_format="pyarrow"
+    )

@@ -742,3 +742,67 @@ def test_event_transitions_matches_pandas_reference(ray_session):
     )
     ref["n"] = ref["n"].astype("int64")
     pd.testing.assert_frame_equal(out, ref)
+
+
+def test_fs_agreement_counts_matches_pandas(ray_session):
+    import pyarrow as pa_
+    import ray.data as rd
+
+    from pprl_ray.stages.match import fs_agreement_counts
+
+    def arrow_ds(df, parts):
+        return rd.from_arrow(
+            pa_.Table.from_pandas(df, preserve_index=False)
+        ).repartition(parts)
+
+    rng = np.random.default_rng(8)
+    n = 150
+    a = pd.DataFrame(
+        {
+            "id": np.arange(n),
+            "name": [f"n{i}" for i in range(n)],
+            "seg": rng.choice(["x", "y", "z"], n),
+        }
+    )
+    b = a.copy()
+    b["name"] = [f"Q{i}" if i % 7 == 0 else f"n{i}" for i in range(n)]
+    b["seg"] = [
+        ("x" if s != "x" else "y") if i % 5 == 0 else s
+        for i, s in enumerate(a.seg)
+    ]
+    pairs = pd.DataFrame(
+        {
+            "a_id": list(range(n)) * 2,
+            "b_id": list(range(n)) + [(i + 1) % n for i in range(n)],
+            "label": [1] * n + [0] * n,
+        }
+    )
+
+    def run(parts):
+        return (
+            fs_agreement_counts(
+                arrow_ds(a, 3), arrow_ds(b, 2), arrow_ds(pairs, parts),
+                ["name", "seg"], a_id="id", b_id="id", partitions=3,
+            )
+            .to_pandas()
+            .sort_values("attribute")
+            .reset_index(drop=True)
+        )
+
+    out = run(4)
+    pd.testing.assert_frame_equal(out, run(1))  # partition-invariant
+
+    m = pairs.merge(a, left_on="a_id", right_on="id").merge(
+        b, left_on="b_id", right_on="id", suffixes=("_a", "_b")
+    )
+    for attr in ["name", "seg"]:
+        eq = m[attr + "_a"] == m[attr + "_b"]
+        r = out[out.attribute == attr].iloc[0]
+        for lab, (cn, ca, cu) in {
+            1: ("n_match", "n_match_agree", "m_u"),
+            0: ("n_nonmatch", "n_nonmatch_agree", "u_u"),
+        }.items():
+            sel = m.label == lab
+            nn, na = int(sel.sum()), int((eq & sel).sum())
+            assert r[cn] == nn and r[ca] == na
+            assert r[cu] == 10**6 * na // nn
