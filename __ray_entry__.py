@@ -847,6 +847,77 @@ def q_event_transitions(sf_dir: str):
     )
 
 
+def q_sketch_error_report(sf_dir: str):
+    """Driver-gated accuracy self-report — the north_rule's "estimates
+    within each algorithm's published bound" criterion as a hash-checked
+    artifact, not just a pytest: HLL(p=14), KMV(k=4096) and Theta(k=4096)
+    distinct-token estimates per source are compared IN the query against
+    an exact distributed distinct count over the identical token stream,
+    and only the boolean verdicts are emitted. The SQL oracle expects TRUE
+    for every (sketch, source) row, so any estimate drifting outside its
+    bound fails the round's correctness gate. Bounds: HLL 3*1.04/sqrt(2^p)
+    relative error (3 sigma); KMV/Theta exact below capacity k, else
+    3/sqrt(k-1)."""
+    import polars as pl
+
+    from pprl_ray.sketches import HLLSketch, KMVSketch, ThetaSketch
+    from pprl_ray.sources.corpus import derive_corpus
+    from pprl_ray.stages.partitioning import auto_partitions
+    from pprl_ray.state.aggregate import (_flatten_list_column,
+                                          finalize_sketches, sketch_by_key)
+
+    corpus = derive_corpus(sf_dir)
+    nparts = auto_partitions(corpus)
+
+    # exact distinct tokens per source: per-batch dedup -> one slim
+    # (token, source)-hash exchange -> per-partition dedup+count -> tiny fold
+    def _pairs(batch: pa.Table) -> pa.Table:
+        values, lengths = _flatten_list_column(batch["tokens"])
+        src = batch["source"].combine_chunks().to_numpy(zero_copy_only=False)
+        df = pl.DataFrame({
+            "t": values.astype(np.int64),
+            "s": np.repeat(src, lengths),
+        }).unique()
+        h = df.hash_rows(seed=59).to_numpy()
+        return pa.table({
+            "t": pa.array(df["t"].to_numpy(), pa.int64()),
+            "s": pa.array(df["s"].to_list(), pa.string()),
+            "part": pa.array((h % np.uint64(int(nparts))).astype(np.int32)),
+        })
+
+    def _count(group):
+        import pandas as pd
+
+        g = group.drop_duplicates(["t", "s"])
+        out = g.groupby("s", sort=False).size().reset_index(name="n")
+        return out
+
+    exact = (
+        corpus.map_batches(_pairs, batch_format="pyarrow")
+        .groupby("part").map_groups(_count, batch_format="pandas")
+        .to_pandas().groupby("s")["n"].sum().to_dict()
+    )
+
+    rows = []
+    for name, factory, bound in (
+        ("hll", lambda: HLLSketch(14), 3 * 1.04 / (2 ** 14) ** 0.5),
+        ("kmv", lambda: KMVSketch(4096), 3 / (4096 - 1) ** 0.5),
+        ("theta", lambda: ThetaSketch(4096), 3 / (4096 - 1) ** 0.5),
+    ):
+        merged = sketch_by_key(derive_corpus(sf_dir), factory, "tokens", "source")
+        for src, sk in finalize_sketches(
+            merged, type(factory())
+        ).items():
+            est = float(sk.estimate())
+            true = float(exact[src])
+            if name in ("kmv", "theta") and true < 4096:
+                ok = int(round(est)) == int(true)  # exact below capacity
+            else:
+                ok = abs(est - true) / true <= bound
+            rows.append({"sketch": name, "source": src, "within_bound": bool(ok)})
+    return pd.DataFrame(sorted(rows, key=lambda r: (r["sketch"], r["source"])))
+
+
 def q_fs_weights(sf_dir: str):
     """Fellegi-Sunter m/u agreement estimation (stages/match.py
     fs_agreement_counts): the range side is a deterministically perturbed
@@ -5230,6 +5301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cuckoo_parts": q_cuckoo_parts,
         "event_transitions": q_event_transitions,
         "fs_weights": q_fs_weights,
+        "sketch_error_report": q_sketch_error_report,
         "bpe_vocab": q_bpe_vocab,
         "bpe_encode": q_bpe_encode,
         "ddsketch_ntok": q_ddsketch_ntok,
@@ -7658,6 +7730,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
             FROM o WHERE nxt IS NOT NULL
             GROUP BY 1, 2
+        """,
+        "sketch_error_report": """
+            SELECT sk.sketch, s.source, TRUE AS within_bound
+            FROM (SELECT DISTINCT source FROM documents) s
+            CROSS JOIN (SELECT unnest(['hll', 'kmv', 'theta']) AS sketch) sk
+            ORDER BY sk.sketch, s.source
         """,
         "fs_weights": """
             WITH b AS (

@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "novelty",
     "event_transitions",
     "fs_weights",
+    "sketch_error_report",
 ]
 
 
