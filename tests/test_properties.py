@@ -137,3 +137,71 @@ def test_theta_merge_order_invariant_bitexact(parts, rnd):
     a = _merge_in_order(lambda: ThetaSketch(64), parts, list(range(len(parts))))
     b = _merge_in_order(lambda: ThetaSketch(64), parts, order)
     assert a.to_bytes() == b.to_bytes()
+
+
+words_texts = st.lists(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=3),
+        min_size=0, max_size=14,
+    ).map(lambda ws: " ".join(ws)),
+    min_size=1, max_size=10,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(words_texts, st.integers(min_value=1, max_value=5))
+def test_word_window_hashes_match_bruteforce(texts, L):
+    import pyarrow as pa
+
+    from pprl_ray.functions.digest import md5_prefix64
+    from pprl_ray.stages.dedup import word_window_hashes
+
+    batch = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = word_window_hashes(batch, "text", "doc_id", L, 7)
+    got = list(zip(out["id"].to_pylist(), out["pos"].to_pylist(),
+                   out["h"].to_pylist()))
+
+    want = []
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        for p in range(len(w) - L + 1):
+            s = " ".join(w[p : p + L])
+            want.append((i, p, int(md5_prefix64([s])[0])))
+    assert sorted(got) == sorted(want)
+    # part column is h % nparts everywhere
+    assert all(
+        pt == hh % 7
+        for pt, hh in zip(out["part"].to_pylist(), out["h"].to_pylist())
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=120),
+    st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=120),
+)
+def test_tv_distance_identity_symmetry_range(xs, ys):
+    # the exact-rational TV arithmetic used by source_tv_distance
+    from collections import Counter
+    from fractions import Fraction
+
+    def tv(a, b):
+        ca, cb = Counter(a), Counter(b)
+        na, nb = len(a), len(b)
+        num = sum(abs(ca[t] * nb - cb[t] * na) for t in set(ca) | set(cb))
+        return Fraction(num, 2 * na * nb)
+
+    assert tv(xs, xs) == 0
+    d = tv(xs, ys)
+    assert d == tv(ys, xs)
+    assert 0 <= d <= 1
+    # fixed-point floor used by the operator is within 1 ulp of the rational
+    scale = 10**9
+    fp = scale * sum(
+        abs(Counter(xs)[t] * len(ys) - Counter(ys)[t] * len(xs))
+        for t in set(xs) | set(ys)
+    ) // (2 * len(xs) * len(ys))
+    assert 0 <= d * scale - fp < 1
