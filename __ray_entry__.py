@@ -847,6 +847,50 @@ def q_event_transitions(sf_dir: str):
     )
 
 
+def q_fuzzy_join(sf_dir: str):
+    """Raw-string similarity join (stages/match.py fuzzy_join — q-gram
+    record linkage, the plaintext counterpart of the encoded crosswise
+    match): part names with p_partkey < 300 against a deterministically
+    perturbed copy (last char -> 'x' for %3, ids shifted +500000), padded
+    char-bigram Jaccard >= 0.6 exact via one gram-hash exchange with the
+    ubiquitous-gram cap; the SQL replica recomputes the identical padded
+    bigram sets, cap and fixed-point Jaccard."""
+    import polars as pl
+
+    from pprl_ray.stages.match import fuzzy_join
+
+    parts = read_parquet_sized(f"{sf_dir}/part.parquet",
+                               columns=["p_partkey", "p_name"])
+
+    def _lhs(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less(batch["p_partkey"], 300))
+        return pa.table({
+            "id": pc.cast(t["p_partkey"], pa.int64()),
+            "v": pc.cast(t["p_name"], pa.string()),
+        })
+
+    def _rhs(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less(batch["p_partkey"], 300))
+        df = pl.DataFrame({
+            "id": pl.from_arrow(t["p_partkey"].combine_chunks()),
+            "v": pl.from_arrow(t["p_name"].combine_chunks()),
+        }).with_columns(L=pl.col("v").str.len_chars().cast(pl.Int64))
+        df = df.with_columns(
+            v=pl.when(pl.col("id") % 3 == 0)
+            .then(pl.col("v").str.slice(0, pl.col("L") - 1) + pl.lit("x"))
+            .otherwise(pl.col("v"))
+        )
+        return pa.table({
+            "id": _one_chunk(pc.add(pc.cast(t["p_partkey"], pa.int64()), 500_000)),
+            "v": _one_chunk(df["v"].to_arrow().cast(pa.string())),
+        })
+
+    a = parts.map_batches(_lhs, batch_format="pyarrow")
+    b = parts.map_batches(_rhs, batch_format="pyarrow")
+    return fuzzy_join(a, b, "v", "v", a_id="id", b_id="id",
+                      q=2, threshold=0.6)
+
+
 def q_sketch_error_report(sf_dir: str):
     """Driver-gated accuracy self-report — the north_rule's "estimates
     within each algorithm's published bound" criterion as a hash-checked
@@ -5302,6 +5346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": q_event_transitions,
         "fs_weights": q_fs_weights,
         "sketch_error_report": q_sketch_error_report,
+        "fuzzy_join": q_fuzzy_join,
         "bpe_vocab": q_bpe_vocab,
         "bpe_encode": q_bpe_encode,
         "ddsketch_ntok": q_ddsketch_ntok,
@@ -7730,6 +7775,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
             FROM o WHERE nxt IS NOT NULL
             GROUP BY 1, 2
+        """,
+        "fuzzy_join": """
+            WITH lhs AS (
+                SELECT p_partkey AS id, p_name AS v FROM part
+                WHERE p_partkey < 300
+            ),
+            rhs AS (
+                SELECT p_partkey + 500000 AS id,
+                       CASE WHEN p_partkey % 3 = 0
+                            THEN substr(p_name, 1, length(p_name) - 1) || 'x'
+                            ELSE p_name END AS v
+                FROM part WHERE p_partkey < 300
+            ),
+            lg AS (
+                SELECT DISTINCT id, substr('_' || v || '_', i, 2) AS g
+                FROM lhs, LATERAL (SELECT unnest(range(1, length(v) + 2)) AS i)
+            ),
+            rg AS (
+                SELECT DISTINCT id, substr('_' || v || '_', i, 2) AS g
+                FROM rhs, LATERAL (SELECT unnest(range(1, length(v) + 2)) AS i)
+            ),
+            la AS (SELECT id, count(*) AS nq FROM lg GROUP BY id),
+            ra AS (SELECT id, count(*) AS nq FROM rg GROUP BY id),
+            ok AS (
+                SELECT l.g FROM (SELECT g, count(*) AS c FROM lg GROUP BY g) l
+                JOIN (SELECT g, count(*) AS c FROM rg GROUP BY g) r USING (g)
+                WHERE l.c * r.c <= 4096
+            ),
+            inter AS (
+                SELECT lg.id AS a_id, rg.id AS b_id, count(*) AS n
+                FROM lg JOIN rg ON lg.g = rg.g JOIN ok ON ok.g = lg.g
+                GROUP BY 1, 2
+            )
+            SELECT i.a_id, i.b_id, i.n AS n_shared,
+                   1000000 * i.n // (la.nq + ra.nq - i.n) AS jaccard_u
+            FROM inter i
+            JOIN la ON la.id = i.a_id JOIN ra ON ra.id = i.b_id
+            WHERE 1000000 * i.n // (la.nq + ra.nq - i.n) >= 600000
         """,
         "sketch_error_report": """
             SELECT sk.sketch, s.source, TRUE AS within_bound

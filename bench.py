@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "event_transitions",
     "fs_weights",
     "sketch_error_report",
+    "fuzzy_join",
 ]
 
 

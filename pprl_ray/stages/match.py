@@ -24,7 +24,7 @@ from ..functions.similarity import crosswise_similarity, pairwise_similarity
 from ..sketches.hashing import hash_strings
 from .mask import decode_b64_column
 
-__all__ = ["match_crosswise", "match_pairwise", "match_blocked", "match_many", "BroadcastMatcher", "blocking_metrics", "fs_agreement_counts"]
+__all__ = ["match_crosswise", "match_pairwise", "match_blocked", "match_many", "BroadcastMatcher", "blocking_metrics", "fs_agreement_counts", "fuzzy_join"]
 
 
 class BroadcastMatcher:
@@ -524,4 +524,104 @@ def fs_agreement_counts(a_ds, b_ds, pairs_ds, attrs, a_id: str = "id",
 
     return partials.repartition(1).map_batches(
         _fold, batch_size=None, batch_format="pyarrow"
+    )
+
+
+def fuzzy_join(a_ds, b_ds, a_col: str, b_col: str, a_id: str = "id",
+               b_id: str = "id", q: int = 2, threshold: float = 0.5,
+               padding: str = "_", scale: int = 1_000_000,
+               max_bucket: int = 4096, partitions: int | None = None):
+    """Similarity join on RAW strings: every cross-side pair whose padded
+    char q-gram sets (the reference's ``tokenize`` semantics,
+    ``pprl_core/common.py:9-28``) have Jaccard >= ``threshold`` — the
+    plaintext counterpart of the encoded crosswise match, i.e. classic
+    q-gram record linkage (Christen, "Data Matching" ch. 5).
+
+    Scale shape: each side tokenizes once (short strings, reference
+    per-value tokenize; grams hashed vectorised); ONLY slim
+    ``(gram_hash, id, side, n_grams)`` rows shuffle. One gram-hash
+    exchange cross-joins a-side x b-side ids per shared gram (grams in
+    more than ``max_bucket`` pairwise combinations are dropped —
+    ubiquitous grams carry no signal and the cap bounds the blow-up;
+    raise ``q`` if it triggers), pre-reducing pair intersection counts;
+    a pair-keyed fold finishes with the EXACT Jaccard
+    ``inter / (nq_a + nq_b - inter)`` — sizes ride along, no size join.
+
+    Returns ``(a_id, b_id, n_shared, jaccard_u)`` with
+    ``jaccard_u = floor(scale * inter / union) >= floor(scale*threshold)``;
+    exact modulo 64-bit gram-hash collisions."""
+    import pandas as pd
+
+    from ..functions.qgram import tokenize
+    from .partitioning import auto_partitions
+
+    if partitions is None:
+        partitions = max(auto_partitions(a_ds), auto_partitions(b_ds))
+    nparts = int(partitions)
+    thr_u = int(scale * threshold)
+
+    def _emit(side: int, col: str, idc: str):
+        def _f(batch: pa.Table) -> pa.Table:
+            vals = batch[col].combine_chunks().to_pylist()
+            ids = batch[idc].combine_chunks().to_numpy(zero_copy_only=False)
+            grams = [sorted(tokenize(v if v is not None else "", q, padding))
+                     for v in vals]
+            lens = np.array([len(g) for g in grams], dtype=np.int64)
+            flat = [g for gs in grams for g in gs]
+            h = hash_strings(flat) if flat else np.empty(0, np.uint64)
+            return pa.table({
+                "h": pa.array(h, pa.uint64()),
+                "id": pa.array(np.repeat(ids, lens), pa.int64()),
+                "nq": pa.array(np.repeat(lens, lens), pa.int64()),
+                "side": pa.array(np.full(int(lens.sum()), side, np.int8), pa.int8()),
+                "part": pa.array((h % np.uint64(nparts)).astype(np.int32), pa.int32()),
+            })
+        return _f
+
+    both = a_ds.map_batches(_emit(0, a_col, a_id), batch_format="pyarrow").union(
+        b_ds.map_batches(_emit(1, b_col, b_id), batch_format="pyarrow")
+    )
+
+    def _inter(group: pd.DataFrame) -> pd.DataFrame:
+        a = group[group["side"] == 0]
+        b = group[group["side"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame({"ia": [], "ib": [], "na": [], "nb": [],
+                                 "n": [], "ppart": []}).astype(
+                {"ia": "int64", "ib": "int64", "na": "int64", "nb": "int64",
+                 "n": "int64", "ppart": "int32"})
+        sizes = (a.groupby("h", sort=False)["id"].size()
+                 * b.groupby("h", sort=False)["id"].size()).dropna()
+        ok = sizes[sizes <= max_bucket].index
+        m = a[a["h"].isin(ok)].merge(b[b["h"].isin(ok)], on="h",
+                                     suffixes=("_a", "_b"))
+        g = (m.groupby(["id_a", "id_b", "nq_a", "nq_b"], sort=False)
+             .size().reset_index(name="n"))
+        out = pd.DataFrame({
+            "ia": g["id_a"].to_numpy(), "ib": g["id_b"].to_numpy(),
+            "na": g["nq_a"].to_numpy(), "nb": g["nq_b"].to_numpy(),
+            "n": g["n"].to_numpy().astype(np.int64),
+        })
+        key = (out["ia"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+               ^ out["ib"].to_numpy().astype(np.uint64))
+        out["ppart"] = (key % np.uint64(nparts)).astype(np.int32)
+        return out
+
+    def _jaccard(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby(["ia", "ib", "na", "nb"], sort=False)["n"]
+             .sum().reset_index())
+        inter = g["n"].to_numpy().astype(np.int64)
+        union = g["na"].to_numpy() + g["nb"].to_numpy() - inter
+        ju = int(scale) * inter // union
+        keep = ju >= thr_u
+        return pd.DataFrame({
+            "a_id": g["ia"].to_numpy()[keep],
+            "b_id": g["ib"].to_numpy()[keep],
+            "n_shared": inter[keep],
+            "jaccard_u": ju[keep].astype(np.int64),
+        })
+
+    return (
+        both.groupby("part").map_groups(_inter, batch_format="pandas")
+        .groupby("ppart").map_groups(_jaccard, batch_format="pandas")
     )

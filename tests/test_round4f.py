@@ -806,3 +806,45 @@ def test_fs_agreement_counts_matches_pandas(ray_session):
             nn, na = int(sel.sum()), int((eq & sel).sum())
             assert r[cn] == nn and r[ca] == na
             assert r[cu] == 10**6 * na // nn
+
+
+def test_fuzzy_join_matches_bruteforce(ray_session):
+    import pyarrow as pa_
+    import ray.data as rd
+
+    from pprl_ray.functions.qgram import tokenize
+    from pprl_ray.stages.match import fuzzy_join
+
+    def arrow_ds(df, parts):
+        return rd.from_arrow(
+            pa_.Table.from_pandas(df, preserve_index=False)
+        ).repartition(parts)
+
+    a = pd.DataFrame(
+        {"id": [1, 2, 3, 4], "name": ["peter", "sandra", "michael", "anne"]}
+    )
+    b = pd.DataFrame(
+        {"id": [11, 12, 13, 14], "name": ["petra", "sanda", "mike", "annie"]}
+    )
+
+    def run(parts):
+        return (
+            fuzzy_join(arrow_ds(a, 2), arrow_ds(b, parts), "name", "name",
+                       threshold=0.3, partitions=3)
+            .to_pandas()
+            .sort_values(["a_id", "b_id"])
+            .reset_index(drop=True)
+        )
+
+    out = run(2)
+    pd.testing.assert_frame_equal(out, run(1))  # partition-invariant
+
+    ref = []
+    for _, ra in a.iterrows():
+        for _, rb in b.iterrows():
+            ga, gb = tokenize(ra["name"]), tokenize(rb["name"])
+            inter, union = len(ga & gb), len(ga | gb)
+            ju = 10**6 * inter // union
+            if ju >= 300000:
+                ref.append((ra.id, rb.id, inter, ju))
+    assert sorted(tuple(r) for r in out.itertuples(index=False)) == sorted(ref)
