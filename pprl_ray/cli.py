@@ -643,6 +643,22 @@ def cmd_collocate(args) -> None:
                       "output": args.output}))
 
 
+def cmd_link(args) -> None:
+    """Raw-string q-gram similarity join (stages/match.py fuzzy_join)."""
+    from .stages.match import fuzzy_join
+
+    rc = args.right_column or args.column
+    rid = args.right_id_column or args.id_column
+    a = _read(args.input, columns=[args.id_column, args.column])
+    b = _read(args.right, columns=[rid, rc])
+    out = fuzzy_join(a, b, args.column, rc,
+                     a_id=args.id_column, b_id=rid,
+                     q=args.q, threshold=args.threshold)
+    n = _write(out, args.output, args.format)
+    print(json.dumps({"command": "link", "rows": n, "q": args.q,
+                      "threshold": args.threshold, "output": args.output}))
+
+
 def cmd_stats(args) -> None:
     """Exact fixed-point statistics (stages/stats.py): chi-square
     cross-tab or pairwise total-variation distance."""
@@ -1086,6 +1102,19 @@ def main(argv: list[str] | None = None) -> None:
     sp.add_argument("--mode", choices=("rank", "gumbel"), default="rank")
     sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=cmd_dsir)
+
+    sp = sub.add_parser("link",
+                        help="raw-string q-gram similarity join of two tables")
+    common(sp)
+    sp.add_argument("--right", required=True, help="right-side input path")
+    sp.add_argument("--column", required=True, help="left join string column")
+    sp.add_argument("--right-column", default=None,
+                    help="right join string column (default: --column)")
+    sp.add_argument("--right-id-column", default=None,
+                    help="right id column (default: --id-column)")
+    sp.add_argument("--q", type=int, default=2, help="q-gram size")
+    sp.add_argument("--threshold", type=float, default=0.5)
+    sp.set_defaults(fn=cmd_link)
 
     sp = sub.add_parser("stats",
                         help="exact fixed-point stats: chi2 cross-tab / "

@@ -875,3 +875,20 @@ def test_cli_stats_and_span_pairs(ray_session, tmp_path, capsys):
     assert set(pairs.columns) == {"a_id", "b_id", "n_windows", "max_span"}
     assert (pairs["a_id"] < pairs["b_id"]).all()
     assert (pairs["max_span"] >= 3).all()
+
+
+def test_cli_link_fuzzy_join(ray_session, tmp_path, capsys):
+    import pandas as pd
+
+    left = tmp_path / "left.parquet"
+    right = tmp_path / "right.parquet"
+    pd.DataFrame({"id": [1, 2, 3], "name": ["peter", "sandra", "anne"]}).to_parquet(left)
+    pd.DataFrame({"id": [11, 12, 13], "name": ["petra", "sanda", "annie"]}).to_parquet(right)
+    out = tmp_path / "links"
+    main(["link", "--input", str(left), "--right", str(right),
+          "--column", "name", "--threshold", "0.3", "--output", str(out)])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    links = pq.read_table(str(out)).to_pandas()
+    assert rep["rows"] == len(links) > 0
+    assert set(links.columns) == {"a_id", "b_id", "n_shared", "jaccard_u"}
+    assert (links["jaccard_u"] >= 300000).all()
