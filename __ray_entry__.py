@@ -847,6 +847,20 @@ def q_event_transitions(sf_dir: str):
     )
 
 
+def q_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood blocking (stages/match.py
+    sorted_neighborhood_pairs — Hernandez & Stolfo 1995): every customer
+    pair within 4 positions of the (c_name, c_custkey) sort order. Range
+    partitioning by hash-sampled string boundaries + an exact slim-edge
+    boundary reconstruction make the distributed output equal the
+    single-machine definition row for row (row_number self-join oracle)."""
+    from pprl_ray.stages.match import sorted_neighborhood_pairs
+
+    cust = read_parquet_sized(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_name"])
+    return sorted_neighborhood_pairs(cust, "c_name", "c_custkey", window=4)
+
+
 def q_fuzzy_join(sf_dir: str):
     """Raw-string similarity join (stages/match.py fuzzy_join — q-gram
     record linkage, the plaintext counterpart of the encoded crosswise
@@ -5347,6 +5361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fs_weights": q_fs_weights,
         "sketch_error_report": q_sketch_error_report,
         "fuzzy_join": q_fuzzy_join,
+        "sorted_neighborhood": q_sorted_neighborhood,
         "bpe_vocab": q_bpe_vocab,
         "bpe_encode": q_bpe_encode,
         "ddsketch_ntok": q_ddsketch_ntok,
@@ -7775,6 +7790,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
             FROM o WHERE nxt IS NOT NULL
             GROUP BY 1, 2
+        """,
+        "sorted_neighborhood": """
+            WITH r AS (
+                SELECT c_custkey AS id,
+                       row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+                FROM customer
+            )
+            SELECT a.id AS a_id, b.id AS b_id, b.rn - a.rn AS gap
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 4
         """,
         "fuzzy_join": """
             WITH lhs AS (

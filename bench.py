@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "fs_weights",
     "sketch_error_report",
     "fuzzy_join",
+    "sorted_neighborhood",
 ]
 
 

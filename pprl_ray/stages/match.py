@@ -24,7 +24,7 @@ from ..functions.similarity import crosswise_similarity, pairwise_similarity
 from ..sketches.hashing import hash_strings
 from .mask import decode_b64_column
 
-__all__ = ["match_crosswise", "match_pairwise", "match_blocked", "match_many", "BroadcastMatcher", "blocking_metrics", "fs_agreement_counts", "fuzzy_join"]
+__all__ = ["match_crosswise", "match_pairwise", "match_blocked", "match_many", "BroadcastMatcher", "blocking_metrics", "fs_agreement_counts", "fuzzy_join", "sorted_neighborhood_pairs"]
 
 
 class BroadcastMatcher:
@@ -625,3 +625,130 @@ def fuzzy_join(a_ds, b_ds, a_col: str, b_col: str, a_id: str = "id",
         both.groupby("part").map_groups(_inter, batch_format="pandas")
         .groupby("ppart").map_groups(_jaccard, batch_format="pandas")
     )
+
+
+def sorted_neighborhood_pairs(ds, key_col: str, id_col: str = "id",
+                              window: int = 5, partitions: int | None = None,
+                              sample_per_batch: int = 64):
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995): order all
+    records by ``(key, id)`` and emit every pair within ``window``
+    positions — the classic sliding-window candidate generator that
+    catches near-misses equality blocking splits apart. EXACT: the output
+    equals the single-machine definition row for row (oracled by a
+    ``row_number`` self-join).
+
+    Scale shape: range-partition by deterministic hash-sampled string
+    boundaries (no global sort materialisation); each bucket sorts locally
+    and emits its intra-bucket window pairs vectorised (gap d = 1..w-1 by
+    array slicing). Cross-boundary pairs are reconstructed EXACTLY from a
+    slim edge set — each bucket ships only its first/last ``window`` rows
+    plus its size, the single edge task rebuilds exact global ranks from
+    the bucket-size prefix sums and pairs edge rows with rank distance <
+    ``window`` across buckets. Two passes over the slim (key, id)
+    projection; record payloads never move.
+
+    Returns ``(a_id, b_id, gap)`` with rank(a) < rank(b), gap = rank
+    distance in [1, window-1]."""
+    import pandas as pd
+
+    from .partitioning import auto_partitions
+
+    if partitions is None:
+        partitions = auto_partitions(ds)
+    nparts = int(partitions)
+    w = int(window)
+
+    slim = ds.select_columns([key_col, id_col])
+
+    import pyarrow.compute as pc
+
+    # --- deterministic string boundaries: per-batch bottom-k by hash ------
+    # (the sampled table is tiny — batches x sample_per_batch rows — so the
+    # driver-side sort is legitimate, like k-means centroids)
+    def _sample(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].combine_chunks()
+        h = hash_strings([str(x) for x in keys.to_pylist()])
+        take = np.argsort(h, kind="stable")[:sample_per_batch]
+        return pa.table({"k": pc.take(keys, pa.array(take))})
+
+    sample = sorted(
+        slim.map_batches(_sample, batch_format="pyarrow").to_pandas()["k"]
+    )
+    bounds = ([sample[i * len(sample) // nparts] for i in range(1, nparts)]
+              if sample else [])
+    bounds = sorted(set(bounds))
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        keys = np.array(batch[key_col].to_pylist(), dtype=object)
+        b = np.searchsorted(np.array(bounds, dtype=object), keys,
+                            side="left").astype(np.int32)
+        return pa.table({
+            "k": batch[key_col].combine_chunks(),
+            "id": pc.cast(batch[id_col], pa.int64()).combine_chunks(),
+            "bucket": pa.array(b),
+        })
+
+    tagged = slim.map_batches(_tag, batch_format="pyarrow")
+
+    # --- pass A: intra-bucket window pairs (vectorised slicing) -----------
+    def _intra(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["k", "id"], kind="stable")
+        ids = g["id"].to_numpy()
+        outs = []
+        for d in range(1, w):
+            if d < len(ids):
+                outs.append(pd.DataFrame({
+                    "a_id": ids[:-d], "b_id": ids[d:],
+                    "gap": np.full(len(ids) - d, d, np.int64),
+                }))
+        if not outs:
+            return pd.DataFrame({"a_id": [], "b_id": [], "gap": []}).astype("int64")
+        return pd.concat(outs, ignore_index=True)
+
+    intra = tagged.groupby("bucket").map_groups(_intra, batch_format="pandas")
+
+    # --- pass B: slim edges (first/last w rows + size per bucket) ---------
+    def _edges(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["k", "id"], kind="stable").reset_index(drop=True)
+        n = len(g)
+        head = g.iloc[: min(w, n)].assign(pos=np.arange(min(w, n)))
+        tail = g.iloc[max(0, n - w):].assign(pos=np.arange(max(0, n - w), n))
+        e = pd.concat([head, tail]).drop_duplicates(["pos"])
+        e["size"] = n
+        return e[["bucket", "k", "id", "pos", "size"]]
+
+    edges = tagged.groupby("bucket").map_groups(_edges, batch_format="pandas")
+
+    def _cross(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return pa.table({"a_id": pa.array([], pa.int64()),
+                             "b_id": pa.array([], pa.int64()),
+                             "gap": pa.array([], pa.int64())})
+        sizes = df.drop_duplicates("bucket").set_index("bucket")["size"].sort_index()
+        offsets = sizes.cumsum().shift(fill_value=0)
+        df["rank"] = df["pos"].to_numpy() + df["bucket"].map(offsets).to_numpy()
+        df = df.sort_values(["rank"], kind="stable").reset_index(drop=True)
+        r = df["rank"].to_numpy()
+        ids = df["id"].to_numpy()
+        bk = df["bucket"].to_numpy()
+        a, b, gp = [], [], []
+        for d in range(1, w):
+            # pair edge rows at exact rank distance d, different buckets only
+            # (same-bucket pairs were emitted by pass A)
+            i = np.searchsorted(r, r + d)
+            ok = (i < len(r)) & (r[np.minimum(i, len(r) - 1)] == r + d)
+            j = np.minimum(i, len(r) - 1)
+            ok &= bk[j] != bk
+            a.append(ids[ok])
+            b.append(ids[j[ok]])
+            gp.append(np.full(int(ok.sum()), d, np.int64))
+        return pa.table({
+            "a_id": pa.array(np.concatenate(a) if a else [], pa.int64()),
+            "b_id": pa.array(np.concatenate(b) if b else [], pa.int64()),
+            "gap": pa.array(np.concatenate(gp) if gp else [], pa.int64()),
+        })
+
+    cross = edges.repartition(1).map_batches(_cross, batch_size=None,
+                                             batch_format="pyarrow")
+    return intra.union(cross)

@@ -848,3 +848,42 @@ def test_fuzzy_join_matches_bruteforce(ray_session):
             if ju >= 300000:
                 ref.append((ra.id, rb.id, inter, ju))
     assert sorted(tuple(r) for r in out.itertuples(index=False)) == sorted(ref)
+
+
+def test_sorted_neighborhood_matches_bruteforce(ray_session):
+    import pyarrow as pa_
+    import ray.data as rd
+
+    from pprl_ray.stages.match import sorted_neighborhood_pairs
+
+    rng = np.random.default_rng(2)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "id": rng.permutation(n),
+            "key": ["k%03d" % rng.integers(0, 90) for _ in range(n)],  # ties
+        }
+    )
+
+    def run(parts, nparts):
+        ds = rd.from_arrow(
+            pa_.Table.from_pandas(df, preserve_index=False)
+        ).repartition(parts)
+        return (
+            sorted_neighborhood_pairs(ds, "key", "id", window=4,
+                                      partitions=nparts)
+            .to_pandas()
+            .sort_values(["a_id", "b_id", "gap"])
+            .reset_index(drop=True)
+        )
+
+    out = run(5, 6)
+    pd.testing.assert_frame_equal(out, run(1, 2))  # partition-invariant
+
+    ids = df.sort_values(["key", "id"]).reset_index(drop=True)["id"].to_numpy()
+    ref = [
+        (ids[i], ids[i + d], d)
+        for d in range(1, 4)
+        for i in range(len(ids) - d)
+    ]
+    assert sorted(tuple(r) for r in out.itertuples(index=False)) == sorted(ref)
