@@ -643,6 +643,40 @@ def cmd_collocate(args) -> None:
                       "output": args.output}))
 
 
+def cmd_lineage(args) -> None:
+    """Print a checkpoint directory's per-partition lineage + throughput
+    metrics (the manifest-last records every checkpointed stage writes):
+    one JSON line per partition manifest plus a rollup."""
+    import glob
+    import os
+
+    pats = [os.path.join(args.checkpoint_dir, "**", "*.json"),
+            os.path.join(args.checkpoint_dir, "*.json")]
+    seen = sorted({f for pat in pats for f in glob.glob(pat, recursive=True)
+                   if not f.endswith(".tmp")})
+    rows = 0
+    values = 0
+    wall = 0.0
+    n = 0
+    for f in seen:
+        try:
+            with open(f) as fh:
+                m = json.load(fh)
+        except (json.JSONDecodeError, OSError):
+            print(json.dumps({"manifest": f, "error": "unreadable"}))
+            continue
+        if args.verbose:
+            print(json.dumps({"manifest": os.path.relpath(f, args.checkpoint_dir), **m}))
+        if isinstance(m, dict):
+            n += 1
+            rows += int(m.get("rows", 0) or 0)
+            values += int(m.get("values", m.get("n_values", 0)) or 0)
+            wall += float(m.get("wall_sec", 0) or 0)
+    print(json.dumps({"command": "lineage", "checkpoint_dir": args.checkpoint_dir,
+                      "manifests": n, "rows": rows, "values": values,
+                      "wall_sec_total": round(wall, 4)}))
+
+
 def cmd_link(args) -> None:
     """Raw-string q-gram similarity join (stages/match.py fuzzy_join)."""
     from .stages.match import fuzzy_join
@@ -1102,6 +1136,14 @@ def main(argv: list[str] | None = None) -> None:
     sp.add_argument("--mode", choices=("rank", "gumbel"), default="rank")
     sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=cmd_dsir)
+
+    sp = sub.add_parser("lineage",
+                        help="print per-partition lineage/throughput manifests "
+                             "of a checkpoint dir")
+    sp.add_argument("--checkpoint-dir", required=True)
+    sp.add_argument("--verbose", action="store_true",
+                    help="print every partition manifest, not just the rollup")
+    sp.set_defaults(fn=cmd_lineage)
 
     sp = sub.add_parser("link",
                         help="raw-string q-gram similarity join of two tables")

@@ -892,3 +892,35 @@ def test_cli_link_fuzzy_join(ray_session, tmp_path, capsys):
     assert rep["rows"] == len(links) > 0
     assert set(links.columns) == {"a_id", "b_id", "n_shared", "jaccard_u"}
     assert (links["jaccard_u"] >= 300000).all()
+
+
+def test_cli_lineage_rollup(ray_session, tmp_path, capsys):
+    import numpy as np
+    import pandas as pd
+
+    # build a checkpointed profile so real manifests exist, then roll up
+    src = tmp_path / "corpus"
+    src.mkdir()
+    rng = np.random.default_rng(5)
+    for i in range(3):
+        pd.DataFrame(
+            {
+                "doc_id": [f"d{i}_{j}" for j in range(40)],
+                "tokens": [rng.integers(0, 99, 8).tolist() for _ in range(40)],
+                "n_tok": [8] * 40,
+                "source": ["web"] * 40,
+            }
+        ).to_parquet(src / f"part{i}.parquet")
+    ck = tmp_path / "ck"
+    main(["checkpointed-profile", "--input", str(src),
+          "--checkpoint-dir", str(ck)])
+    capsys.readouterr()
+    main(["lineage", "--checkpoint-dir", str(ck), "--verbose"])
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    rollup = lines[-1]
+    assert rollup["command"] == "lineage"
+    assert rollup["manifests"] >= 3
+    assert rollup["rows"] >= 120
+    per_part = [x for x in lines[:-1] if "partition_id" in x]
+    assert len(per_part) >= 3
+    assert all("blob_sha256" in m for m in per_part)
