@@ -847,6 +847,33 @@ def q_event_transitions(sf_dir: str):
     )
 
 
+def q_weighted_quantiles(sf_dir: str):
+    """Exact token-weighted quantiles of document length (stages/sort.py
+    weighted_quantiles_exact): the smallest n_chars whose inclusive
+    token-weight prefix reaches ceil(q*W) in (n_chars, doc_id) order, for
+    q in {1/4, 1/2, 3/4} — corpus length stats where each doc counts by
+    its token mass, not once. One range shuffle + per-bucket candidates +
+    tiny fold; the SQL replica is the cumulative-weight window, exact."""
+    import polars as pl
+
+    from pprl_ray.stages.sort import weighted_quantiles_exact
+
+    docs = _docs(sf_dir, ["doc_id", "text", "n_chars"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        texts = pl.Series(pl.from_arrow(batch["text"].combine_chunks())).fill_null("")
+        nw = texts.str.split(" ").list.len().to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "n_chars": pc.cast(batch["n_chars"], pa.int64()),
+            "w": pa.array(nw, pa.int64()),
+        })
+
+    prepped = docs.map_batches(_prep, batch_format="pyarrow")
+    return weighted_quantiles_exact(prepped, "n_chars", "w", "doc_id",
+                                    ((1, 4), (1, 2), (3, 4)))
+
+
 def q_sorted_neighborhood(sf_dir: str):
     """Sorted-neighborhood blocking (stages/match.py
     sorted_neighborhood_pairs — Hernandez & Stolfo 1995): every customer
@@ -5362,6 +5389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_error_report": q_sketch_error_report,
         "fuzzy_join": q_fuzzy_join,
         "sorted_neighborhood": q_sorted_neighborhood,
+        "weighted_quantiles": q_weighted_quantiles,
         "bpe_vocab": q_bpe_vocab,
         "bpe_encode": q_bpe_encode,
         "ddsketch_ntok": q_ddsketch_ntok,
@@ -7790,6 +7818,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
             FROM o WHERE nxt IS NOT NULL
             GROUP BY 1, 2
+        """,
+        "weighted_quantiles": """
+            WITH t AS (
+                SELECT doc_id, n_chars,
+                       len(string_split(text, ' ')) AS w
+                FROM documents
+            ),
+            r AS (
+                SELECT n_chars, w,
+                       sum(w) OVER (ORDER BY n_chars, doc_id) AS cw,
+                       row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+                FROM t
+            ),
+            tot AS (SELECT sum(w) AS W FROM t),
+            qs AS (SELECT * FROM (VALUES (1, 4), (1, 2), (3, 4)) q(n, d))
+            SELECT qs.n AS q_num, qs.d AS q_den,
+                   CAST(first(r.n_chars ORDER BY r.rn) AS BIGINT) AS value,
+                   CAST(first(r.cw ORDER BY r.rn) AS BIGINT) AS cum_weight,
+                   CAST(first(r.rn ORDER BY r.rn) AS BIGINT) AS rank
+            FROM qs JOIN r
+              ON r.cw >= (qs.n * (SELECT W FROM tot) + qs.d - 1) // qs.d
+            GROUP BY qs.n, qs.d
         """,
         "sorted_neighborhood": """
             WITH r AS (

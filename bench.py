@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "sketch_error_report",
     "fuzzy_join",
     "sorted_neighborhood",
+    "weighted_quantiles",
 ]
 
 

@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["range_boundaries", "range_bucket", "range_partitioned_sort", "bucket_summaries", "range_sorted_rank", "global_running_sum", "token_budget_pack", "seeded_permutation", "balanced_shards", "negative_samples", "group_quantiles_exact"]
+__all__ = ["range_boundaries", "range_bucket", "range_partitioned_sort", "bucket_summaries", "range_sorted_rank", "global_running_sum", "token_budget_pack", "seeded_permutation", "balanced_shards", "negative_samples", "group_quantiles_exact", "weighted_quantiles_exact"]
 
 
 def range_boundaries(ds, col: str, partitions: int, k: int = 200) -> np.ndarray:
@@ -424,3 +424,61 @@ def token_budget_pack(ds, value_col: str, order_col: str, tiebreak: str,
         )
 
     return scanned.map_batches(_bins, batch_format="pyarrow")
+
+
+def weighted_quantiles_exact(ds, val_col: str, weight_col: str, tiebreak: str,
+                             qs, partitions: int | None = None):
+    """EXACT weighted quantiles (lower / disc semantics): for each rational
+    q = num/den, the smallest value whose inclusive cumulative weight
+    reaches ``ceil(q * W)`` in ``(val, tiebreak)`` order — the
+    token-weighted median/percentile every corpus-stats report wants
+    (weighting docs by token count instead of counting each doc once).
+
+    Built on :func:`global_running_sum` (KLL-driven range partitioning +
+    exact bucket offsets): one range shuffle, then each bucket emits at
+    most one candidate row per quantile (its minimal-rank row whose
+    running weight crosses the threshold) and a tiny fold picks the
+    global minimum — no full sorted materialisation, no second shuffle.
+    Integer weights keep every comparison big-int exact (SQL-replicable).
+
+    ``qs``: iterable of (num, den) rationals, e.g. ((1,4),(1,2),(3,4)).
+    Returns one row per quantile: ``(q_num, q_den, value, cum_weight,
+    rank)``."""
+    qs = [(int(n), int(d)) for n, d in qs]
+    running = global_running_sum(ds, val_col, tiebreak, weight_col,
+                                 partitions=partitions)
+    total = int(ds.sum(weight_col))
+    thresholds = [(n, d, (n * total + d - 1) // d) for n, d in qs]
+
+    def _cand(batch: pa.Table) -> pa.Table:
+        rs = batch["running_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        rk = batch["rank"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = batch[val_col].combine_chunks().to_numpy(zero_copy_only=False)
+        rows = {"q_num": [], "q_den": [], "value": [], "cum_weight": [],
+                "rank": []}
+        for n, d, t in thresholds:
+            hit = np.flatnonzero(rs >= t)
+            if len(hit):
+                j = hit[np.argmin(rk[hit])]
+                rows["q_num"].append(n)
+                rows["q_den"].append(d)
+                rows["value"].append(int(v[j]))
+                rows["cum_weight"].append(int(rs[j]))
+                rows["rank"].append(int(rk[j]))
+        return pa.table({
+            "q_num": pa.array(rows["q_num"], pa.int64()),
+            "q_den": pa.array(rows["q_den"], pa.int64()),
+            "value": pa.array(rows["value"], pa.int64()),
+            "cum_weight": pa.array(rows["cum_weight"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+        })
+
+    def _fold(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = (df.sort_values("rank", kind="stable")
+               .groupby(["q_num", "q_den"], sort=True).first().reset_index())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (running.map_batches(_cand, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(_fold, batch_size=None, batch_format="pyarrow"))

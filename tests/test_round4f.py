@@ -887,3 +887,47 @@ def test_sorted_neighborhood_matches_bruteforce(ray_session):
         for i in range(len(ids) - d)
     ]
     assert sorted(tuple(r) for r in out.itertuples(index=False)) == sorted(ref)
+
+
+def test_weighted_quantiles_exact_reference(ray_session):
+    import pyarrow as pa_
+    import ray.data as rd
+
+    from pprl_ray.stages.sort import weighted_quantiles_exact
+
+    rng = np.random.default_rng(17)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n),
+            "v": rng.integers(0, 200, n),
+            "w": rng.integers(1, 20, n),
+        }
+    )
+    qs = ((1, 4), (1, 2), (3, 4), (9, 10))
+
+    def run(parts, nparts):
+        ds = rd.from_arrow(
+            pa_.Table.from_pandas(df, preserve_index=False)
+        ).repartition(parts)
+        return (
+            weighted_quantiles_exact(ds, "v", "w", "id", qs,
+                                     partitions=nparts)
+            .to_pandas()
+            .sort_values(["q_num", "q_den"])
+            .reset_index(drop=True)
+        )
+
+    out = run(5, 4)
+    pd.testing.assert_frame_equal(out, run(1, 2))  # partition-invariant
+
+    s = df.sort_values(["v", "id"]).reset_index(drop=True)
+    cw = s["w"].cumsum().to_numpy()
+    W = int(df["w"].sum())
+    for qn, qd in qs:
+        t = (qn * W + qd - 1) // qd
+        j = int(np.flatnonzero(cw >= t)[0])
+        r = out[(out.q_num == qn) & (out.q_den == qd)].iloc[0]
+        assert r.value == s["v"].iloc[j]
+        assert r.cum_weight == cw[j]
+        assert r["rank"] == j + 1
