@@ -1408,6 +1408,49 @@ def q_kmv_priority_jaccard(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_priority_subset_sum(sf_dir: str):
+    """Priority sampling (sketches/prioritysample.py — Duffield–Lund–Thorup
+    JACM 2007): ONE global k=64 weighted sample over the documents table
+    (weight = word count) answers the post-hoc per-source total-token
+    question via sum(max(w_i, tau)) over the sampled items of each source.
+    ESTIMATION mode: ~10x more docs than k at sf0.01, so the threshold
+    estimator itself is what the driver verifies. The oracle replicates
+    the whole sketch in DuckDB SQL — splitmix64 item hashes, the exact
+    integer sample order (h DIV w, h, key), the rational threshold
+    tau = w_65 * 2^64 / h_65 and the fixed-point estimate — bit-for-bit;
+    no pinning. Scale shape: per-block partials (O(k) state) -> the
+    standard blob-row combine topology; the corpus never shuffles."""
+    import zlib
+
+    from pprl_ray.sketches import PrioritySampleSketch
+    from pprl_ray.state.aggregate import finalize_sketches, merge_blob_rows
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        sk = PrioritySampleSketch(64)
+        w = (pl.from_arrow(batch["text"].combine_chunks())
+             .str.split(" ").list.len().to_numpy().astype(np.int64))
+        sk.update(batch["doc_id"].to_numpy(zero_copy_only=False), w,
+                  batch["source"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "key": pa.array([""], pa.string()),
+            "blob": pa.array([zlib.compress(sk.to_bytes(), 1)], pa.large_binary()),
+            "rows": pa.array([batch.num_rows], pa.int64()),
+        })
+
+    partials = _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        _partial, batch_format="pyarrow"
+    )
+    merged = merge_blob_rows(partials, PrioritySampleSketch)
+    sk = finalize_sketches(merged, PrioritySampleSketch)[""]
+    rows = [
+        {"source": src, "n_sampled": np.int64(n), "ps_tokens_e6": np.int64(est)}
+        for src, (n, est) in sorted(sk.subset_sums(1_000_000).items())
+    ]
+    return pd.DataFrame(rows)
+
+
 def q_ddsketch_ntok(sf_dir: str):
     """DDSketch relative-error quantiles (sketches/ddsketch.py) of the
     per-document word count, one sketch per source. gamma is the RATIONAL
@@ -5291,6 +5334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 late additions (never driver-verified) — window head;
         # the r2-verified untouched entries they displace moved to the
         # tail (judge re-runs tails; see the boundary note below).
+        "priority_subset_sum": q_priority_subset_sum,
         "line_dedup": q_line_dedup,
         "incremental_near_dup": q_incremental_near_dup,
         "random_projection": q_random_projection,
@@ -6921,6 +6965,31 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked
             WHERE rn = least(cnt, 64)
             ORDER BY o_orderpriority
+        """,
+        "priority_subset_sum": f"""
+            WITH base AS (
+                SELECT CAST(doc_id AS HUGEINT) AS z, doc_id AS k0, source,
+                       CAST(len(string_split(text, ' ')) AS HUGEINT) AS w
+                FROM documents),
+            {_sm64_chain("k0, source, w", "base", "h")},
+            pri AS (SELECT k0, source, w, greatest(z, 1) AS h FROM h6),
+            ord AS (SELECT source, w, h,
+                           row_number() OVER (ORDER BY h // w, h, k0) AS rn
+                    FROM pri),
+            th AS (SELECT w AS wk, h AS hk FROM ord WHERE rn = 65)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_sampled,
+                   CAST(sum(CASE WHEN (SELECT count(*) FROM th) = 0
+                                      OR w * (SELECT hk FROM th)
+                                         >= (SELECT wk FROM th)
+                                            * 18446744073709551616
+                                 THEN w * 1000000
+                                 ELSE ((SELECT wk FROM th)
+                                       * 18446744073709551616 * 1000000)
+                                      // (SELECT hk FROM th)
+                            END) AS BIGINT) AS ps_tokens_e6
+            FROM ord WHERE rn <= 64
+            GROUP BY source ORDER BY source
         """,
         "kmv_distinct_custkeys": f"""
             WITH {_sm64_ctes(_ORDERS_SRC)}

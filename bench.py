@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "bloom_sources",
     "theta_distinct_parts",
     "kmv_distinct_custkeys",
+    "priority_subset_sum",
     "wjaccard_priorities",
     "srp_cosine_types",
     "bbit_minhash",

@@ -21,5 +21,6 @@ from .lsh import (  # noqa: F401
     minhash_signatures,
     simhash64,
 )
+from .prioritysample import PrioritySampleSketch  # noqa: F401
 from .quantiles import KLLSketch, TDigestSketch  # noqa: F401
 from .theta import ThetaSketch  # noqa: F401

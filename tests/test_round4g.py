@@ -1,0 +1,109 @@
+"""Fourth round-4 session: priority-sampling subset-sum sketch."""
+
+import numpy as np
+import pytest
+
+from pprl_ray.sketches import PrioritySampleSketch
+
+
+def _brute_order(keys, weights, seed=0):
+    """Reference (s, h, key) order computed independently of the sketch."""
+    from pprl_ray.sketches.hashing import hash_ints
+
+    h = np.maximum(hash_ints(keys.astype(np.uint64), seed), np.uint64(1))
+    s = h // weights.astype(np.uint64)
+    return np.lexsort((keys, h, s)), h
+
+
+def test_exact_mode_matches_truth():
+    keys = np.arange(1, 40, dtype=np.uint64)
+    w = (keys % 7 + 1).astype(np.int64)
+    src = np.array(["a" if k % 2 else "b" for k in keys], dtype=object)
+    sk = PrioritySampleSketch(64)
+    sk.update(keys, w, src)
+    sums = sk.subset_sums(1_000_000)
+    for payload in ("a", "b"):
+        mask = src == payload
+        assert sums[payload] == (int(mask.sum()), int(w[mask].sum()) * 1_000_000)
+    assert sk.threshold() == (0, 1)
+
+
+def test_estimation_matches_brute_force_definition():
+    rng = np.random.default_rng(11)
+    keys = rng.choice(1 << 40, size=3000, replace=False).astype(np.uint64)
+    w = rng.integers(1, 2049, size=3000).astype(np.int64)
+    sk = PrioritySampleSketch(64)
+    sk.update(keys, w)
+    order, h = _brute_order(keys, w)
+    kth = order[64]
+    num, den = int(w[kth]) << 64, int(h[kth])
+    assert sk.threshold() == (num, den)
+    samp_keys, samp_w, _ = sk.sample()
+    assert set(samp_keys.tolist()) == set(keys[order[:64]].tolist())
+    tau6 = (num * 1_000_000) // den
+    expect = sum(
+        int(wi) * 1_000_000 if int(wi) * den >= num else tau6
+        for wi in w[order[:64]]
+    )
+    assert sk.estimate_total() == expect
+
+
+@pytest.mark.parametrize("parts", [1, 3, 7, 16])
+def test_merge_is_order_and_partitioning_invariant(parts):
+    rng = np.random.default_rng(parts)
+    keys = rng.choice(1 << 40, size=2000, replace=False).astype(np.uint64)
+    w = rng.integers(1, 300, size=2000).astype(np.int64)
+    src = np.array([f"s{k % 5}" for k in range(2000)], dtype=object)
+
+    whole = PrioritySampleSketch(32)
+    whole.update(keys, w, src)
+
+    splits = np.array_split(np.arange(2000), parts)
+    rng.shuffle(splits)
+    partials = []
+    for idx in splits:
+        p = PrioritySampleSketch(32)
+        p.update(keys[idx], w[idx], src[idx])
+        partials.append(p)
+    merged = partials[0]
+    for p in partials[1:]:
+        merged = merged.merge(p)
+    assert merged.threshold() == whole.threshold()
+    assert merged.subset_sums() == whole.subset_sums()
+    # serialisation round-trip preserves the estimate
+    clone = PrioritySampleSketch.from_bytes(merged.to_bytes())
+    assert clone.subset_sums() == whole.subset_sums()
+
+
+def test_rerun_of_same_key_is_idempotent():
+    keys = np.arange(1, 200, dtype=np.uint64)
+    w = np.full(199, 5, dtype=np.int64)
+    a = PrioritySampleSketch(16)
+    a.update(keys, w)
+    b = PrioritySampleSketch(16)
+    b.update(keys, w)
+    b.update(keys[:50], w[:50])  # re-observe a prefix
+    a.merge(b)
+    c = PrioritySampleSketch(16)
+    c.update(keys, w)
+    assert a.subset_sums() == c.subset_sums()
+
+
+def test_subset_sum_accuracy_within_bound():
+    """Full-set std error <= W/sqrt(k-1) (DLT Thm 1); assert 4 sigma."""
+    rng = np.random.default_rng(7)
+    n, k = 20_000, 256
+    keys = rng.choice(1 << 50, size=n, replace=False).astype(np.uint64)
+    w = rng.integers(1, 2049, size=n).astype(np.int64)
+    sk = PrioritySampleSketch(k)
+    for idx in np.array_split(np.arange(n), 13):
+        sk.update(keys[idx], w[idx])
+    total = int(w.sum()) * 1_000_000
+    err = abs(sk.estimate_total() - total) / total
+    assert err <= 4.0 / np.sqrt(k - 1)
+
+
+def test_weight_validation():
+    sk = PrioritySampleSketch(8)
+    with pytest.raises(ValueError):
+        sk.update(np.array([1], np.uint64), np.array([0], np.int64))
