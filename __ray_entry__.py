@@ -2226,6 +2226,19 @@ def q_source_tv(sf_dir: str):
     return source_tv_distance(docs, group_col="source")
 
 
+def q_source_cosine(sf_dir: str):
+    """Exact pairwise cosine similarity between per-source word-count
+    vectors (stages/stats.py source_cosine_matrix): dot products and norms
+    are exact integers, the squared cosine an exact rational floored to
+    1e-9 fixed point — no sqrt, no floats, bit-reproducible. Same slim
+    md5-prefix-keyed single-exchange shape as source_tv; the SQL replica
+    joins per-(hash, source) counts pairwise."""
+    from pprl_ray.stages.stats import source_cosine_matrix
+
+    docs = _docs(sf_dir, ["source", "text"])
+    return source_cosine_matrix(docs, group_col="source")
+
+
 def q_vocab_growth(sf_dir: str):
     """Exact Heaps-law vocabulary-growth curve (stages/text.py
     vocab_growth): cumulative token occurrences vs cumulative distinct
@@ -5335,6 +5348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the r2-verified untouched entries they displace moved to the
         # tail (judge re-runs tails; see the boundary note below).
         "priority_subset_sum": q_priority_subset_sum,
+        "source_cosine": q_source_cosine,
         "line_dedup": q_line_dedup,
         "incremental_near_dup": q_incremental_near_dup,
         "random_projection": q_random_projection,
@@ -5367,7 +5381,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q_ngram_jaccard,
         "near_dedup_keep_best": q_near_dedup_keep_best,
         "bm25": q_bm25,
-        "dataset_split": q_dataset_split,
         # third-session additions (new code, never driver-verified):
         # seeded_shuffle / balanced_shards (stages/sort.py additions) and
         # rolling_window (stages/window.py rolling_aggregate). They take
@@ -5377,7 +5390,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weak form wherever it sits; the judge re-runs tails).
         "seeded_shuffle": q_seeded_shuffle,
         "balanced_shards": q_balanced_shards,
-        "rolling_window": q_rolling_window,
         "source_jaccard_wide": q_source_jaccard_wide,
         "contamination": q_contamination,
         "skew_join": q_skew_join,
@@ -5404,6 +5416,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # green via scripts/check_oracles.py (full 176-query sweep); round
         # 5 should rotate them into its window.
         "theta_parts_by_order": q_theta_parts_by_order,
+        "rolling_window": q_rolling_window,
+        "dataset_split": q_dataset_split,
         # --- tail boundary: entries below are outside the driver's 50-entry
         # window. asof_join/interval_join/sessionize/stratified_sample (and
         # later heavy_hitters/top_per_group) moved here to make room for the
@@ -8080,6 +8094,30 @@ def oracle_sql() -> dict[str, str]:
                        // (n_left * n_right) AS rr_u,
                    1000000000 * n_found // n_true AS pc_u
             FROM stats
+        """,
+        "source_cosine": """
+            WITH t AS (
+                SELECT source,
+                       ('0x' || substr(md5(unnest(string_split(text, ' '))),
+                                       1, 16))::UBIGINT AS th
+                FROM documents
+            ),
+            cnt AS (SELECT source, th, CAST(count(*) AS HUGEINT) AS c
+                    FROM t GROUP BY 1, 2),
+            norms AS (SELECT source, sum(c * c) AS n2 FROM cnt GROUP BY source),
+            dots AS (
+                SELECT a.source AS sa, b.source AS sb, sum(a.c * b.c) AS dot
+                FROM cnt a JOIN cnt b ON a.th = b.th AND a.source < b.source
+                GROUP BY 1, 2
+            )
+            SELECT d.sa AS group_a, d.sb AS group_b,
+                   CAST(d.dot AS BIGINT) AS dot,
+                   CAST(1000000000 * d.dot * d.dot // (na.n2 * nb.n2)
+                        AS BIGINT) AS cos2_u
+            FROM dots d
+            JOIN norms na ON na.source = d.sa
+            JOIN norms nb ON nb.source = d.sb
+            ORDER BY group_a, group_b
         """,
         "source_tv": """
             WITH t AS (

@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "word_assortativity",
     "lang_source_chi2",
     "source_tv",
+    "source_cosine",
     "dup_spans",
     "vocab_growth",
     "blocking_eval",

@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["crosstab_chi2", "source_tv_distance"]
+__all__ = ["crosstab_chi2", "source_tv_distance", "source_cosine_matrix"]
 
 
 def crosstab_chi2(ds, row_col: str, col_col: str, scale: int = 1_000_000,
@@ -223,6 +223,120 @@ def source_tv_distance(ds, group_col: str = "source", text_col: str = "text",
             "group_a": [k[0] for k in rows],
             "group_b": [k[1] for k in rows],
             "tv_u": np.array(tv, dtype=np.int64),
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return partials.repartition(1).map_batches(
+        _fold, batch_size=None, batch_format="pyarrow"
+    )
+
+
+def source_cosine_matrix(ds, group_col: str = "source", text_col: str = "text",
+                         scale: int = 1_000_000_000, partitions: int | None = None):
+    """Exact pairwise cosine similarity between per-group word-count
+    vectors — the bag-of-words drift metric next to
+    :func:`source_tv_distance`'s distributional one:
+
+        cos(A, B)^2 = (sum_t c_A(t)*c_B(t))^2
+                      / (sum_t c_A(t)^2 * sum_t c_B(t)^2)
+
+    All three sums are exact integers, so the squared cosine is an exact
+    rational and the output ``cos2_u = floor(scale * dot^2 / (n2_A*n2_B))``
+    is engine-reproducible bit-for-bit (no square roots, no floats). The
+    raw ``dot`` rides along for direct verification.
+
+    Scale shape: same as TV — the corpus reduces to slim per-(token-hash,
+    group) partial counts with ONE hash-partitioned exchange; each
+    partition pivots its token slice and folds per-pair dot / per-group
+    norm partials (a token absent from a partition contributes zero, so
+    partials are exactly additive). Partials ride as decimal strings
+    (arbitrary precision survives 10^12-token counts); the final fold over
+    the tiny (pairs x partitions) table runs in one task.
+
+    Returns ``(group_a, group_b, dot, cos2_u)`` with ``group_a < group_b``."""
+    import polars as pl
+
+    from ..functions.digest import md5_prefix64
+    from .partitioning import auto_partitions
+
+    if partitions is None:
+        partitions = auto_partitions(ds)
+    nparts = int(partitions)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        texts = pl.Series(pl.from_arrow(batch[text_col].combine_chunks())).fill_null("")
+        gs = batch[group_col].combine_chunks().to_numpy(zero_copy_only=False)
+        words = texts.str.split(" ")
+        lens = words.list.len().to_numpy().astype(np.int64)
+        flat = words.explode()
+        if len(flat) != int(lens.sum()):  # explode of an empty list -> one null row
+            lens = np.maximum(lens, 1)
+        h = md5_prefix64(flat.fill_null("").to_arrow())
+        t = (
+            pl.DataFrame({"h": h, "g": np.repeat(gs, lens)})
+            .group_by(["h", "g"]).agg(pl.len().alias("n"))
+        )
+        hh = t["h"].to_numpy()
+        return pa.table({
+            "h": pa.array(hh, pa.uint64()),
+            "g": t["g"].to_arrow(),
+            "n": pa.array(t["n"].to_numpy().astype(np.int64), pa.int64()),
+            "part": pa.array((hh % np.uint64(nparts)).astype(np.int32), pa.int32()),
+        })
+
+    def _pair_partials(group):
+        import pandas as pd
+
+        df = pl.from_arrow(pa.Table.from_pandas(group[["h", "g", "n"]]))
+        agg = df.group_by(["h", "g"]).agg(pl.col("n").sum())
+        groups = sorted(set(agg["g"].to_list()))
+        idx = {g: i for i, g in enumerate(groups)}
+        hcode = agg["h"].to_numpy()
+        _, hids = np.unique(hcode, return_inverse=True)
+        gids = np.array([idx[g] for g in agg["g"].to_list()], dtype=np.int64)
+        M = np.zeros((int(hids.max()) + 1 if len(hids) else 0, len(groups)),
+                     dtype=np.int64)
+        if len(hids):
+            M[hids, gids] = agg["n"].to_numpy().astype(np.int64)
+        max_c = int(M.max()) if M.size else 0
+        small = max_c and M.shape[0] * max_c * max_c < 2 ** 63
+        ga, gb, nums = [], [], []
+        for i, g1 in enumerate(groups):
+            for j in range(i, len(groups)):  # j == i rows carry norm^2
+                if small:
+                    v = int((M[:, i] * M[:, j]).sum())
+                else:  # exact big-int path beyond int64 headroom
+                    v = int((M[:, i].astype(object) * M[:, j].astype(object)).sum())
+                ga.append(g1); gb.append(groups[j]); nums.append(str(v))
+        return pd.DataFrame({"group_a": ga, "group_b": gb, "num": nums})
+
+    partials = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_pair_partials, batch_format="pandas")
+    )
+
+    def _fold(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        acc: dict = {}
+        for a, b, s in zip(df["group_a"], df["group_b"], df["num"]):
+            acc[(a, b)] = acc.get((a, b), 0) + int(s)
+        # orthogonal pairs (dot == 0) are omitted, matching the SQL
+        # replica's inner join on shared token hashes
+        pairs = sorted(k for k in acc if k[0] < k[1] and acc[k] > 0)
+        dots = [acc[k] for k in pairs]
+        cos2 = [
+            int(scale) * acc[k] * acc[k]
+            // (acc[(k[0], k[0])] * acc[(k[1], k[1])])
+            for k in pairs
+        ]
+        out = pd.DataFrame({
+            "group_a": [k[0] for k in pairs],
+            "group_b": [k[1] for k in pairs],
+            "dot": np.array(dots, dtype=np.int64),
+            "cos2_u": np.array(cos2, dtype=np.int64),
         })
         return pa.Table.from_pandas(out, preserve_index=False)
 

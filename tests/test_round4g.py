@@ -107,3 +107,43 @@ def test_weight_validation():
     sk = PrioritySampleSketch(8)
     with pytest.raises(ValueError):
         sk.update(np.array([1], np.uint64), np.array([0], np.int64))
+
+
+def _cosine_df(df, parts):
+    import ray.data as rd
+
+    from pprl_ray.stages.stats import source_cosine_matrix
+
+    ds = rd.from_pandas(df).repartition(parts)
+    out = source_cosine_matrix(ds, group_col="source", partitions=4).to_pandas()
+    return out.sort_values(["group_a", "group_b"]).reset_index(drop=True)
+
+
+def test_source_cosine_matches_brute_force(ray_session):
+    import collections
+
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(300):
+        src = f"s{i % 4}"
+        words = rng.choice(vocab, size=rng.integers(3, 20))
+        rows.append({"source": src, "text": " ".join(words)})
+    df = pd.DataFrame(rows)
+
+    counts = {}
+    for _, r in df.iterrows():
+        c = counts.setdefault(r["source"], collections.Counter())
+        c.update(r["text"].split(" "))
+    out1 = _cosine_df(df, 1)
+    out7 = _cosine_df(df, 7)
+    assert out1.equals(out7)  # partitioning-invariant
+    for _, r in out1.iterrows():
+        ca, cb = counts[r["group_a"]], counts[r["group_b"]]
+        dot = sum(ca[w] * cb[w] for w in ca)
+        n2a = sum(v * v for v in ca.values())
+        n2b = sum(v * v for v in cb.values())
+        assert r["dot"] == dot
+        assert r["cos2_u"] == 10**9 * dot * dot // (n2a * n2b)
