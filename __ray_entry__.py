@@ -2226,6 +2226,47 @@ def q_source_tv(sf_dir: str):
     return source_tv_distance(docs, group_col="source")
 
 
+def q_purchase_daily(sf_dir: str):
+    """Predicate pushdown at the READ (stages/partitioning.py
+    read_parquet_sized ``filter=``): the ``event_type = 'purchase'``
+    predicate is a ``pyarrow.dataset`` expression evaluated inside the
+    parquet scan — row groups whose statistics exclude it are skipped and
+    non-matching rows never materialize into a block (at 100 TB the scan
+    cost is the matching row groups, not the table). Daily count +
+    fixed-point value sum via per-batch combine then a tiny groupby."""
+    import pyarrow.dataset as pads
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "value"],
+        filter=pads.field("event_type") == "purchase",
+    )
+
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        day = pc.strftime(batch["ts"], format="%Y-%m-%d")
+        vu = pc.cast(pc.round(pc.multiply(batch["value"], 1_000_000)), pa.int64())
+        g = (
+            pl.DataFrame({"day": pl.from_arrow(pa.chunked_array([day])),
+                          "vu": pl.from_arrow(pa.chunked_array([vu]))})
+            .group_by("day")
+            .agg(pl.len().alias("n"), pl.col("vu").sum())
+        )
+        return g.to_arrow().cast(
+            pa.schema([("day", pa.string()), ("n", pa.int64()), ("vu", pa.int64())])
+        )
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n_purchases"), Sum("vu", alias_name="value_u"))
+    )
+    return agg
+
+
 def q_source_cosine(sf_dir: str):
     """Exact pairwise cosine similarity between per-source word-count
     vectors (stages/stats.py source_cosine_matrix): dot products and norms
@@ -5349,6 +5390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tail (judge re-runs tails; see the boundary note below).
         "priority_subset_sum": q_priority_subset_sum,
         "source_cosine": q_source_cosine,
+        "purchase_daily": q_purchase_daily,
         "line_dedup": q_line_dedup,
         "incremental_near_dup": q_incremental_near_dup,
         "random_projection": q_random_projection,
@@ -5416,6 +5458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # green via scripts/check_oracles.py (full 176-query sweep); round
         # 5 should rotate them into its window.
         "theta_parts_by_order": q_theta_parts_by_order,
+        "jsonl_source": q_jsonl_source,
         "rolling_window": q_rolling_window,
         "dataset_split": q_dataset_split,
         # --- tail boundary: entries below are outside the driver's 50-entry
@@ -5489,7 +5532,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_crosswise": q_match_crosswise,
         "rbf_mask_md5": q_rbf_mask_md5,
         "chunk_docs": q_chunk_docs,
-        "jsonl_source": q_jsonl_source,
         "corpus_build": q_corpus_build,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
@@ -8094,6 +8136,14 @@ def oracle_sql() -> dict[str, str]:
                        // (n_left * n_right) AS rr_u,
                    1000000000 * n_found // n_true AS pc_u
             FROM stats
+        """,
+        "purchase_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   count(*) AS n_purchases,
+                   CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                        AS BIGINT) AS value_u
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1 ORDER BY 1
         """,
         "source_cosine": """
             WITH t AS (

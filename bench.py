@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "lang_source_chi2",
     "source_tv",
     "source_cosine",
+    "purchase_daily",
     "dup_spans",
     "vocab_growth",
     "blocking_eval",

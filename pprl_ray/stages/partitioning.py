@@ -96,7 +96,15 @@ def read_parquet_sized(
     one of them — seconds of scheduling for millis of compute. Pinning by
     size keeps the count input-proportional (so it still grows to
     thousands of blocks at 100 TB) and makes topology-sensitive merges
-    reproducible across num_cpus."""
+    reproducible across num_cpus.
+
+    Pass ``filter=`` (a ``pyarrow.dataset`` expression) to push a row
+    predicate INTO the scan: row groups whose column statistics exclude the
+    predicate are skipped entirely and surviving rows are filtered before a
+    block is ever materialized — at 100 TB a selective predicate then costs
+    a metadata pass plus the matching row groups, not a full read. The
+    block count stays pinned from the UNfiltered size (cheap metadata; a
+    too-high count only yields some empty blocks)."""
     import ray.data as rd
 
     size = free_size_bytes(rd.read_parquet(path, columns=columns))

@@ -147,3 +147,24 @@ def test_source_cosine_matches_brute_force(ray_session):
         n2b = sum(v * v for v in cb.values())
         assert r["dot"] == dot
         assert r["cos2_u"] == 10**9 * dot * dot // (n2a * n2b)
+
+
+def test_read_filter_pushdown_prunes_rows(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    from pprl_ray.stages.partitioning import read_parquet_sized
+
+    df = pd.DataFrame({
+        "k": np.arange(1000, dtype=np.int64),
+        "tag": ["hot" if i % 10 == 0 else "cold" for i in range(1000)],
+    })
+    path = str(tmp_path / "t.parquet")
+    df.to_parquet(path, index=False)
+    ds = read_parquet_sized(path, columns=["k"], filter=pads.field("tag") == "hot")
+    out = ds.to_pandas()
+    # the predicate is applied inside the scan: only matching rows surface,
+    # and the filter column need not be projected
+    assert len(out) == 100
+    assert sorted(out.columns) == ["k"]
+    assert (out["k"].to_numpy() % 10 == 0).all()
