@@ -650,31 +650,177 @@ def tfidf_top_terms(ds, n_docs: int, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def _one_chunk(arr):
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+
+def _cp_postings(batch: pa.Table, df_map, n_docs: int, threshold: float,
+                 prefix_filter: bool, group_cap: int, partitions: int,
+                 text_col: str, id_col: str, emit: str = "pairs") -> pa.Table:
+    """One batch of documents → salted probe/build posting rows for
+    :func:`cosine_pairs` (``emit="pairs"``), or the docs' unindexed
+    PREFIX postings ``(id, token, wn, gpart)`` (``emit="prefix"``).
+
+    Pure function of (batch, broadcast df table) — unit-testable without
+    Ray. A doc's tokens never leave its batch: tf, n_tok, the L2 norm
+    and the prefix/indexed split are all computed here.
+
+    Prefix selection (soundness needs only a PER-DOC property): any
+    subset P(x) of a normalized vector's features with ``‖x_P‖ < t``
+    may go unindexed, because a pair sharing ONLY such features has
+    ``dot ≤ ‖x_shared‖·‖y‖ ≤ ‖x_P‖ < t``. We pick P(x) greedily in
+    descending-df order so the globally hottest tokens (tiny idf ⇒ tiny
+    weight) land in nearly every doc's prefix — their inverted lists
+    then hold almost no indexed entries and the df² pair blowup dies.
+
+    Salting: a token with df build rows splits into ``ceil(df /
+    group_cap)`` salt buckets by ``hash(id)``; its (few) indexed probe
+    rows replicate into every bucket, so no single partition group ever
+    holds more than ~group_cap rows for one token."""
+    import polars as pl
+
+    d = pl.DataFrame(
+        {
+            "id": pl.from_arrow(batch[id_col].combine_chunks()),
+            "token": pl.from_arrow(batch[text_col].combine_chunks()).str.split(" "),
+        }
+    )
+    words = d.explode("token")
+    tf = words.group_by(["id", "token"]).len(name="c")
+    ntok = words.group_by("id").len(name="n")
+    w = (
+        tf.join(ntok, on="id")
+        .join(df_map, on="token")  # inner: max_df-pruned tokens drop out
+        .with_columns(
+            (
+                (pl.col("c") * 1.0 / pl.col("n"))
+                * ((n_docs + 1.0) / (pl.col("df") + 1.0)).log()
+            ).alias("w")
+        )
+    )
+    norms = w.group_by("id").agg((pl.col("w") ** 2).sum().sqrt().alias("nm"))
+    wn = w.join(norms, on="id").with_columns(
+        (pl.col("w") / pl.col("nm")).alias("wn")
+    )
+    if prefix_filter:
+        # indexed ⇔ cumulative ‖·‖² (desc-df order) has reached t²; the
+        # -1e-12 guard shrinks the prefix under float noise (sound side).
+        wn = wn.sort(["id", "df", "token"], descending=[False, True, False])
+        wn = wn.with_columns(
+            (
+                (pl.col("wn") ** 2).cum_sum().over("id")
+                >= threshold * threshold - 1e-12
+            ).alias("indexed")
+        )
+    else:
+        wn = wn.with_columns(pl.lit(True).alias("indexed"))
+    if emit == "prefix":
+        pp = wn.filter(~pl.col("indexed")).select(["id", "token", "wn"])
+        gh = pp["id"].hash(seed=13).to_numpy()
+        return pp.to_arrow().append_column(
+            "gpart", pa.array((gh % np.uint64(partitions)).astype(np.int32))
+        )
+    wn = wn.with_columns(
+        ((pl.col("df") - 1) // group_cap + 1).cast(pl.UInt64).alias("nsalt"),
+        pl.col("id").hash(seed=13).alias("_idh"),
+    )
+    build = wn.with_columns(
+        (pl.col("_idh") % pl.col("nsalt")).cast(pl.UInt32).alias("salt"),
+        pl.lit(False).alias("probe"),
+    )
+    probe = (
+        wn.filter(pl.col("indexed"))
+        .with_columns(pl.int_ranges(0, pl.col("nsalt").cast(pl.Int64)).alias("salt"))
+        .explode("salt")
+        .with_columns(pl.col("salt").cast(pl.UInt32), pl.lit(True).alias("probe"))
+    )
+    cols = ["token", "salt", "id", "wn", "indexed", "probe"]
+    out = pl.concat([build.select(cols), probe.select(cols)])
+    h = out["token"].hash(seed=59).to_numpy()
+    part = (
+        (h + out["salt"].to_numpy().astype(np.uint64) * np.uint64(2654435761))
+        % np.uint64(partitions)
+    ).astype(np.int32)
+    return out.to_arrow().append_column("part", pa.array(part))
+
+
+def _cp_pair_partials(group):
+    """One (token-hash, salt) partition group → per-pair partial dot
+    products, generated ONLY between probe (indexed) rows and build
+    rows — a hot token with k indexed of df postings costs k·df rows,
+    not df². Both-indexed pairs appear twice (probe_a×build_b and
+    probe_b×build_a); the ``id_a < id_b`` keep-rule retains exactly one.
+    Probe-side × unindexed-build pairs appear once and are kept as-is,
+    then normalized to (min, max). Pure pandas — unit-testable."""
+    import pandas as pd
+
+    probe = group[group["probe"]]
+    build = group[~group["probe"]]
+    m = probe.merge(build, on=["token", "salt"], suffixes=("_a", "_b"))
+    m = m[(m["id_a"] != m["id_b"]) & ~(m["indexed_b"] & (m["id_a"] > m["id_b"]))]
+    if m.empty:
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype=group["id"].dtype),
+             "id_b": pd.Series(dtype=group["id"].dtype),
+             "d": pd.Series(dtype="float64")}
+        )
+    swap = m["id_a"] > m["id_b"]  # dtype-generic (int or string ids)
+    res = pd.DataFrame(
+        {
+            "id_a": m["id_a"].where(~swap, m["id_b"]),
+            "id_b": m["id_b"].where(~swap, m["id_a"]),
+            "d": (m["wn_a"] * m["wn_b"]).to_numpy(),
+        }
+    )
+    return res.groupby(["id_a", "id_b"], sort=False)["d"].sum().reset_index()
+
+
 def cosine_pairs(ds, n_docs: int | None = None, threshold: float = 0.8,
                  text_col: str = "text", id_col: str = "doc_id",
-                 max_df: int | None = None, partitions: int | None = None):
+                 max_df: int | None = None, partitions: int | None = None,
+                 prefix_filter: bool = True, group_cap: int = 2_000_000):
     """Sparse TF-IDF cosine ALL-PAIRS similarity join — the weighted
     complement of :func:`~pprl_ray.stages.dedup.ngram_jaccard_pairs`:
     every doc pair whose L2-normalized TF-IDF vectors (w = (tf/n_tok) ·
     ln((N+1)/(df+1))) have cosine ≥ ``threshold``. The inverted-index
-    partial-dot-product plan (Bayardo et al., WWW 2007 'Scaling Up All
-    Pairs Similarity Search', without the prefix filter):
+    partial-dot-product plan WITH the prefix filter (Bayardo, Ma &
+    Srikant, WWW 2007 'Scaling Up All Pairs Similarity Search' §3 —
+    the exact answer is preserved; only candidate generation shrinks):
 
     1. global df table (one slim :func:`document_frequency` exchange),
        broadcast worker-assembled (the tfidf_top_terms pattern);
-    2. each batch computes its docs' FULL normalized vectors locally (a
-       doc's tokens never leave its batch — tf, n_tok and the L2 norm
-       are all batch-local) and emits slim ``(token, id, wn)`` postings;
-    3. token-hash partition groups self-merge per token (one vectorised
-       pandas merge per group) into per-pair partial dot products;
-    4. one pair-keyed reduce sums partials and applies the threshold.
+    2. each batch computes its docs' FULL normalized vectors locally
+       and splits each into an unindexed PREFIX (greedy descending-df
+       features while ``‖prefix‖ < threshold``) and an INDEXED suffix;
+       it emits slim salted ``(token, salt, id, wn, indexed)`` build
+       rows plus probe replicas for the indexed rows
+       (:func:`_cp_postings` — soundness proof in its docstring);
+    3. (token-hash, salt) partition groups merge probe × build rows
+       into per-pair partial dot products (:func:`_cp_pair_partials`) —
+       a ubiquitous token contributes k·df rows (k = its few indexed
+       postings), not df²;
+    4. a pair-keyed reduce sums partials into CANDIDATES, pruning pairs
+       whose partial dot cannot reach the threshold even with the
+       maximal possible prefix-prefix remainder (< threshold²,
+       since both prefixes have norm < threshold);
+    5. the exact remainder — the dot product restricted to tokens in
+       BOTH docs' prefixes — is recovered per candidate: candidates
+       explode to (pair, side) keys, cogroup with a second streaming
+       prefix-postings pass by ``hash(id)`` (re-scan chosen over
+       materializing a corpus-sized posting table), then a pair-keyed
+       group merges the two sides' prefix vectors and adds
+       ``Σ wn_a·wn_b`` to the partial before the final threshold.
 
-    Cost is O(Σ_t df(t)²) partial rows — bounded on zipfian corpora by
-    ``max_df`` (tokens in more than max_df docs are dropped from the
-    VECTORS entirely, weights and norms both, so the result stays the
-    exact cosine of the pruned vocabulary). On a degenerate tiny-vocab
-    corpus every token is ubiquitous and the pair space is genuinely
-    dense — there is no sub-quadratic exact answer to return.
+    Worst-case partial rows drop from O(Σ_t df(t)²) to
+    O(Σ_t idx(t)·df(t)) where idx(t) counts docs whose indexed suffix
+    kept t — near zero for hot low-idf tokens. ``group_cap`` salts any
+    single token's build rows across ⌈df/group_cap⌉ groups so no task
+    materializes an unbounded group (probe rows replicate per salt).
+    ``max_df`` is retained for vocabulary-pruned variants (tokens in
+    more than max_df docs drop from the VECTORS — weights and norms
+    both — redefining the answer); with the prefix filter on it is no
+    longer needed for tractability. ``prefix_filter=False`` restores
+    the index-everything plan (prefixes empty, remainder zero).
 
     Returns ``(id_a, id_b, cosine:float64)`` with ``id_a < id_b``."""
     import pandas as pd
@@ -710,52 +856,15 @@ def cosine_pairs(ds, n_docs: int | None = None, threshold: float = 0.8,
            if refs else ray.put(schema.empty_table()))
 
     def _postings(batch: pa.Table) -> pa.Table:
-        df_map = pl.from_arrow(ray.get(ref))
-        d = pl.DataFrame(
-            {
-                "id": pl.from_arrow(batch[id_col].combine_chunks()),
-                "token": pl.from_arrow(batch[text_col].combine_chunks()).str.split(" "),
-            }
-        )
-        words = d.explode("token")
-        tf = words.group_by(["id", "token"]).len(name="c")
-        ntok = words.group_by("id").len(name="n")
-        w = (
-            tf.join(ntok, on="id")
-            .join(df_map, on="token")  # inner: max_df-pruned tokens drop out
-            .with_columns(
-                (
-                    (pl.col("c") * 1.0 / pl.col("n"))
-                    * ((n_docs + 1.0) / (pl.col("df") + 1.0)).log()
-                ).alias("w")
-            )
-        )
-        norms = w.group_by("id").agg(
-            (pl.col("w") ** 2).sum().sqrt().alias("nm")
-        )
-        wn = w.join(norms, on="id").with_columns(
-            (pl.col("w") / pl.col("nm")).alias("wn")
-        )
-        h = wn["token"].hash(seed=59).to_numpy()
-        return wn.select(["token", "id", "wn"]).to_arrow().append_column(
-            "part", pa.array((h % np.uint64(partitions)).astype(np.int32))
+        return _cp_postings(
+            batch, pl.from_arrow(ray.get(ref)), n_docs, threshold,
+            prefix_filter, group_cap, partitions, text_col, id_col,
         )
 
     postings = ds.map_batches(_postings, batch_format="pyarrow")
-
-    def _partials(group: pd.DataFrame) -> pd.DataFrame:
-        m = group.merge(group, on="token", suffixes=("_a", "_b"))
-        m = m[m["id_a"] < m["id_b"]]
-        if m.empty:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype=group["id"].dtype),
-                 "id_b": pd.Series(dtype=group["id"].dtype),
-                 "d": pd.Series(dtype="float64")}
-            )
-        m["d"] = m["wn_a"] * m["wn_b"]
-        return m.groupby(["id_a", "id_b"], sort=False)["d"].sum().reset_index()
-
-    partials = postings.groupby("part").map_groups(_partials, batch_format="pandas")
+    partials = postings.groupby("part").map_groups(
+        _cp_pair_partials, batch_format="pandas"
+    )
 
     def _pair_part(batch: pa.Table) -> pa.Table:
         df = pl.DataFrame(
@@ -767,18 +876,165 @@ def cosine_pairs(ds, n_docs: int | None = None, threshold: float = 0.8,
         hp = (df.hash_rows(seed=71).to_numpy() % np.uint64(partitions)).astype(np.int32)
         return batch.append_column("ppart", pa.array(hp))
 
-    def _reduce(group):
-        import pandas as pd
+    # both prefixes have norm < t, so the missing remainder is < t²; a
+    # candidate below t - t² (minus float guard) can never qualify
+    cand_floor = threshold - threshold * threshold - 1e-9 if prefix_filter else threshold
 
-        s = group.groupby(["id_a", "id_b"], sort=False)["d"].sum().reset_index(
-            name="cosine"
-        )
-        return s[s["cosine"] >= threshold]
+    def _cand_reduce(group):
+        s = group.groupby(["id_a", "id_b"], sort=False)["d"].sum().reset_index()
+        return s[s["d"] >= cand_floor]
 
-    return (
+    cand = (
         partials.map_batches(_pair_part, batch_format="pyarrow")
         .groupby("ppart")
-        .map_groups(_reduce, batch_format="pandas")
+        .map_groups(_cand_reduce, batch_format="pandas")
+    )
+
+    if not prefix_filter:
+        return cand.map_batches(
+            lambda b: b.rename_columns(["id_a", "id_b", "cosine"]),
+            batch_format="pyarrow",
+        )
+
+    cand = cand.materialize()  # small: near-miss-bounded candidate pairs
+
+    # --- stage 5: exact prefix-prefix remainder per candidate pair ---
+    def _explode_cand(batch: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [_one_chunk(batch["id_a"]), _one_chunk(batch["id_b"])]
+        )
+        ia = pa.concat_arrays([_one_chunk(batch["id_a"])] * 2)
+        ib = pa.concat_arrays([_one_chunk(batch["id_b"])] * 2)
+        gh = pl.from_arrow(ids).hash(seed=13).to_numpy()
+        n = len(ids)
+        return pa.table(
+            {
+                "id": ids, "id_a": ia, "id_b": ib,
+                "token": pa.nulls(n, pa.large_string()),
+                "wn": pa.nulls(n, pa.float64()),
+                "kind": pa.array(["k"] * n),
+                "gpart": pa.array((gh % np.uint64(partitions)).astype(np.int32)),
+            }
+        )
+
+    # arrow id type from a (preferably non-empty) candidate block —
+    # Dataset.schema() degrades string columns to Python `str`
+    id_type = None
+    for _r in cand.to_arrow_refs():
+        _t0 = ray.get(_r)
+        if "id_a" not in _t0.schema.names:  # schema-less empty group block
+            continue
+        if id_type is None or _t0.num_rows:
+            id_type = _t0.schema.field("id_a").type
+        if _t0.num_rows:
+            break
+    if id_type is None:
+        return cand.map_batches(  # no candidates anywhere
+            lambda b: b.rename_columns(["id_a", "id_b", "cosine"]),
+            batch_format="pyarrow",
+        )
+    cand_keys = cand.map_batches(_explode_cand, batch_format="pyarrow")
+
+    def _prefix_postings(batch: pa.Table) -> pa.Table:
+        t = _cp_postings(
+            batch, pl.from_arrow(ray.get(ref)), n_docs, threshold,
+            prefix_filter, group_cap, partitions, text_col, id_col,
+            emit="prefix",
+        )
+        n = t.num_rows
+        return pa.table(
+            {
+                "id": t["id"].cast(id_type),
+                "id_a": pa.nulls(n, id_type), "id_b": pa.nulls(n, id_type),
+                "token": t["token"], "wn": t["wn"],
+                "kind": pa.array(["p"] * n), "gpart": t["gpart"],
+            }
+        )
+
+    pp = ds.map_batches(_prefix_postings, batch_format="pyarrow")
+
+    def _cogroup(group: pd.DataFrame) -> pd.DataFrame:
+        k = group[group["kind"] == "k"][["id", "id_a", "id_b"]]
+        p = group[group["kind"] == "p"][["id", "token", "wn"]]
+        m = k.merge(p, on="id")
+        if m.empty:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=k["id_a"].dtype),
+                 "id_b": pd.Series(dtype=k["id_b"].dtype),
+                 "side": pd.Series(dtype="object"),
+                 "token": pd.Series(dtype="object"),
+                 "wn": pd.Series(dtype="float64")}
+            )
+        m["side"] = np.where(m["id"] == m["id_a"], "a", "b")
+        return m[["id_a", "id_b", "side", "token", "wn"]]
+
+    rem_rows = cand_keys.union(pp).groupby("gpart").map_groups(
+        _cogroup, batch_format="pandas"
+    )
+
+    def _tag_rem(batch: pa.Table) -> pa.Table:
+        # cast BEFORE hashing: pandas null-coercion upstream can float
+        # int ids, and polars hashes 0.0 differently from 0
+        ia = _one_chunk(batch["id_a"].cast(id_type))
+        ib = _one_chunk(batch["id_b"].cast(id_type))
+        df = pl.DataFrame({"id_a": pl.from_arrow(ia), "id_b": pl.from_arrow(ib)})
+        hp = (df.hash_rows(seed=71).to_numpy() % np.uint64(partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "id_a": ia,
+                "id_b": ib,
+                "side": batch["side"].cast(pa.string()),
+                "token": batch["token"].cast(pa.large_string()),
+                "wn": batch["wn"].cast(pa.float64()),
+                "d": pa.nulls(batch.num_rows, pa.float64()),
+                "kind": pa.array(["r"] * batch.num_rows),
+                "fpart": pa.array(hp),
+            }
+        )
+
+    def _tag_cand(batch: pa.Table) -> pa.Table:
+        df = pl.DataFrame(
+            {
+                "id_a": pl.from_arrow(_one_chunk(batch["id_a"])),
+                "id_b": pl.from_arrow(_one_chunk(batch["id_b"])),
+            }
+        )
+        hp = (df.hash_rows(seed=71).to_numpy() % np.uint64(partitions)).astype(np.int32)
+        n = batch.num_rows
+        return pa.table(
+            {
+                "id_a": batch["id_a"].cast(id_type),
+                "id_b": batch["id_b"].cast(id_type),
+                "side": pa.nulls(n, pa.string()),
+                "token": pa.nulls(n, pa.large_string()),
+                "wn": pa.nulls(n, pa.float64()),
+                "d": batch["d"].cast(pa.float64()),
+                "kind": pa.array(["c"] * n),
+                "fpart": pa.array(hp),
+            }
+        )
+
+    def _finalize(group: pd.DataFrame) -> pd.DataFrame:
+        c = group[group["kind"] == "c"][["id_a", "id_b", "d"]]
+        r = group[group["kind"] == "r"]
+        ra = r[r["side"] == "a"][["id_a", "id_b", "token", "wn"]]
+        rb = r[r["side"] == "b"][["id_a", "id_b", "token", "wn"]]
+        mm = ra.merge(rb, on=["id_a", "id_b", "token"], suffixes=("_a", "_b"))
+        if mm.empty:
+            out = c.rename(columns={"d": "cosine"})
+        else:
+            mm["rem"] = mm["wn_a"] * mm["wn_b"]
+            rem = mm.groupby(["id_a", "id_b"], sort=False)["rem"].sum().reset_index()
+            out = c.merge(rem, on=["id_a", "id_b"], how="left")
+            out["cosine"] = out["d"] + out["rem"].fillna(0.0)
+            out = out[["id_a", "id_b", "cosine"]]
+        return out[out["cosine"] >= threshold]
+
+    return (
+        rem_rows.map_batches(_tag_rem, batch_format="pyarrow")
+        .union(cand.map_batches(_tag_cand, batch_format="pyarrow"))
+        .groupby("fpart")
+        .map_groups(_finalize, batch_format="pandas")
     )
 
 

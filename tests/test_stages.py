@@ -1402,3 +1402,132 @@ def test_cosine_pairs_max_df_prunes_vocabulary(ray_session):
     pairs = {(int(r.id_a), int(r.id_b)): r.cosine for r in got.itertuples()}
     assert set(pairs) == {(0, 1)}
     assert pairs[(0, 1)] == pytest.approx(1.0)
+
+
+def _cp_dense_reference(docs: dict, threshold: float) -> dict:
+    """Dense numpy TF-IDF cosine all-pairs reference for cosine_pairs."""
+    import math
+
+    vocab = sorted({w for t in docs.values() for w in t.split()})
+    n = len(docs)
+    dfreq = {v: sum(v in t.split() for t in docs.values()) for v in vocab}
+    vecs = {}
+    for d, t in docs.items():
+        ws = t.split()
+        vec = np.array([
+            (ws.count(v) / len(ws)) * math.log((n + 1) / (dfreq[v] + 1))
+            for v in vocab
+        ])
+        vecs[d] = vec / np.linalg.norm(vec)
+    return {
+        (a, b): float(vecs[a] @ vecs[b])
+        for a in docs for b in docs if a < b
+        if float(vecs[a] @ vecs[b]) >= threshold
+    }
+
+
+def _hot_token_docs(n: int) -> dict:
+    """2n docs that ALL share ubiquitous tokens 'the' and 'of' (df = 2n,
+    idf exactly 0) plus a hot-but-not-ubiquitous 'and' (df = 3n/2, small
+    positive weight — exercises the nonzero prefix-prefix remainder), in
+    near-dup pairs (2i, 2i+1) sharing rare content tokens."""
+    mid = lambda i, odd: " and" if (not odd or i % 2 == 0) else ""
+    return {
+        2 * i: f"the of w{i}a w{i}b w{i}c the{mid(i, False)}"
+        for i in range(n)
+    } | {
+        2 * i + 1: f"the of w{i}a w{i}b w{i}d the{mid(i, True)}"
+        for i in range(n)
+    }
+
+
+def test_cosine_pairs_prefix_filter_kills_hot_token_blowup():
+    """The Bayardo prefix filter (descending-df prefixes): a token in all
+    N docs generates O(idx·df) partial rows, NOT O(df²) — idx being the
+    handful of docs that index it. Tests the pure per-batch functions
+    directly (no Ray needed)."""
+    import pandas as pd
+    import polars as pl
+
+    from pprl_ray.stages.text import _cp_pair_partials, _cp_postings
+
+    docs = _hot_token_docs(40)  # 80 docs; df('the') = df('of') = 80
+    t = pa.table({
+        "doc_id": pa.array(sorted(docs), pa.int64()),
+        "text": pa.array([docs[k] for k in sorted(docs)]),
+    })
+    words = [d.split() for d in docs.values()]
+    dfreq: dict = {}
+    for ws in words:
+        for w in set(ws):
+            dfreq[w] = dfreq.get(w, 0) + 1
+    df_map = pl.DataFrame(
+        {"token": list(dfreq), "df": list(dfreq.values())}
+    ).with_columns(pl.col("df").cast(pl.UInt32))
+
+    post = _cp_postings(
+        t, df_map, len(docs), 0.8, True, 2_000_000, 8, "text", "doc_id"
+    ).to_pandas()
+    hot = post[(post["token"].isin(["the", "of"])) & ~post["probe"]]
+    assert len(hot) == 2 * len(docs)
+    # the ubiquitous low-idf tokens land in (nearly) every doc's prefix
+    assert hot["indexed"].sum() == 0
+
+    # pair generation over the FULL posting set: without the filter each
+    # hot token alone contributes C(80,2)=3160 partials; with it the
+    # total across all tokens stays the rare-token near-dup pairs only
+    partials = _cp_pair_partials(post)
+    assert len(partials) < 2 * len(docs)  # vs >6320 unfiltered
+
+    unfiltered = _cp_postings(
+        t, df_map, len(docs), 0.8, False, 2_000_000, 8, "text", "doc_id"
+    ).to_pandas()
+    # index-everything: the ubiquitous tokens connect every doc pair
+    assert len(_cp_pair_partials(unfiltered)) == 80 * 79 // 2
+
+
+def test_cosine_pairs_prefix_filter_exact_with_hot_tokens(ray_session):
+    """End-to-end exactness with the prefix filter + remainder
+    correction on a planted-hot-token corpus, invariant across input
+    partitioning AND across group_cap (salting forced with a tiny cap —
+    every hot-token group splits into ceil(df/cap) salt buckets)."""
+    import ray.data as rd
+
+    from pprl_ray.stages.text import cosine_pairs
+
+    docs = _hot_token_docs(12)
+    want = _cp_dense_reference(docs, 0.55)
+    assert len(want) >= 12  # the planted near-dup pairs qualify
+    t = pa.table({
+        "doc_id": pa.array(sorted(docs), pa.int64()),
+        "text": pa.array([docs[k] for k in sorted(docs)]),
+    })
+    for parts, cap in ((1, 2_000_000), (4, 2_000_000), (3, 5)):
+        got_df = cosine_pairs(
+            rd.from_arrow(t).repartition(parts), threshold=0.55, group_cap=cap
+        ).to_pandas()
+        got = {(int(r.id_a), int(r.id_b)): r.cosine for r in got_df.itertuples()}
+        assert set(got) == set(want), (parts, cap)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], rel=1e-12)
+
+
+def test_cosine_pairs_prefix_filter_string_ids(ray_session):
+    """The remainder-correction cogroup path is id-dtype-generic."""
+    import ray.data as rd
+
+    from pprl_ray.stages.text import cosine_pairs
+
+    docs = {f"doc-{k:03d}": v for k, v in _hot_token_docs(6).items()}
+    want = _cp_dense_reference(docs, 0.55)
+    t = pa.table({
+        "doc_id": pa.array(sorted(docs)),
+        "text": pa.array([docs[k] for k in sorted(docs)]),
+    })
+    got_df = cosine_pairs(
+        rd.from_arrow(t).repartition(2), threshold=0.55
+    ).to_pandas()
+    got = {(r.id_a, r.id_b): r.cosine for r in got_df.itertuples()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
