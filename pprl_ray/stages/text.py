@@ -1143,7 +1143,7 @@ class ClassifierScoreStage:
 
 def collocation_lift(ds, text_col: str = "text", min_count: int = 5, k: int = 50,
                      partitions: int | None = None, scale: int = 1 << 20,
-                     broadcast_max_terms: int = 50_000_000):
+                     broadcast_max_terms: int = 50_000_000, salt: int = 1):
     """Collocation mining: top-k adjacent word pairs by EXACT integer PMI
     lift ``lift_fx = floor(c12 · Nw² · scale / (Nb · c1 · c2))`` — the
     pointwise-mutual-information ratio p(w1,w2)/(p(w1)·p(w2)) in fixed
@@ -1161,7 +1161,16 @@ def collocation_lift(ds, text_col: str = "text", min_count: int = 5, k: int = 50
     under ``broadcast_max_terms``, else two token-keyed ``bucket_join``s
     (no driver-side vocabulary copy at open vocabulary). Lift per
     candidate inside ``map_batches``, per-block top-k, one driver merge
-    of k rows/block. ``Nw``/``Nb`` reduce from per-block partial sums."""
+    of k rows/block. ``Nw``/``Nb`` reduce from per-block partial sums.
+
+    ``salt > 1`` turns the count exchange into a TWO-LEVEL fold (the
+    state/aggregate.py salting pattern): level 1 groups by
+    ``(key-hash % partitions)·salt + s`` where ``s`` mixes a per-batch
+    discriminator, so a key appearing in every block (at web scale its
+    partials are one row per block — millions of rows in ONE group)
+    splits across ``salt`` groups; level 2 re-reduces the ≤salt
+    surviving rows per key. Sums are exact integers, so the result is
+    identical for any salt (partitioning-invariance is tested)."""
     import pandas as pd
     import polars as pl
 
@@ -1202,9 +1211,13 @@ def collocation_lift(ds, text_col: str = "text", min_count: int = 5, k: int = 50
             .otherwise(pl.col("w1"))
         )
         h = both.select(key=key)["key"].hash(seed=43).to_numpy()
-        both = both.with_columns(
-            pl.Series("part", (h % np.uint64(partitions)).astype(np.int32))
-        )
+        if salt > 1:
+            mix = np.uint64(h.sum())  # per-batch discriminator (wraps)
+            s = ((h ^ mix) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(salt)
+            part = (h % np.uint64(partitions)) * np.uint64(salt) + s
+        else:
+            part = h % np.uint64(partitions)
+        both = both.with_columns(pl.Series("part", part.astype(np.int32)))
         return both.to_arrow()
 
     def _sum(g: pd.DataFrame) -> pd.DataFrame:
@@ -1216,7 +1229,26 @@ def collocation_lift(ds, text_col: str = "text", min_count: int = 5, k: int = 50
         ds.map_batches(_partials, batch_format="pyarrow")
         .groupby("part")
         .map_groups(_sum, batch_format="pandas")
-    ).materialize()
+    )
+    if salt > 1:
+        def _resalt(t: pa.Table) -> pa.Table:
+            d = pl.from_arrow(t)
+            key = (
+                pl.when(pl.col("kind") == "b")
+                .then(pl.col("w1") + " " + pl.col("w2"))
+                .otherwise(pl.col("w1"))
+            )
+            h = d.select(key=key)["key"].hash(seed=43).to_numpy()
+            return t.append_column(
+                "part", pa.array((h % np.uint64(partitions)).astype(np.int32))
+            )
+
+        counts = (
+            counts.map_batches(_resalt, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(_sum, batch_format="pandas")
+        )
+    counts = counts.materialize()
 
     def _kind_sums(t: pa.Table) -> pa.Table:
         is_b = pc.equal(t["kind"], "b")

@@ -1531,3 +1531,31 @@ def test_cosine_pairs_prefix_filter_string_ids(ray_session):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == pytest.approx(want[k], rel=1e-12)
+
+
+def test_collocation_lift_salted_fold_invariant(ray_session):
+    """salt>1 two-level count fold: a planted ubiquitous hot bigram (one
+    per doc — its partials land in every block) yields the IDENTICAL
+    exact-integer result under salt=1, salt=4 and any input
+    partitioning."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pprl_ray.stages.text import collocation_lift
+
+    docs = [
+        f"hot pair w{i % 7}x filler{i % 11} hot pair middle w{i % 5}y"
+        for i in range(120)
+    ]
+    t = pa.table({"text": pa.array(docs)})
+    base = None
+    for parts, s in ((2, 1), (2, 4), (5, 4)):
+        got = collocation_lift(
+            rd.from_arrow(t).repartition(parts), min_count=3, k=20, salt=s
+        )
+        if base is None:
+            base = got
+        else:
+            pd.testing.assert_frame_equal(got, base)
+    got_pairs = {f"{r.w1} {r.w2}": r.c12 for r in base.itertuples()}
+    assert got_pairs.get("hot pair", 0) >= 120  # the planted hot bigram
