@@ -2,10 +2,15 @@
 training-ready composition, built from the engine's existing stages:
 
 1. **exact dedup** — keep the min-id copy per distinct content
-   (``stages/dedup.exact_dup_losers``; only (hash128, id) rows shuffle);
+   (the ``stages/dedup.exact_dup_losers`` plan; only (hash128, id) rows
+   shuffle);
 2. **quality filter** — Gopher-style repetition rules (Rae et al. 2021,
    Appendix A): word-count band, duplicate-word ratio, top-word share
-   (``stages/text.repetition_batch``; streaming, no shuffle);
+   (``stages/text.repetition_batch``; streaming, no shuffle). Stages 1+2
+   FUSE into a single corpus scan: one pass emits the slim
+   (id, hash128, bad-quality) table, stage 2's losers are the bad ids
+   among stage 1's survivors (quality signals are per-doc, so the
+   reordering is equivalence-preserving);
 3. **near-dup removal** — exact word n-gram Jaccard pairs
    (``stages/dedup.ngram_jaccard_pairs``) -> connected components -> one
    survivor per component under the ``keep`` policy ("best" keeps the
@@ -42,6 +47,7 @@ import shutil
 import time
 from typing import Any
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -109,15 +115,17 @@ def prepare_corpus(docs, eval_ds=None, *, id_col: str = "doc_id",
     from ..stages.dedup import (
         anti_filter_ids,
         contamination_pairs,
-        exact_dup_losers,
+        content_hash128,
         near_dup_losers,
         ngram_jaccard_pairs,
     )
+    from ..stages.partitioning import auto_partitions, compact_blocks
     from ..stages.text import repetition_batch
 
     surv = docs
     n_curr = docs.count()
     report: list[dict[str, Any]] = []
+    hash_parts = partitions if partitions is not None else auto_partitions(docs)
 
     def _run_stage(idx: int, name: str, params: dict[str, Any], compute):
         nonlocal surv, n_curr
@@ -140,30 +148,79 @@ def prepare_corpus(docs, eval_ds=None, *, id_col: str = "doc_id",
         )
         surv = surv_next
         n_curr -= n_lost
+        return losers
 
-    _run_stage(
-        1, "exact_dedup", {},
-        lambda: exact_dup_losers(surv, id_col, text_col, partitions),
-    )
+    def _bad_quality(batch: pa.Table) -> pa.ChunkedArray:
+        """Gopher failure mask for one batch (pure per-doc signals)."""
+        sig = repetition_batch(batch, text_col)
+        return pc.invert(
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(sig["n_words"], min_words),
+                    pc.less_equal(sig["n_words"], max_words),
+                ),
+                pc.and_(
+                    pc.less(sig["dup_word_ratio"], dup_word_max),
+                    pc.less(sig["top_word_frac"], top_word_max),
+                ),
+            )
+        )
+
+    # Stages 1+2 FUSE into one corpus scan: the exact-dedup content hash
+    # and the Gopher quality mask are both pure per-batch functions of
+    # the text, so one pass emits the slim (id, h1, h2, bad) table. The
+    # quality signals are per-doc, so computing them before the dedup
+    # anti-filter is equivalence-preserving: stage-2 losers = bad ids
+    # minus stage-1 losers. `shared` carries the fused scan's products
+    # across the two _load_or_compute_losers calls; when stage 1 is
+    # satisfied from its checkpoint the scan never ran, and stage 2
+    # falls back to its own (survivor-scoped) quality pass.
+    shared: dict[str, Any] = {}
+
+    def _stage1_losers():
+        def _slim(batch: pa.Table) -> pa.Table:
+            h1, h2 = content_hash128(batch, text_col)
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "h1": pa.array(h1.astype(np.int64), pa.int64()),
+                    "h2": pa.array(h2.astype(np.int64), pa.int64()),
+                    "part": pa.array((h1 % np.uint64(hash_parts)).astype(np.int32)),
+                    "bad": _bad_quality(batch),
+                }
+            )
+
+        slim = compact_blocks(
+            surv.map_batches(_slim, batch_format="pyarrow").materialize()
+        )
+        shared["bad_ids"] = slim.map_batches(
+            lambda t: t.filter(t["bad"]).select([id_col]),
+            batch_format="pyarrow",
+        ).materialize()
+
+        def _losers(group: pd.DataFrame) -> pd.DataFrame:
+            g = group.sort_values(id_col)
+            dup = g.duplicated(subset=["h1", "h2"], keep="first")
+            return g.loc[dup, [id_col]]
+
+        return slim.groupby("part").map_groups(_losers, batch_format="pandas")
+
+    stage1_losers = _run_stage(1, "exact_dedup", {}, _stage1_losers)
 
     def _quality_losers():
-        def _fail(batch: pa.Table) -> pa.Table:
-            sig = repetition_batch(batch, text_col)
-            bad = pc.invert(
-                pc.and_(
-                    pc.and_(
-                        pc.greater_equal(sig["n_words"], min_words),
-                        pc.less_equal(sig["n_words"], max_words),
-                    ),
-                    pc.and_(
-                        pc.less(sig["dup_word_ratio"], dup_word_max),
-                        pc.less(sig["top_word_frac"], top_word_max),
-                    ),
-                )
+        if "bad_ids" in shared:  # fused scan ran: restrict to survivors
+            kept, _ = anti_filter_ids(
+                shared["bad_ids"], stage1_losers, id_col,
+                loser_broadcast_max, partitions,
             )
-            return pa.table({id_col: sig[id_col].filter(bad)})
-
-        return surv.map_batches(_fail, batch_format="pyarrow")
+            return kept
+        # stage 1 came from its checkpoint — scan the current survivors
+        return surv.map_batches(
+            lambda batch: pa.table(
+                {id_col: batch[id_col].filter(_bad_quality(batch))}
+            ),
+            batch_format="pyarrow",
+        )
 
     _run_stage(
         2, "quality",

@@ -1888,6 +1888,10 @@ def near_dup_losers(ds, pairs=None, text_col: str = "text",
                                     persist=persist, **kwargs)
     labels = connected_components_collapse(pairs, partitions=partitions,
                                            checkpoint_dir=cc_checkpoint_dir)
+    if labels.schema() is None:  # zero candidate pairs → no components
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64())}))
     if keep == "best":
         if keep_score_col is None:
             raise ValueError('keep="best" requires keep_score_col')

@@ -242,3 +242,51 @@ def test_cli_sketch_store_build_refresh_lookup(ray_session, tmp_path, capsys):
         main(["sketch-store", "--mode", "refresh", "--store-dir", inc,
               "--sketch", "kmv", "--param", "128",
               "--input", str(tmp_path / "b.parquet")])
+
+
+def test_prepare_fuses_dedup_and_quality_scans(ray_session):
+    """Stages 1+2 share ONE corpus scan: with no checkpoint, the input
+    text is read exactly once before the near-dup stage. Counted via an
+    actor-backed tap on the input dataset (each full-pipeline execution
+    re-runs the tap once over every row)."""
+    import ray
+    import ray.data as rd
+
+    from pprl_ray.pipelines.prepare import prepare_corpus
+
+    @ray.remote
+    class Tap:
+        def __init__(self):
+            self.rows = 0
+
+        def add(self, n):
+            self.rows += n
+
+        def total(self):
+            return self.rows
+
+    tap = Tap.remote()
+    tbl = _corpus(40)
+    n_rows = tbl.num_rows
+
+    def _count(batch: pa.Table) -> pa.Table:
+        ray.get(tap.add.remote(batch.num_rows))
+        return batch
+
+    docs = rd.from_arrow(tbl).map_batches(_count, batch_format="pyarrow")
+
+    # run ONLY stages 1+2 (skip near-dup/contamination: threshold 1.01
+    # can never fire, but its pair scan would still read the corpus)
+    surv, report = prepare_corpus(
+        docs, eval_ds=None, min_words=30, max_words=1000,
+        jaccard_threshold=1.01, partitions=4,
+    )
+    n_out = surv.count()
+    scans = ray.get(tap.total.remote()) / n_rows
+    # docs.count() + fused stage-1/2 scan + the near-dup pair scan over
+    # survivors + the final count() = 4 full passes; before the fusion
+    # the quality stage added a fifth
+    assert scans <= 4.0, scans
+    assert report.loc[report["stage"] == "exact_dedup", "dropped"].iloc[0] == 3
+    assert report.loc[report["stage"] == "quality", "dropped"].iloc[0] >= 2
+    assert n_out == report["docs_out"].iloc[-1]
