@@ -113,16 +113,15 @@ class EncodeStage:
         attrs = {c: ["" if v is None else str(v) for v in batch[c].to_pylist()] for c in cols}
         if self.on_error == "raise":
             packed, _ = self.encoder.encode(ids, attrs)
-            values = [base64.b64encode(row.tobytes()).decode() for row in packed]
             return pa.table(
-                {"id": pa.array(ids, pa.string()), "value": pa.array(values, pa.string())}
+                {"id": pa.array(ids, pa.string()), "value": b64_encode_rows(packed)}
             )
 
         # quarantine: fast path first; only a failing batch pays the
         # per-entity retry that pinpoints the bad rows
         try:
             packed, _ = self.encoder.encode(ids, attrs)
-            values = [base64.b64encode(row.tobytes()).decode() for row in packed]
+            values = b64_encode_rows(packed)
             errors = [""] * len(ids)
         except ValueError:
             values, errors = [], []
@@ -137,10 +136,48 @@ class EncodeStage:
         return pa.table(
             {
                 "id": pa.array(ids, pa.string()),
-                "value": pa.array(values, pa.string()),
+                "value": values if isinstance(values, pa.Array)
+                else pa.array(values, pa.string()),
                 "error": pa.array(errors, pa.string()),
             }
         )
+
+
+_B64_LUT = np.frombuffer(
+    b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/",
+    dtype=np.uint8,
+)
+
+
+def b64_encode_rows(packed: np.ndarray) -> pa.StringArray:
+    """Vectorized base64 of a fixed-width (rows, nbytes) uint8 matrix —
+    byte-identical to per-row ``base64.b64encode`` (RFC 4648 with '='
+    padding) but with zero per-row Python: 24-bit triplet packing and a
+    64-entry LUT over the whole matrix, then ONE arrow StringArray built
+    from the contiguous char buffer with arithmetic offsets."""
+    n, w = packed.shape
+    if n == 0 or w == 0:
+        return pa.array([""] * n, pa.string())
+    pad = (-w) % 3
+    if pad:
+        packed = np.concatenate(
+            [packed, np.zeros((n, pad), dtype=np.uint8)], axis=1
+        )
+    t = packed.reshape(n, -1, 3).astype(np.uint32)
+    v = (t[:, :, 0] << 16) | (t[:, :, 1] << 8) | t[:, :, 2]
+    idx = np.stack(
+        [(v >> 18) & 63, (v >> 12) & 63, (v >> 6) & 63, v & 63], axis=2
+    ).reshape(n, -1)
+    chars = _B64_LUT[idx]
+    if pad:
+        chars[:, -pad:] = ord("=")
+    row_len = chars.shape[1]
+    offsets = np.arange(0, (n + 1) * row_len, row_len, dtype=np.int32)
+    return pa.StringArray.from_buffers(
+        n,
+        pa.py_buffer(offsets.tobytes()),
+        pa.py_buffer(np.ascontiguousarray(chars).tobytes()),
+    )
 
 
 def decode_b64_column(values: list[str]) -> np.ndarray:

@@ -1559,3 +1559,20 @@ def test_collocation_lift_salted_fold_invariant(ray_session):
             pd.testing.assert_frame_equal(got, base)
     got_pairs = {f"{r.w1} {r.w2}": r.c12 for r in base.itertuples()}
     assert got_pairs.get("hot pair", 0) >= 120  # the planted hot bigram
+
+
+def test_b64_encode_rows_matches_stdlib():
+    """Vectorized matrix base64 is byte-identical to per-row
+    base64.b64encode across every width mod-3 class, including the
+    non-byte-aligned CLKRBF widths."""
+    import base64
+
+    from pprl_ray.stages.mask import b64_encode_rows
+
+    rng = np.random.default_rng(3)
+    for w in range(1, 17):
+        m = rng.integers(0, 256, size=(7, w), dtype=np.uint8)
+        got = b64_encode_rows(m).to_pylist()
+        want = [base64.b64encode(r.tobytes()).decode() for r in m]
+        assert got == want, w
+    assert b64_encode_rows(np.zeros((0, 5), np.uint8)).to_pylist() == []
