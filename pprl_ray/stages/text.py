@@ -467,10 +467,13 @@ def bm25_topk(ds, terms: list[str], text_col: str = "text",
             )
         return pa.table(cols)
 
-    parts = pd.DataFrame(ds.map_batches(_stats, batch_format="pyarrow").take_all())
-    n_docs = int(parts["n_docs"].sum())
-    total_len = int(parts["total_len"].sum())
-    dfs = [int(parts[f"df_{i}"].sum()) for i in range(len(terms))]
+    # distributed tree fold: Dataset.sum aggregates the one-row-per-block
+    # partials inside the cluster — only |terms|+2 scalars reach the driver
+    stat_cols = ["n_docs", "total_len"] + [f"df_{i}" for i in range(len(terms))]
+    sums = ds.map_batches(_stats, batch_format="pyarrow").sum(stat_cols)
+    n_docs = int(sums["sum(n_docs)"])
+    total_len = int(sums["sum(total_len)"])
+    dfs = [int(sums[f"sum(df_{i})"]) for i in range(len(terms))]
     avgdl = total_len / n_docs
     idfs = [np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)) for df in dfs]
 
