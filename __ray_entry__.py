@@ -2248,7 +2248,8 @@ def q_purchase_daily(sf_dir: str):
         import polars as pl
 
         day = pc.strftime(batch["ts"], format="%Y-%m-%d")
-        vu = pc.cast(pc.round(pc.multiply(batch["value"], 1_000_000)), pa.int64())
+        vu = pc.cast(pc.round(pc.multiply(batch["value"], 1_000_000),
+                                     round_mode="half_towards_infinity"), pa.int64())
         g = (
             pl.DataFrame({"day": pl.from_arrow(pa.chunked_array([day])),
                           "vu": pl.from_arrow(pa.chunked_array([vu]))})
@@ -3218,7 +3219,8 @@ def q_event_windows(sf_dir: str):
                 "event_type": batch["event_type"],
                 "window_start": pc.strftime(batch["ts"], format="%Y-%m-%d"),
                 # integer micro-units: exact distributed sum
-                "value_u": pc.cast(pc.round(pc.multiply(batch["value"], 1_000_000)), pa.int64()),
+                "value_u": pc.cast(pc.round(pc.multiply(batch["value"], 1_000_000),
+                                     round_mode="half_towards_infinity"), pa.int64()),
             }
         )
 
@@ -4178,7 +4180,8 @@ def q_running_totals(sf_dir: str):
                 "event_id": batch["event_id"],
                 "ts": batch["ts"],
                 "user_id": batch["user_id"],
-                "value_u": pc.cast(pc.round(pc.multiply(batch["value"], 1_000_000)), pa.int64()),
+                "value_u": pc.cast(pc.round(pc.multiply(batch["value"], 1_000_000),
+                                     round_mode="half_towards_infinity"), pa.int64()),
             }
         )
 
@@ -4220,7 +4223,8 @@ def q_rolling_window(sf_dir: str):
                 "event_id": batch["event_id"],
                 "ts": batch["ts"],
                 "user_id": batch["user_id"],
-                "value_u": pc.cast(pc.round(pc.multiply(batch["value"], 1_000_000)), pa.int64()),
+                "value_u": pc.cast(pc.round(pc.multiply(batch["value"], 1_000_000),
+                                     round_mode="half_towards_infinity"), pa.int64()),
             }
         )
 
@@ -4330,7 +4334,8 @@ def q_hopping_windows(sf_dir: str):
             {
                 "ts": batch["ts"],
                 "event_type": batch["event_type"],
-                "value_u": pc.cast(pc.round(pc.multiply(batch["value"], 1_000_000)), pa.int64()),
+                "value_u": pc.cast(pc.round(pc.multiply(batch["value"], 1_000_000),
+                                     round_mode="half_towards_infinity"), pa.int64()),
             }
         )
 

@@ -92,10 +92,22 @@ class PrioritySampleSketch:
         h = np.concatenate([self.h, h])
         w = np.concatenate([self.w, w])
         p = np.concatenate([self.payloads, p]) if len(self.payloads) or len(p) else p
+        # enforce the re-observation contract EXPLICITLY: a key re-seen
+        # with a different weight would not sort adjacent below and would
+        # silently double-count — detect and raise instead
+        if len(keys) > 1:
+            ks = np.argsort(keys, kind="stable")
+            kk, ww = keys[ks], w[ks]
+            dup = kk[1:] == kk[:-1]
+            if dup.any() and (ww[1:][dup] != ww[:-1][dup]).any():
+                raise ValueError(
+                    "priority sample key re-observed with a different weight"
+                )
         s = h // w.astype(np.uint64)
         order = np.lexsort((keys, h, s))
         keys, h, w, p, s = keys[order], h[order], w[order], p[order], s[order]
-        # dedupe re-observed keys (identical (s, h, key) triples sort adjacent)
+        # dedupe re-observed keys (identical (s, h, key) triples sort adjacent
+        # — guaranteed by the equal-weight check above)
         if len(keys) > 1:
             fresh = np.empty(len(keys), dtype=bool)
             fresh[0] = True
@@ -152,7 +164,11 @@ class PrioritySampleSketch:
     # -- serialisation --------------------------------------------------------
 
     def to_bytes(self) -> bytes:
-        payload_blob = b"\x00".join(str(x).encode() for x in self.payloads)
+        # length-prefixed payloads: safe for ANY payload bytes (a NUL in a
+        # payload under the old b"\x00"-join silently misaligned every
+        # subsequent payload on round-trip)
+        enc = [str(x).encode() for x in self.payloads]
+        payload_blob = b"".join(struct.pack("<i", len(e)) + e for e in enc)
         head = struct.pack("<qqqq", self.k, self.seed, len(self.keys), len(payload_blob))
         return (head + self.keys.tobytes() + self.h.tobytes()
                 + self.w.tobytes() + payload_blob)
@@ -168,7 +184,13 @@ class PrioritySampleSketch:
         off += 8 * n
         sk.w = np.frombuffer(data, np.int64, n, off).copy()
         off += 8 * n
-        blob = data[off:off + plen]
-        sk.payloads = (np.array([b.decode() for b in blob.split(b"\x00")], dtype=object)
+        payloads = []
+        end = off + plen
+        while off < end:
+            (ln,) = struct.unpack_from("<i", data, off)
+            off += 4
+            payloads.append(data[off:off + ln].decode())
+            off += ln
+        sk.payloads = (np.array(payloads, dtype=object)
                        if n else np.empty(0, dtype=object))
         return sk

@@ -253,7 +253,12 @@ def source_cosine_matrix(ds, group_col: str = "source", text_col: str = "text",
     (arbitrary precision survives 10^12-token counts); the final fold over
     the tiny (pairs x partitions) table runs in one task.
 
-    Returns ``(group_a, group_b, dot, cos2_u)`` with ``group_a < group_b``."""
+    Returns ``(group_a, group_b, dot, cos2_u)`` with ``group_a < group_b``.
+    ``cos2_u`` is exact at any magnitude (big-int until the final floor);
+    the raw ``dot`` column is int64 and CEILINGED at 2^63 — a dot product
+    beyond it raises OverflowError with a clear message rather than
+    wrapping (the SQL oracle's BIGINT cast shares the same ceiling, so
+    the two sides can never silently diverge)."""
     import polars as pl
 
     from ..functions.digest import md5_prefix64
@@ -332,6 +337,13 @@ def source_cosine_matrix(ds, group_col: str = "source", text_col: str = "text",
             // (acc[(k[0], k[0])] * acc[(k[1], k[1])])
             for k in pairs
         ]
+        if dots and max(dots) >= 2 ** 63:
+            raise OverflowError(
+                "source_cosine dot product exceeds the documented int64 "
+                "ceiling of the `dot` output column (the SQL oracle's "
+                "BIGINT cast shares it); cos2_u itself is exact — drop "
+                "the dot column or rescale counts to go beyond"
+            )
         out = pd.DataFrame({
             "group_a": [k[0] for k in pairs],
             "group_b": [k[1] for k in pairs],

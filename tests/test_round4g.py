@@ -168,3 +168,34 @@ def test_read_filter_pushdown_prunes_rows(ray_session, tmp_path):
     assert len(out) == 100
     assert sorted(out.columns) == ["k"]
     assert (out["k"].to_numpy() % 10 == 0).all()
+
+
+def test_priority_sample_nul_payload_roundtrip():
+    """Length-prefixed payload serialisation survives NUL bytes and empty
+    strings (the old NUL-join silently misaligned every later payload)."""
+    from pprl_ray.sketches import PrioritySampleSketch
+
+    sk = PrioritySampleSketch(8)
+    payloads = ["a\x00b", "", "plain", "\x00\x00", "tail"]
+    sk.update(
+        np.arange(5, dtype=np.uint64),
+        np.array([3, 1, 4, 1, 5], np.int64),
+        payloads,
+    )
+    clone = PrioritySampleSketch.from_bytes(sk.to_bytes())
+    assert list(clone.payloads) == list(sk.payloads)
+    assert clone.subset_sums() == sk.subset_sums()
+
+
+def test_priority_sample_rejects_reweighted_key():
+    """A key re-observed with a DIFFERENT weight raises instead of being
+    silently double-retained (the dedupe contract is now enforced)."""
+    from pprl_ray.sketches import PrioritySampleSketch
+
+    sk = PrioritySampleSketch(8)
+    sk.update(np.array([7, 8], np.uint64), np.array([2, 3], np.int64))
+    # idempotent re-observation with the SAME weight is fine
+    sk.update(np.array([7], np.uint64), np.array([2], np.int64))
+    assert len(sk.keys) == 2
+    with pytest.raises(ValueError, match="different weight"):
+        sk.update(np.array([8], np.uint64), np.array([9], np.int64))
