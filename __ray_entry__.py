@@ -3577,9 +3577,12 @@ def q_knn_ivfpq(sf_dir: str):
     bucket-partitioned Parquet holding m-byte PQ codes instead of 4*d-byte
     vectors (16x compression at d=64), queried by reading only probed
     bucket directories and scoring via broadcast ADC lookup tables
-    (stages/ann.py). Approximate by construction (quantized residuals), so
-    no SQL oracle — recall vs brute force, score error, and build/search
-    determinism are pytest-gated (tests/test_stages.py)."""
+    (stages/ann.py). Approximate by construction (quantized residuals) but
+    DETERMINISTIC given (bytes, seeds): the oracle pins the expected top-k
+    via an independent pure-numpy re-derivation of the published algorithm
+    (scripts/gen_ivfpq_pins.py, zero pprl_ray imports) — value-hash-
+    checked; recall vs brute force and build/search determinism remain
+    pytest-gated (tests/test_stages.py)."""
     import shutil
     import tempfile
 
@@ -6194,6 +6197,18 @@ def _dsir_lr_values() -> str:
     return ",\n                ".join(f"({b}, {v})" for b, v in PIN_DSIR_LR)
 
 
+def _ivfpq_values() -> str:
+    """(query_id, neighbor_id, score, rank) VALUES rows of the pinned
+    IVF-PQ top-k (golden/ivfpq_pins.py — independently re-derived from
+    the published algorithm in pure numpy by scripts/gen_ivfpq_pins.py,
+    zero pprl_ray imports, so the pin is not self-referential)."""
+    from pprl_ray.golden.ivfpq_pins import PIN_IVFPQ
+
+    return ",\n                ".join(
+        f"({q}, {n}, {s!r}, {r})" for q, n, s, r in PIN_IVFPQ
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     phonetic_vals = ",\n                ".join(
         "(%s)" % ", ".join(f"'{v}'" for v in row) for row in _PHONETIC_GOLDEN
@@ -6992,6 +7007,21 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(generate_series(0, 511)) AS bucket) g
             LEFT JOIN c ON g.bucket = c.bucket
             ORDER BY g.bucket
+        """,
+        # knn_ivfpq: quantized-residual ANN has no closed-form SQL, but the
+        # expected top-k at sf0.01 is a deterministic function of (bytes,
+        # seeds) — pinned via an independent numpy re-derivation (the
+        # dsir_select precedent), upgrading the check from rows-only to
+        # value-hash.
+        "knn_ivfpq": f"""
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(neighbor_id AS BIGINT) AS neighbor_id,
+                   CAST(score AS DOUBLE) AS score,
+                   CAST(rank AS BIGINT) AS rank
+            FROM (VALUES
+                {_ivfpq_values()}
+            ) AS t(query_id, neighbor_id, score, rank)
+            ORDER BY query_id, rank
         """,
         "dsir_select": f"""
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
