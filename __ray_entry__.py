@@ -3416,6 +3416,33 @@ def q_heavy_hitters(sf_dir: str):
     return pd.DataFrame({"token": [t for t, _ in rows], "mg_estimate": [n for _, n in rows]})
 
 
+def q_spacesaving_tokens(sf_dir: str):
+    """SpaceSaving heavy hitters over corpus tokens (sketches/
+    spacesaving.py — the overestimate-side complement of the MG summary,
+    PODS-2012 mergeable): per-block partials combine-tree-merged via
+    sketch_by_key. EXACT here because the corpus vocabulary (31 types)
+    fits k=256 — no evictions anywhere, every count exact, every recorded
+    error zero, bit-order-invariant under any merge tree — so the SQL
+    counts are a true oracle (the >capacity regime is bound-gated in
+    tests/test_sketches.py, the MG heavy_hitters precedent)."""
+    from pprl_ray.sketches import SpaceSavingSketch
+    from pprl_ray.sources.corpus import derive_corpus
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    merged = sketch_by_key(
+        derive_corpus(sf_dir), lambda: SpaceSavingSketch(256), "tokens", None
+    )
+    sk = finalize_sketches(merged, SpaceSavingSketch)[""]
+    rows = sk.items()[:50]
+    return pd.DataFrame(
+        {
+            "token": np.array([t for t, _, _ in rows], np.int64),
+            "ss_count": np.array([c for _, c, _ in rows], np.int64),
+            "ss_err": np.array([e for _, _, e in rows], np.int64),
+        }
+    )
+
+
 def q_top_per_group(sf_dir: str):
     """Per-group top-k: the 3 longest documents per source (deterministic
     tie-break on doc_id). Partitioned-vectorized: groups co-locate by key
@@ -5396,6 +5423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 late additions (never driver-verified) — window head;
         # the r2-verified untouched entries they displace moved to the
         # tail (judge re-runs tails; see the boundary note below).
+        "spacesaving_tokens": q_spacesaving_tokens,
         "priority_subset_sum": q_priority_subset_sum,
         "source_cosine": q_source_cosine,
         "purchase_daily": q_purchase_daily,
@@ -6547,6 +6575,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         # per-source MG is provably EXACT here (per-source vocabulary ~31
         # << 256 counters -> no decrement ever fires), so plain per-source
+        # exact for the same reason as heavy_hitters: 31 types << k=256, so
+        # SpaceSaving never evicts, counts are exact and errors zero under
+        # any merge tree
+        "spacesaving_tokens": f"""
+            WITH counts AS (
+                SELECT w, count(*) AS c
+                FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                GROUP BY w
+            ),
+            mapped AS (
+                SELECT v.token_id AS token, c
+                FROM counts JOIN (VALUES
+                {token_map_vals}
+                ) AS v(w, token_id) ON counts.w = v.w
+            )
+            SELECT CAST(token AS BIGINT) AS token,
+                   CAST(c AS BIGINT) AS ss_count,
+                   CAST(0 AS BIGINT) AS ss_err
+            FROM mapped
+            ORDER BY c DESC, token
+            LIMIT 50
+        """,
         # SQL counts are a true oracle; the >capacity regime is bound-gated
         # in tests/test_sketches.py
         "heavy_hitters_by_source": f"""

@@ -767,3 +767,87 @@ def test_srp_cosine_additive_merge():
     back = SrpCosineSketch.from_bytes(merged.to_bytes())
     assert (back.acc == merged.acc).all() and back.bits == 128
     assert merged.match_frac(whole) == 1.0
+
+
+class TestSpaceSavingSketch:
+    """SpaceSaving: overestimate sandwich + guaranteed-superset + floor
+    semantics + PODS-2012 merge, the MG complement."""
+
+    def test_sandwich_bound_and_hitter_guarantee(self):
+        import collections
+
+        from pprl_ray.sketches import SpaceSavingSketch
+
+        rng = np.random.default_rng(5)
+        vals = rng.zipf(1.3, 50_000).astype(np.int64) % 5000
+        sk = SpaceSavingSketch(k=128)
+        for chunk in np.array_split(vals, 7):
+            sk.update(chunk)
+        exact = collections.Counter(vals.tolist())
+        bound = sk.error_bound
+        for v, (cnt, err) in sk.counters.items():
+            assert exact[v] <= cnt            # never undercounts
+            assert cnt - err <= exact[v]      # recorded error is honest
+            assert err <= bound + 1e-9        # e(x) <= N/k
+        # estimate() upper-bounds EVERY item, tracked or not
+        for v, c in exact.items():
+            assert sk.estimate(v) >= c
+            if c > bound:
+                assert v in sk.counters, (v, c, bound)
+
+    def test_merge_preserves_bounds_any_order(self):
+        import collections
+
+        from pprl_ray.sketches import SpaceSavingSketch
+
+        rng = np.random.default_rng(6)
+        vals = rng.zipf(1.2, 30_000).astype(np.int64) % 2000
+        parts = np.array_split(vals, 6)
+        exact = collections.Counter(vals.tolist())
+        for order in ([0, 1, 2, 3, 4, 5], [5, 3, 1, 0, 4, 2]):
+            acc = None
+            for i in order:
+                sk = SpaceSavingSketch(k=64)
+                sk.update(parts[i])
+                acc = sk if acc is None else acc.merge(sk)
+            assert acc.total == len(vals)
+            for v, (cnt, err) in acc.counters.items():
+                assert exact[v] <= cnt and cnt - err <= exact[v]
+            for v, c in exact.items():
+                assert acc.estimate(v) >= c
+
+    def test_exact_regime_bit_invariant_merge(self):
+        """<= k distinct keys anywhere: counts exact, errors zero, any
+        merge tree yields the identical canonical serialisation."""
+        from pprl_ray.sketches import SpaceSavingSketch
+
+        rng = np.random.default_rng(7)
+        vals = (rng.integers(0, 40, 10_000)).astype(np.int64)
+        parts = np.array_split(vals, 5)
+
+        def build(order):
+            acc = None
+            for i in order:
+                sk = SpaceSavingSketch(k=64)
+                sk.update(parts[i])
+                acc = sk if acc is None else acc.merge(sk)
+            return acc
+
+        a = build([0, 1, 2, 3, 4])
+        b = build([4, 2, 0, 3, 1])
+        assert a.to_bytes() == b.to_bytes()
+        import collections
+
+        exact = collections.Counter(vals.tolist())
+        assert {v: c for v, (c, e) in a.counters.items()} == dict(exact)
+        assert all(e == 0 for _, e in a.counters.values())
+        assert a.floor == 0
+
+    def test_serialization_roundtrip(self):
+        from pprl_ray.sketches import SpaceSavingSketch
+
+        sk = SpaceSavingSketch(k=4)
+        sk.update(np.array([1, 1, 2, 3, 3, 3, 4, 5, 6], dtype=np.int64))
+        rt = SpaceSavingSketch.from_bytes(sk.to_bytes())
+        assert rt.counters == sk.counters
+        assert (rt.total, rt.floor, rt.k) == (sk.total, sk.floor, sk.k)
