@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "fuzzy_join",
     "sorted_neighborhood",
     "weighted_quantiles",
+    "spacesaving_tokens",
 ]
 
 

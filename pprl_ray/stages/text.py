@@ -659,7 +659,8 @@ def _one_chunk(arr):
 
 def _cp_postings(batch: pa.Table, df_map, n_docs: int, threshold: float,
                  prefix_filter: bool, group_cap: int, partitions: int,
-                 text_col: str, id_col: str, emit: str = "pairs") -> pa.Table:
+                 text_col: str, id_col: str, emit: str = "pairs",
+                 light_max: float | None = None) -> pa.Table:
     """One batch of documents → salted probe/build posting rows for
     :func:`cosine_pairs` (``emit="pairs"``), or the docs' unindexed
     PREFIX postings ``(id, token, wn, gpart)`` (``emit="prefix"``).
@@ -675,6 +676,17 @@ def _cp_postings(batch: pa.Table, df_map, n_docs: int, threshold: float,
     descending-df order so the globally hottest tokens (tiny idf ⇒ tiny
     weight) land in nearly every doc's prefix — their inverted lists
     then hold almost no indexed entries and the df² pair blowup dies.
+
+    Only LIGHT tokens (``wn ≤ light_max``, default ``threshold/8``) are
+    prefix-eligible: hot tokens on zipfian corpora are exactly the light
+    ones, while on a degenerate tiny-vocab corpus (every token heavy AND
+    ubiquitous — the pair space is genuinely dense, no exact method is
+    sub-quadratic) prefixes go empty and the plan degrades gracefully to
+    index-everything instead of paying the remainder machinery for
+    nothing. Light prefixes also keep each doc's prefix NORM tiny, which
+    the candidate floor ``pd + pn_a·pn_b ≥ t`` exploits (the remainder
+    can never exceed the product of the two prefix norms), so near-miss
+    pairs die at the reduce instead of flooding the remainder join.
 
     Salting: a token with df build rows splits into ``ceil(df /
     group_cap)`` salt buckets by ``hash(id)``; its (few) indexed probe
@@ -705,18 +717,37 @@ def _cp_postings(batch: pa.Table, df_map, n_docs: int, threshold: float,
     wn = w.join(norms, on="id").with_columns(
         (pl.col("w") / pl.col("nm")).alias("wn")
     )
+    if light_max is None:
+        light_max = threshold / 8.0
     if prefix_filter:
-        # indexed ⇔ cumulative ‖·‖² (desc-df order) has reached t²; the
-        # -1e-12 guard shrinks the prefix under float noise (sound side).
+        # prefix ⇔ LIGHT (wn ≤ light_max) and the cumulative ‖·‖² of
+        # light tokens (desc-df order) is still under t²; the -1e-12
+        # guard shrinks the prefix under float noise (sound side).
         wn = wn.sort(["id", "df", "token"], descending=[False, True, False])
         wn = wn.with_columns(
+            (pl.col("wn") <= light_max).alias("_elig")
+        ).with_columns(
             (
-                (pl.col("wn") ** 2).cum_sum().over("id")
-                >= threshold * threshold - 1e-12
+                ((pl.col("wn") ** 2) * pl.col("_elig"))
+                .cum_sum().over("id")
+            ).alias("_cum")
+        ).with_columns(
+            (
+                ~(pl.col("_elig") & (pl.col("_cum") < threshold * threshold - 1e-12))
             ).alias("indexed")
         )
+        pnorms = (
+            wn.filter(~pl.col("indexed"))
+            .group_by("id")
+            .agg((pl.col("wn") ** 2).sum().sqrt().alias("pn"))
+        )
+        wn = wn.join(pnorms, on="id", how="left").with_columns(
+            pl.col("pn").fill_null(0.0)
+        )
     else:
-        wn = wn.with_columns(pl.lit(True).alias("indexed"))
+        wn = wn.with_columns(
+            pl.lit(True).alias("indexed"), pl.lit(0.0).alias("pn")
+        )
     if emit == "prefix":
         pp = wn.filter(~pl.col("indexed")).select(["id", "token", "wn"])
         gh = pp["id"].hash(seed=13).to_numpy()
@@ -730,14 +761,22 @@ def _cp_postings(batch: pa.Table, df_map, n_docs: int, threshold: float,
     build = wn.with_columns(
         (pl.col("_idh") % pl.col("nsalt")).cast(pl.UInt32).alias("salt"),
         pl.lit(False).alias("probe"),
+        (pl.col("nsalt") > 1).alias("salted"),
     )
+    # probe replicas exist ONLY for salted tokens (an unsalted token's
+    # indexed build rows double as the probe side in the group merge) —
+    # the common case pays zero row duplication
     probe = (
-        wn.filter(pl.col("indexed"))
+        wn.filter(pl.col("indexed") & (pl.col("nsalt") > 1))
         .with_columns(pl.int_ranges(0, pl.col("nsalt").cast(pl.Int64)).alias("salt"))
         .explode("salt")
-        .with_columns(pl.col("salt").cast(pl.UInt32), pl.lit(True).alias("probe"))
+        .with_columns(
+            pl.col("salt").cast(pl.UInt32),
+            pl.lit(True).alias("probe"),
+            pl.lit(True).alias("salted"),
+        )
     )
-    cols = ["token", "salt", "id", "wn", "indexed", "probe"]
+    cols = ["token", "salt", "id", "wn", "indexed", "probe", "pn", "salted"]
     out = pl.concat([build.select(cols), probe.select(cols)])
     h = out["token"].hash(seed=59).to_numpy()
     part = (
@@ -757,15 +796,21 @@ def _cp_pair_partials(group):
     then normalized to (min, max). Pure pandas — unit-testable."""
     import pandas as pd
 
-    probe = group[group["probe"]]
     build = group[~group["probe"]]
+    # probe side: explicit replicas for salted tokens, the indexed build
+    # rows themselves for unsalted ones (no duplication emitted upstream)
+    probe = pd.concat(
+        [group[group["probe"]], build[build["indexed"] & ~build["salted"]]]
+    )
     m = probe.merge(build, on=["token", "salt"], suffixes=("_a", "_b"))
     m = m[(m["id_a"] != m["id_b"]) & ~(m["indexed_b"] & (m["id_a"] > m["id_b"]))]
     if m.empty:
         return pd.DataFrame(
             {"id_a": pd.Series(dtype=group["id"].dtype),
              "id_b": pd.Series(dtype=group["id"].dtype),
-             "d": pd.Series(dtype="float64")}
+             "d": pd.Series(dtype="float64"),
+             "pna": pd.Series(dtype="float64"),
+             "pnb": pd.Series(dtype="float64")}
         )
     swap = m["id_a"] > m["id_b"]  # dtype-generic (int or string ids)
     res = pd.DataFrame(
@@ -773,15 +818,22 @@ def _cp_pair_partials(group):
             "id_a": m["id_a"].where(~swap, m["id_b"]),
             "id_b": m["id_b"].where(~swap, m["id_a"]),
             "d": (m["wn_a"] * m["wn_b"]).to_numpy(),
+            # per-doc prefix norms ride along (constant per pair) so the
+            # candidate reduce can apply the pd + pn_a·pn_b ≥ t floor
+            "pna": m["pn_a"].where(~swap, m["pn_b"]),
+            "pnb": m["pn_b"].where(~swap, m["pn_a"]),
         }
     )
-    return res.groupby(["id_a", "id_b"], sort=False)["d"].sum().reset_index()
+    return res.groupby(["id_a", "id_b"], sort=False).agg(
+        d=("d", "sum"), pna=("pna", "first"), pnb=("pnb", "first")
+    ).reset_index()
 
 
 def cosine_pairs(ds, n_docs: int | None = None, threshold: float = 0.8,
                  text_col: str = "text", id_col: str = "doc_id",
                  max_df: int | None = None, partitions: int | None = None,
-                 prefix_filter: bool = True, group_cap: int = 2_000_000):
+                 prefix_filter: bool = True, group_cap: int = 2_000_000,
+                 light_max: float | None = None):
     """Sparse TF-IDF cosine ALL-PAIRS similarity join — the weighted
     complement of :func:`~pprl_ray.stages.dedup.ngram_jaccard_pairs`:
     every doc pair whose L2-normalized TF-IDF vectors (w = (tf/n_tok) ·
@@ -862,6 +914,7 @@ def cosine_pairs(ds, n_docs: int | None = None, threshold: float = 0.8,
         return _cp_postings(
             batch, pl.from_arrow(ray.get(ref)), n_docs, threshold,
             prefix_filter, group_cap, partitions, text_col, id_col,
+            light_max=light_max,
         )
 
     postings = ds.map_batches(_postings, batch_format="pyarrow")
@@ -879,13 +932,18 @@ def cosine_pairs(ds, n_docs: int | None = None, threshold: float = 0.8,
         hp = (df.hash_rows(seed=71).to_numpy() % np.uint64(partitions)).astype(np.int32)
         return batch.append_column("ppart", pa.array(hp))
 
-    # both prefixes have norm < t, so the missing remainder is < t²; a
-    # candidate below t - t² (minus float guard) can never qualify
-    cand_floor = threshold - threshold * threshold - 1e-9 if prefix_filter else threshold
-
+    # the missing remainder is the prefix-prefix dot, bounded by the
+    # PRODUCT of the two docs' prefix norms (tiny with light-only
+    # prefixes): a pair below t - pn_a·pn_b can never qualify
     def _cand_reduce(group):
-        s = group.groupby(["id_a", "id_b"], sort=False)["d"].sum().reset_index()
-        return s[s["d"] >= cand_floor]
+        s = group.groupby(["id_a", "id_b"], sort=False).agg(
+            d=("d", "sum"), pna=("pna", "first"), pnb=("pnb", "first")
+        ).reset_index()
+        if prefix_filter:
+            keep = s["d"] + s["pna"] * s["pnb"] >= threshold - 1e-9
+        else:
+            keep = s["d"] >= threshold
+        return s.loc[keep]
 
     cand = (
         partials.map_batches(_pair_part, batch_format="pyarrow")
@@ -893,11 +951,13 @@ def cosine_pairs(ds, n_docs: int | None = None, threshold: float = 0.8,
         .map_groups(_cand_reduce, batch_format="pandas")
     )
 
-    if not prefix_filter:
-        return cand.map_batches(
-            lambda b: b.rename_columns(["id_a", "id_b", "cosine"]),
-            batch_format="pyarrow",
+    def _strip(b: pa.Table) -> pa.Table:
+        return b.select(["id_a", "id_b", "d"]).rename_columns(
+            ["id_a", "id_b", "cosine"]
         )
+
+    if not prefix_filter:
+        return cand.map_batches(_strip, batch_format="pyarrow")
 
     cand = cand.materialize()  # small: near-miss-bounded candidate pairs
 
@@ -921,8 +981,14 @@ def cosine_pairs(ds, n_docs: int | None = None, threshold: float = 0.8,
         )
 
     # arrow id type from a (preferably non-empty) candidate block —
-    # Dataset.schema() degrades string columns to Python `str`
+    # Dataset.schema() degrades string columns to Python `str`. The same
+    # pass folds max(pn) over the candidates: if every candidate doc has
+    # an EMPTY prefix (the degenerate dense-corpus fallback, where
+    # light_max disqualified everything), the remainder is identically
+    # zero and the whole correction machinery (second corpus scan, two
+    # shuffles) is skipped.
     id_type = None
+    max_pn = 0.0
     for _r in cand.to_arrow_refs():
         _t0 = ray.get(_r)
         if "id_a" not in _t0.schema.names:  # schema-less empty group block
@@ -930,19 +996,25 @@ def cosine_pairs(ds, n_docs: int | None = None, threshold: float = 0.8,
         if id_type is None or _t0.num_rows:
             id_type = _t0.schema.field("id_a").type
         if _t0.num_rows:
-            break
-    if id_type is None:
-        return cand.map_batches(  # no candidates anywhere
-            lambda b: b.rename_columns(["id_a", "id_b", "cosine"]),
-            batch_format="pyarrow",
-        )
+            max_pn = max(
+                max_pn,
+                pc.max(_t0["pna"]).as_py() or 0.0,
+                pc.max(_t0["pnb"]).as_py() or 0.0,
+            )
+    if id_type is None or max_pn <= 0.0:
+        # no candidates, or no candidate has prefix mass to correct for
+        def _final_exact(b: pa.Table) -> pa.Table:
+            t = _strip(b)
+            return t.filter(pc.greater_equal(t["cosine"], threshold))
+
+        return cand.map_batches(_final_exact, batch_format="pyarrow")
     cand_keys = cand.map_batches(_explode_cand, batch_format="pyarrow")
 
     def _prefix_postings(batch: pa.Table) -> pa.Table:
         t = _cp_postings(
             batch, pl.from_arrow(ray.get(ref)), n_docs, threshold,
             prefix_filter, group_cap, partitions, text_col, id_col,
-            emit="prefix",
+            emit="prefix", light_max=light_max,
         )
         n = t.num_rows
         return pa.table(

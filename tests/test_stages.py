@@ -1502,9 +1502,13 @@ def test_cosine_pairs_prefix_filter_exact_with_hot_tokens(ray_session):
         "doc_id": pa.array(sorted(docs), pa.int64()),
         "text": pa.array([docs[k] for k in sorted(docs)]),
     })
+    # light_max=0.6 keeps the mid-weight shared tokens prefix-resident so
+    # the remainder-correction path is genuinely exercised (the default
+    # threshold/8 would index them)
     for parts, cap in ((1, 2_000_000), (4, 2_000_000), (3, 5)):
         got_df = cosine_pairs(
-            rd.from_arrow(t).repartition(parts), threshold=0.55, group_cap=cap
+            rd.from_arrow(t).repartition(parts), threshold=0.55, group_cap=cap,
+            light_max=0.6,
         ).to_pandas()
         got = {(int(r.id_a), int(r.id_b)): r.cosine for r in got_df.itertuples()}
         assert set(got) == set(want), (parts, cap)
@@ -1525,7 +1529,7 @@ def test_cosine_pairs_prefix_filter_string_ids(ray_session):
         "text": pa.array([docs[k] for k in sorted(docs)]),
     })
     got_df = cosine_pairs(
-        rd.from_arrow(t).repartition(2), threshold=0.55
+        rd.from_arrow(t).repartition(2), threshold=0.55, light_max=0.6
     ).to_pandas()
     got = {(r.id_a, r.id_b): r.cosine for r in got_df.itertuples()}
     assert set(got) == set(want)
