@@ -1695,6 +1695,40 @@ def q_kmv_parts_by_supplier(sf_dir: str):
     )
 
 
+def q_tuple_order_quantity(sf_dir: str):
+    """Tuple sketch (sketches/tuplesketch.py — theta + additive
+    summaries, DataSketches idea on the EDBT-2016 theta framework) IN
+    ESTIMATION MODE: per l_returnflag, the distinct-order count AND the
+    Horvitz-Thompson estimate of total l_quantity over distinct orders,
+    from one bounded k=64 sample per group. Lineitem re-observes each
+    order ~4x, so the sketch genuinely aggregates payloads per key before
+    estimating. Readouts are exact big-int fixed point
+    ((Σ|count) * 2^64 // theta), so the DuckDB splitmix64 limb replica
+    recomputes them bit-for-bit — the whole build/merge/estimate topology
+    is hash-verified, the kmv_store_refresh precedent."""
+    from pprl_ray.sketches import TupleSketch
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_orderkey", "l_quantity"],
+    )
+    merged = sketch_by_key(
+        li, lambda: TupleSketch(64), "l_orderkey", "l_returnflag",
+        weight_col="l_quantity",
+    )
+    sketches = finalize_sketches(merged, TupleSketch)
+    rows = [
+        {
+            "l_returnflag": flag,
+            "tuple_distinct_u": np.int64(sk.distinct_estimate_u()),
+            "tuple_sum_u": np.int64(sk.sum_estimate_u()),
+        }
+        for flag, sk in sorted(sketches.items())
+    ]
+    return pd.DataFrame(rows)
+
+
 def q_corpus_drift(sf_dir: str):
     """Cross-version drift report (pipelines/drift.py): documents vs a
     simulated v2 (doc_id % 7 != 0; 7 is coprime with the round-robin source assignment, so every source keeps docs) — per source doc counts, exact
@@ -5425,6 +5459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # scripts/check_oracles.py.
     return {
         "spacesaving_tokens": q_spacesaving_tokens,
+        "tuple_order_quantity": q_tuple_order_quantity,
         "cosine_pairs": q_cosine_pairs,
         "knn_ivfpq": q_knn_ivfpq,
         "prepare_report": q_prepare_report,
@@ -5473,11 +5508,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_stats": q_source_stats,
         "quality": q_quality,
         "ntok_quantiles": q_ntok_quantiles,
-        "lang_entropy": q_lang_entropy,
         # -- window boundary: entries above are the driver's 50-query
         # CORRECTNESS window for round 5; everything below is
         # r4-driver-verified and code-untouched this round, re-runnable
-        # any time via scripts/check_oracles.py.
+        # any time via scripts/check_oracles.py. (lang_entropy slipped just
+        # below the boundary for the round-5 tuple-sketch addition.)
+        "lang_entropy": q_lang_entropy,
         "line_dedup": q_line_dedup,
         "incremental_near_dup": q_incremental_near_dup,
         "random_projection": q_random_projection,
@@ -7070,6 +7106,39 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score_fx DESC, doc_id
             LIMIT 200
         """.format(dsir_lr=_dsir_lr_values()),
+        # tuple sketch: per-(group, orderkey) payload sums, splitmix64
+        # hash ranks, k=64 theta cut, exact fixed-point HT readouts —
+        # the kmv_store_refresh replication technique with summaries
+        "tuple_order_quantity": f"""
+            WITH agg AS (
+                SELECT l_returnflag AS grp, CAST(l_orderkey AS UBIGINT) AS z,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS qs
+                FROM lineitem GROUP BY 1, 2
+            ),
+            {_sm64_chain("grp, qs", "agg", "tq")},
+            ranked AS (
+                SELECT grp, qs, z AS h,
+                       row_number() OVER (PARTITION BY grp ORDER BY z) AS rn,
+                       count(*) OVER (PARTITION BY grp) AS cnt
+                FROM tq6
+            ),
+            folded AS (
+                SELECT grp, max(cnt) AS cnt,
+                       max(CASE WHEN rn = 64 THEN CAST(h AS HUGEINT) END) AS th,
+                       sum(qs) AS stot,
+                       sum(CASE WHEN rn <= 63 THEN qs ELSE 0 END) AS sret
+                FROM ranked GROUP BY grp
+            )
+            SELECT grp AS l_returnflag,
+                   CAST(CASE WHEN cnt < 64 THEN cnt
+                             ELSE (63 * 18446744073709551616) // th
+                        END AS BIGINT) AS tuple_distinct_u,
+                   CAST(CASE WHEN cnt < 64 THEN stot
+                             ELSE (sret * 18446744073709551616) // th
+                        END AS BIGINT) AS tuple_sum_u
+            FROM folded
+            ORDER BY l_returnflag
+        """,
         "kmv_store_refresh": f"""
             WITH {_sm64_ctes(_ORDERS_SRC)}
             SELECT grp AS o_orderpriority,

@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "sorted_neighborhood",
     "weighted_quantiles",
     "spacesaving_tokens",
+    "tuple_order_quantity",
 ]
 
 

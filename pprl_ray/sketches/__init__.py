@@ -8,6 +8,7 @@ from .fd import FrequentDirectionsSketch  # noqa: F401
 from .gram import GramSketch  # noqa: F401
 from .heavyhitters import MGSketch  # noqa: F401
 from .spacesaving import SpaceSavingSketch  # noqa: F401
+from .tuplesketch import TupleSketch  # noqa: F401
 from .histogram import HistogramSketch  # noqa: F401
 from .hashing import hash_ints, hash_strings, splitmix64  # noqa: F401
 from .hll import HLLSketch  # noqa: F401

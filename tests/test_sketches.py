@@ -851,3 +851,84 @@ class TestSpaceSavingSketch:
         rt = SpaceSavingSketch.from_bytes(sk.to_bytes())
         assert rt.counters == sk.counters
         assert (rt.total, rt.floor, rt.k) == (sk.total, sk.floor, sk.k)
+
+
+class TestTupleSketch:
+    """Tuple sketch (theta + additive summaries): exact mode, HT estimate
+    within bound, exact merge topology-invariance, serialisation."""
+
+    def test_exact_mode_sums_per_distinct_key(self):
+        import collections
+
+        from pprl_ray.sketches import TupleSketch
+
+        rng = np.random.default_rng(8)
+        keys = rng.integers(0, 30, 500).astype(np.int64)
+        pays = rng.integers(1, 9, 500).astype(np.int64)
+        sk = TupleSketch(k=64)
+        for ch in range(5):
+            sk.update(keys[ch * 100:(ch + 1) * 100], pays[ch * 100:(ch + 1) * 100])
+        assert sk.is_exact()
+        truth = collections.defaultdict(int)
+        for k_, p in zip(keys.tolist(), pays.tolist()):
+            truth[k_] += p
+        assert sk.distinct_estimate_u() == len(truth)
+        assert sk.sum_estimate_u() == sum(truth.values())
+        # filtered sum is exact in exact mode
+        want = sum(v for v in truth.values() if v >= 50)
+        assert sk.filtered_sum_u(50) == want
+
+    def test_estimation_mode_within_bound(self):
+        from pprl_ray.sketches import TupleSketch
+
+        rng = np.random.default_rng(9)
+        n_keys = 20_000
+        keys = np.arange(n_keys, dtype=np.int64).repeat(3)
+        pays = rng.integers(1, 11, len(keys)).astype(np.int64)
+        sk = TupleSketch(k=1024)
+        sk.update(keys, pays)
+        assert not sk.is_exact()
+        true_total = int(pays.sum())
+        rel = abs(sk.sum_estimate_u() - true_total) / true_total
+        assert rel < 4 * sk.relative_error_bound(), rel
+        reld = abs(sk.distinct_estimate_u() - n_keys) / n_keys
+        assert reld < 4 * sk.relative_error_bound(), reld
+
+    def test_merge_bit_invariant_any_topology(self):
+        from pprl_ray.sketches import TupleSketch
+
+        rng = np.random.default_rng(10)
+        keys = rng.integers(0, 5000, 30_000).astype(np.int64)
+        pays = rng.integers(1, 7, len(keys)).astype(np.int64)
+        chunks = np.array_split(np.arange(len(keys)), 6)
+
+        def build(order, tree=False):
+            sks = []
+            for i in order:
+                sk = TupleSketch(k=256)
+                sk.update(keys[chunks[i]], pays[chunks[i]])
+                sks.append(sk)
+            if tree:  # pairwise tree merge
+                while len(sks) > 1:
+                    sks = [a.merge(b) for a, b in zip(sks[::2], sks[1::2])] + (
+                        [sks[-1]] if len(sks) % 2 else []
+                    )
+                return sks[0]
+            acc = sks[0]
+            for s in sks[1:]:
+                acc.merge(s)
+            return acc
+
+        a = build([0, 1, 2, 3, 4, 5])
+        b = build([5, 3, 1, 0, 4, 2])
+        c = build([2, 4, 0, 1, 5, 3], tree=True)
+        assert a.to_bytes() == b.to_bytes() == c.to_bytes()
+
+    def test_serialization_roundtrip(self):
+        from pprl_ray.sketches import TupleSketch
+
+        sk = TupleSketch(k=16)
+        sk.update(np.arange(100, dtype=np.int64), np.ones(100, dtype=np.int64))
+        rt = TupleSketch.from_bytes(sk.to_bytes())
+        assert rt.to_bytes() == sk.to_bytes()
+        assert rt.sum_estimate_u() == sk.sum_estimate_u()
