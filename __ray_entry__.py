@@ -4195,6 +4195,33 @@ def q_lm_perplexity(sf_dir: str):
     )
 
 
+def q_kn_perplexity(sf_dir: str):
+    """Interpolated Kneser-Ney bigram perplexity (stages/lm.py
+    score_kn_perplexity — Kneser & Ney 1995, Chen & Goodman 1999 fixed
+    discount D=0.75): same trained count tables as lm_perplexity, plus
+    the continuation/fan-out tables derived WITHOUT a full shuffle (w1
+    rows are already co-located by the counting exchange; w2 fan-in sums
+    exactly from per-block partials of globally-unique bigram rows).
+    Self-scored so every in-doc bigram is in the model and the DuckDB
+    oracle replicates the exact float64 expression order."""
+    from pprl_ray.stages.lm import score_kn_perplexity, train_bigram_lm
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    uni, bi, total = train_bigram_lm(docs)
+    out = score_kn_perplexity(docs, uni, bi, total)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tokens": b["n_tokens"],
+                "avg_logp": pc.round(b["avg_logp"], ndigits=4),
+                "perplexity": pc.round(b["perplexity"], ndigits=4),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based session windows per user over the event stream (30-minute
     inactivity gap), stages/window.py — the stateful streaming-window
@@ -5460,6 +5487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "spacesaving_tokens": q_spacesaving_tokens,
         "tuple_order_quantity": q_tuple_order_quantity,
+        "kn_perplexity": q_kn_perplexity,
         "cosine_pairs": q_cosine_pairs,
         "knn_ivfpq": q_knn_ivfpq,
         "prepare_report": q_prepare_report,
@@ -5507,12 +5535,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": q_top_tokens,
         "source_stats": q_source_stats,
         "quality": q_quality,
-        "ntok_quantiles": q_ntok_quantiles,
         # -- window boundary: entries above are the driver's 50-query
         # CORRECTNESS window for round 5; everything below is
         # r4-driver-verified and code-untouched this round, re-runnable
-        # any time via scripts/check_oracles.py. (lang_entropy slipped just
-        # below the boundary for the round-5 tuple-sketch addition.)
+        # any time via scripts/check_oracles.py. (ntok_quantiles and
+        # lang_entropy slipped just below the boundary for the round-5
+        # tuple-sketch and KN-perplexity additions.)
+        "ntok_quantiles": q_ntok_quantiles,
         "lang_entropy": q_lang_entropy,
         "line_dedup": q_line_dedup,
         "incremental_near_dup": q_incremental_near_dup,
@@ -7957,6 +7986,43 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN uni up ON up.w = p.w
                 LEFT JOIN bi ON bi.w1 = p.w AND bi.w2 = t.w
                 CROSS JOIN tot
+            )
+            SELECT doc_id, count(*) AS n_tokens, round(avg(lp), 4) AS avg_logp,
+                   round(exp(-avg(lp)), 4) AS perplexity
+            FROM scored GROUP BY doc_id
+        """,
+        # interpolated KN: same count tables as lm_perplexity plus
+        # continuation (N1+(.w2)) / fan-out (N1+(w1.)) CTEs; expression
+        # order inside ln() mirrors the engine's numpy order exactly
+        "kn_perplexity": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM documents
+            ),
+            uni AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+            tot AS (SELECT count(*) AS t FROM toks),
+            bi AS (
+                SELECT a.w AS w1, b.w AS w2, count(*) AS c
+                FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                GROUP BY a.w, b.w
+            ),
+            ctx AS (SELECT w1, sum(c) AS cctx, count(*) AS nf FROM bi GROUP BY w1),
+            cont AS (SELECT w2, count(*) AS np FROM bi GROUP BY w2),
+            nb AS (SELECT count(*) AS b FROM bi),
+            scored AS (
+                SELECT t.doc_id,
+                       CASE WHEN t.pos = 1 THEN ln(u.c * 1.0 / tot.t)
+                            ELSE ln((bi.c - 0.75) / ctx.cctx
+                                    + 0.75 * ctx.nf / ctx.cctx
+                                      * cont.np / nb.b) END AS lp
+                FROM toks t
+                JOIN uni u ON u.w = t.w
+                LEFT JOIN toks p ON p.doc_id = t.doc_id AND p.pos = t.pos - 1
+                LEFT JOIN ctx ON ctx.w1 = p.w
+                LEFT JOIN cont ON cont.w2 = t.w
+                LEFT JOIN bi ON bi.w1 = p.w AND bi.w2 = t.w
+                CROSS JOIN tot CROSS JOIN nb
             )
             SELECT doc_id, count(*) AS n_tokens, round(avg(lp), 4) AS avg_logp,
                    round(exp(-avg(lp)), 4) AS perplexity

@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "weighted_quantiles",
     "spacesaving_tokens",
     "tuple_order_quantity",
+    "kn_perplexity",
 ]
 
 

@@ -42,7 +42,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["train_bigram_lm", "score_perplexity", "ALPHA"]
+__all__ = ["train_bigram_lm", "score_perplexity", "score_kn_perplexity", "kn_model_tables", "ALPHA", "KN_DISCOUNT"]
 
 ALPHA = 0.4  # stupid-backoff discount (Brants et al. 2007)
 
@@ -276,6 +276,203 @@ def score_perplexity(ds, uni_ds, bi_ds, total_tokens: int, text_col: str = "text
         fn_constructor_kwargs=dict(uni_ref=uni_ref, bi_ref=bi_ref,
                                    total=total_tokens, text_col=text_col,
                                    id_col=id_col),
+        batch_format="pyarrow",
+        **map_kwargs,
+    )
+
+
+# --- interpolated Kneser-Ney ------------------------------------------------
+
+KN_DISCOUNT = 0.75  # the standard fixed absolute discount (Chen & Goodman 1999)
+
+
+def kn_model_tables(bi_ds, partitions: int | None = None):
+    """Derive the interpolated-Kneser-Ney model tables from a trained
+    bigram table (:func:`train_bigram_lm`'s ``bi_ds``):
+
+    - ``ctx_ds (w1, cctx, nf)`` — per context: total bigram count
+      ``Σ_w2 c(w1,w2)`` and follower fan-out ``N1+(w1·)``. Computed
+      WITHOUT a shuffle: the counting exchange already co-located every
+      (w1, ·) row by ``hash(w1)`` (seed 47), so a per-block groupby is
+      exact.
+    - ``cont_ds (w2, np)`` — continuation fan-in ``N1+(·w2)``: distinct
+      (w1, w2) rows are globally unique after the count reduce, so
+      per-block partial counts sum exactly through one slim groupby.
+    - ``n_bigrams`` — ``N1+(··)``, the distinct-bigram count (one
+      metadata-cheap ``count()``).
+    """
+    import pyarrow.compute as pc
+
+    import polars as pl
+
+    from .partitioning import auto_partitions
+
+    if partitions is None:
+        partitions = auto_partitions(bi_ds) or 16
+
+    def _ctx(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .group_by("w1")
+            .agg(pl.col("cnt").sum().alias("cctx"), pl.len().alias("nf"))
+            .with_columns(pl.col("cctx").cast(pl.Int64), pl.col("nf").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    ctx_ds = bi_ds.map_batches(_ctx, batch_format="pyarrow")
+
+    def _cont_partial(batch: pa.Table) -> pa.Table:
+        d = (
+            pl.from_arrow(batch)
+            .group_by("w2")
+            .agg(pl.len().cast(pl.Int64).alias("np"))
+        )
+        h = d["w2"].hash(seed=49).to_numpy()
+        return d.with_columns(
+            pl.Series("part", (h % np.uint64(partitions)).astype(np.int32))
+        ).to_arrow()
+
+    def _cont_sum(group) -> "pa.Table":
+        out = (
+            pl.from_arrow(group)
+            .group_by("w2")
+            .agg(pl.col("np").sum())
+        )
+        return out.to_arrow()
+
+    cont_ds = (
+        bi_ds.map_batches(_cont_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_cont_sum, batch_format="pyarrow")
+    )
+    return ctx_ds.materialize(), cont_ds.materialize(), int(bi_ds.count())
+
+
+class _KNStage:
+    """Per-batch interpolated-Kneser-Ney scoring against broadcast model
+    tables (same actor-pool shape as :class:`_PerplexityStage`).
+
+    Fixed operation order (matches the SQL oracle exactly):
+      doc start:     ln(cw / total)
+      seen bigram:   ln((cbi - D) / cctx + D * nf / cctx * np / B)
+      unseen bigram, seen context:  ln(D * nf / cctx * np1 / B)
+      no context (prev never a w1): ln(np1 / B)
+    where np1 = max(np, 1) floors the continuation count so a token never
+    seen as a continuation still scores finitely (self-scored corpora
+    never reach the fallback branches — every in-doc bigram was counted)."""
+
+    def __init__(self, uni_ref, ctx_ref, cont_ref, bi_ref, total: int,
+                 n_bigrams: int, text_col: str, id_col: str):
+        self.refs = (uni_ref, ctx_ref, cont_ref, bi_ref)
+        self.total = float(total)
+        self.nb = float(n_bigrams)
+        self.text_col = text_col
+        self.id_col = id_col
+        self._model = None
+
+    def _tables(self):
+        if self._model is None:
+            import polars as pl
+            import ray
+
+            uni, ctx, cont, bi = ray.get(list(self.refs))
+            self._model = (
+                pl.from_arrow(uni).select(
+                    pl.col("token"), pl.col("cnt").cast(pl.Float64).alias("cw")
+                ),
+                pl.from_arrow(ctx).select(
+                    pl.col("w1"),
+                    pl.col("cctx").cast(pl.Float64),
+                    pl.col("nf").cast(pl.Float64),
+                ),
+                pl.from_arrow(cont).select(
+                    pl.col("w2"), pl.col("np").cast(pl.Float64)
+                ),
+                pl.from_arrow(bi).select(
+                    pl.col("w1"), pl.col("w2"),
+                    pl.col("cnt").cast(pl.Float64).alias("cbi"),
+                ),
+            )
+        return self._model
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        updf, ctxdf, contdf, bpdf = self._tables()
+        flat, lens = _doc_tokens(batch, self.text_col)
+        n = len(flat)
+        starts = np.zeros(n, bool)
+        if n:
+            starts[0] = True
+            starts[np.cumsum(lens)[:-1]] = True
+        frame = pl.DataFrame(
+            {"tok": flat.alias("tok"), "prev": flat.shift(1).alias("prev")}
+        ).with_row_index("idx")
+        frame = (
+            frame.join(updf, left_on="tok", right_on="token", how="left")
+            .join(ctxdf.rename({"w1": "prev"}), on="prev", how="left")
+            .join(contdf.rename({"w2": "tok"}), on="tok", how="left")
+            .join(bpdf, left_on=["prev", "tok"], right_on=["w1", "w2"], how="left")
+            .sort("idx")
+        )
+        D = KN_DISCOUNT
+        cw = np.nan_to_num(frame["cw"].to_numpy(), nan=1.0)
+        cctx = frame["cctx"].to_numpy()
+        nf = frame["nf"].to_numpy()
+        np1 = np.fmax(np.nan_to_num(frame["np"].to_numpy(), nan=0.0), 1.0)
+        cbi = np.array(frame["cbi"].to_numpy(), dtype=np.float64, copy=True)
+        cbi[starts] = np.nan
+        has_ctx = ~np.isnan(cctx)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lp = np.where(
+                starts,
+                np.log(cw / self.total),
+                np.where(
+                    ~np.isnan(cbi),
+                    np.log((cbi - D) / cctx + D * nf / cctx * np1 / self.nb),
+                    np.where(
+                        has_ctx,
+                        np.log(D * np.nan_to_num(nf, nan=1.0)
+                               / np.nan_to_num(cctx, nan=1.0) * np1 / self.nb),
+                        np.log(np1 / self.nb),
+                    ),
+                ),
+            )
+        offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        sums = np.add.reduceat(lp, offsets) if len(lp) else np.zeros(0)
+        avg = sums / np.maximum(lens, 1)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "n_tokens": pa.array(lens, pa.int64()),
+                "avg_logp": pa.array(avg, pa.float64()),
+                "perplexity": pa.array(np.exp(-avg), pa.float64()),
+            }
+        )
+
+
+def score_kn_perplexity(ds, uni_ds, bi_ds, total_tokens: int,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        partitions: int | None = None, **map_kwargs):
+    """Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995; Chen
+    & Goodman 1999 fixed-discount form) under a model trained by
+    :func:`train_bigram_lm` — the smoothing CCNet-style quality scoring
+    uses in production LMs, next to :func:`score_perplexity`'s stupid
+    backoff. Model tables (continuation/fan-out counts derived
+    distributed, see :func:`kn_model_tables`) broadcast once; the corpus
+    streams through an actor pool."""
+    ctx_ds, cont_ds, n_bigrams = kn_model_tables(bi_ds, partitions)
+    uni_ref, ctx_ref, cont_ref, bi_ref = _broadcast_tables(
+        uni_ds, ctx_ds, cont_ds, bi_ds
+    )
+    map_kwargs.setdefault("concurrency", (1, 16))
+    return ds.map_batches(
+        _KNStage,
+        fn_constructor_kwargs=dict(
+            uni_ref=uni_ref, ctx_ref=ctx_ref, cont_ref=cont_ref, bi_ref=bi_ref,
+            total=total_tokens, n_bigrams=n_bigrams,
+            text_col=text_col, id_col=id_col,
+        ),
         batch_format="pyarrow",
         **map_kwargs,
     )

@@ -199,3 +199,76 @@ def test_priority_sample_rejects_reweighted_key():
     assert len(sk.keys) == 2
     with pytest.raises(ValueError, match="different weight"):
         sk.update(np.array([8], np.uint64), np.array([9], np.int64))
+
+
+def test_kn_perplexity_matches_hand_model(ray_session):
+    """Interpolated KN scoring vs a dict-based reference on a tiny
+    corpus, including the fallback branches (unseen bigram, context-less
+    prev) that self-scored runs never reach."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pprl_ray.stages.lm import (
+        KN_DISCOUNT,
+        score_kn_perplexity,
+        train_bigram_lm,
+    )
+
+    train = ["a b a c a b", "b c b a", "c c a b"]
+    t = pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                  "text": pa.array(train)})
+    docs = rd.from_arrow(t)
+    uni, bi, total = train_bigram_lm(docs)
+
+    # eval docs: "c a" seen; "a a" unseen bigram w/ seen context;
+    # trailing-only token as prev ("b" IS a context; use doc "b b")
+    ev = ["c a b", "a a c", "b b"]
+    et = pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                   "text": pa.array(ev)})
+    out = score_kn_perplexity(
+        rd.from_arrow(et), uni, bi, total
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    # dict reference
+    toks = [d.split() for d in train]
+    unic: dict = {}
+    bic: dict = {}
+    for ws in toks:
+        for w in ws:
+            unic[w] = unic.get(w, 0) + 1
+        for x, y in zip(ws, ws[1:]):
+            bic[(x, y)] = bic.get((x, y), 0) + 1
+    tot = sum(unic.values())
+    ctxc = {}
+    nf = {}
+    npred = {}
+    for (x, y), c in bic.items():
+        ctxc[x] = ctxc.get(x, 0) + c
+        nf[x] = nf.get(x, 0) + 1
+        npred[y] = npred.get(y, 0) + 1
+    B = len(bic)
+    D = KN_DISCOUNT
+
+    def lp(prev, tok, start):
+        if start:
+            return math.log(unic.get(tok, 1) / tot)
+        np1 = max(npred.get(tok, 0), 1)
+        if (prev, tok) in bic:
+            return math.log(
+                (bic[(prev, tok)] - D) / ctxc[prev]
+                + D * nf[prev] / ctxc[prev] * np1 / B
+            )
+        if prev in ctxc:
+            return math.log(D * nf[prev] / ctxc[prev] * np1 / B)
+        return math.log(np1 / B)
+
+    for i, d in enumerate(ev):
+        ws = d.split()
+        lps = [lp(None, ws[0], True)] + [
+            lp(a, b, False) for a, b in zip(ws, ws[1:])
+        ]
+        want = sum(lps) / len(ws)
+        assert out.loc[i, "avg_logp"] == pytest.approx(want, rel=1e-12), d
+        assert out.loc[i, "n_tokens"] == len(ws)
