@@ -980,27 +980,37 @@ def cosine_pairs(ds, n_docs: int | None = None, threshold: float = 0.8,
             }
         )
 
-    # arrow id type from a (preferably non-empty) candidate block —
-    # Dataset.schema() degrades string columns to Python `str`. The same
-    # pass folds max(pn) over the candidates: if every candidate doc has
-    # an EMPTY prefix (the degenerate dense-corpus fallback, where
-    # light_max disqualified everything), the remainder is identically
-    # zero and the whole correction machinery (second corpus scan, two
-    # shuffles) is skipped.
+    # arrow id type from the materialized schema (base_schema keeps the
+    # true arrow types that Dataset.schema().types degrades), and a
+    # DISTRIBUTED max over the candidates' prefix norms: if every
+    # candidate doc has an EMPTY prefix (the degenerate dense-corpus
+    # fallback, where light_max disqualified everything), the remainder
+    # is identically zero and the whole correction machinery (second
+    # corpus scan, two shuffles) is skipped. No candidate block ever
+    # ships to the driver.
+    _schema = cand.schema()
     id_type = None
+    if _schema is not None and "id_a" in _schema.names:
+        if isinstance(_schema.base_schema, pa.Schema):
+            id_type = _schema.base_schema.field("id_a").type
+        else:  # pandas-backed blocks: read ONE block's arrow schema
+            for _r in cand.to_arrow_refs():
+                _t0 = ray.get(_r)
+                if "id_a" in _t0.schema.names:
+                    id_type = _t0.schema.field("id_a").type
+                    if _t0.num_rows:
+                        break
     max_pn = 0.0
-    for _r in cand.to_arrow_refs():
-        _t0 = ray.get(_r)
-        if "id_a" not in _t0.schema.names:  # schema-less empty group block
-            continue
-        if id_type is None or _t0.num_rows:
-            id_type = _t0.schema.field("id_a").type
-        if _t0.num_rows:
-            max_pn = max(
-                max_pn,
-                pc.max(_t0["pna"]).as_py() or 0.0,
-                pc.max(_t0["pnb"]).as_py() or 0.0,
-            )
+    if id_type is not None:
+        _mx = cand.map_batches(
+            lambda b: pa.table(
+                {"m": pa.array(
+                    [max(pc.max(b["pna"]).as_py() or 0.0,
+                         pc.max(b["pnb"]).as_py() or 0.0)], pa.float64())}
+            ),
+            batch_format="pyarrow",
+        ).max("m")
+        max_pn = float(_mx or 0.0)
     if id_type is None or max_pn <= 0.0:
         # no candidates, or no candidate has prefix mass to correct for
         def _final_exact(b: pa.Table) -> pa.Table:
