@@ -1729,6 +1729,44 @@ def q_tuple_order_quantity(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_req_ntok_tail(sf_dir: str):
+    """Relative-error quantiles (sketches/req.py REQSketch — Cormode et
+    al. PODS 2021, HRA orientation): per-lang n_tok quantiles at
+    q = 0.5/0.9/0.99. EXACT here (each lang's ~100 rows at sf0.01 sit
+    under the level-0 capacity 2·3·k = 192, no compaction fires), so the
+    SQL order-statistic replica (rank = ceil(q·n), the engine's
+    searchsorted-left selection under unit weights) is a true oracle —
+    the compacted/merged regime is bound-gated in tests/test_sketches.py
+    (the KLL precedent)."""
+    from pprl_ray.sketches import REQSketch
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    docs = _docs(sf_dir, ["lang", "text"])
+
+    def _nt(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": b["lang"],
+                "n_tok": pc.cast(
+                    pc.list_value_length(pc.split_pattern(b["text"], " ")),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    merged = sketch_by_key(
+        docs.map_batches(_nt, batch_format="pyarrow"),
+        lambda: REQSketch(32), "n_tok", "lang",
+    )
+    sketches = finalize_sketches(merged, REQSketch)
+    rows = [
+        {"lang": lang, "q": q, "ntok_q": np.int64(sk.quantile(q))}
+        for lang, sk in sorted(sketches.items())
+        for q in (0.5, 0.9, 0.99)
+    ]
+    return pd.DataFrame(rows)
+
+
 def q_corpus_drift(sf_dir: str):
     """Cross-version drift report (pipelines/drift.py): documents vs a
     simulated v2 (doc_id % 7 != 0; 7 is coprime with the round-robin source assignment, so every source keeps docs) — per source doc counts, exact
@@ -5488,6 +5526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spacesaving_tokens": q_spacesaving_tokens,
         "tuple_order_quantity": q_tuple_order_quantity,
         "kn_perplexity": q_kn_perplexity,
+        "req_ntok_tail": q_req_ntok_tail,
         "cosine_pairs": q_cosine_pairs,
         "knn_ivfpq": q_knn_ivfpq,
         "prepare_report": q_prepare_report,
@@ -5534,13 +5573,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": q_token_count,
         "top_tokens": q_top_tokens,
         "source_stats": q_source_stats,
-        "quality": q_quality,
         # -- window boundary: entries above are the driver's 50-query
         # CORRECTNESS window for round 5; everything below is
         # r4-driver-verified and code-untouched this round, re-runnable
-        # any time via scripts/check_oracles.py. (ntok_quantiles and
-        # lang_entropy slipped just below the boundary for the round-5
-        # tuple-sketch and KN-perplexity additions.)
+        # any time via scripts/check_oracles.py. (quality, ntok_quantiles
+        # and lang_entropy slipped just below the boundary for the round-5
+        # tuple-sketch / KN-perplexity / REQ additions.)
+        "quality": q_quality,
         "ntok_quantiles": q_ntok_quantiles,
         "lang_entropy": q_lang_entropy,
         "line_dedup": q_line_dedup,
@@ -7135,6 +7174,25 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score_fx DESC, doc_id
             LIMIT 200
         """.format(dsir_lr=_dsir_lr_values()),
+        # REQ exact regime: ceil(q*n) order statistic per lang (the
+        # engine's unit-weight searchsorted-left rule; identical IEEE
+        # q*n on both sides)
+        "req_ntok_tail": """
+            WITH nt AS (
+                SELECT lang, len(string_split(text, ' ')) AS n_tok
+                FROM documents
+            ),
+            r AS (
+                SELECT lang, n_tok,
+                       row_number() OVER (PARTITION BY lang ORDER BY n_tok) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS cnt
+                FROM nt
+            )
+            SELECT lang, q, CAST(n_tok AS BIGINT) AS ntok_q
+            FROM r CROSS JOIN (VALUES (0.5), (0.9), (0.99)) AS qv(q)
+            WHERE rn = CAST(ceil(q * cnt) AS BIGINT)
+            ORDER BY lang, q
+        """,
         # tuple sketch: per-(group, orderkey) payload sums, splitmix64
         # hash ranks, k=64 theta cut, exact fixed-point HT readouts —
         # the kmv_store_refresh replication technique with summaries

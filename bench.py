@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "spacesaving_tokens",
     "tuple_order_quantity",
     "kn_perplexity",
+    "req_ntok_tail",
 ]
 
 

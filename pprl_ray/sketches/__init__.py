@@ -9,6 +9,7 @@ from .gram import GramSketch  # noqa: F401
 from .heavyhitters import MGSketch  # noqa: F401
 from .spacesaving import SpaceSavingSketch  # noqa: F401
 from .tuplesketch import TupleSketch  # noqa: F401
+from .req import REQSketch  # noqa: F401
 from .histogram import HistogramSketch  # noqa: F401
 from .hashing import hash_ints, hash_strings, splitmix64  # noqa: F401
 from .hll import HLLSketch  # noqa: F401

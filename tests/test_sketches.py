@@ -932,3 +932,84 @@ class TestTupleSketch:
         rt = TupleSketch.from_bytes(sk.to_bytes())
         assert rt.to_bytes() == sk.to_bytes()
         assert rt.sum_estimate_u() == sk.sum_estimate_u()
+
+
+class TestREQSketch:
+    """Relative-error quantiles (PODS 2021, HRA): exact mode, empirical
+    relative-tail-error envelope, merge envelope, determinism."""
+
+    def test_exact_mode_below_capacity(self):
+        from pprl_ray.sketches import REQSketch
+
+        rng = np.random.default_rng(11)
+        data = rng.normal(0, 1, 150)  # < 2*3*32 level-0 capacity
+        sk = REQSketch(k=32)
+        sk.update(data)
+        assert sk.is_exact()
+        sv = np.sort(data)
+        for q in (0.1, 0.5, 0.9, 0.99):
+            # ceil-rank order statistic, the engine/oracle selection rule
+            j = int(np.searchsorted(np.arange(1, 151), q * 150, "left"))
+            assert sk.quantile(q) == sv[min(j, 149)]
+        x = float(np.median(data))
+        assert sk.rank(x) == (data <= x).sum() / 150
+
+    def test_relative_tail_error_envelope(self):
+        from pprl_ray.sketches import REQSketch
+
+        rng = np.random.default_rng(12)
+        data = rng.zipf(1.5, 200_000).astype(float)
+        sk = REQSketch(k=32)
+        for ch in np.array_split(data, 37):
+            sk.update(ch)
+        sv = np.sort(data)
+        n = len(data)
+        for q, cap in ((0.5, 0.10), (0.9, 0.05), (0.99, 0.05), (0.999, 0.02)):
+            x = sv[int(q * n) - 1]
+            r = (data <= x).sum() / n
+            err = abs(sk.rank(x) - r) / max(1 - r, 1e-12)
+            assert err <= cap, (q, err)  # HRA: error relative to tail mass
+
+    def test_merge_envelope_any_order(self):
+        from pprl_ray.sketches import REQSketch
+
+        rng = np.random.default_rng(13)
+        data = rng.zipf(1.3, 120_000).astype(float)
+        parts = np.array_split(data, 8)
+        sv = np.sort(data)
+        n = len(data)
+
+        def build(order):
+            acc = None
+            for i in order:
+                s = REQSketch(k=32)
+                s.update(parts[i])
+                acc = s if acc is None else acc.merge(s)
+            return acc
+
+        for order in ([0, 1, 2, 3, 4, 5, 6, 7], [7, 5, 3, 1, 0, 2, 4, 6]):
+            m = build(order)
+            assert m.n == n
+            for q, cap in ((0.9, 0.08), (0.99, 0.08), (0.999, 0.05)):
+                x = sv[int(q * n) - 1]
+                r = (data <= x).sum() / n
+                err = abs(m.rank(x) - r) / max(1 - r, 1e-12)
+                assert err <= cap, (order, q, err)
+
+    def test_deterministic_and_roundtrip(self):
+        from pprl_ray.sketches import REQSketch
+
+        rng = np.random.default_rng(14)
+        data = rng.normal(0, 1, 5000)
+
+        def build():
+            sk = REQSketch(k=16, seed=5)
+            for ch in np.array_split(data, 9):
+                sk.update(ch)
+            return sk
+
+        a, b = build(), build()
+        assert a.to_bytes() == b.to_bytes()  # seeded coin: bit-reproducible
+        rt = REQSketch.from_bytes(a.to_bytes())
+        assert rt.to_bytes() == a.to_bytes()
+        assert rt.quantile(0.97) == a.quantile(0.97)
