@@ -513,13 +513,18 @@ def cmd_quality(args) -> None:
             return batch.filter(keep)
 
         out = ds.map_batches(_filter, batch_format="pyarrow")
-    else:  # lm
-        from .stages.lm import score_perplexity, train_bigram_lm
+    else:  # lm / kn
+        from .stages.lm import (
+            score_kn_perplexity,
+            score_perplexity,
+            train_bigram_lm,
+        )
 
         uni, bi, total = train_bigram_lm(ds, text_col=args.text_column,
                                          min_count=args.min_count)
-        out = score_perplexity(ds, uni, bi, total, text_col=args.text_column,
-                               id_col=args.id_column)
+        scorer = score_kn_perplexity if args.method == "kn" else score_perplexity
+        out = scorer(ds, uni, bi, total, text_col=args.text_column,
+                     id_col=args.id_column)
     n = _write(out, args.output, args.format)
     print(json.dumps({"command": "quality", "method": args.method, "rows": n,
                       "output": args.output}))
@@ -1075,7 +1080,8 @@ def main(argv: list[str] | None = None) -> None:
     sp.add_argument("--input", required=True)
     sp.add_argument("--output", required=True)
     sp.add_argument("--format", choices=("parquet", "csv", "jsonl"), default="parquet")
-    sp.add_argument("--method", choices=("signals", "gopher", "lm"), default="signals")
+    sp.add_argument("--method", choices=("signals", "gopher", "lm", "kn"),
+                    default="signals")
     sp.add_argument("--text-column", default="text")
     sp.add_argument("--id-column", default="doc_id")
     sp.add_argument("--min-words", type=int, default=30)

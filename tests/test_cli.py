@@ -525,6 +525,15 @@ def test_cli_quality_modes(ray_session, tmp_path, capsys):
     assert pdf.loc[1, "perplexity"] < pdf.loc[0, "perplexity"]
     assert pdf["perplexity"].idxmax() == 2  # rare-bigram short doc
 
+    r = _run(capsys, ["quality", "--method", "kn", "--input", str(inp),
+                      "--output", str(tmp_path / "kn")])
+    kn = pq.read_table(str(tmp_path / "kn"))
+    assert kn.num_rows == 6 and "perplexity" in kn.column_names
+    kdf = kn.to_pandas().set_index("doc_id")
+    # KN preserves the predictability ordering of the repetitive doc
+    assert kdf.loc[1, "perplexity"] < kdf.loc[0, "perplexity"]
+    assert (kdf["perplexity"] > 0).all()
+
 
 def test_cli_split_search_ngram_near(ray_session, tmp_path, capsys):
     docs = tmp_path / "docs.parquet"
