@@ -1505,13 +1505,17 @@ def test_cosine_pairs_prefix_filter_exact_with_hot_tokens(ray_session):
     # light_max=0.6 keeps the mid-weight shared tokens prefix-resident so
     # the remainder-correction path is genuinely exercised (the default
     # threshold/8 would index them)
-    for parts, cap in ((1, 2_000_000), (4, 2_000_000), (3, 5)):
+    # light_max=0.0 forces empty prefixes: exercises the remainder-skip
+    # fallback end-to-end; the answer is a pure function of the corpus,
+    # invariant to the light_max performance knob
+    for parts, cap, lm in ((1, 2_000_000, 0.6), (4, 2_000_000, 0.6),
+                           (3, 5, 0.6), (2, 2_000_000, 0.0)):
         got_df = cosine_pairs(
             rd.from_arrow(t).repartition(parts), threshold=0.55, group_cap=cap,
-            light_max=0.6,
+            light_max=lm,
         ).to_pandas()
         got = {(int(r.id_a), int(r.id_b)): r.cosine for r in got_df.itertuples()}
-        assert set(got) == set(want), (parts, cap)
+        assert set(got) == set(want), (parts, cap, lm)
         for k in want:
             assert got[k] == pytest.approx(want[k], rel=1e-12)
 
