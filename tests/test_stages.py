@@ -1584,3 +1584,37 @@ def test_b64_encode_rows_matches_stdlib():
         want = [base64.b64encode(r.tobytes()).decode() for r in m]
         assert got == want, w
     assert b64_encode_rows(np.zeros((0, 5), np.uint8)).to_pylist() == []
+
+
+def test_cosine_pairs_filter_equals_unfiltered_random(ray_session):
+    """Adversarial soundness guard: on seeded random corpora (mixed vocab
+    sizes, duplicated docs, skewed token draws) the prefix-filter plan
+    returns the IDENTICAL pair set and values as index-everything, at
+    multiple thresholds, under the default light_max."""
+    import ray.data as rd
+
+    from pprl_ray.stages.text import cosine_pairs
+
+    rng = np.random.default_rng(21)
+    for vocab_n, threshold in ((12, 0.6), (200, 0.75)):
+        vocab = [f"t{i}" for i in range(vocab_n)]
+        p = 1.0 / np.arange(1, vocab_n + 1)  # zipf-ish draw
+        p /= p.sum()
+        docs = [
+            " ".join(rng.choice(vocab, size=rng.integers(5, 25), p=p))
+            for _ in range(60)
+        ]
+        docs += docs[:5]  # planted exact dups -> cosine 1 pairs
+        t = pa.table({
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs),
+        })
+        ds = rd.from_arrow(t).repartition(3)
+        a = cosine_pairs(ds, threshold=threshold, prefix_filter=True).to_pandas()
+        b = cosine_pairs(ds, threshold=threshold, prefix_filter=False).to_pandas()
+        ka = {(int(r.id_a), int(r.id_b)): r.cosine for r in a.itertuples()}
+        kb = {(int(r.id_a), int(r.id_b)): r.cosine for r in b.itertuples()}
+        assert set(ka) == set(kb), (vocab_n, threshold)
+        for k in kb:
+            assert ka[k] == pytest.approx(kb[k], rel=1e-12)
+        assert len(kb) >= 5  # the planted dup pairs qualify
