@@ -291,18 +291,17 @@ def kn_model_tables(bi_ds, partitions: int | None = None):
     bigram table (:func:`train_bigram_lm`'s ``bi_ds``):
 
     - ``ctx_ds (w1, cctx, nf)`` — per context: total bigram count
-      ``Σ_w2 c(w1,w2)`` and follower fan-out ``N1+(w1·)``. Computed
-      WITHOUT a shuffle: the counting exchange already co-located every
-      (w1, ·) row by ``hash(w1)`` (seed 47), so a per-block groupby is
-      exact.
-    - ``cont_ds (w2, np)`` — continuation fan-in ``N1+(·w2)``: distinct
-      (w1, w2) rows are globally unique after the count reduce, so
-      per-block partial counts sum exactly through one slim groupby.
+      ``Σ_w2 c(w1,w2)`` and follower fan-out ``N1+(w1·)``. Distinct
+      (w1, w2) rows are globally unique after the count reduce, so both
+      are exactly additive over per-batch partials — a slim two-level
+      fold, never trusting block boundaries to preserve the counting
+      exchange's w1 co-location (Ray may split a large group's output
+      across blocks).
+    - ``cont_ds (w2, np)`` — continuation fan-in ``N1+(·w2)``: same
+      partial-sum argument on the w2 axis.
     - ``n_bigrams`` — ``N1+(··)``, the distinct-bigram count (one
       metadata-cheap ``count()``).
     """
-    import pyarrow.compute as pc
-
     import polars as pl
 
     from .partitioning import auto_partitions
@@ -310,16 +309,31 @@ def kn_model_tables(bi_ds, partitions: int | None = None):
     if partitions is None:
         partitions = auto_partitions(bi_ds) or 16
 
-    def _ctx(batch: pa.Table) -> pa.Table:
-        return (
+    def _ctx_partial(batch: pa.Table) -> pa.Table:
+        d = (
             pl.from_arrow(batch)
             .group_by("w1")
-            .agg(pl.col("cnt").sum().alias("cctx"), pl.len().alias("nf"))
-            .with_columns(pl.col("cctx").cast(pl.Int64), pl.col("nf").cast(pl.Int64))
+            .agg(pl.col("cnt").cast(pl.Int64).sum().alias("cctx"),
+                 pl.len().cast(pl.Int64).alias("nf"))
+        )
+        h = d["w1"].hash(seed=48).to_numpy()
+        return d.with_columns(
+            pl.Series("part", (h % np.uint64(partitions)).astype(np.int32))
+        ).to_arrow()
+
+    def _ctx_sum(group) -> "pa.Table":
+        return (
+            pl.from_arrow(group)
+            .group_by("w1")
+            .agg(pl.col("cctx").sum(), pl.col("nf").sum())
             .to_arrow()
         )
 
-    ctx_ds = bi_ds.map_batches(_ctx, batch_format="pyarrow")
+    ctx_ds = (
+        bi_ds.map_batches(_ctx_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_ctx_sum, batch_format="pyarrow")
+    )
 
     def _cont_partial(batch: pa.Table) -> pa.Table:
         d = (
