@@ -17,7 +17,7 @@ import sys
 import time
 
 REPEATS = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-QUERIES = ["prepare_report", "ccnet_buckets", "lm_perplexity"]
+QUERIES = ["prepare_report", "ccnet_buckets", "lm_perplexity", "kn_perplexity"]
 
 
 def main():
