@@ -205,3 +205,83 @@ def test_tv_distance_identity_symmetry_range(xs, ys):
         for t in set(xs) | set(ys)
     ) // (2 * len(xs) * len(ys))
     assert 0 <= d * scale - fp < 1
+
+
+@settings(max_examples=40, deadline=None)
+@given(values_arrays, st.randoms(use_true_random=False))
+def test_tuple_merge_order_invariant_bitexact(parts, rnd):
+    """Tuple sketch: theta canonical form + additive summaries ⇒ exact
+    topology invariance, bit-for-bit (payload = value % 7 + 1, so sums
+    are non-trivial and key-aligned across orders)."""
+    from pprl_ray.sketches import TupleSketch
+
+    def build(order):
+        acc = None
+        for i in order:
+            sk = TupleSketch(k=32)
+            v = np.asarray(parts[i], dtype=np.int64)
+            sk.update(v, v % 7 + 1)
+            acc = sk if acc is None else acc.merge(sk)
+        return acc
+
+    order = list(range(len(parts)))
+    rnd.shuffle(order)
+    assert build(range(len(parts))).to_bytes() == build(order).to_bytes()
+
+
+@settings(max_examples=40, deadline=None)
+@given(values_arrays, st.randoms(use_true_random=False))
+def test_spacesaving_merge_bounds_any_order(parts, rnd):
+    """SpaceSaving under arbitrary merge orders: every tracked count
+    upper-bounds the true count, count − err lower-bounds it, and
+    estimate() upper-bounds EVERY key (the PODS-2012 merge invariants)."""
+    import collections
+
+    from pprl_ray.sketches import SpaceSavingSketch
+
+    def build(order):
+        acc = None
+        for i in order:
+            sk = SpaceSavingSketch(k=16)
+            sk.update(np.asarray(parts[i], dtype=np.int64))
+            acc = sk if acc is None else acc.merge(sk)
+        return acc
+
+    order = list(range(len(parts)))
+    rnd.shuffle(order)
+    exact = collections.Counter(v for p in parts for v in p)
+    for acc in (build(range(len(parts))), build(order)):
+        assert acc.total == sum(exact.values())
+        for v, (cnt, err) in acc.counters.items():
+            assert exact[v] <= cnt
+            assert cnt - err <= exact[v]
+        for v, c in exact.items():
+            assert acc.estimate(v) >= c
+
+
+@settings(max_examples=25, deadline=None)
+@given(values_arrays, st.randoms(use_true_random=False))
+def test_req_merge_preserves_weight_mass(parts, rnd):
+    """REQ under arbitrary merge orders: n is exact, total retained
+    weight mass equals n (compaction promotes half the items at double
+    weight — mass is conserved), and min/max ranks stay sane."""
+    from pprl_ray.sketches import REQSketch
+
+    def build(order):
+        acc = None
+        for i in order:
+            sk = REQSketch(k=8)
+            sk.update(np.asarray(parts[i], dtype=np.float64))
+            acc = sk if acc is None else acc.merge(sk)
+        return acc
+
+    order = list(range(len(parts)))
+    rnd.shuffle(order)
+    n = sum(len(p) for p in parts)
+    for acc in (build(range(len(parts))), build(order)):
+        assert acc.n == n
+        v, w = acc._weighted_items()
+        if n:
+            assert float(w.sum()) == float(n)  # exact: weights are 2^lvl ints
+            top = max(v for p in parts for v in p)
+            assert acc.rank(top) == 1.0  # the maximum is never discarded
