@@ -1729,6 +1729,45 @@ def q_tuple_order_quantity(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_tuple_shared_orders(sf_dir: str):
+    """Tuple-sketch COORDINATED INTERSECTION (theta-framework set
+    algebra with summaries): for each ordered pair of l_linestatus
+    groups, the estimated number of orders with lineitems in BOTH
+    statuses (partially-shipped orders) and the estimated quantity mass
+    the A-side carries on those shared orders — from the same bounded
+    k=64 samples as tuple_order_quantity, no join of the base table.
+    Both sketches hash identically, so keys below min(theta) form a
+    coordinated sample; fixed-point HT readouts are exact big-int
+    arithmetic and the DuckDB splitmix64 replica recomputes the whole
+    build/cut/intersect/estimate path bit-for-bit."""
+    from pprl_ray.sketches import TupleSketch
+    from pprl_ray.state.aggregate import finalize_sketches, sketch_by_key
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_linestatus", "l_orderkey", "l_quantity"],
+    )
+    merged = sketch_by_key(
+        li, lambda: TupleSketch(64), "l_orderkey", "l_linestatus",
+        weight_col="l_quantity",
+    )
+    sks = finalize_sketches(merged, TupleSketch)
+    rows = []
+    for a in sorted(sks):
+        for b in sorted(sks):
+            if a == b:
+                continue
+            nd, ns = sks[a].intersect_estimates_u(sks[b])
+            rows.append(
+                {
+                    "grp_a": a, "grp_b": b,
+                    "shared_distinct_u": np.int64(nd),
+                    "shared_sum_u": np.int64(ns),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
 def q_req_ntok_tail(sf_dir: str):
     """Relative-error quantiles (sketches/req.py REQSketch — Cormode et
     al. PODS 2021, HRA orientation): per-lang n_tok quantiles at
@@ -5527,6 +5566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tuple_order_quantity": q_tuple_order_quantity,
         "kn_perplexity": q_kn_perplexity,
         "req_ntok_tail": q_req_ntok_tail,
+        "tuple_shared_orders": q_tuple_shared_orders,
         "cosine_pairs": q_cosine_pairs,
         "knn_ivfpq": q_knn_ivfpq,
         "prepare_report": q_prepare_report,
@@ -5572,13 +5612,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_freq": q_token_freq,
         "token_count": q_token_count,
         "top_tokens": q_top_tokens,
-        "source_stats": q_source_stats,
         # -- window boundary: entries above are the driver's 50-query
         # CORRECTNESS window for round 5; everything below is
         # r4-driver-verified and code-untouched this round, re-runnable
-        # any time via scripts/check_oracles.py. (quality, ntok_quantiles
-        # and lang_entropy slipped just below the boundary for the round-5
-        # tuple-sketch / KN-perplexity / REQ additions.)
+        # any time via scripts/check_oracles.py. (source_stats, quality,
+        # ntok_quantiles and lang_entropy slipped just below the boundary
+        # for the round-5 sketch/LM additions.)
+        "source_stats": q_source_stats,
         "quality": q_quality,
         "ntok_quantiles": q_ntok_quantiles,
         "lang_entropy": q_lang_entropy,
@@ -7174,6 +7214,60 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score_fx DESC, doc_id
             LIMIT 200
         """.format(dsir_lr=_dsir_lr_values()),
+        # tuple-sketch coordinated intersection: same splitmix64 machinery
+        # as tuple_order_quantity; shared keys = equal hashes below
+        # min(theta) (bijective hash), HT readouts in exact HUGEINT
+        "tuple_shared_orders": f"""
+            WITH agg AS (
+                SELECT l_linestatus AS grp, CAST(l_orderkey AS UBIGINT) AS z,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS qs
+                FROM lineitem GROUP BY 1, 2
+            ),
+            {_sm64_chain("grp, qs", "agg", "tsh")},
+            hashed AS (SELECT grp, qs, z AS h FROM tsh6),
+            ranked AS (
+                SELECT grp, h,
+                       row_number() OVER (PARTITION BY grp ORDER BY h) AS rn,
+                       count(*) OVER (PARTITION BY grp) AS cnt
+                FROM hashed
+            ),
+            theta AS (
+                SELECT grp,
+                       CASE WHEN max(cnt) < 64
+                            THEN CAST(18446744073709551616 AS HUGEINT)
+                            ELSE max(CASE WHEN rn = 64
+                                          THEN CAST(h AS HUGEINT) END)
+                       END AS th
+                FROM ranked GROUP BY grp
+            ),
+            pairs AS (
+                SELECT a.grp AS ga, b.grp AS gb, least(a.th, b.th) AS t
+                FROM theta a JOIN theta b ON a.grp <> b.grp
+            ),
+            common AS (
+                SELECT p.ga, p.gb, p.t,
+                       count(rb.h) AS nd,
+                       COALESCE(sum(CASE WHEN rb.h IS NOT NULL
+                                         THEN ra.qs END), 0) AS s
+                FROM pairs p
+                JOIN hashed ra
+                  ON ra.grp = p.ga AND CAST(ra.h AS HUGEINT) < p.t
+                LEFT JOIN hashed rb
+                  ON rb.grp = p.gb AND rb.h = ra.h
+                GROUP BY 1, 2, 3
+            )
+            SELECT ga AS grp_a, gb AS grp_b,
+                   CAST(CASE WHEN t = CAST(18446744073709551616 AS HUGEINT)
+                             THEN nd
+                             ELSE (nd * 18446744073709551616) // t
+                        END AS BIGINT) AS shared_distinct_u,
+                   CAST(CASE WHEN t = CAST(18446744073709551616 AS HUGEINT)
+                             THEN s
+                             ELSE (s * 18446744073709551616) // t
+                        END AS BIGINT) AS shared_sum_u
+            FROM common
+            ORDER BY grp_a, grp_b
+        """,
         # REQ exact regime: ceil(q*n) order statistic per lang (the
         # engine's unit-weight searchsorted-left rule; identical IEEE
         # q*n on both sides)

@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "tuple_order_quantity",
     "kn_perplexity",
     "req_ntok_tail",
+    "tuple_shared_orders",
 ]
 
 

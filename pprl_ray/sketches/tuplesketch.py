@@ -144,6 +144,28 @@ class TupleSketch:
     def relative_error_bound(self) -> float:
         return 1.0 / np.sqrt(self.k - 2)
 
+    def intersect_estimates_u(self, other: "TupleSketch") -> tuple[int, int]:
+        """Coordinated-sample intersection readouts against ``other``
+        (same k/seed): ``(shared_distinct_u, shared_sum_u)`` — the
+        estimated number of keys present in BOTH populations, and the
+        estimated Σ of THIS sketch's summaries over those shared keys.
+        Both sketches sample by the SAME hash, so a key below
+        ``t = min(theta_a, theta_b)`` is retained by both iff it is in
+        both populations (the theta-framework intersection estimator);
+        Horvitz-Thompson with rate t/2^64 gives exact-integer fixed-point
+        estimates, exact when both sketches are exact."""
+        assert (self.k, self.seed) == (other.k, other.seed)
+        t = min(self.theta, other.theta)
+        mine = self.keys < t
+        common = np.intersect1d(self.keys[mine], other.keys[other.keys < t])
+        s = int(self.summaries[np.isin(self.keys, common)].sum())
+        if self.is_exact() and other.is_exact():
+            return len(common), s
+        return (
+            (len(common) * _SPACE) // int(t),
+            (s * _SPACE) // int(t),
+        )
+
     def filtered_sum_u(self, min_summary: int) -> int:
         """Estimate of Σ summary over distinct keys whose TOTAL summary is
         >= min_summary — only valid in exact mode or as an approximation

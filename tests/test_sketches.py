@@ -1013,3 +1013,42 @@ class TestREQSketch:
         rt = REQSketch.from_bytes(a.to_bytes())
         assert rt.to_bytes() == a.to_bytes()
         assert rt.quantile(0.97) == a.quantile(0.97)
+
+
+def test_tuple_intersect_estimates():
+    """Coordinated intersection readouts: exact when both exact; within
+    the error bound in estimation mode; zero for disjoint key sets."""
+    import collections
+
+    from pprl_ray.sketches import TupleSketch
+
+    rng = np.random.default_rng(15)
+    # exact mode
+    a, b = TupleSketch(k=64), TupleSketch(k=64)
+    ka = np.array([1, 2, 3, 4, 5, 2, 3], np.int64)
+    pa_ = np.array([10, 20, 30, 40, 50, 2, 3], np.int64)
+    kb = np.array([3, 4, 5, 6], np.int64)
+    a.update(ka, pa_)
+    b.update(kb, np.ones(4, np.int64))
+    nd, ns = a.intersect_estimates_u(b)
+    truth = collections.defaultdict(int)
+    for k_, p in zip(ka.tolist(), pa_.tolist()):
+        truth[k_] += p
+    assert nd == 3  # keys 3,4,5 shared
+    assert ns == truth[3] + truth[4] + truth[5]
+    # disjoint
+    c = TupleSketch(k=64)
+    c.update(np.array([100, 200], np.int64), np.ones(2, np.int64))
+    assert a.intersect_estimates_u(c) == (0, 0)
+    # estimation mode: overlapping ranges, payload 1..5
+    x, y = TupleSketch(k=1024), TupleSketch(k=1024)
+    kx = np.arange(0, 30_000, dtype=np.int64)
+    ky = np.arange(15_000, 45_000, dtype=np.int64)
+    px = (kx % 5 + 1).astype(np.int64)
+    x.update(kx, px)
+    y.update(ky, np.ones_like(ky))
+    nd, ns = x.intersect_estimates_u(y)
+    true_nd = 15_000
+    true_ns = int(px[15_000:].sum())
+    assert abs(nd - true_nd) / true_nd < 4 * x.relative_error_bound()
+    assert abs(ns - true_ns) / true_ns < 4 * x.relative_error_bound()
