@@ -471,3 +471,32 @@ def test_cc_round_checkpoint_resume_identical(ray_session, tmp_path):
         rd.from_arrow(other), local_threshold=0, partitions=4, checkpoint_dir=ck))
     assert dd.last_cc_rounds > 0
     assert (fresh["rep_id"] == 500).all()
+
+
+def test_resume_byte_identical_round5_sketches(corpus_files, tmp_path):
+    """The checkpoint scaffolding is registry-generic: the round-5
+    single-column sketches (SpaceSaving, REQ) resume byte-identically
+    through the same per-partition build/kill/resume path as HLL.
+    (TupleSketch needs a payload column; its resumability rests on the
+    bit-invariant merges property-tested in test_properties.py.)"""
+    from pprl_ray.sketches import REQSketch, SpaceSavingSketch
+
+    factories = {
+        "spacesaving": lambda: SpaceSavingSketch(k=64),
+        "req": lambda: REQSketch(k=16, seed=3),
+    }
+    for name, factory in factories.items():
+        full = CheckpointedSketchBuild(
+            str(tmp_path / f"full_{name}"), factory, "tokens", "source"
+        ).run(corpus_files)
+        interrupted = CheckpointedSketchBuild(
+            str(tmp_path / f"res_{name}"), factory, "tokens", "source"
+        )
+        with pytest.raises(RuntimeError, match="still pending"):
+            interrupted.run(corpus_files, max_partitions=2)
+        resumed = CheckpointedSketchBuild(
+            str(tmp_path / f"res_{name}"), factory, "tokens", "source"
+        ).run(corpus_files)
+        assert set(full) == set(resumed)
+        for k in full:
+            assert full[k].to_bytes() == resumed[k].to_bytes(), (name, k)
