@@ -5,7 +5,7 @@ ranks and stays multiplicatively small at the top — the right shape for
 tail questions ("what is the p99.9 of n_tok") where KLL's uniform
 additive εn error is uninformative. Implemented from the paper's
 relative-compactor design (the schedule popularized by the Apache
-DataSheets REQ documentation of the same paper); no code reused.
+DataSketches REQ documentation of the same paper); no code reused.
 
 Structure: a ladder of RELATIVE compactors. Each holds ``2·m·k`` items
 (m sections of size k, m doubling / k halving as compactions accumulate,
